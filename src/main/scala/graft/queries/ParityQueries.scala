@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.ops.{CleanseOps, DateDim, IncrementalOps, KeyOps}
+import Q.{dec, asDouble}
+
+/** SURVEY §2 operator inventory re-expressed over the harness testdata.
+  *
+  * Each entry exercises one operator family from the reference
+  * (file:line cites in the Scaladoc of the ops it uses) as a declarative
+  * DataFrame query, so Catalyst gets full pushdown/pruning/broadcast
+  * freedom. Oracles are ANSI SQL in DuckDB dialect.
+  */
+object ParityQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** §2.4-ext + F2: pruning aggregate (TPC-H Q1 shape). */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, d) => li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  /** P1/P5/P8: conjunctive filter + narrow projection + derived column
+    * (reference: extract_flights.py:52-63, 75-79).
+    */
+  val qProjFilter = Q(
+    "q_proj_filter",
+    (s, d) => li(s, d)
+      .filter(col("l_quantity") >= 30 && col("l_discount") > 0.02 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        asDouble(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net_price
+      FROM lineitem
+      WHERE l_quantity >= 30 AND l_discount > 0.02 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P6/P7/P8 + F2/F6: rename, drop, derive year/month/day + smart date
+    * key (reference: load_fct_flights.py:33-54).
+    */
+  val qSmartDateKey = Q(
+    "q_smart_date_key",
+    (s, d) => ord(s, d)
+      .withColumnRenamed("o_orderkey", "order_id")
+      .withColumns(Map(
+        "o_year" -> year(col("o_orderdate")).cast(IntegerType),
+        "o_month" -> month(col("o_orderdate")).cast(IntegerType),
+        "o_day" -> dayofmonth(col("o_orderdate")).cast(IntegerType),
+        "date_dim_id" -> KeyOps.smartDateKey(col("o_orderdate"))))
+      .drop("o_orderdate", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_custkey")
+      .orderBy(col("order_id")),
+    Some("""
+      SELECT o_orderkey AS order_id,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             CAST(day(o_orderdate) AS INTEGER) AS o_day,
+             CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INTEGER) AS date_dim_id
+      FROM orders ORDER BY order_id"""))
+
+  /** J1+J2: the SAME dimension joined twice with aliases
+    * (reference: load_fct_flights.py:61-77 — dim_airports for both the
+    * departure and arrival side). nation plays the dim role here.
+    */
+  val qJoinDimTwice = Q(
+    "q_join_dim_twice",
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      val sn = nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li(s, d)
+        .filter(col("l_linenumber") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"), "left")
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("supp_nation"), col("cust_nation"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, sn.n_name AS supp_nation, cn.n_name AS cust_nation
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+      LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE l_linenumber = 1
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** J3 left outer equi-join fact→dim with post-join NULL handling
+    * (reference: load_fct_flights.py:83-90; load_dim_aircrafts.py:95-115).
+    */
+  val qJoinLeft = Q(
+    "q_join_left",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      ord(s, d)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          CleanseOps.lookupOrFallback(col("c_custkey"), col("c_name"), lit("UNKNOWN")).as("cust_name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN c_custkey IS NULL THEN 'UNKNOWN' ELSE c_name END AS cust_name,
+             c_mktsegment AS segment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""))
+
+  /** J7: FK-integrity probe as a left-anti join
+    * (reference: load_dim_aircrafts.py:227-251 — left join + null count,
+    * which is a left-anti in disguise; we use the idiomatic anti join).
+    */
+  val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) => Tables.customer(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** U2: EXCEPT DISTINCT — the incremental-idempotency primitive
+    * (reference: extract_flights.py:87; load_fct_flights.py:92-105,
+    * positional semantics centralized in IncrementalOps.exceptNew).
+    */
+  val qExcept = Q(
+    "q_except",
+    (s, d) => {
+      val o = ord(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      IncrementalOps.exceptNew(a, b).orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY o_custkey"""))
+
+  /** U1: unionByName with differently-ordered columns
+    * (reference: extract_flights.py:66 — departure/arrival merge by NAME).
+    */
+  val qUnionByName = Q(
+    "q_union_by_name",
+    (s, d) => {
+      val o = ord(s, d)
+      val dep = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("open").as("bucket"))
+      val arr = o.filter(col("o_orderstatus") === "F")
+        .select(lit("finished").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      dep.unionByName(arr).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey"""))
+
+  /** U3: dropDuplicates after projection
+    * (reference: load_dim_aircrafts.py:206).
+    */
+  val qDropDup = Q(
+    "q_dropdup",
+    (s, d) => li(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** W1/W2: surrogate key via global row_number window
+    * (reference: load_dim_airports.py:50, load_dim_aircrafts.py:118-122).
+    * Dim-scale only; see KeyOps.scalableSurrogateKey for the 100 TB path.
+    */
+  val qSurrogateKey = Q(
+    "q_surrogate_key",
+    (s, d) => KeyOps.surrogateKey(Tables.nation(s, d), "nation_dim_id", "n_name")
+      .select(col("nation_dim_id"), col("n_name"), col("n_nationkey"), col("n_regionkey"))
+      .orderBy(col("nation_dim_id")),
+    Some("""
+      SELECT CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS nation_dim_id,
+             n_name, n_nationkey, n_regionkey
+      FROM nation ORDER BY nation_dim_id"""))
+
+  /** G1 + F2-F6: calendar dimension generator
+    * (reference: load_dim_dates.py:61-85).
+    * DuckDB note: dayofweek() is 0=Sunday there vs Spark 1=Sunday, hence
+    * the +1; weekofyear is ISO in both.
+    */
+  val qDateDim = Q(
+    "q_date_dim",
+    (s, d) => DateDim.dateDimension(s, "2020-01-01", "2021-12-31")
+      .orderBy(col("date_dim_id")),
+    Some("""
+      SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INTEGER) AS date_dim_id,
+             d AS date_date,
+             CAST(year(d) AS SMALLINT) AS year,
+             CAST(month(d) AS TINYINT) AS month,
+             CAST(day(d) AS TINYINT) AS day,
+             CAST(weekofyear(d) AS TINYINT) AS week_of_year,
+             CAST(dayofweek(d) + 1 AS TINYINT) AS day_of_week
+      FROM (SELECT CAST(unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      ORDER BY date_dim_id"""))
+
+  /** G2: unpivot wide→long (reference: load_dim_aircrafts.py:209-224). */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) => Tables.part(s, d)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_brand"), col("p_type")),
+        "attr", "value")
+      .orderBy(col("p_partkey"), col("attr")),
+    Some("""
+      SELECT p_partkey, 'p_brand' AS attr, p_brand AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_type' AS attr, p_type AS value FROM part
+      ORDER BY p_partkey, attr"""))
+
+  /** P9/P11: sentinel-word → NULL canonicalization
+    * (reference: load_dim_aircrafts.py:137-154 `field_vals_to_nulls`).
+    */
+  val qNullCanon = Q(
+    "q_null_canon",
+    (s, d) => ord(s, d)
+      .withColumn("priority",
+        CleanseOps.nullifyWords(col("o_orderpriority"), Seq("4-NOT SPECIFIED", "5-LOW")))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority").asc_nulls_first),
+    Some("""
+      SELECT CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN NULL
+                  ELSE o_orderpriority END AS priority,
+             count(*) AS n
+      FROM orders GROUP BY 1
+      ORDER BY priority NULLS FIRST"""))
+
+  /** P10/F8 + F10: priority coalesce + when/otherwise
+    * (reference: load_dim_aircrafts.py:103-107, 176-179).
+    */
+  val qCoalesce = Q(
+    "q_coalesce",
+    (s, d) => ord(s, d)
+      .withColumn("urgent_prio",
+        when(col("o_orderpriority") === "1-URGENT", col("o_orderpriority")))
+      .withColumn("effective_prio",
+        CleanseOps.firstNonNull(col("urgent_prio"), col("o_orderstatus")))
+      .select(col("o_orderkey"), col("urgent_prio"), col("effective_prio"))
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END AS urgent_prio,
+             COALESCE(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END,
+                      o_orderstatus) AS effective_prio
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** P3/F7/F11/F12: SQL-string predicate with LENGTH + BETWEEN + boolean
+    * algebra (reference: load_dim_aircrafts.py:163-164;
+    * load_dim_dates.py:22-23).
+    */
+  val qScalarSuite = Q(
+    "q_scalar_suite",
+    (s, d) => Tables.part(s, d)
+      .where("length(p_type) <= 20 OR p_type IS NULL")
+      .withColumn("mid_size", col("p_size").between(10, 40))
+      .withColumn("is_special",
+        (col("p_brand") === "Brand#11" || col("p_brand") === "Brand#22") && !col("mid_size"))
+      .select(col("p_partkey"), col("p_type"), col("mid_size"), col("is_special"))
+      .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, p_type,
+             p_size BETWEEN 10 AND 40 AS mid_size,
+             (p_brand = 'Brand#11' OR p_brand = 'Brand#22')
+               AND NOT (p_size BETWEEN 10 AND 40) AS is_special
+      FROM part
+      WHERE length(p_type) <= 20 OR p_type IS NULL
+      ORDER BY p_partkey"""))
+
+  /** §2.6: global sort + limit (top-k). Unique tiebreak on o_orderkey so
+    * the boundary is deterministic on both engines.
+    */
+  val qTopK = Q(
+    "q_topk",
+    (s, d) => ord(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** P13: row offset (reference: load_dim_aircrafts.py:186 `.offset(1)`,
+    * header-row skip). Needs a defined order to be meaningful.
+    */
+  val qOffset = Q(
+    "q_offset",
+    (s, d) => Tables.region(s, d)
+      .orderBy(col("r_regionkey"))
+      .offset(1)
+      .select(col("r_regionkey"), col("r_name")),
+    Some("""
+      SELECT r_regionkey, r_name FROM region
+      ORDER BY r_regionkey OFFSET 1"""))
+
+  /** P12: drop fully-null rows (reference: load_dim_aircrafts.py:162).
+    * Nullable columns are manufactured first so the operator has work.
+    */
+  val qDropNa = Q(
+    "q_dropna",
+    (s, d) => ord(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", col("o_orderstatus")).as("open_status"),
+        when(col("o_orderpriority") === "1-URGENT", col("o_orderpriority")).as("urgent"))
+      .withColumn("all_null_probe", col("open_status").isNull && col("urgent").isNull)
+      .filter(!col("all_null_probe"))
+      .drop("all_null_probe")
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN o_orderstatus END AS open_status,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END AS urgent
+      FROM orders
+      WHERE NOT (o_orderstatus <> 'O' AND o_orderpriority <> '1-URGENT')
+      ORDER BY o_orderkey"""))
+
+  /** Flagship star join (reference shape: load_fct_flights.py:58-90 —
+    * fact with renamed/derived cols, three broadcast dim joins, narrow
+    * select). Revenue per supplier-nation per order-year.
+    */
+  val qStarJoin = Q(
+    "q_star_join",
+    (s, d) => li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year")),
+    Some("""
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      LEFT JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, o_year
+      ORDER BY n_name, o_year"""),
+    headline = true)
+
+  val all: Seq[Q] = Seq(
+    q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
+    qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
+    qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin)
+}
