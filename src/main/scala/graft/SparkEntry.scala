@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered queries, in registration order. */
-  def registry: Seq[Q] = ParityQueries.all
+  def registry: Seq[Q] =
+    ParityQueries.all ++ AggQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

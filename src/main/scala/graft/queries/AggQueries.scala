@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Q.{dec, asDouble}
+
+/** Aggregation / window extension surface (SURVEY §2.4/§2.5 note the
+  * reference itself has no groupBy — these are the engine's own
+  * first-class operators per SURVEY §7 build plan).
+  *
+  * All double-valued aggregates run as exact DECIMAL sums cast to DOUBLE
+  * so partial (map-side) aggregation order cannot change results — this
+  * is also what makes them safe on a 1000-executor cluster.
+  */
+object AggQueries {
+
+  /** Multi-aggregate groupBy: count, min/max, exact avg, distinct count. */
+  val qGroupStats = Q(
+    "q_group_stats",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (asDouble(sum(dec(col("o_totalprice")))) / count(lit(1))).as("avg_price"),
+        countDistinct(col("o_orderpriority")).as("n_prios"))
+      .orderBy(col("o_custkey")),
+    Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+             count(DISTINCT o_orderpriority) AS n_prios
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    headline = true)
+
+  /** ROLLUP with grouping_id over a two-level dim hierarchy. */
+  val qRollup = Q(
+    "q_rollup",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_cust,
+             CAST(grouping(r_name, n_name) AS INTEGER) AS gid
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** CUBE over two low-cardinality attributes. */
+  val qCube = Q(
+    "q_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
+    * shape matches the FILTER-count oracle.
+    */
+  val qPivot = Q(
+    "q_pivot",
+    (s, d) => {
+      val wide = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+      wide.select(
+        col("n_name"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** HLL sketch count (no SQL oracle — approx value is engine-specific;
+    * driver records a rows-only check). rsd pinned for determinism.
+    */
+  val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  /** Ranking + offset + frame window functions, partitioned per customer
+    * (no global windows — see SURVEY §7 scale posture).
+    */
+  val qWindowFuncs = Q(
+    "q_window_funcs",
+    (s, d) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byDate).as("rn"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        rank().over(byPrice).as("price_rank"),
+        asDouble(sum(dec(col("o_totalprice")))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w_date AS INTEGER) AS rn,
+             lag(o_totalprice, 1) OVER w_date AS prev_price,
+             lead(o_totalprice, 1) OVER w_date AS next_price,
+             CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (w_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders
+      WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist,
+    * partitioned by market segment.
+    */
+  val qDistribution = Q(
+    "q_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(
+    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct,
+    qWindowFuncs, qDistribution)
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Q.{dec, asDouble}
+
+/** Event-stream analytics over the `events` table — the batch renditions
+  * of the streaming semantics SURVEY §2.10 calls for (tumbling windows,
+  * sessionization, running state). The same transforms run unchanged
+  * under Structured Streaming (graft.streaming) since they only use
+  * event-time columns and keyed windows.
+  *
+  * Timestamps surface as epoch microseconds (unix_micros/epoch_us) where
+  * sub-second values matter, so ns-vs-µs physical types can't skew the
+  * cross-engine compare.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour event-time window per event_type. */
+  val qEventsTumbling = Q(
+    "q_events_tumbling",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(dec(col("value")))).as("total_value"))
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+    headline = true)
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag
+    * → running sum = session seq → per-session aggregates. All state is
+    * keyed by user_id — no global window, scales with users.
+    */
+  val qEventsSessionize = Q(
+    "q_events_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_s", lag(col("ts").cast(LongType), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts").cast(LongType) - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, session_seq, count(*) AS n_events,
+             epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+             epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us
+      FROM sessions
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""),
+    headline = true)
+
+  /** Moving aggregate over the last 10 events per user (frame window). */
+  val qEventsRunning = Q(
+    "q_events_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        asDouble(sum(dec(col("value"))).over(w)).as("mov_sum"),
+        (asDouble(sum(dec(col("value"))).over(w)) / count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(*) OVER w AS mov_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Semi-structured extraction: JSON props → typed column → aggregate.
+    * get_json_object stays inside codegen (no UDF).
+    */
+  val qEventsJson = Q(
+    "q_events_json",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("k_sum"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+             count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_high
+      FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Latest-event-per-key (dedup-by-recency — the streaming upsert
+    * compaction pattern).
+    */
+  val qEventsLatest = Q(
+    "q_events_latest",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("last_ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, last_event_id, last_ts_us FROM (
+        SELECT user_id, event_id AS last_event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(
+    qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson, qEventsLatest)
+}
