@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
-    ParityQueries.all ++ AggQueries.all ++ EventQueries.all
+    ParityQueries.all ++ AggQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

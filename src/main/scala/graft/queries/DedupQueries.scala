@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Deduplication operators over `documents`: exact, n-gram Jaccard,
+  * MinHash-LSH and SimHash. The hash-based variants have no SQL oracle
+  * (engine hash functions differ) → driver records rows-only checks;
+  * their *verification* stages (exact Jaccard / Hamming) are the same
+  * math the oracle-checked q_jaccard_pairs covers.
+  */
+object DedupQueries {
+
+  /** Exact dedup groups on the normalized-content fingerprint. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("canonical_id")),
+    Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents GROUP BY fp ORDER BY canonical_id"""))
+
+  /** Exact 3-shingle Jaccard pairs for a deterministic probe subset
+    * (doc_id % 10 = 0) — the oracle-checked ground truth the LSH
+    * variants approximate. Probe-vs-all, so cost is Q·N, not N².
+    */
+  val qJaccardPairs = Q(
+    "q_jaccard_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val probes = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .join(broadcast(probes), col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", Dedup.shingleJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3
+      ORDER BY doc_a, doc_b"""))
+
+  /** MinHash-LSH near-dup pairs (8 bands × 4 rows, Jaccard ≥ 0.6).
+    * Signature build is per-row; only band-bucket collisions shuffle.
+    */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  /** SimHash near-dup pairs (64-bit fingerprint, Hamming ≤ 6 via
+    * 16-bit-quarter collision).
+    */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  val all: Seq[Q] = Seq(qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash)
+}

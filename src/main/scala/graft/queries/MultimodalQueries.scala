@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries. The harness has no binary media table, so
+  * document text bytes stand in as the opaque payload (`CAST(text AS
+  * BINARY)`) — which keeps every byte-level operation oracle-checkable
+  * in DuckDB while exercising the exact plumbing a real media table
+  * would use.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"))
+
+  /** Payload metadata: byte length + header bytes (magic-number probe). */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, d) => media(s, d)
+      .select(
+        col("media_id"),
+        length(col("content")).as("n_bytes"),
+        hex(substring(col("content"), 1, 4)).as("header_hex"))
+      .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             hex(CAST(substring(text, 1, 4) AS BLOB)) AS header_hex
+      FROM documents ORDER BY media_id"""))
+
+  /** Fixed-stride frame sampling: one payload → up to 4 frame slices,
+    * fingerprinted with md5 (md5 is md5 in every engine, so even the
+    * frame *content* is oracle-checked).
+    */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, d) => Multimodal
+      .sampleFrames(media(s, d), "media_id", "content", nFrames = 4, frameSize = 16)
+      .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx")),
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text,
+                        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS nb
+                 FROM documents),
+      offs AS (
+        SELECT media_id, text, nb,
+               greatest(CAST(floor((nb - 16) / 3) AS INTEGER), 1) AS stride
+        FROM m),
+      frames AS (
+        SELECT media_id, i AS frame_idx, i * stride + 1 AS off, text, nb
+        FROM offs, (SELECT unnest(range(0, 4)) AS i)
+        WHERE i * stride + 1 + 15 <= nb)
+      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             md5(substring(text, off, 16)) AS frame_md5
+      FROM frames ORDER BY media_id, frame_idx"""))
+
+  /** Stubbed decode + feature shape: byte-histogram "features" reduced
+    * to a checksum so the fan-out/fan-in plumbing is verified without a
+    * real codec. Oracle-checkable because the fake is pure byte math.
+    */
+  val qMultimodalDecode = Q(
+    "q_multimodal_decode",
+    (s, d) => {
+      val decoded = Multimodal.decode(media(s, d))
+      decoded.select(
+        col("media_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(64 + (ascii(substring(text, 1, 1)) % 64) * 16 AS INTEGER) AS width,
+             CAST(64 + (ascii(substring(text, 2, 1)) % 64) * 16 AS INTEGER) AS height,
+             CAST(octet_length(CAST(text AS BLOB)) * 10 AS INTEGER) AS duration_ms
+      FROM documents ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDecode)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table (language-ID,
+  * quality scoring, token counting, fingerprinting) — all per-row map
+  * work oracle-checked against equivalent DuckDB SQL.
+  */
+object TextQueries {
+
+  private val stopwordsSql = "('the','a','of','and','to','in','is','that')"
+  private def hitsSql(words: String) =
+    s"len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN $words))"
+
+  /** Token / character / punctuation statistics per document. */
+  val qTextStats = Q(
+    "q_text_stats",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeishCount(col("text")).as("n_bpeish"),
+        punctCount(col("text")).as("n_punct"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+             CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS INTEGER) AS n_punct,
+             CAST(length(text) AS INTEGER) AS n_chars_m
+      FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic language identification (stopword scoring + CJK probe). */
+  val qLangId = Q(
+    "q_lang_id",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${hitsSql(stopwordsSql)} AS en_h,
+               ${hitsSql("('der','die','das','und','ist','nicht','ein','zu')")} AS de_h,
+               ${hitsSql("('el','la','de','y','que','en','un','es')")} AS es_h,
+               ${hitsSql("('le','la','et','les','des','un','une','est')")} AS fr_h,
+               regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN cjk THEN 'zh'
+                  WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                  WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                  WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+                  WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored ORDER BY doc_id"""))
+
+  /** Composite quality score — identical double formula on both sides. */
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS DOUBLE) AS stop_h
+        FROM documents)
+      SELECT doc_id,
+             round(least(n_tok / 64.0, 1.0) * 0.5
+                   + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25
+                   + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6) AS quality
+      FROM m ORDER BY doc_id"""))
+
+  /** Content fingerprint (md5 of normalized text) + 8-char prefix. */
+  val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        substring(fingerprint(col("text")), 1, 8).as("fp8"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp8
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus token frequencies (explode → groupBy — the scalable shape:
+    * map-side partial counts, one shuffle on the token key).
+    */
+  val qTokenFreq = Q(
+    "q_token_freq",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0)) AS token
+            FROM documents)
+      GROUP BY token ORDER BY n DESC, token"""))
+
+  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint, qTokenFreq)
+}

@@ -1,0 +1,123 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * Layers:
+  *   - cosine/dot as higher-order-function expressions in double
+  *     precision (sequential left fold — deterministic order);
+  *   - brute-force top-k: broadcast the probe set, score every
+  *     candidate, per-probe window rank. O(N·Q) — the correctness
+  *     baseline, and the right answer when Q is small;
+  *   - hyperplane-LSH buckets: 16 deterministic pseudo-random
+  *     hyperplanes → 16-bit bucket key; candidates share the probe's
+  *     bucket. Scales as a hash join on bucket keys;
+  *   - IVF with label partitions: per-partition centroids, probe →
+  *     nearest nProbe centroids → exact search inside those partitions
+  *     only. The classic inverted-file trade: touch k/K of the data.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k for each probe row.
+    *
+    * @param probes (probe_id, probe_vec); must be small enough to
+    *               broadcast — at scale this is the query batch.
+    */
+  def bruteForceTopK(candidates: DataFrame, idCol: String, vecCol: String,
+                     probes: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
+      .join(broadcast(probes), col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim):
+    * parity of xxhash64 — reproducible everywhere, no stored model.
+    */
+  private def planeSign(plane: Int, dimIdx: Column): Column =
+    when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** 16-bit hyperplane-LSH bucket of a vector: bit p = sign of the dot
+    * product with pseudo-random ±1 plane p. Per-row compute only.
+    */
+  def lshBucket(vec: Column, planes: Int = 16): Column =
+    (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: exact cosine, but only among candidates in the
+    * probe's bucket. Recall < 1 by design; bucket fan-out is the knob.
+    */
+  def lshTopK(candidates: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, k: Int, planes: Int = 16): DataFrame = {
+    val cb = candidates.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val pb = probes.withColumn("bucket", lshBucket(col("probe_vec"), planes))
+    val scored = cb.join(broadcast(pb), Seq("bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** Per-partition mean vectors (the IVF "centroids"). Explode to
+    * (partition, dim, value), average, reassemble — one narrow shuffle
+    * of N·D scalar rows, run once per index build.
+    */
+  def centroids(df: DataFrame, partCol: String, vecCol: String): DataFrame =
+    df.select(col(partCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(partCol), col("dim"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col(partCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col(partCol), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+
+  /** IVF search: rank partitions by probe→centroid cosine, exact-search
+    * the best nProbe partitions only.
+    */
+  def ivfTopK(candidates: DataFrame, idCol: String, vecCol: String, partCol: String,
+              probes: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroids(candidates, partCol, vecCol)
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cscore").desc, col(partCol))
+    val chosen = broadcast(probes).join(broadcast(cents))
+      .withColumn("cscore", round(cosine(col("probe_vec"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nProbe)
+      .select(col("probe_id"), col("probe_vec"), col(partCol))
+    val scored = candidates.join(broadcast(chosen), Seq(partCol))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("score"), col(partCol).as("from_partition"))
+  }
+}
