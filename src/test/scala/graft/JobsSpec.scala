@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.jobs._
+import graft.schemas.Schemas
+
+/** End-to-end pipeline slice on canned fixtures (FIXTURES.md):
+  * extract → dims → fact, asserting idempotency and FK closure.
+  */
+class JobsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  // --- fixtures (FIXTURES.md §1-§6) ---
+
+  /** Two flights (one duplicated in-batch), one NULL-firstSeen row. */
+  private val day: Long = java.time.LocalDate.of(2024, 1, 1)
+    .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+  private def flightRow(icao24: String, first: java.lang.Long, dep: String,
+                        last: java.lang.Long, arr: String): Row =
+    Row(icao24, first, dep, last, arr, "CALL01",
+      Integer.valueOf(200), Integer.valueOf(50), Integer.valueOf(300), Integer.valueOf(60),
+      java.lang.Short.valueOf(1.toShort), java.lang.Short.valueOf(2.toShort))
+
+  private val departures = Seq(
+    flightRow("3c6444", day + 3600, "EDDF", day + 7200, "EGLL"),
+    flightRow("3c6444", day + 3600, "EDDF", day + 7200, "EGLL"), // in-batch dup
+    flightRow("abc123", day + 9000, "EDDF", day + 12000, "LFPG"))
+
+  private val arrivals = Seq(
+    flightRow("abc123", null, "EGLL", day + 5000, "EDDF")) // NULL firstSeen path
+
+  private object FixtureSource extends FlightSource {
+    def fetch(a: String, b: Long, e: Long, dir: String): Seq[Row] =
+      if (dir == "departure") departures else arrivals
+  }
+
+  private val airports = Seq(
+    LoadDimAirports.RawAirport("Frankfurt Main", "FRA", "EDDF", "Germany", 50.03, 8.57, 364),
+    LoadDimAirports.RawAirport("Heathrow", "LHR", "EGLL", "United Kingdom", 51, 0, "-1"), // int lat + alt sentinel
+    LoadDimAirports.RawAirport("Charles de Gaulle", "CDG", "LFPG", "France", 49.0, 2.55, 392))
+
+  private def aircraftsDf: DataFrame = {
+    val rows = Seq(
+      // normal row, operator_icao set
+      Row("3c6444", "D-AIMA", "AIRB", "Airbus", "A380", "A388", "038", "12", "L2J",
+        "Lufthansa Raw", "DLH", "DLH", "LH", "Lufthansa", null),
+      // null-word cleansing + operator_iata fallback + unknown registration
+      Row("abc123", "-UNKNOWN-", "BOE", "Boeing", "B777", "B77W", "100", "\tN/A", "L2J",
+        "Fallback Air", "FBA", null, "ZZ", "Owner", null),
+      // malformed: icao_designator too long -> filtered out
+      Row("dead01", "X-BAD", "BAD", "Bad", "Bad", "TOOLONG", "1", "2", "L2J",
+        null, null, null, null, null, null),
+      // malformed: icao_type wrong length -> filtered out
+      Row("dead02", "X-BAD2", "BAD", "Bad", "Bad", "B77W", "1", "2", "XXXX",
+        null, null, null, null, null, null),
+      // all-null row -> dropped
+      Row(null, null, null, null, null, null, null, null, null,
+        null, null, null, null, null, null))
+    spark.createDataFrame(rows.asJava, Schemas.srcAircrafts)
+  }
+
+  private def manufacturersDf: DataFrame = {
+    val rows = Seq(
+      Row("Code", "Name"), // header-ish first row, skipped by offset(1)
+      Row("AIRB", "AIRBUS"),
+      Row("BOE", "BOEING"))
+    spark.createDataFrame(rows.asJava, Schemas.srcManufacturers)
+  }
+
+  private def typesDf: DataFrame = {
+    val rows = Seq(
+      Row("LandPlane", "L2J", "A388", java.lang.Byte.valueOf(2.toByte), "Jet", "AIRB", "A-380-800", "H"),
+      Row("LandPlane", "L2J", "A388", java.lang.Byte.valueOf(2.toByte), "Jet", "AIRB", "A-380-800", "H"), // dup
+      Row("LandPlane", "L2J", "B77W", java.lang.Byte.valueOf(2.toByte), "Jet", "BOE", "B777-300ER", "H"))
+    spark.createDataFrame(rows.asJava, Schemas.srcAircraftTypes)
+  }
+
+  private def airlinesDf: DataFrame = {
+    val rows = Seq(
+      Row("Lufthansa", "LH", "DLH"),
+      Row("NoIcao Air", "ZZ", null),
+      Row("NoCode Air", null, "NCA"))
+    spark.createDataFrame(rows.asJava, Schemas.srcAirlines)
+  }
+
+  // --- the end-to-end slice ---
+
+  test("extract is idempotent: rerun appends zero; in-batch dup survives first write") {
+    val lake = tmpDir("lake") + "/flights"
+    val n1 = ExtractFlights.run(spark, FixtureSource, lake, "EDDF", day, day + 86399)
+    assert(n1 == 4) // first write keeps the in-batch duplicate
+    val n2 = ExtractFlights.run(spark, FixtureSource, lake, "EDDF", day, day + 86399)
+    assert(n2 == 0) // count-equality short-circuit
+    val stored = spark.read.parquet(lake)
+    assert(stored.count() == 4)
+    // partition layout is hive-style y/m/d
+    assert(stored.filter(col("flight_year") === 2024 && col("flight_month") === 1).count() >= 3)
+  }
+
+  test("dims + fact end to end: cleansing, fallbacks, FK closure, idempotent append") {
+    val lake = tmpDir("lake2") + "/flights"
+    ExtractFlights.run(spark, FixtureSource, lake, "EDDF", day, day + 86399)
+    val wh = new ParquetWarehouse(tmpDir("wh"))
+
+    assert(LoadDimAirports.run(spark, wh, airports))
+    assert(!LoadDimAirports.run(spark, wh, airports)) // unchanged -> skipped rewrite
+
+    val dimAp = wh.table(spark, "dim_airports").collect()
+    assert(dimAp.length == 3)
+    val lhr = dimAp.find(_.getAs[String]("icao_code") == "EGLL").get
+    assert(lhr.getAs[Float]("lat") == 51.0f)         // int -> float fix
+    assert(lhr.isNullAt(lhr.fieldIndex("alt")))      // "-1" sentinel -> NULL
+
+    assert(LoadDimDates.run(spark, wh, "2024-01-01", "2024-01-31") == 31)
+    assert(LoadDimDates.run(spark, wh, "2024-01-01", "2024-01-31") == 0) // idempotent
+
+    val flightsLake = spark.read.parquet(lake)
+    assert(LoadDimAircrafts.run(spark, wh, aircraftsDf, manufacturersDf,
+      typesDf, airlinesDf, Some(flightsLake)))
+
+    val dimAc = wh.table(spark, "dim_aircrafts").collect()
+    assert(dimAc.length == 2) // malformed + all-null rows dropped
+    val lh = dimAc.find(_.getAs[String]("icao24_addr") == "3c6444").get
+    assert(lh.getAs[String]("operating_airline") == "Lufthansa")  // airline join hit
+    assert(lh.getAs[String]("manufacturer") == "AIRBUS")
+    assert(lh.getAs[String]("aircraft_type") == "LandPlane")
+    val fb = dimAc.find(_.getAs[String]("icao24_addr") == "abc123").get
+    assert(fb.getAs[String]("operating_airline") == "NoIcao Air") // iata coalesce path
+    assert(fb.isNullAt(fb.fieldIndex("registration")))            // -UNKNOWN- -> NULL
+    assert(fb.isNullAt(fb.fieldIndex("line_num")))                // \tN/A -> NULL
+
+    val n1 = LoadFctFlights.run(spark, wh, lake, 2024, 1, 1)
+    assert(n1 == 3) // EXCEPT DISTINCT collapsed the in-batch duplicate
+    val n2 = LoadFctFlights.run(spark, wh, lake, 2024, 1, 1)
+    assert(n2 == 0) // idempotent replay, incl. the NULL-date-key row
+
+    // FK closure: every fact FK resolves or is NULL from an unmatched left join
+    val fct = wh.table(spark, "fct_flights")
+    val dimIds = dimAc.map(_.getAs[Int]("aircraft_dim_id")).toSet
+    fct.collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("aircraft_dim_id")))
+        assert(dimIds.contains(r.getAs[Int]("aircraft_dim_id")))
+      if (!r.isNullAt(r.fieldIndex("flight_date_dim_id")))
+        assert(r.getAs[Int]("flight_date_dim_id") == 20240101)
+      else // NULL-firstSeen arrival row: no depart_ts, no date key
+        assert(r.isNullAt(r.fieldIndex("depart_ts")))
+    }
+  }
+
+  test("FK violation aborts the aircrafts dim publish") {
+    val wh = new ParquetWarehouse(tmpDir("wh2"))
+    val unknownFlights = spark.createDataFrame(
+      Seq(Row("ffffff")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("icao24",
+          org.apache.spark.sql.types.StringType))))
+    assertThrows[IllegalArgumentException] {
+      LoadDimAircrafts.run(spark, wh, aircraftsDf, manufacturersDf,
+        typesDf, airlinesDf, Some(unknownFlights))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nullifyWords maps sentinel words to NULL, keeps the rest, keeps NULL") {
+    val df = Seq(Some("-"), Some("n/a"), Some("ok"), None).toDF("c")
+      .select(CleanseOps.nullifyWords(col("c"), Seq("-", "n/a")).as("c"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, None, Some("ok"), None))
+  }
+
+  test("smartDateKey is the y*10000+m*100+d bijection") {
+    val df = Seq("2020-02-29", "1999-12-31", "2001-01-01").toDF("s")
+      .select(KeyOps.smartDateKey(to_date(col("s"))).as("k"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(20200229, 19991231, 20010101))
+  }
+
+  test("exceptNew diffs positionally-normalized and collapses duplicates (EXCEPT DISTINCT)") {
+    val batch = Seq((1, "a"), (1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val loaded = Seq(("c", 3)).toDF("v", "id").select(col("id"), col("v")) // same cols, was reordered
+    val delta = IncrementalOps.exceptNew(batch, loaded)
+    assert(delta.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+    // re-running with everything loaded appends nothing
+    assert(IncrementalOps.exceptNew(batch, batch).isEmpty)
+  }
+
+  test("sameContent is multiset equality, column order independent") {
+    val a = Seq((1, "x"), (1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("v", "id")
+    val c = Seq(("x", 1), ("y", 2)).toDF("v", "id") // one dup missing
+    assert(IncrementalOps.sameContent(a, b))
+    assert(!IncrementalOps.sameContent(a, c))
+  }
+
+  test("surrogate keys are dense 1..n in order; scalable variant agrees") {
+    val df = Seq("delta", "alpha", "charlie", "bravo").toDF("name")
+    val global = KeyOps.surrogateKey(df, "id", "name")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(global == Map("alpha" -> 1, "bravo" -> 2, "charlie" -> 3, "delta" -> 4))
+    val scalable = KeyOps.scalableSurrogateKey(df, "id", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(scalable == global.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("dateDimension: inclusive day count, leap day, ISO week boundary, single day") {
+    assert(DateDim.dateDimension(spark, "2020-02-01", "2020-03-01").count() == 30) // leap feb
+    assert(DateDim.dateDimension(spark, "2021-07-07", "2021-07-07").count() == 1)
+    val boundary = DateDim.dateDimension(spark, "2018-12-31", "2018-12-31").collect()(0)
+    assert(boundary.getAs[Byte]("week_of_year") == 1) // ISO: 2018-12-31 is week 1 of 2019
+    val leap = DateDim.dateDimension(spark, "2020-02-29", "2020-02-29").collect()(0)
+    assert(leap.getAs[Int]("date_dim_id") == 20200229)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 1),
+    (3L, Array(0f, 0f, 1f), 2),
+    (4L, Array(-1f, 0f, 0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val out = spark.range(1).select(
+      Similarity.cosine(lit(Array(1.0f, 2.0f)), lit(Array(1.0f, 2.0f))).as("same"),
+      Similarity.cosine(lit(Array(1.0f, 0.0f)), lit(Array(0.0f, 3.0f))).as("orth"),
+      Similarity.cosine(lit(Array(1.0f, 0.0f)), lit(Array(-2.0f, 0.0f))).as("opp"))
+      .collect()(0)
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out.getDouble(1)) < 1e-12)
+    assert(math.abs(out.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val probes = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probes, 4)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(top.head.getAs[Double]("score") > 0.99)
+    assert(top.last.getAs[Double]("score") == -1.0)
+  }
+
+  test("centroids computes per-label means, dims in order") {
+    val c = Similarity.centroids(vecs, "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1)).toMap
+    assert(c(1) == Seq(0.0, 1.0, 0.0))
+    assert(math.abs(c(0)(0) - (1.0 + 0.9 - 1.0) / 3) < 1e-7)
+  }
+
+  test("ivfTopK searches only the probed partitions") {
+    val probes = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val hits = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label", probes, 10, nProbe = 1)
+      .collect()
+    // nProbe=1 -> only label 0's partition is searched
+    assert(hits.map(_.getAs[Int]("from_partition")).toSet == Set(0))
+    assert(hits.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 4L))
+  }
+}

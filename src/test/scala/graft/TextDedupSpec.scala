@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick   brown fox jumps over the lazy dog"), // ws/case variant of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near-dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "el perro la casa de un gato es aqui")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint collapses whitespace/case variants") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exactGroups counts copies and picks min doc_id as canonical") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dupGroup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("shingles: k-grams and the short-doc edge") {
+    val sh = TextAnalysis.shingles(lit("a b c d"), 3)
+    val got = spark.range(1).select(sh.as("s")).collect()(0).getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = spark.range(1).select(TextAnalysis.shingles(lit("a b"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhashPairs finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = 3, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L))) // high-sim pairs surface
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs hash equal; near-dups are close in Hamming") {
+    val fp = Dedup.withSimhash(docs, "text", "sh64")
+      .select(col("doc_id"), col("sh64"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // tokens identical after normalization
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("langId routes stopword-bearing text deterministically") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "es")
+    assert(out(4L) == "und")
+  }
+}
