@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import graft.functions.VectorExpressions.cosine_sim
 
 /** Vector similarity search over an `array<float>` embedding column.
   *
@@ -41,7 +42,7 @@ object Similarity {
                      probes: DataFrame, k: Int): DataFrame = {
     val scored = candidates
       .join(broadcast(probes), col(idCol) =!= col("probe_id"))
-      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col(idCol))
     scored
@@ -77,7 +78,7 @@ object Similarity {
     val pb = probes.withColumn("bucket", lshBucket(col("probe_vec"), planes))
     val scored = cb.join(broadcast(pb), Seq("bucket"))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -112,7 +113,7 @@ object Similarity {
       .select(col("probe_id"), col("probe_vec"), col(partCol))
     val scored = candidates.join(broadcast(chosen), Seq(partCol))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("score", round(cosine(col("probe_vec"), col(vecCol)), 6))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression conversions so the
+  * engine's custom Catalyst expressions (graft.functions) can surface
+  * as Columns. Standard extension-library shim: lives in the
+  * org.apache.spark.sql package purely for access, adds no behavior.
+  */
+object GraftColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
