@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SkewOps
+
+/** Scale-posture mechanics: salting equivalence and bucketed co-located
+  * joins (the no-shuffle join layout for repeated big⋈big joins).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join") {
+    val big = (1 to 10000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select($"k", $"v", $"name")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 8)
+      .select($"k", $"v", $"name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedSum equals plain aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewOps.saltedSum(df, "k", "v", 8, "s").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val adaptiveBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan for the assert
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+
+      (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("graft_bucket_l")
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("graft_bucket_r")
+
+      val joined = spark.table("graft_bucket_l")
+        .join(spark.table("graft_bucket_r"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", adaptiveBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    }
+  }
+}
