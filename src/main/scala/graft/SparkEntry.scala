@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     ParityQueries.all ++ AggQueries.all ++ EventQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ SqlQueries.all
+      MultimodalQueries.all ++ SqlQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
