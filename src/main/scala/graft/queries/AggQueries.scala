@@ -170,7 +170,37 @@ object AggQueries {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       ORDER BY c_custkey"""))
 
+  /** Single-pass grouped top-k via the custom typed Aggregator
+    * (graft.functions.TopKAggregator): partial buffers cap at k per
+    * partition, so the shuffle carries O(groups·k) — compared against
+    * the sort-everything window-function oracle.
+    */
+  val qTopkAgg = Q(
+    "q_topk_agg",
+    (s, d) => {
+      val topk3 = graft.functions.TopKAggregator.topk(3)
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk3(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("c_mktsegment"),
+          (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(rn AS INTEGER) AS rank, o_orderkey, o_totalprice
+      FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rank"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qPivot, qApproxDistinct,
-    qWindowFuncs, qDistribution)
+    qWindowFuncs, qDistribution, qTopkAgg)
 }
