@@ -46,8 +46,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs hash equal; near-dups are close in Hamming") {
-    val fp = Dedup.withSimhash(docs, "text", "sh64")
-      .select(col("doc_id"), col("sh64"))
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L)) // tokens identical after normalization
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
