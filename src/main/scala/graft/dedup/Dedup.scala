@@ -37,6 +37,37 @@ object Dedup {
     (size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType))
 
+  /** Exact Jaccard pairs (probe subset × corpus) via an equi-join on
+    * exploded shingles: |A∩B| = count of matching shingle rows,
+    * |A∪B| = |A|+|B|-|A∩B|. Pairs sharing zero shingles never
+    * materialize (their Jaccard is 0 — below any positive tau), so the
+    * cost is proportional to actual overlap, not to the pair cross
+    * product. Same results as the nested-loop + array_intersect
+    * rendition, which at probe×corpus scale spends its life hashing
+    * strings per pair.
+    */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, tau: Double,
+                        probePred: Column => Column): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val probeSh = sh.filter(probePred(col("doc_id")))
+      .select(col("doc_id").as("doc_a"), col("s"))
+    val inter = probeSh
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("jaccard",
+        col("both").cast(DoubleType) / (col("na") + col("nb") - col("both")).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Shingle sets + MinHash signatures in ONE codegen'd aggregation:
     * explode distinct shingles, then per doc collect the set and take
     * `n` permutation minima (permutation i = xxhash64 re-keyed by i).

@@ -29,19 +29,10 @@ object DedupQueries {
     */
   val qJaccardPairs = Q(
     "q_jaccard_pairs",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = docs.select(col("doc_id"),
-        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-      val probes = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        .join(broadcast(probes), col("doc_a") < col("doc_b"))
-        .withColumn("jaccard", Dedup.shingleJaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, d) => Dedup
+      .jaccardPairsExact(Tables.documents(s, d), "doc_id", "text",
+        k = 3, tau = 0.3, probePred = _ % 10 === 0)
+      .orderBy(col("doc_a"), col("doc_b")),
     Some("""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
