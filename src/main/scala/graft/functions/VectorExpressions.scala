@@ -95,5 +95,5 @@ object VectorExpressions {
   /** SQL registration: SELECT cosine_sim(a.embedding, b.embedding). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "builtin")
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
 }

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.functions.VectorExpressions.cosine_sim
 
 /** Vector similarity search over an `array<float>` embedding column.
@@ -57,25 +57,35 @@ object Similarity {
   private def planeSign(plane: Int, dimIdx: Column): Column =
     when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** 16-bit hyperplane-LSH bucket of a vector: bit p = sign of the dot
-    * product with pseudo-random ±1 plane p. Per-row compute only.
+  /** Hyperplane-LSH bucket assignment: bit p = sign of the dot product
+    * with pseudo-random ±1 plane p. Computed as posexplode + per-plane
+    * sums (whole-stage codegen, map-side partials). Sums run in exact
+    * DECIMAL so aggregation order can never flip a near-zero sign bit —
+    * bucket ids are fully deterministic.
     */
-  def lshBucket(vec: Column, planes: Int = 16): Column =
-    (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshAssign(df: DataFrame, idCol: String, vecCol: String,
+                planes: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+    val sumCols = (0 until planes).map(p =>
+      sum(col("x").cast(DecimalType(28, 10)) * planeSign(p, col("dim")).cast(DecimalType(2, 0)))
+        .as(s"__s$p"))
+    val bucket = (0 until planes)
+      .map(p => when(col(s"__s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col(idCol), bucket.as("bucket"))
+  }
 
   /** ANN via LSH buckets: exact cosine, but only among candidates in the
     * probe's bucket. Recall < 1 by design; bucket fan-out is the knob.
     */
   def lshTopK(candidates: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, k: Int, planes: Int = 16): DataFrame = {
-    val cb = candidates.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val pb = probes.withColumn("bucket", lshBucket(col("probe_vec"), planes))
+    val cb = candidates.join(lshAssign(candidates, idCol, vecCol, planes), idCol)
+    val pb = probes.join(
+      lshAssign(probes, "probe_id", "probe_vec", planes), "probe_id")
     val scored = cb.join(broadcast(pb), Seq("bucket"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
