@@ -385,8 +385,43 @@ object ParityQueries {
       ORDER BY n_name, o_year"""),
     headline = true)
 
+  /** exceptAll / intersect / intersectAll — the multiset set-op family
+    * the reference leaves unused (SURVEY §2.7 "absent") but the engine
+    * supports as first-class operators.
+    */
+  val qSetOpsAll = Q(
+    "q_setops_all",
+    (s, d) => {
+      val o = ord(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val ea = f.exceptAll(p).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_exceptall"))
+      val ia = f.intersectAll(p).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_intersectall"))
+      val id = f.intersect(p).withColumn("in_distinct", lit(1))
+      ea.join(ia, Seq("o_custkey"), "full_outer")
+        .join(id.select(col("o_custkey"), col("in_distinct")), Seq("o_custkey"), "full_outer")
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+           p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+           ea AS (SELECT o_custkey, count(*) AS n_exceptall
+                  FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM p) GROUP BY 1),
+           ia AS (SELECT o_custkey, count(*) AS n_intersectall
+                  FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM p) GROUP BY 1),
+           id AS (SELECT o_custkey, 1 AS in_distinct
+                  FROM (SELECT * FROM f INTERSECT SELECT * FROM p))
+      SELECT COALESCE(ea.o_custkey, ia.o_custkey, id.o_custkey) AS o_custkey,
+             n_exceptall, n_intersectall, in_distinct
+      FROM ea FULL OUTER JOIN ia ON ea.o_custkey = ia.o_custkey
+              FULL OUTER JOIN id ON COALESCE(ea.o_custkey, ia.o_custkey) = id.o_custkey
+      ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
-    qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin)
+    qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
+    qSetOpsAll)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.schemas.Schemas
+
+/** Real file-format sources (SURVEY §2.1 S4/S5): headerless CSV with a
+  * forced schema, and multiLine JSON with a rows wrapper.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("headerless CSV read with explicit schema + offset header skip") {
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(s"$dir/manufacturers.csv"),
+      "Code,Name\nAIRB,AIRBUS\nBOE,BOEING\n")
+    val df = spark.read.schema(Schemas.srcManufacturers).csv(s"$dir/manufacturers.csv")
+    assert(df.count() == 3) // header-ish row is data in the reference layout
+    val skipped = graft.jobs.LoadDimAircrafts.prepareManufacturers(
+      df.orderBy(col("Code") =!= "Code")) // header row first, as in file order
+    assert(skipped.count() == 2)
+    assert(skipped.columns.toSeq == Seq("mfr_code", "manufacturer"))
+  }
+
+  test("multiLine JSON with rows wrapper -> explode to records") {
+    val dir = tmpDir("json")
+    Files.writeString(Paths.get(s"$dir/airports.json"),
+      """{"rows": [
+        |  {"name": "Frankfurt", "iata": "FRA", "icao": "EDDF", "country": "Germany", "lat": 50.03, "lon": 8.57, "alt": 364},
+        |  {"name": "Heathrow", "iata": "LHR", "icao": "EGLL", "country": "UK", "lat": 51, "lon": 0, "alt": -1}
+        |]}""".stripMargin)
+    val raw = spark.read.option("multiLine", true).json(s"$dir/airports.json")
+    val rows = raw.select(explode(col("rows")).as("r")).select("r.*")
+    assert(rows.count() == 2)
+    // mixed int/double lat survives as double under inference
+    assert(rows.filter(col("icao") === "EGLL").collect()(0).getAs[Any]("lat") == 51.0)
+  }
+
+  test("partitioned parquet lake round-trip prunes on partition filters") {
+    val dir = tmpDir("lakefmt") + "/t"
+    import spark.implicits._
+    Seq((2024, 1, 1, "a"), (2024, 1, 2, "b"), (2024, 2, 1, "c"))
+      .toDF("y", "m", "d", "v")
+      .write.partitionBy("y", "m", "d").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"y" === 2024 && $"m" === 1 && $"d" === 2)
+    assert(pruned.select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
+    // partition pruning visible in the plan: no partition filter residue in data filters
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+  }
+}
