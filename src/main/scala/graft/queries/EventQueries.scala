@@ -147,6 +147,31 @@ object EventQueries {
         FROM events)
       WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Typed JSON struct round-trip: from_json into a schema'd struct,
+    * back out with to_json (field order preserved both ways), plus
+    * nullif/ifnull handling.
+    */
+  val qEventsJsonStruct = Q(
+    "q_events_json_struct",
+    (s, d) => Tables.events(s, d)
+      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select(
+        col("event_id"),
+        col("parsed.k").as("k"),
+        to_json(struct(col("event_type").as("t"), col("parsed.k").as("k"))).as("j"),
+        nullif(col("parsed.k"), lit(0)).as("k_nz"),
+        coalesce(nullif(col("parsed.k"), lit(0)), lit(-1)).as("k_or_neg1"))
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             to_json(struct_pack(t := event_type,
+                                 k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS j,
+             nullif(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_nz,
+             coalesce(nullif(CAST(json_extract_string(props, '$.k') AS INTEGER), 0), -1) AS k_or_neg1
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
-    qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson, qEventsLatest)
+    qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
+    qEventsLatest, qEventsJsonStruct)
 }

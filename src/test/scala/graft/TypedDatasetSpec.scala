@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Typed Dataset[T] surface over the warehouse shapes (SURVEY §1 —
+  * case-class Encoders where compile-time field checks pay off).
+  */
+class TypedDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class DimDate(date_dim_id: Int, date_date: java.sql.Date,
+                     year: Short, month: Byte, day: Byte,
+                     week_of_year: Byte, day_of_week: Byte)
+
+  test("dateDimension binds to a typed Dataset and supports typed ops") {
+    val ds: Dataset[DimDate] =
+      graft.ops.DateDim.dateDimension(spark, "2024-02-01", "2024-03-01").as[DimDate]
+    val leap = ds.filter(_.date_dim_id == 20240229).collect()
+    assert(leap.length == 1 && leap(0).month == 2 && leap(0).day == 29)
+    val byMonth = ds.groupByKey(_.month).count().collect().toMap
+    assert(byMonth == Map(2.toByte -> 29L, 3.toByte -> 1L))
+  }
+
+  test("typed map/filter keep the schema round-trippable") {
+    val ds = graft.ops.DateDim.dateDimension(spark, "2024-01-01", "2024-01-07").as[DimDate]
+    val mondays = ds.map(d => (d.date_dim_id, d.day_of_week))
+      .filter(_._2 == 2) // Spark dayofweek: Sunday=1, Monday=2
+      .collect()
+    assert(mondays.map(_._1).toSeq == Seq(20240101))
+  }
+}
