@@ -70,7 +70,9 @@ object FunctionQueries {
       ORDER BY o_orderkey"""))
 
   /** Array / higher-order function suite over generated int arrays
-    * (exact arithmetic — no float folds).
+    * (exact arithmetic — no float folds). Array-typed outputs are
+    * serialized with array_join: the driver's pandas comparator cannot
+    * hash raw array cells, so the oracle contract is string columns.
     */
   val qArrayFuncs = Q(
     "q_array_funcs",
@@ -82,22 +84,22 @@ object FunctionQueries {
         array_max(col("arr")).as("mx"),
         array_min(col("arr")).as("mn"),
         aggregate(col("arr"), lit(0), (a, x) => a + x).as("total"),
-        reverse(col("arr")).as("rev"),
-        slice(col("arr"), 2, 3).as("mid"),
+        array_join(reverse(col("arr")), ",").as("rev"),
+        array_join(slice(col("arr"), 2, 3), ",").as("mid"),
         array_contains(col("arr"), 3).as("has3"),
-        transform(col("arr"), x => x * 2).as("doubled"),
-        filter(col("arr"), x => x % 2 === 0).as("evens"))
+        array_join(transform(col("arr"), x => x * 2), ",").as("doubled"),
+        array_join(filter(col("arr"), x => x % 2 === 0), ",").as("evens"))
       .orderBy(col("vec_id")),
     Some("""
       SELECT vec_id,
              CAST(len(arr) AS INTEGER) AS n,
              list_max(arr) AS mx, list_min(arr) AS mn,
              CAST(list_sum(arr) AS INTEGER) AS total,
-             list_reverse(arr) AS rev,
-             arr[2:4] AS mid,
+             coalesce(array_to_string(list_reverse(arr), ','), '') AS rev,
+             coalesce(array_to_string(arr[2:4], ','), '') AS mid,
              list_contains(arr, 3) AS has3,
-             list_transform(arr, x -> x * 2) AS doubled,
-             list_filter(arr, x -> x % 2 = 0) AS evens
+             coalesce(array_to_string(list_transform(arr, x -> x * 2), ','), '') AS doubled,
+             coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens
       FROM (SELECT vec_id, CAST(range(1, CAST(vec_id % 10 + 2 AS INTEGER)) AS INTEGER[]) AS arr
             FROM embeddings)
       ORDER BY vec_id"""))

@@ -3,8 +3,9 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 import graft.functions.VectorExpressions.cosine_sim
+import graft.functions.TopKAggregator
 
 /** Vector similarity search over an `array<float>` embedding column.
   *
@@ -12,7 +13,8 @@ import graft.functions.VectorExpressions.cosine_sim
   *   - cosine/dot as higher-order-function expressions in double
   *     precision (sequential left fold — deterministic order);
   *   - brute-force top-k: broadcast the probe set, score every
-  *     candidate, per-probe window rank. O(N·Q) — the correctness
+  *     candidate, rank via a single-pass top-k aggregation (shuffle is
+  *     O(probes·k), never O(N)). O(N·Q) scoring — the correctness
   *     baseline, and the right answer when Q is small;
   *   - hyperplane-LSH buckets: 16 deterministic pseudo-random
   *     hyperplanes → 16-bit bucket key; candidates share the probe's
@@ -33,6 +35,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Per-probe rank of scored candidates via the single-pass
+    * `TopKAggregator` — partial buffers cap at k rows per partition per
+    * probe, so the shuffle carries O(probes·k) rows no matter how many
+    * candidates were scored. A `row_number() over (partition by probe)`
+    * window would instead sort every probe's full candidate set in one
+    * task — O(N) memory per probe and a straggler magnet at scale.
+    *
+    * Ordering contract (score DESC, id ASC) matches the aggregator's
+    * `finish` sort, so results are bit-identical to the window rendition.
+    * Expects `scored` to have columns (probe_id, score, idCol, ...).
+    */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("probe_id"))
+      .agg(TopKAggregator.topk(k)(col("score"), col(idCol).cast("long")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("probe_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("s.id").as("neighbor_id"),
+        col("s.score").as("score"))
+
   /** Brute-force cosine top-k for each probe row.
     *
     * @param probes (probe_id, probe_vec); must be small enough to
@@ -43,12 +67,7 @@ object Similarity {
     val scored = candidates
       .join(broadcast(probes), col(idCol) =!= col("probe_id"))
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim):
@@ -89,11 +108,7 @@ object Similarity {
     val scored = cb.join(broadcast(pb), Seq("bucket"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Per-partition mean vectors (the IVF "centroids"). Explode to
@@ -124,11 +139,15 @@ object Similarity {
     val scored = candidates.join(broadcast(chosen), Seq(partCol))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col(idCol).as("neighbor_id"),
-        col("score"), col(partCol).as("from_partition"))
+    // Rank first (O(probes·k) shuffle), then recover the partition of each
+    // winning neighbor with a broadcast join of the tiny result against a
+    // two-column projection of the candidate set — cheaper than carrying
+    // partCol through the aggregation buffer.
+    val ranked = rankTopK(scored, idCol, k)
+    candidates.select(col(idCol).cast("long").as("neighbor_id"),
+        col(partCol).as("from_partition"))
+      .join(broadcast(ranked), Seq("neighbor_id"))
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("score"), col("from_partition"))
   }
 }

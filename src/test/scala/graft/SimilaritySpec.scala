@@ -35,6 +35,15 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getAs[Double]("score") == -1.0)
   }
 
+  test("topK rank step is an aggregation, not a per-probe window sort") {
+    val probes = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val plan = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probes, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rank must not materialize a window sort")
+    assert(plan.contains("Aggregate"), "rank must be a (partial-merge) aggregation")
+  }
+
   test("centroids computes per-label means, dims in order") {
     val c = Similarity.centroids(vecs, "label", "embedding")
       .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1)).toMap

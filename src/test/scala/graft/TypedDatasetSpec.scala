@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.Dataset
 
+/** Top-level (not nested in the spec class): Spark encoders cannot
+  * instantiate inner classes — they need a no-outer-pointer constructor.
+  */
+case class DimDate(date_dim_id: Int, date_date: java.sql.Date,
+                   year: Short, month: Byte, day: Byte,
+                   week_of_year: Byte, day_of_week: Byte)
+
 /** Typed Dataset[T] surface over the warehouse shapes (SURVEY §1 —
   * case-class Encoders where compile-time field checks pay off).
   */
 class TypedDatasetSpec extends SparkSpec {
   import spark.implicits._
-
-  case class DimDate(date_dim_id: Int, date_date: java.sql.Date,
-                     year: Short, month: Byte, day: Byte,
-                     week_of_year: Byte, day_of_week: Byte)
 
   test("dateDimension binds to a typed Dataset and supports typed ops") {
     val ds: Dataset[DimDate] =
