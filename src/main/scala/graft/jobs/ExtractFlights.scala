@@ -73,7 +73,9 @@ object ExtractFlights {
       (t.getYear, t.getMonthValue, t.getDayOfMonth)
     }
 
-    val lakeExists = new java.io.File(lakeDir).exists()
+    // Hadoop-FS probe, not java.io.File — the lake may be hdfs://, s3a://
+    // (reference: extract_flights.py:68-79)
+    val lakeExists = graft.ops.Fs.exists(lakeDir)
     val delta =
       if (!lakeExists) acc
       else {

@@ -27,17 +27,23 @@ object LoadDimAircrafts {
     "line_num" -> Seq("\tN/A", "-", "n/a"),
     "registration" -> Seq("-UNKNOWN-"))
 
-  /** Cleanse pass (reference: load_dim_aircrafts.py:149-173):
-    * sentinel→NULL remaps, malformed-designator filters, all-null drop.
+  /** Cleanse pass — same ORDER as the reference
+    * (load_dim_aircrafts.py:157-173): drop the four unused columns, THEN
+    * drop all-null rows, THEN the malformed-designator filters, THEN
+    * sentinel→NULL. Order matters at the margins: a row whose only
+    * content is a sentinel word survives (as not-all-null) because the
+    * remap runs last, and a row non-null only in the dropped columns is
+    * discarded because the column drop runs first.
     */
   def cleanse(aircrafts: DataFrame): DataFrame = {
-    val remapped = nullWords.foldLeft(aircrafts) { case (df, (c, words)) =>
-      df.withColumn(c, CleanseOps.nullifyWords(col(c), words))
-    }
-    remapped
+    val trimmed = aircrafts
+      .drop("manufacturer_name", "operator_callsign", "owner", "note")
+      .na.drop("all")
       .where("length(icao_designator) <= 4 OR icao_designator IS NULL")
       .where("length(icao_type) = 3 OR icao_type IS NULL")
-      .na.drop("all")
+    nullWords.foldLeft(trimmed) { case (df, (c, words)) =>
+      df.withColumn(c, CleanseOps.nullifyWords(col(c), words))
+    }
   }
 
   /** Wide→long airline identifiers (reference: load_dim_aircrafts.py:

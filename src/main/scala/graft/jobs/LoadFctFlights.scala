@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{IncrementalOps, KeyOps}
+import graft.ops.IncrementalOps
 
 /** Fact-table build: star joins + incremental partition append
   * (reference: load_fct_flights.py:9-116).
@@ -26,13 +26,22 @@ object LoadFctFlights {
 
   def transform(flights: DataFrame, dimAirports: DataFrame,
                 dimAircrafts: DataFrame): DataFrame = {
+    // flight_date_dim_id comes from the lake PARTITION columns, not from
+    // depart_ts (reference: load_fct_flights.py:49-54). Arrival-direction
+    // rows are partitioned by lastSeen, so an overnight flight keeps the
+    // run-date key — deriving from depart_ts would give it the previous
+    // day's key and escape the replay diff filter, re-appending forever.
+    // NULL-driver rows sit in the Hive default partition → NULL key.
     val renamed = flights.withColumnsRenamed(Map(
       "icao24" -> "aircraft_icao24",
       "estDepartureAirport" -> "depart_airport_icao",
       "estArrivalAirport" -> "arrival_airport_icao"))
       .withColumn("depart_ts", timestamp_seconds(col("firstSeen")))
       .withColumn("arrival_ts", timestamp_seconds(col("lastSeen")))
-      .withColumn("flight_date_dim_id", KeyOps.smartDateKey(col("depart_ts")))
+      .withColumn("flight_date_dim_id",
+        (col("flight_year").cast("int") * 10000
+          + col("flight_month").cast("int") * 100
+          + col("flight_day").cast("int")).as("flight_date_dim_id"))
 
     // J1/J2: the same airports dim joined for both flight endpoints —
     // aliased projections avoid ambiguous-column traps
@@ -71,8 +80,8 @@ object LoadFctFlights {
     // DISTINCT semantics collapse in-batch duplicates
     // (reference: load_fct_flights.py:102-105).
     // Deviation (documented): the partition filter also admits NULL date
-    // keys — rows whose depart_ts is NULL would otherwise escape the
-    // diff and be re-appended on every replay.
+    // keys — rows from the Hive default partition (NULL firstSeen/lastSeen
+    // driver) would otherwise escape the diff and re-append every replay.
     val current =
       if (!wh.exists(table)) fact.limit(0)
       else wh.table(spark, table)

@@ -27,7 +27,7 @@ final class ParquetWarehouse(root: String) extends Warehouse {
   private def path(name: String) = s"$root/$name"
 
   def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+    graft.ops.Fs.exists(path(table))
 
   def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))

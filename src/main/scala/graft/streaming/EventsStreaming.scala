@@ -77,7 +77,7 @@ object EventsStreaming {
   def idempotentAppendSink(out: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val delta =
-      if (!new java.io.File(out).exists()) batch.dropDuplicates()
+      if (!graft.ops.Fs.exists(out)) batch.dropDuplicates()
       else IncrementalOps.exceptNew(batch, spark.read.parquet(out))
     if (!delta.isEmpty)
       delta.write.mode("append").parquet(out)
@@ -86,10 +86,18 @@ object EventsStreaming {
   /** Drain all available input once (batch-boundary streaming — the
     * Trigger.AvailableNow rendition of the reference's daily runs) into
     * an idempotent parquet sink. Returns after the stream finishes.
+    *
+    * Append output mode, deliberately: the sink is append-only, so for an
+    * aggregated stream Update mode would persist earlier micro-batches'
+    * partial aggregates alongside the later corrected rows (EXCEPT-
+    * DISTINCT only removes exact duplicates). Under Append, a
+    * watermarked aggregation emits only finalized windows, and a
+    * non-watermarked one is rejected up front by Spark's unsupported-
+    * operation check instead of silently corrupting the table.
     */
   def runAvailableNow(df: DataFrame, out: String, checkpoint: String): Unit = {
     val q = df.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(idempotentAppendSink(out) _)

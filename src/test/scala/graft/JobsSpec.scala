@@ -29,7 +29,11 @@ class JobsSpec extends SparkSpec {
     flightRow("abc123", day + 9000, "EDDF", day + 12000, "LFPG"))
 
   private val arrivals = Seq(
-    flightRow("abc123", null, "EGLL", day + 5000, "EDDF")) // NULL firstSeen path
+    flightRow("abc123", null, "EGLL", day + 5000, "EDDF"), // NULL firstSeen path
+    // overnight arrival: departed Dec 31, landed Jan 1 — partitioned by
+    // lastSeen, so its date key must be the RUN date (20240101), not the
+    // depart date, or replay re-appends it forever
+    flightRow("3c6444", day - 3600, "EGLL", day + 500, "EDDF"))
 
   private object FixtureSource extends FlightSource {
     def fetch(a: String, b: Long, e: Long, dir: String): Seq[Row] =
@@ -90,11 +94,11 @@ class JobsSpec extends SparkSpec {
   test("extract is idempotent: rerun appends zero; in-batch dup survives first write") {
     val lake = tmpDir("lake") + "/flights"
     val n1 = ExtractFlights.run(spark, FixtureSource, lake, "EDDF", day, day + 86399)
-    assert(n1 == 4) // first write keeps the in-batch duplicate
+    assert(n1 == 5) // first write keeps the in-batch duplicate
     val n2 = ExtractFlights.run(spark, FixtureSource, lake, "EDDF", day, day + 86399)
     assert(n2 == 0) // count-equality short-circuit
     val stored = spark.read.parquet(lake)
-    assert(stored.count() == 4)
+    assert(stored.count() == 5)
     // partition layout is hive-style y/m/d
     assert(stored.filter(col("flight_year") === 2024 && col("flight_month") === 1).count() >= 3)
   }
@@ -132,9 +136,9 @@ class JobsSpec extends SparkSpec {
     assert(fb.isNullAt(fb.fieldIndex("line_num")))                // \tN/A -> NULL
 
     val n1 = LoadFctFlights.run(spark, wh, lake, 2024, 1, 1)
-    assert(n1 == 3) // EXCEPT DISTINCT collapsed the in-batch duplicate
+    assert(n1 == 4) // EXCEPT DISTINCT collapsed the in-batch duplicate
     val n2 = LoadFctFlights.run(spark, wh, lake, 2024, 1, 1)
-    assert(n2 == 0) // idempotent replay, incl. the NULL-date-key row
+    assert(n2 == 0) // idempotent replay, incl. the overnight-arrival row
 
     // FK closure: every fact FK resolves or is NULL from an unmatched left join
     val fct = wh.table(spark, "fct_flights")
@@ -142,11 +146,27 @@ class JobsSpec extends SparkSpec {
     fct.collect().foreach { r =>
       if (!r.isNullAt(r.fieldIndex("aircraft_dim_id")))
         assert(dimIds.contains(r.getAs[Int]("aircraft_dim_id")))
-      if (!r.isNullAt(r.fieldIndex("flight_date_dim_id")))
-        assert(r.getAs[Int]("flight_date_dim_id") == 20240101)
-      else // NULL-firstSeen arrival row: no depart_ts, no date key
-        assert(r.isNullAt(r.fieldIndex("depart_ts")))
+      // date key derives from the lake partition (= run date), never from
+      // depart_ts — the overnight arrival must carry 20240101 too
+      assert(r.getAs[Int]("flight_date_dim_id") == 20240101)
     }
+    // the overnight arrival departed Dec 31 but keys to the run date
+    val overnight = fct.filter(
+      col("depart_ts") < to_timestamp(lit("2024-01-01 00:00:00"))).collect()
+    assert(overnight.length == 1 &&
+      overnight(0).getAs[Int]("flight_date_dim_id") == 20240101)
+  }
+
+  test("cleanse order: sentinel-only rows survive as all-NULL, dropped-column-only rows don't") {
+    // reference order is drop-cols -> dropna(all) -> filters -> sentinel-to-NULL
+    val sentinelOnly = Row(null, "-UNKNOWN-", null, null, null, null, null, null,
+      null, null, null, null, null, null, null) // only content is a sentinel word
+    val droppedColsOnly = Row(null, null, null, null, null, null, null, null,
+      null, null, null, null, null, "Sole Owner", null) // non-null only in `owner`
+    val out = LoadDimAircrafts.cleanse(spark.createDataFrame(
+      Seq(sentinelOnly, droppedColsOnly).asJava, Schemas.srcAircrafts)).collect()
+    assert(out.length == 1) // dropped-cols-only row is gone...
+    assert(out(0).isNullAt(out(0).fieldIndex("registration"))) // ...sentinel kept, nulled last
   }
 
   test("FK violation aborts the aircrafts dim publish") {

@@ -7,6 +7,14 @@ import graft.ops._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Fs.exists is scheme-aware: bare path and file: URI agree") {
+    val d = tmpDir("fsprobe")
+    assert(Fs.exists(d))
+    assert(Fs.exists("file://" + d))
+    assert(!Fs.exists(d + "/missing"))
+    assert(!Fs.exists("file://" + d + "/missing"))
+  }
+
   test("nullifyWords maps sentinel words to NULL, keeps the rest, keeps NULL") {
     val df = Seq(Some("-"), Some("n/a"), Some("ok"), None).toDF("c")
       .select(CleanseOps.nullifyWords(col("c"), Seq("-", "n/a")).as("c"))

@@ -19,6 +19,22 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin preserves left-outer semantics and rejects right/full outer") {
+    val big = (1 to 1000).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (3L, "a")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "left").select($"k", $"v", $"name")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 8, joinType = "left")
+      .select($"k", $"v", $"name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // unmatched small-side rows would be emitted once per salt replica
+    assertThrows[IllegalArgumentException] {
+      SkewOps.saltedJoin(big, small, "k", 8, joinType = "full_outer")
+    }
+    assertThrows[IllegalArgumentException] {
+      SkewOps.saltedJoin(big, small, "k", 8, joinType = "right")
+    }
+  }
+
   test("saltedSum equals plain aggregation") {
     val df = (1 to 5000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "v")
     val plain = df.groupBy($"k").agg(sum($"v").as("s")).collect()
