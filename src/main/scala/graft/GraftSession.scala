@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // partitioned INSERT OVERWRITE replaces only the partitions in the
+      // batch — never a full-table truncate (CatalogWarehouse relies on it)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // harness events.parquet stores TIMESTAMP(NANOS) which the Spark
       // reader rejects by default; read as long, convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
