@@ -45,17 +45,34 @@ object Dedup {
     * product. Same results as the nested-loop + array_intersect
     * rendition, which at probe×corpus scale spends its life hashing
     * strings per pair.
+    *
+    * Scale posture: the join key is xxhash64 of the shingle (8 bytes
+    * shuffled per row instead of the k-word string). A corpus-ubiquitous
+    * shingle (stop-word run, boilerplate) is a hot join key whose
+    * |probes∋s|×|docs∋s| intermediate is quadratic — `maxDf` drops
+    * shingles whose document frequency exceeds the cap BEFORE the join,
+    * with per-doc sizes recomputed on the filtered shingle space so the
+    * reported Jaccard stays self-consistent (standard stop-shingle
+    * removal). `maxDf = None` keeps exact full-space semantics.
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, tau: Double,
-                        probePred: Column => Column): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+                        probePred: Column => Column,
+                        maxDf: Option[Long] = None): DataFrame = {
+    val shAll = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+    val sh = maxDf.fold(shAll) { cap =>
+      // shingles are pre-deduplicated per doc, so count(*) = doc frequency
+      val admitted = shAll.groupBy(col("hs"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("hs"))
+      shAll.join(admitted, "hs")
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val probeSh = sh.filter(probePred(col("doc_id")))
-      .select(col("doc_id").as("doc_a"), col("s"))
+      .select(col("doc_id").as("doc_a"), col("hs"))
     val inter = probeSh
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("both"))
@@ -66,6 +83,30 @@ object Dedup {
         col("both").cast(DoubleType) / (col("na") + col("nb") - col("both")).cast(DoubleType))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Band-bucket admission guard shared by the LSH self-joins: buckets
+    * with a single member can't form a pair (skipping them shrinks the
+    * join input), and buckets above `maxBucketSize` — boilerplate or
+    * empty-ish docs all hashing alike — would go quadratic in that one
+    * task, so they are dropped. Identical documents that land in such a
+    * mega-bucket are the exact-dedup tier's job, not LSH's. Set
+    * `logDropped` to print the dropped-bucket count (costs one extra
+    * aggregation pass over the banded rows).
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucketSize: Int, logDropped: Boolean,
+                         what: String): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
+    if (logDropped) {
+      val dropped = sizes.filter(col("__bsz") > maxBucketSize).count()
+      if (dropped > 0)
+        System.err.println(
+          s"[dedup] $what: dropped $dropped buckets larger than $maxBucketSize members")
+    }
+    banded.join(
+      sizes.filter(col("__bsz").between(2, maxBucketSize)).select(keys.map(col): _*),
+      keys)
   }
 
   /** Shingle sets + MinHash signatures in ONE codegen'd aggregation:
@@ -100,18 +141,21 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                   tau: Double = 0.6): DataFrame = {
+                   tau: Double = 0.6, maxBucketSize: Int = 4096,
+                   logDroppedBuckets: Boolean = false): DataFrame = {
     val prepared = minhashPrepare(docs, idCol, textCol, k, bands * rowsPerBand)
 
     val shingleSets = prepared.select(col("doc_id"), col("sh"))
 
-    val banded = prepared.select(
+    val banded0 = prepared.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = capBuckets(banded0, Seq("band", "bucket"),
+      maxBucketSize, logDroppedBuckets, "minhash")
 
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -159,13 +203,16 @@ object Dedup {
     * by full Hamming distance ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6, maxBucketSize: Int = 4096,
+                   logDroppedBuckets: Boolean = false): DataFrame = {
     val fp = simhashFingerprints(docs, idCol, textCol, "sh64")
     val quarters = array((0 until 4).map(q =>
       struct(lit(q).as("q"),
         shiftright(col("sh64"), 16 * q).bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)
-    val banded = fp.select(col("doc_id"), col("sh64"), explode(quarters).as("bb"))
+    val banded0 = fp.select(col("doc_id"), col("sh64"), explode(quarters).as("bb"))
       .select(col("doc_id"), col("sh64"), col("bb.q"), col("bb.qv"))
+    val banded = capBuckets(banded0, Seq("q", "qv"),
+      maxBucketSize, logDroppedBuckets, "simhash")
     val l = banded.select(col("q"), col("qv"), col("doc_id").as("doc_a"), col("sh64").as("ha"))
     val r = banded.select(col("q"), col("qv"), col("doc_id").as("doc_b"), col("sh64").as("hb"))
     l.join(r, Seq("q", "qv"))

@@ -45,6 +45,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("LSH bucket cap: boilerplate mega-bucket is dropped, near-dup pair survives") {
+    // 300 identical boilerplate docs share every band bucket -> without a
+    // cap the band self-join materializes ~300*299/2 pairs per band.
+    // Identical docs are the exact-dedup tier's job; the cap drops them.
+    val boiler = (100L until 400L).map(i =>
+      (i, "standard legal disclaimer text appears identically at the foot of every page"))
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau phi"))
+    val corpus = (boiler ++ near).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the near-dup pair, got ${pairs.size} pairs")
+
+    val simPairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxBucketSize = 50)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simPairs.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "boilerplate bucket must not self-join")
+  }
+
   test("simhash: identical docs hash equal; near-dups are close in Hamming") {
     val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
