@@ -37,8 +37,9 @@ object ExtractFlights {
   def partitionDriver(direction: String): String =
     if (direction == "departure") "firstSeen" else "lastSeen"
 
-  private val apiFields = Schemas.srcFlights.fields.dropRight(3)
-  private val apiSchema = org.apache.spark.sql.types.StructType(apiFields)
+  /** The API payload shape: srcFlights minus the derived partition cols. */
+  val apiSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Schemas.srcFlights.fields.dropRight(3))
 
   def derivePartitionCols(df: DataFrame, driver: String): DataFrame =
     df.withColumn("__ts", timestamp_seconds(col(driver)))
