@@ -198,7 +198,8 @@ object AggQueries {
                    row_number() OVER (PARTITION BY c_mktsegment
                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
             FROM orders JOIN customer ON o_custkey = c_custkey)
-      WHERE rn <= 3 ORDER BY c_mktsegment, rank"""))
+      WHERE rn <= 3 ORDER BY c_mktsegment, rank"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qPivot, qApproxDistinct,

@@ -49,7 +49,8 @@ object DedupQueries {
       WHERE a.doc_id % 10 = 0
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
 
   /** MinHash-LSH near-dup pairs (8 bands × 4 rows, Jaccard ≥ 0.6).
     * Signature build is per-row; only band-bucket collisions shuffle.
@@ -58,7 +59,8 @@ object DedupQueries {
     "q_dedup_minhash",
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b")),
-    None)
+    None,
+    headline = true)
 
   /** SimHash near-dup pairs (64-bit fingerprint, Hamming ≤ 6 via
     * 16-bit-quarter collision).
