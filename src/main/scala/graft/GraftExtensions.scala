@@ -5,11 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.VectorExpressions.CosineSim
+import graft.functions.Hll
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so clusters enabling
-  * `spark.sql.extensions=graft.GraftExtensions` get `cosine_sim(a, b)`
-  * in plain SQL (and future rules/strategies hook in here).
+  * `spark.sql.extensions=graft.GraftExtensions` get `cosine_sim(a, b)`,
+  * `hll_sketch/hll_merge/hll_estimate` in plain SQL (and future
+  * rules/strategies hook in here).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,5 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    // aggregates: the analyzer wraps a bare AggregateFunction builder
+    // result in an AggregateExpression
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[Hll.HllSketch].getName, "hll_sketch"),
+      (children: Seq[Expression]) => Hll.HllSketch(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[Hll.HllMergeAgg].getName, "hll_merge"),
+      (children: Seq[Expression]) => Hll.HllMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[Hll.HllEstimate].getName, "hll_estimate"),
+      (children: Seq[Expression]) => Hll.HllEstimate(children.head)))
   }
 }

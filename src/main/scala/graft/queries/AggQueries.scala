@@ -113,6 +113,32 @@ object AggQueries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** The engine's own persistable HLL sketch
+    * (graft.functions.Hll, TypedImperativeAggregate). The estimate is
+    * engine-hash specific, so the ORACLE-checked cell is the error
+    * BOUND: DuckDB asserts TRUE per group, Spark must genuinely land
+    * within 5% of the exact count (3× the p=12 standard error) for the
+    * hash to match.
+    */
+  val qHllDistinct = Q(
+    "q_hll_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.Hll.hll_estimate(
+          graft.functions.Hll.hll_sketch(col("l_partkey"))).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("within_5pct"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Ranking + offset + frame window functions, partitioned per customer
     * (no global windows — see SURVEY §7 scale posture).
     */
@@ -202,6 +228,6 @@ object AggQueries {
     headline = true)
 
   val all: Seq[Q] = Seq(
-    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct,
+    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct, qHllDistinct,
     qWindowFuncs, qDistribution, qTopkAgg)
 }

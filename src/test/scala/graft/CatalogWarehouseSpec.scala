@@ -12,8 +12,25 @@ import graft.jobs._
   */
 class CatalogWarehouseSpec extends SparkSpec with JobFixtures {
 
+  /** Drop the test database AND its physical directory: the in-memory
+    * catalog forgets between JVM runs but the managed-table dirs under
+    * spark.sql.warehouse.dir persist, and CREATE TABLE refuses a
+    * location that already exists.
+    */
+  private def freshWarehouse(db: String): CatalogWarehouse = {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val root = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(root, s"$db.db")
+    if (dir.exists()) rm(dir)
+    new CatalogWarehouse(spark, db)
+  }
+
   test("DDL round-trip: dims overwrite, dates append, fact dynamic-partition append, replay zero") {
-    val wh = new CatalogWarehouse(spark, "graft_whtest")
+    val wh = freshWarehouse("graft_whtest")
     wh.createReferenceTables()
     Seq("dim_airports", "dim_dates", "dim_aircrafts", "fct_flights")
       .foreach(t => assert(wh.exists(t), s"$t missing after DDL"))
@@ -47,7 +64,7 @@ class CatalogWarehouseSpec extends SparkSpec with JobFixtures {
   }
 
   test("insertInto aligns by name: a reordered projection cannot swap columns") {
-    val wh = new CatalogWarehouse(spark, "graft_whtest2")
+    val wh = freshWarehouse("graft_whtest2")
     wh.createReferenceTables()
     val reordered = wh.table(spark, "dim_airports").sparkSession
       .createDataFrame(java.util.List.of(
@@ -72,7 +89,7 @@ class CatalogWarehouseSpec extends SparkSpec with JobFixtures {
   }
 
   test("dynamic partition overwrite replaces only the partitions in the batch") {
-    val wh = new CatalogWarehouse(spark, "graft_whtest3")
+    val wh = freshWarehouse("graft_whtest3")
     wh.createReferenceTables()
     import spark.implicits._
     def fct(dateKey: Int, n: Int) = (1 to n).map(i =>
