@@ -32,7 +32,10 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact word-shingle Jaccard between two shingle-array columns. */
+  /** Exact word-shingle Jaccard between two shingle-array columns
+    * (per-pair array math — the join-based renditions below scale
+    * better; kept as the composable Column form).
+    */
   def shingleJaccard(a: Column, b: Column): Column =
     (size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType))
@@ -60,14 +63,17 @@ object Dedup {
                         probePred: Column => Column,
                         maxDf: Option[Long] = None): DataFrame = {
     val shAll = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
     val sh = maxDf.fold(shAll) { cap =>
       // shingles are pre-deduplicated per doc, so count(*) = doc frequency
       val admitted = shAll.groupBy(col("hs"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("hs"))
       shAll.join(admitted, "hs")
     }
+    // |A| from the same exploded relation the join scans — the sizes
+    // aggregation, the probe filter and the join's build side then all
+    // share one exchange (re-deriving sizes from the raw text would
+    // re-run shingle generation instead).
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val probeSh = sh.filter(probePred(col("doc_id")))
       .select(col("doc_id").as("doc_a"), col("hs"))
@@ -109,26 +115,29 @@ object Dedup {
       keys)
   }
 
-  /** Shingle sets + MinHash signatures in ONE codegen'd aggregation:
-    * explode distinct shingles, then per doc collect the set and take
-    * `n` permutation minima (permutation i = xxhash64 re-keyed by i).
+  /** Hashed shingle sets + MinHash signatures in ONE codegen'd
+    * aggregation: explode distinct hashed shingles, then per doc collect
+    * the hash set and take `n` permutation minima (permutation i =
+    * xxhash64 re-keyed by i).
     *
     * explode+groupBy beats the higher-order-function rendition by an
     * order of magnitude here: 32 min() aggregates run inside whole-stage
     * codegen with map-side partials, vs 32 boxed array traversals per
-    * row. Output: (doc_id, sh: array<string>, sig: array<long>).
+    * row. Only 8-byte hashes — never shingle strings — are carried
+    * through the shuffle; the hash set feeds the exact-Jaccard verify
+    * step so every downstream consumer shares this one exchange.
+    * Output: (doc_id, hs: array<long>, sig: array<long>).
     */
-  def minhashPrepare(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, n: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, n: Int): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+        explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("h"))
     val minCols = (0 until n).map(i => min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
     exploded
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("sh"), minCols: _*)
-      .select(col("doc_id"), col("sh"),
+      .agg(collect_set(col("h")).as("hs"), minCols: _*)
+      .select(col("doc_id"), col("hs"),
         array((0 until n).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
@@ -143,9 +152,9 @@ object Dedup {
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    tau: Double = 0.6, maxBucketSize: Int = 4096,
                    logDroppedBuckets: Boolean = false): DataFrame = {
-    val prepared = minhashPrepare(docs, idCol, textCol, k, bands * rowsPerBand)
+    val prepared = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
 
-    val shingleSets = prepared.select(col("doc_id"), col("sh"))
+    val hashSets = prepared.select(col("doc_id"), col("hs"))
 
     val banded0 = prepared.select(
       col("doc_id"),
@@ -164,10 +173,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // collapse multi-band collisions
 
+    // Exact-Jaccard verification over the hashed shingle SETS collected
+    // in the same aggregation that built the signatures — both joins
+    // below and the banding above reuse that single exchange, and the
+    // per-pair intersect works on 8-byte longs, not shingle strings.
     candidates
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", shingleJaccard(col("sh_a"), col("sh_b")))
+      .join(hashSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -104,7 +104,28 @@ object TextAnalysis {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 
-  /** Hashed shingles (xxhash64) — the MinHash input universe. */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+  /** Hashed k-shingles WITHOUT materializing shingle strings: hash each
+    * token once, then combine every k-window with xxhash64 over the k
+    * token hashes (O(1) array lookups per window). Distinct shingles map
+    * to distinct hashes w.h.p., which is the only property consumers
+    * (MinHash banding, Jaccard counting) rely on — nothing depends on
+    * these equalling xxhash64 of the joined string, and skipping the
+    * per-window slice+join+rehash of strings is ~10× on the shingle hot
+    * path. Short docs (< k tokens) contribute one shingle covering all
+    * tokens, mirroring [[shingles]].
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val th = transform(tokens(lower(text)), t => xxhash64(t))
+    // Bind the token-hash array ONCE as a lambda variable: referencing
+    // the raw `th` expression from inside the window lambda would
+    // re-evaluate the whole tokenize+hash per element_at — O(n²·k) per
+    // document. A lambda variable holds the materialized value.
+    flatten(transform(array(th), ths => {
+      def window(i: Column): Column =
+        xxhash64((0 until k).map(j => element_at(ths, i + lit(j + 1))): _*)
+      when(size(ths) < k,
+        array(aggregate(ths, lit(42L), (acc, h) => xxhash64(acc, h))))
+        .otherwise(transform(sequence(lit(0), size(ths) - lit(k)), window(_)))
+    }))
+  }
 }
