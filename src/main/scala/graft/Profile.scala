@@ -26,7 +26,19 @@ object Profile {
     time("token explode count")(toks.count())
     val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
     time("minhash signatures")(sig.count())
+    time("minhash signatures #2")(sig.count())
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(7)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    time("banded")(banded.count())
+    time("minhash pairs full")(graft.dedup.Dedup.minhashPairs(
+      docs, "doc_id", "text").count())
     time("jaccard full")(graft.dedup.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", 3, 0.3, _ % 10 === 0).count())
+    time("jaccard full #2")(graft.dedup.Dedup.jaccardPairsExact(
       docs, "doc_id", "text", 3, 0.3, _ % 10 === 0).count())
     spark.stop()
   }

@@ -70,11 +70,11 @@ object Dedup {
         .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("hs"))
       shAll.join(admitted, "hs")
     }
-    // |A| from the same exploded relation the join scans — the sizes
-    // aggregation, the probe filter and the join's build side then all
-    // share one exchange (re-deriving sizes from the raw text would
-    // re-run shingle generation instead).
+    // |A| per doc: used by TWO broadcast joins (na and nb), each of
+    // which would re-run the explode+agg — persist the 16 bytes/doc
+    // result instead (freed by the ContextCleaner once unreferenced).
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeSh = sh.filter(probePred(col("doc_id")))
       .select(col("doc_id").as("doc_a"), col("hs"))
     val inter = probeSh
@@ -152,34 +152,38 @@ object Dedup {
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    tau: Double = 0.6, maxBucketSize: Int = 4096,
                    logDroppedBuckets: Boolean = false): DataFrame = {
+    // The signature relation feeds four subplan edges (both self-join
+    // sides × the bucket-size diamond); Spark re-executes a subplan per
+    // edge, which re-ran the scan + shingle explode + aggregation up to
+    // 16× in the physical plan. The relation is tiny by construction
+    // (doc_id + n sig longs + the hashed shingle set ≈ 0.5% of corpus
+    // bytes), so materializing it once is the production design — the
+    // cache is dropped by the ContextCleaner when the plan is GC'd.
     val prepared = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hashSets = prepared.select(col("doc_id"), col("hs"))
-
+    // The banded rows CARRY the hash set to the self-join so the verify
+    // step finds hs_a/hs_b in-row instead of joining back into the
+    // aggregate (which would add two more diamond edges).
     val banded0 = prepared.select(
-      col("doc_id"),
+      col("doc_id"), col("hs"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("hs"), col("bb.band"), col("bb.bucket"))
+    // bucket admission runs on a COLUMN-PRUNED copy (hs never reaches
+    // the size aggregation)
     val banded = capBuckets(banded0, Seq("band", "bucket"),
       maxBucketSize, logDroppedBuckets, "minhash")
 
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // collapse multi-band collisions
-
-    // Exact-Jaccard verification over the hashed shingle SETS collected
-    // in the same aggregation that built the signatures — both joins
-    // below and the banding above reuse that single exchange, and the
-    // per-pair intersect works on 8-byte longs, not shingle strings.
-    candidates
-      .join(hashSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hashSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
