@@ -189,6 +189,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (probe subset × corpus):
+    * unordered pairs {a, b} with a in the probe set and rounded cosine ≥
+    * tau. The probe batch broadcasts; scoring is the codegen'd
+    * `cosine_sim` expression — O(|probes|·N) with no shuffle until the
+    * final distinct. The rounded score is thresholded so the cut is
+    * bit-identical cross-engine. The LSH-bucketed variant
+    * (graft.similarity.Similarity.lshTopK) is the all-pairs scale path.
+    */
+  def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, probePred: Column => Column): DataFrame = {
+    val probes = vecs.filter(probePred(col(idCol)))
+      .select(col(idCol).as("__pid"), col(vecCol).as("__pvec"))
+    vecs.join(broadcast(probes), col(idCol) =!= col("__pid"))
+      .withColumn("score",
+        round(graft.functions.VectorExpressions.cosine_sim(col("__pvec"), col(vecCol)), 6))
+      .filter(col("score") >= tau)
+      .select(
+        least(col("__pid"), col(idCol)).as("id_a"),
+        greatest(col("__pid"), col(idCol)).as("id_b"),
+        col("score"))
+      .distinct() // both-probe pairs arrive from each direction
+  }
+
   /** 64-bit SimHash fingerprints: each token hash votes ±1 per bit
     * position; the sign of each accumulated position is the fingerprint
     * bit. Computed as explode → 64 conditional-sum aggregates — all

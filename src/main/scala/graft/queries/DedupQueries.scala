@@ -71,5 +71,29 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b")),
     None)
 
-  val all: Seq[Q] = Seq(qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash)
+  /** Embedding-cosine near-dup pairs over `embeddings` (probe subset
+    * vec_id % 100 = 0, rounded cosine ≥ 0.35) — oracle-checked against
+    * DuckDB's list_dot_product.
+    */
+  val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, d) => Dedup
+      .embeddingPairs(graft.Tables.embeddings(s, d), "vec_id", "embedding",
+        tau = 0.35, probePred = _ % 100 === 0)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      s AS (
+        SELECT p.pid, e.vec_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+        FROM embeddings e, p WHERE e.vec_id <> p.pid)
+      SELECT DISTINCT least(pid, vec_id) AS id_a, greatest(pid, vec_id) AS id_b, score
+      FROM s WHERE score >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash, qDedupEmbedding)
 }
