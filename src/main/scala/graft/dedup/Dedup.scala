@@ -189,6 +189,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair graph: connected components by
+    * iterative min-label propagation, the step a dedup pipeline runs
+    * after pair finding (keep one doc per component). Every vertex
+    * starts labelled with itself; each round every vertex takes the
+    * minimum label among itself and its neighbors; fixpoint after
+    * O(component diameter) rounds — near-dup components are short
+    * chains/cliques in practice, so a handful. Each round is one
+    * edges⋈labels shuffle + a min-aggregation, all keyed — no global
+    * state. `localCheckpoint` truncates the growing lineage each round
+    * (an iterative DF loop otherwise re-plans from round zero), and the
+    * driver-side convergence check is one count per round, not a
+    * collect.
+    *
+    * @param docs  vertex universe (singletons become their own cluster)
+    * @param pairs undirected edges (aCol, bCol)
+    * @return (doc_id, cluster_id) with cluster_id = min doc_id reachable
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "doc_a", bCol: String = "doc_b",
+                    maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = docs.select(col(idCol).as("v"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = edges
+        .join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+      val next = labels.union(fromNeighbors)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (probe subset × corpus):
     * unordered pairs {a, b} with a in the probe set and rounded cosine ≥
     * tau. The probe batch broadcasts; scoring is the codegen'd

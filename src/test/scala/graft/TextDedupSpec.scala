@@ -74,6 +74,20 @@ class TextDedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("dedupClusters: chain and star components converge to min-id labels, singletons stay") {
+    val vertices = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4 (diameter 3: needs iteration)
+      (7L, 8L), (7L, 9L)            // star centred on 7
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, // chain collapses to min=1
+      5L -> 5L, 6L -> 6L,                     // singletons
+      7L -> 7L, 8L -> 7L, 9L -> 7L))          // star collapses to min=7
+  }
+
   test("langId routes stopword-bearing text deterministically") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
