@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native rendition of.
+  *
+  * The classic as-of join (each left row picks the latest right row with
+  * `right.ts <= left.ts` per key) is usually written as a range join —
+  * which Spark would execute as a broadcast-nested-loop or a cross
+  * product with a filter, both quadratic per key. The scalable plan is
+  * union + carry-forward: tag both sides, sort each key's timeline once,
+  * and let `last(_, ignoreNulls)` propagate the right payload down to
+  * each left row. ONE shuffle on the key, O(n log n) per key, no range
+  * scan — and every window is keyed, never global.
+  */
+object TemporalOps {
+
+  /** As-of (backward) join: every `left` row gains the payload of the
+    * most recent `right` row with `rightTs <= leftTs` on the same key,
+    * or NULLs when no such row exists. Ties on the timestamp include the
+    * right row (`>=`, the DuckDB/pandas convention).
+    *
+    * The matched right timestamp is surfaced as `<prefix>ts` alongside
+    * the requested payload columns (renamed `<prefix><name>`).
+    *
+    * Right rows should be unique per (key, rightTs) — pre-aggregate
+    * otherwise (e.g. `max_by`), or the carried payload among equal
+    * timestamps is tie-broken arbitrarily.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightPayload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val outCols = rightPayload.map(c => c -> s"$prefix$c") :+ (rightTs -> s"${prefix}ts")
+    val r2 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        outCols.map { case (c, o) => col(c).as(o) }: _*)
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    // right rows sort BEFORE left rows at the same instant, so an equal
+    // timestamp is visible to the left row (the >= contract)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = outCols.foldLeft(l2.unionByName(r2, allowMissingColumns = true)) {
+      case (df, (_, o)) => df.withColumn(o, last(col(o), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

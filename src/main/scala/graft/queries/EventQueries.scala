@@ -171,7 +171,39 @@ object EventQueries {
              coalesce(nullif(CAST(json_extract_string(props, '$.k') AS INTEGER), 0), -1) AS k_or_neg1
       FROM events ORDER BY event_id"""))
 
+  /** As-of join (graft.ops.TemporalOps): each purchase picks the most
+    * recent view (per user, ts >= view ts). Right side pre-deduplicated
+    * per (user, ts) with max_by/arg_max so the match is unique. Oracle
+    * is DuckDB's NATIVE ASOF LEFT JOIN — the union+carry-forward plan
+    * must reproduce it row-for-row.
+    */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      graft.ops.TemporalOps
+        .asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("view_ts_us"),
+          col("asof_view_value").as("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             epoch_us(r.ts) AS view_ts_us, r.view_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
-    qEventsLatest, qEventsJsonStruct)
+    qEventsLatest, qEventsJsonStruct, qAsofJoin)
 }

@@ -15,6 +15,20 @@ class OpsSpec extends SparkSpec {
     assert(!Fs.exists("file://" + d + "/missing"))
   }
 
+  test("asofJoin: backward match, equal-ts inclusion, no-match NULLs, key isolation") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 100L, 5L), (4L, 200L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, "a"), (100L, 15L, "b"), (200L, 60L, "z"))
+      .toDF("k", "t", "v")
+    val got = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("asof_v")), Option(r.getAs[Any]("asof_ts")))).toMap
+    assert(got(1L) == (Some("a"), Some(10L)))  // equal ts matches (>= contract)
+    assert(got(2L) == (Some("b"), Some(15L)))  // latest of the two priors
+    assert(got(3L) == (None, None))            // nothing at or before t=5
+    assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is after
+  }
+
   test("nullifyWords maps sentinel words to NULL, keeps the rest, keeps NULL") {
     val df = Seq(Some("-"), Some("n/a"), Some("ok"), None).toDF("c")
       .select(CleanseOps.nullifyWords(col("c"), Seq("-", "n/a")).as("c"))
