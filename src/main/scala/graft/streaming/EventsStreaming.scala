@@ -69,6 +69,72 @@ object EventsStreaming {
       }
   }
 
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Ingest-time exact dedup with BOUNDED state:
+    * dropDuplicatesWithinWatermark keeps an event_id only until the
+    * watermark passes its event time, so replayed/duplicated deliveries
+    * inside the lateness horizon collapse while state stays O(window),
+    * not O(stream) — the streaming twin of Dedup.exactGroups for the
+    * ingest edge of a training-data pipeline.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization as a stream: flatMapGroupsWithState with
+    * an EVENT-TIME timeout. Events accumulate per user; when the
+    * watermark passes last-event + gap the state times out and the
+    * closed session is emitted (Append mode — sessions are immutable
+    * once out). The batch twin is EventQueries.qEventsSessionize; state
+    * is strictly per-user and bounded by the gap.
+    */
+  def sessionizeStream(events: Dataset[Event],
+                       gapSeconds: Long = 1800,
+                       watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            // fold the open session + this batch (event-time order) into
+            // session runs, splitting wherever the gap is exceeded —
+            // a single batch spanning several sessions emits the inner
+            // ones immediately and only the trailing one stays open
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            var open = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapSeconds * 1000 =>
+                  open = Some(s.copy(
+                    session_end = if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end,
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  open = Some(Session(userId, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes end + gap
+              state.setTimeoutTimestamp(s.session_end.getTime + gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Idempotent streaming sink: every micro-batch is diffed against the
     * target (the U2 EXCEPT-DISTINCT primitive) before appending, so
     * replayed batches append zero rows — exactly the reference's

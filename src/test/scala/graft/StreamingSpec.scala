@@ -60,6 +60,70 @@ class StreamingSpec extends SparkSpec {
     assert(u7.getAs[java.sql.Timestamp]("last_ts") == ts(59))
   }
 
+  test("dedupStream drops in-horizon duplicate event_ids with bounded state") {
+    val in = tmpDir("stream-in4")
+    val dup = fixture ++ Seq(Event(1L, ts(0), 7L, "click", 1.0)) // exact replay of event 1
+    dup.toDS().write.mode("overwrite").parquet(in)
+    val events = EventsStreaming.readEvents(spark, in,
+      implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+    val q = EventsStreaming.dedupStream(events).writeStream
+      .format("memory").queryName("dedupst")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt5"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("dedupst").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L)) // 5 inputs, dup of id 1 dropped
+  }
+
+  test("sessionizeStream: event-time timeout closes sessions across micro-batches") {
+    val in = tmpDir("stream-in5")
+    val ckpt = tmpDir("ckpt6")
+    val out = tmpDir("sessions-out") + "/sessions"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      // memory sink cannot recover a checkpoint; append closed sessions
+      // to parquet instead (they are immutable once emitted)
+      val q = EventsStreaming.sessionizeStream(events, gapSeconds = 600)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStreaming.Session], _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def sessions(): Array[EventsStreaming.Session] =
+      if (!graft.ops.Fs.exists(out)) Array.empty
+      else spark.read.parquet(out).as[EventsStreaming.Session].collect()
+    // batch 1: two bursts for user 7 separated by > gap INSIDE the batch —
+    // the first session closes immediately; the second stays open
+    Seq(
+      Event(1L, ts(0), 7L, "click", 1.0),
+      Event(2L, ts(2), 7L, "click", 2.0),
+      Event(3L, ts(30), 7L, "view", 5.0)
+    ).toDS().write.mode("overwrite").parquet(in)
+    run()
+    val afterB1 = sessions()
+    assert(afterB1.length == 1)
+    assert(afterB1(0).n_events == 2 && afterB1(0).total_value == 3.0)
+    assert(afterB1(0).session_start == ts(0) && afterB1(0).session_end == ts(2))
+
+    // batch 2: a much later event advances the watermark past 10:30+gap —
+    // the open session times out and is emitted; the new one stays open
+    Seq(Event(4L, ts(59), 7L, "purchase", 9.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    val afterB2 = sessions()
+    assert(afterB2.length == 2)
+    val second = afterB2.filter(_.session_start == ts(30))
+    assert(second.length == 1 && second(0).n_events == 1 && second(0).total_value == 5.0)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
