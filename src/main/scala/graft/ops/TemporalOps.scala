@@ -47,4 +47,34 @@ object TemporalOps {
     }
     carried.filter(col("__side") === 1).drop("__ts", "__side")
   }
+
+  /** Range (interval) join: inner-join each point row to every interval
+    * row on the same key with `start <= point <= end` (inclusive).
+    *
+    * Spark plans a raw inequality join as broadcast-nested-loop — a per
+    * key cross product. Bucketizing turns it into an EQUI-join: each
+    * interval explodes to the `bucketWidth`-sized buckets it covers,
+    * each point belongs to exactly ONE bucket (so no pair can meet
+    * twice and no dedup is needed), the join runs hash-partitioned on
+    * (key, bucket), and the residual between-filter trims the bucket
+    * edges. Pick `bucketWidth` near the typical interval length: shuffle
+    * grows with intervalLength/bucketWidth replicas per interval, while
+    * huge buckets degrade toward the cross product.
+    *
+    * Columns are numeric (e.g. epoch micros) — convert timestamps first.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__bucket",
+      expr(s"`$pointCol` div $bucketWidth"))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(
+        expr(s"`$startCol` div $bucketWidth"),
+        expr(s"`$endCol` div $bucketWidth"))))
+    pb.join(ib, keys :+ "__bucket")
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__bucket")
+  }
 }

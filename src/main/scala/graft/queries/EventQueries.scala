@@ -203,7 +203,40 @@ object EventQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY event_id"""))
 
+  /** Range join (graft.ops.TemporalOps.rangeJoin): purchases landing
+    * within two hours after a signup, per user — bucketized equi-join
+    * (1-hour buckets) against a DuckDB inequality-join oracle.
+    */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val twoHoursUs = 2L * 3600 * 1000000
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + twoHoursUs).as("e_us"))
+      graft.ops.TemporalOps
+        .rangeJoin(points, intervals, Seq("user_id"),
+          "p_us", "s_us", "e_us", bucketWidth = 3600L * 1000000)
+        .select(col("event_id"), col("signup_id"), col("user_id"),
+          col("p_us"), col("s_us"))
+        .orderBy(col("event_id"), col("signup_id"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      i AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS s_us,
+                   epoch_us(ts) + 7200000000 AS e_us
+            FROM events WHERE event_type = 'signup')
+      SELECT p.event_id, i.signup_id, p.user_id, p.p_us, i.s_us
+      FROM p JOIN i ON p.user_id = i.user_id
+                   AND p.p_us BETWEEN i.s_us AND i.e_us
+      ORDER BY event_id, signup_id"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
-    qEventsLatest, qEventsJsonStruct, qAsofJoin)
+    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin)
 }

@@ -29,6 +29,21 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is after
   }
 
+  test("rangeJoin: inclusive bounds, key isolation, multi-bucket intervals join once") {
+    val points = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 31L), (4L, "b", 15L))
+      .toDF("pid", "k", "t")
+    val intervals = Seq((100L, "a", 10L, 30L), (200L, "a", 25L, 99L))
+      .toDF("iid", "k", "lo", "hi")
+    // bucketWidth 7 << interval length: interval 100 spans buckets 1..4
+    val got = TemporalOps.rangeJoin(points, intervals, Seq("k"), "t", "lo", "hi", 7L)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 100L), // t=10 == lo (inclusive), and joins exactly once despite 4 buckets
+      (2L, 100L),
+      (3L, 200L)  // t=31 > hi of 100; in 200's range
+    ))            // pid 4: key b has no intervals
+  }
+
   test("nullifyWords maps sentinel words to NULL, keeps the rest, keeps NULL") {
     val df = Seq(Some("-"), Some("n/a"), Some("ok"), None).toDF("c")
       .select(CleanseOps.nullifyWords(col("c"), Seq("-", "n/a")).as("c"))
