@@ -209,8 +209,12 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "doc_a", bCol: String = "doc_b",
                     maxIter: Int = 25): DataFrame = {
+    // materialize the edge list ONCE — it is referenced twice per round
+    // (join + convergence check) across every round, and `pairs` may
+    // itself be an expensive subplan (e.g. the exact Jaccard graph)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col(idCol).as("v"), col(idCol).as("label"))
       .localCheckpoint()
     var iter = 0

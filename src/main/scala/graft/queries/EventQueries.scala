@@ -201,7 +201,8 @@ object EventQueries {
       SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
              epoch_us(r.ts) AS view_ts_us, r.view_value
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-      ORDER BY event_id"""))
+      ORDER BY event_id"""),
+    headline = true)
 
   /** Range join (graft.ops.TemporalOps.rangeJoin): purchases landing
     * within two hours after a signup, per user — bucketized equi-join
@@ -234,7 +235,8 @@ object EventQueries {
       SELECT p.event_id, i.signup_id, p.user_id, p.p_us, i.s_us
       FROM p JOIN i ON p.user_id = i.user_id
                    AND p.p_us BETWEEN i.s_us AND i.e_us
-      ORDER BY event_id, signup_id"""))
+      ORDER BY event_id, signup_id"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
