@@ -89,10 +89,14 @@ object EventQueries {
     (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-9, Window.currentRow)
+      // evaluate the decimal frame sum ONCE; mov_avg derives from the
+      // projected column instead of a second window aggregate
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
         asDouble(sum(dec(col("value"))).over(w)).as("mov_sum"),
-        (asDouble(sum(dec(col("value"))).over(w)) / count(lit(1)).over(w)).as("mov_avg"))
+        count(lit(1)).over(w).as("__n"))
+        .withColumn("mov_avg", col("mov_sum") / col("__n"))
+        .drop("__n")
         .orderBy(col("event_id"))
     },
     Some("""

@@ -41,12 +41,16 @@ object SqlQueries {
     */
   val qPercentiles = Q(
     "q_percentiles",
+    // one percentile(…, array(…)) aggregate: the three quantiles share a
+    // single value buffer per group instead of three copies
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
-        expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"),
-        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__ps"), 1), 4).as("p50"),
+        round(element_at(col("__ps"), 2), 4).as("p90"),
+        round(element_at(col("__ps"), 3), 4).as("p99"))
       .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
