@@ -49,17 +49,27 @@ object TextAnalysis {
   /** Heuristic language-ID: CJK codepoints ⇒ zh, else the language with
     * the most stopword hits (priority order en>de>es>fr on ties, 'und'
     * when nothing matches). Deterministic by construction.
+    *
+    * The token array is bound once as a lambda variable; writing the
+    * four stopword counts directly against `tokens(...)` re-tokenizes
+    * per reference (each count appears twice in the when-chain plus
+    * once in greatest — ~8 tokenize passes per row).
     */
   def langId(text: Column): Column = {
-    val en = stopwordHits(text, "en"); val de = stopwordHits(text, "de")
-    val es = stopwordHits(text, "es"); val fr = stopwordHits(text, "fr")
-    val best = greatest(en, de, es, fr)
+    val result = transform(array(tokens(lower(text))), toks => {
+      def hits(lang: String): Column =
+        size(filter(toks, w => w.isin(stopwords(lang): _*)))
+      val en = hits("en"); val de = hits("de")
+      val es = hits("es"); val fr = hits("fr")
+      val best = greatest(en, de, es, fr)
+      when(best === 0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(de === best, lit("de"))
+        .when(es === best, lit("es"))
+        .otherwise(lit("fr"))
+    })
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
-      .when(best === 0, lit("und"))
-      .when(en === best, lit("en"))
-      .when(de === best, lit("de"))
-      .when(es === best, lit("es"))
-      .otherwise(lit("fr"))
+      .otherwise(element_at(result, 1))
   }
 
   /** Punctuation character count (explicit set — portable across regex
