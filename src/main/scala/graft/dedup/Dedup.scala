@@ -290,7 +290,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6, maxBucketSize: Int = 4096,
                    logDroppedBuckets: Boolean = false): DataFrame = {
+    // 9 bytes per doc, re-derived 4x through the bucket-guard diamond
+    // and both self-join sides without this (same rationale as the
+    // minhash signature persist)
     val fp = simhashFingerprints(docs, idCol, textCol, "sh64")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarters = array((0 until 4).map(q =>
       struct(lit(q).as("q"),
         shiftright(col("sh64"), 16 * q).bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)

@@ -105,12 +105,19 @@ object AggQueries {
     */
   val qApproxDistinct = Q(
     "q_approx_distinct",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      .orderBy(col("l_returnflag")),
+    (s, d) => {
+      // exact side via dedup-then-count: two codegen hash aggs instead
+      // of the Expand-based count-distinct rewrite (one pass per agg
+      // function over every row)
+      val exact = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .join(exact, "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
     None)
 
   /** The engine's own persistable HLL sketch
@@ -122,17 +129,21 @@ object AggQueries {
     */
   val qHllDistinct = Q(
     "q_hll_distinct",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        graft.functions.Hll.hll_estimate(
-          graft.functions.Hll.hll_sketch(col("l_partkey"))).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      .select(
-        col("l_returnflag"), col("exact_parts"),
-        (abs(col("approx_parts") - col("exact_parts"))
-          <= col("exact_parts") * 0.05).as("within_5pct"))
-      .orderBy(col("l_returnflag")),
+    (s, d) => {
+      val exact = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Hll.hll_estimate(
+          graft.functions.Hll.hll_sketch(col("l_partkey"))).as("approx_parts"))
+        .join(exact, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
