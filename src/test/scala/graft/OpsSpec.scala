@@ -29,6 +29,21 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is after
   }
 
+  test("temporal join plans: no nested-loop join, as-of is one keyed window") {
+    val points = (1 to 100).map(i => (i.toLong, i.toLong % 5, i.toLong * 3)).toDF("pid", "k", "t")
+    val intervals = (1 to 20).map(i => (i.toLong, i.toLong % 5, i.toLong * 10, i.toLong * 10 + 40))
+      .toDF("iid", "k", "lo", "hi")
+    val rj = TemporalOps.rangeJoin(points, intervals, Seq("k"), "t", "lo", "hi", 25L)
+      .queryExecution.executedPlan.toString
+    assert(!rj.contains("BroadcastNestedLoopJoin") && !rj.contains("CartesianProduct"),
+      s"range join must be an equi-join:\n$rj")
+    val aj = TemporalOps.asofJoin(points, intervals.withColumnRenamed("lo", "rt"),
+        Seq("k"), "t", "rt", Seq("iid"))
+      .queryExecution.executedPlan.toString
+    assert(!aj.contains("Join"), s"as-of must not plan any join operator:\n$aj")
+    assert(aj.contains("Window"), "as-of rides one keyed window")
+  }
+
   test("rangeJoin: inclusive bounds, key isolation, multi-bucket intervals join once") {
     val points = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 31L), (4L, "b", 15L))
       .toDF("pid", "k", "t")
