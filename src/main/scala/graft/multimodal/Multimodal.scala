@@ -57,6 +57,22 @@ object Multimodal {
       while (i < payload.length) { acc((payload(i) & 0xff) % k) += 1f; i += 1 }
       acc
     }
+
+    /** Fake resize: keep every stride-th byte so the payload lands at or
+      * under `targetBytes` (stride = ceil(n/target)) — the downsample
+      * shape of an image resize, deterministic in the bytes.
+      */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      val n = payload.length
+      if (n <= targetBytes) payload
+      else {
+        val stride = ((n + targetBytes - 1) / targetBytes).max(1)
+        val out = new Array[Byte]((n + stride - 1) / stride)
+        var i = 0
+        while (i * stride < n) { out(i) = payload(i * stride); i += 1 }
+        out
+      }
+    }
   }
 
   /** Decode pass: binary content → metadata struct, batched per
@@ -76,6 +92,50 @@ object Multimodal {
         val payload = row.getAs[Array[Byte]](contentIdx)
         val (w, h, dur) = StubCodec.decodeMeta(if (payload == null) Array.emptyByteArray else payload)
         Row.fromSeq(row.toSeq :+ Row(w, h, dur))
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Feature-extraction pass: binary content → dense `array<float>`,
+    * batched per partition (codec init once per partition). The stub
+    * emits the byte-histogram fake; a real deployment swaps in an
+    * embedding model's forward pass with the same batch shape.
+    */
+  def extractFeatures(media: DataFrame, idCol: String, contentCol: String,
+                      k: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("feature", ArrayType(FloatType), nullable = false)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val rdd = media.rdd.mapPartitions { rows =>
+      // model/codec init would happen here, once per partition
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](contentIdx)
+        Row(row.get(idIdx),
+          StubCodec.features(if (payload == null) Array.emptyByteArray else payload, k).toSeq)
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize pass: binary content → smaller binary content (≤ target
+    * bytes), batched per partition. Keeps the id column plus the
+    * resized payload.
+    */
+  def resize(media: DataFrame, idCol: String, contentCol: String,
+             targetBytes: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("resized", BinaryType)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](contentIdx)
+        Row(row.get(idIdx),
+          StubCodec.resize(if (payload == null) Array.emptyByteArray else payload, targetBytes))
       }
     }
     media.sparkSession.createDataFrame(rdd, outSchema)

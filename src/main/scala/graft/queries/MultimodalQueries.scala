@@ -82,5 +82,61 @@ object MultimodalQueries {
              CAST(octet_length(CAST(text AS BLOB)) * 10 AS INTEGER) AS duration_ms
       FROM documents ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDecode)
+  /** Feature extraction (k=8 byte-histogram stub): the dense vector is
+    * verified through its exact invariants — dimension, total mass
+    * (= payload bytes) and bucket-weighted mass — all byte math DuckDB
+    * reproduces from the text.
+    */
+  val qMultimodalFeatures = Q(
+    "q_multimodal_features",
+    (s, d) => Multimodal
+      .extractFeatures(media(s, d), "media_id", "content", k = 8)
+      .select(col("media_id"), posexplode(col("feature")).as(Seq("j", "v")))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("dim"),
+        sum(col("v")).cast(IntegerType).as("f_total"),
+        sum(col("j") * col("v")).cast("bigint").as("f_weighted"))
+      .orderBy(col("media_id")),
+    Some("""
+      WITH chars AS (
+        SELECT doc_id,
+               unnest([ascii(substring(text, i, 1)) % 8
+                       for i in range(1, octet_length(CAST(text AS BLOB)) + 1)]) AS b
+        FROM documents)
+      SELECT doc_id AS media_id, 8 AS dim,
+             CAST(count(*) AS INTEGER) AS f_total,
+             CAST(sum(b) AS BIGINT) AS f_weighted
+      FROM chars GROUP BY doc_id ORDER BY media_id"""))
+
+  /** Stub resize (downsample to ≤64 bytes, every stride-th byte): both
+    * the new length and the md5 of the resized CONTENT are
+    * oracle-checked, so the byte selection itself is verified.
+    */
+  val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    (s, d) => Multimodal
+      .resize(media(s, d), "media_id", "content", targetBytes = 64)
+      .select(col("media_id"),
+        md5(col("resized")).as("resized_md5"),
+        length(col("resized")).cast(IntegerType).as("resized_bytes"))
+      .orderBy(col("media_id")),
+    Some("""
+      WITH m AS (SELECT doc_id, text,
+                        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS nb
+                 FROM documents),
+      r AS (SELECT doc_id,
+                   CASE WHEN nb <= 64 THEN 1
+                        ELSE CAST(ceil(nb / 64.0) AS INTEGER) END AS stride
+            FROM m)
+      SELECT m.doc_id AS media_id,
+             md5(array_to_string(
+               [substring(m.text, i, 1) for i in range(1, m.nb + 1)
+                if (i - 1) % r.stride = 0], '')) AS resized_md5,
+             CAST(len([i for i in range(1, m.nb + 1)
+                       if (i - 1) % r.stride = 0]) AS INTEGER) AS resized_bytes
+      FROM m JOIN r ON m.doc_id = r.doc_id ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDecode,
+    qMultimodalFeatures, qMultimodalResize)
 }

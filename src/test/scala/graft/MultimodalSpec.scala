@@ -37,4 +37,20 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.StubCodec.features("aaab".getBytes, 4)
     assert(f.sum == 4f)
   }
+
+  test("extractFeatures: dense k-vector per row, mass equals payload bytes") {
+    val out = Multimodal.extractFeatures(media, "media_id", "content", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L).length == 8 && out(1L).sum == 45f)
+    assert(out(2L).length == 8 && out(2L).sum == 4f)
+  }
+
+  test("resize: stride-downsamples to at most target bytes, short payloads pass through") {
+    val out = Multimodal.resize(media, "media_id", "content", targetBytes = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    // 45 bytes, stride ceil(45/16)=3 -> bytes at 0,3,6,... = 15 bytes
+    assert(out(1L).length == 15)
+    assert(new String(out(1L)).startsWith("adgj"))
+    assert(new String(out(2L)) == "tiny") // already under target
+  }
 }
