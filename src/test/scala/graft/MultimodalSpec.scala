@@ -41,7 +41,7 @@ class MultimodalSpec extends SparkSpec {
   test("extractFeatures: dense k-vector per row, mass equals payload bytes") {
     val out = Multimodal.extractFeatures(media, "media_id", "content", k = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(out(1L).length == 8 && out(1L).sum == 45f)
+    assert(out(1L).length == 8 && out(1L).sum == 44f)
     assert(out(2L).length == 8 && out(2L).sum == 4f)
   }
 
