@@ -189,6 +189,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: per corpus document, the fraction of its
+    * k-shingles that also occur anywhere in a benchmark/test set — the
+    * standard n-gram overlap check run before training to drop documents
+    * that leak evaluation data. The benchmark's distinct shingle-hash
+    * set is broadcast (benchmark suites are tiny next to a corpus); the
+    * per-doc count is a broadcast LEFT-SEMI join on the corpus's
+    * exploded shingles — one narrow pass over the corpus, no shuffle of
+    * corpus data at all when the benchmark side broadcasts.
+    *
+    * @return (doc_id, n_shingles, n_contaminated, contamination) for
+    *         every corpus doc, contamination in [0,1]
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    k: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        TextAnalysis.shingleHashes(col(benchTextCol), k))).as("hs"))
+      .distinct()
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
+    val hits = corpusSh
+      .join(broadcast(benchGrams), Seq("hs"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        size(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast(DoubleType)
+          / greatest(col("n_shingles"), lit(1)).cast(DoubleType), 6))
+  }
+
   /** Near-dup CLUSTERS from a pair graph: connected components by
     * iterative min-label propagation, the step a dedup pipeline runs
     * after pair finding (keep one doc per component). Every vertex

@@ -132,7 +132,39 @@ object DedupQueries {
       SELECT v AS doc_id, min(label) AS cluster_id
       FROM reach GROUP BY v ORDER BY doc_id"""))
 
+  /** Benchmark decontamination: per-document 3-gram overlap against a
+    * stand-in test set (docs with doc_id % 50 = 0). Self-overlap is
+    * expected for the benchmark docs themselves (contamination 1.0) —
+    * which doubles as the ground-truth check.
+    */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      bench AS (
+        SELECT list_distinct(flatten(list(s))) AS grams
+        FROM sh WHERE doc_id % 50 = 0)
+      SELECT sh.doc_id,
+             CAST(len(sh.s) AS INTEGER) AS n_shingles,
+             CAST(len(list_intersect(sh.s, bench.grams)) AS BIGINT) AS n_contaminated,
+             round(CAST(len(list_intersect(sh.s, bench.grams)) AS DOUBLE)
+                   / greatest(len(sh.s), 1), 6) AS contamination
+      FROM sh, bench ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash,
-    qDedupEmbedding, qDedupClusters)
+    qDedupEmbedding, qDedupClusters, qDecontaminate)
 }

@@ -74,6 +74,20 @@ class TextDedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("contamination: benchmark self-overlap 1.0, clean docs 0.0, partial in between") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // IS the benchmark doc
+      (2L, "totally unrelated words appear here now"), // clean
+      (3L, "alpha beta gamma other tail words")        // shares the leading shingle
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 1L)
+    val got = Dedup.contamination(corpus, "doc_id", "text", bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("contamination")).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.25) // 1 of its 4 shingles is benchmark material
+  }
+
   test("dedupClusters: chain and star components converge to min-id labels, singletons stay") {
     val vertices = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq(
