@@ -268,6 +268,19 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The dedup ACTION: filter a corpus to one canonical document per
+    * near-dup cluster (the member whose id equals the cluster label,
+    * i.e. the minimum id — deterministic). `clusters` is
+    * [[dedupClusters]] output; docs absent from it pass through, so a
+    * clustering computed on a sample still yields a usable corpus.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String,
+                    clusters: DataFrame): DataFrame = {
+    val canonical = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("__canonical_id")) // avoid idCol name clash
+    docs.join(canonical, docs(idCol) === col("__canonical_id"), "left_semi")
+  }
+
   /** Embedding-cosine near-duplicate pairs (probe subset × corpus):
     * unordered pairs {a, b} with a in the probe set and rounded cosine ≥
     * tau. The probe batch broadcasts; scoring is the codegen'd

@@ -164,7 +164,48 @@ object DedupQueries {
                    / greatest(len(sh.s), 1), 6) AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
+  /** End-to-end dedup: pairs → components → keep the minimum-id doc of
+    * each cluster. The oracle recomputes the same components via
+    * recursive CTE and keeps v = min(label).
+    */
+  val qDedupKeep = Q(
+    "q_dedup_keep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        k = 3, tau = 0.3, probePred = _ => lit(true))
+      Dedup.keepCanonical(docs, "doc_id", Dedup.dedupClusters(docs, "doc_id", pairs))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
+      SELECT d.doc_id, md5(d.text) AS text_md5
+      FROM documents d
+      JOIN (SELECT v, min(label) AS cluster_id FROM reach GROUP BY v) c
+        ON d.doc_id = c.v AND d.doc_id = c.cluster_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash,
-    qDedupEmbedding, qDedupClusters, qDecontaminate)
+    qDedupEmbedding, qDedupClusters, qDecontaminate, qDedupKeep)
 }
