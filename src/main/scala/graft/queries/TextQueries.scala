@@ -108,5 +108,70 @@ object TextQueries {
             FROM documents)
       GROUP BY token ORDER BY n DESC, token"""))
 
-  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint, qTokenFreq)
+  /** C4-style corpus curation in one pass: keep documents inside the
+    * corpus's [p10, p90] token-length band, with quality ≥ 0.5, whose
+    * predicted language is English. The quantile bounds are a 2-row
+    * broadcast (computed once, crossed in); everything else is the same
+    * per-row map work as the individual ops above — the full curation
+    * recipe costs one aggregate + one scan. Bounds are rounded to 4
+    * decimals on both engines before comparing so an interpolated
+    * quantile's last bit can never flip a boundary document.
+    */
+  val qCorpusCurate = Q(
+    "q_corpus_curate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = docs
+        .select(tokenCount(col("text")).cast("double").as("nt"))
+        .agg(
+          expr("round(percentile(nt, 0.1), 4)").as("lo"),
+          expr("round(percentile(nt, 0.9), 4)").as("hi"))
+      docs
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(qualityScore(col("text")), 6).as("quality"),
+          langId(col("text")).as("pred_lang"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi")
+          && col("quality") >= 0.5 && col("pred_lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS DOUBLE) AS stop_h,
+               ${hitsSql(stopwordsSql)} AS en_h,
+               ${hitsSql("('der','die','das','und','ist','nicht','ein','zu')")} AS de_h,
+               ${hitsSql("('el','la','de','y','que','en','un','es')")} AS es_h,
+               ${hitsSql("('le','la','et','les','des','un','une','est')")} AS fr_h,
+               regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        FROM documents),
+      b AS (SELECT round(quantile_cont(n_tok, 0.1), 4) AS lo,
+                   round(quantile_cont(n_tok, 0.9), 4) AS hi FROM m),
+      scored AS (
+        SELECT doc_id, n_tokens,
+               round(least(n_tok / 64.0, 1.0) * 0.5
+                     + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25
+                     + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6) AS quality,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                    WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                    WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+                    WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM m)
+      SELECT doc_id, n_tokens, quality
+      FROM scored, b
+      WHERE n_tokens >= lo AND n_tokens <= hi
+        AND quality >= 0.5 AND pred_lang = 'en'
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
+    qTokenFreq, qCorpusCurate)
 }
