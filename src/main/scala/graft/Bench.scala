@@ -26,12 +26,19 @@ object Bench {
     headline.foreach(q => try exec(q, spark, sfDir) catch { case _: Throwable => })
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { exec(q, spark, sfDir) } catch { case _: Throwable => }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // a crashing query records the -1.0 sentinel, never its
+      // time-to-failure — failures must be visible in the JSON line
+      val sec =
+        try { exec(q, spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${t.getMessage}")
+          -1.0
+        }
+      q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -265,6 +265,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      // partially-propagated labels would split one true component into
+      // several clusters and keepCanonical would then keep duplicates —
+      // make the non-fixpoint loud instead of silent
+      System.err.println(
+        s"[dedup] dedupClusters did NOT converge within $maxIter rounds; " +
+          "labels may split components (raise maxIter)")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -33,19 +33,25 @@ object TemporalOps {
                leftTs: String, rightTs: String, rightPayload: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     val outCols = rightPayload.map(c => c -> s"$prefix$c") :+ (rightTs -> s"${prefix}ts")
+    // The whole right payload rides in ONE struct carried by a single
+    // last(_, ignoreNulls): the struct is non-NULL for every right row
+    // even when payload fields inside it are NULL, so a NULL field of the
+    // latest match stays NULL instead of being backfilled from an older
+    // right row (per-column carries would mix values across right rows).
     val r2 = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        outCols.map { case (c, o) => col(c).as(o) }: _*)
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
+        struct(outCols.map { case (c, o) => col(c).as(o) }: _*).as("__pack"): _*)
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     // right rows sort BEFORE left rows at the same instant, so an equal
     // timestamp is visible to the left row (the >= contract)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outCols.foldLeft(l2.unionByName(r2, allowMissingColumns = true)) {
-      case (df, (_, o)) => df.withColumn(o, last(col(o), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    val carried = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__pack", last(col("__pack"), ignoreNulls = true).over(w))
+    outCols.foldLeft(carried) {
+      case (df, (_, o)) => df.withColumn(o, col("__pack").getField(o))
+    }.filter(col("__side") === 1).drop("__ts", "__side", "__pack")
   }
 
   /** Range (interval) join: inner-join each point row to every interval

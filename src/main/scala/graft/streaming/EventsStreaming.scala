@@ -114,7 +114,12 @@ object EventsStreaming {
             batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.session_end.getTime <= gapSeconds * 1000 =>
+                  // an in-watermark event may still precede the open
+                  // session's start (out-of-order across micro-batches —
+                  // sorting is per-batch only): widen the start too
                   open = Some(s.copy(
+                    session_start =
+                      if (e.ts.getTime < s.session_start.getTime) e.ts else s.session_start,
                     session_end = if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end,
                     n_events = s.n_events + 1,
                     total_value = s.total_value + e.value))

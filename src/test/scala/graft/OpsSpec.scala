@@ -29,6 +29,19 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is after
   }
 
+  test("asofJoin: NULL payload field of the latest match stays NULL (no cross-row backfill)") {
+    val left = Seq((1L, 100L, 30L)).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, Option("old"), Option(5.0)),
+      (100L, 20L, None: Option[String], Option(7.0))).toDF("k", "t", "v", "x")
+    val got = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v", "x"))
+      .collect().head
+    // latest match (t=20) has v=NULL: must surface NULL, not t=10's "old"
+    assert(Option(got.getAs[String]("asof_v")).isEmpty)
+    assert(got.getAs[Double]("asof_x") == 7.0)
+    assert(got.getAs[Long]("asof_ts") == 20L)
+  }
+
   test("temporal join plans: no nested-loop join, as-of is one keyed window") {
     val points = (1 to 100).map(i => (i.toLong, i.toLong % 5, i.toLong * 3)).toDF("pid", "k", "t")
     val intervals = (1 to 20).map(i => (i.toLong, i.toLong % 5, i.toLong * 10, i.toLong * 10 + 40))

@@ -124,6 +124,45 @@ class StreamingSpec extends SparkSpec {
     assert(second.length == 1 && second(0).n_events == 1 && second(0).total_value == 5.0)
   }
 
+  test("sessionizeStream: in-watermark out-of-order event widens session_start") {
+    val in = tmpDir("stream-in6")
+    val ckpt = tmpDir("ckpt7")
+    val out = tmpDir("sessions-out2") + "/sessions"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming
+        .sessionizeStream(events, gapSeconds = 600, watermark = "30 minutes")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStreaming.Session], _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: user 7 session open at [10:08, 10:10]
+    Seq(Event(1L, ts(8), 7L, "click", 1.0), Event(2L, ts(10), 7L, "click", 2.0))
+      .toDS().write.mode("overwrite").parquet(in)
+    run()
+    // batch 2: out-of-order 10:05 event — inside the 30-min watermark, its
+    // gap to the open session is negative, so it merges and must move
+    // session_start EARLIER (the pre-fix code kept 10:08)
+    Seq(Event(3L, ts(5), 7L, "view", 4.0)).toDS().write.mode("append").parquet(in)
+    run()
+    // batch 3: another user's 10:59 event pushes the watermark past
+    // 10:10 + gap → user 7's session times out and is emitted
+    Seq(Event(4L, ts(59), 8L, "click", 0.0)).toDS().write.mode("append").parquet(in)
+    run()
+    val s7 = spark.read.parquet(out).as[EventsStreaming.Session]
+      .collect().filter(_.user_id == 7L)
+    assert(s7.length == 1)
+    assert(s7(0).session_start == ts(5) && s7(0).session_end == ts(10))
+    assert(s7(0).n_events == 3 && s7(0).total_value == 7.0)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
