@@ -76,37 +76,63 @@ object Similarity {
   private def planeSign(plane: Int, dimIdx: Column): Column =
     when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Hyperplane-LSH bucket assignment: bit p = sign of the dot product
-    * with pseudo-random ±1 plane p. Computed as posexplode + per-plane
-    * sums (whole-stage codegen, map-side partials). Sums run in exact
-    * DECIMAL so aggregation order can never flip a near-zero sign bit —
-    * bucket ids are fully deterministic.
+  /** Multi-table hyperplane-LSH assignment: `tables` independent hash
+    * tables of `bits` hyperplanes each (table t uses planes t·bits …
+    * t·bits+bits-1). All tables·bits sign sums run in ONE codegen'd
+    * aggregation pass (map-side partials), then each row explodes to its
+    * `tables` (htable, bucket) keys. Sums run in exact DECIMAL so
+    * aggregation order can never flip a near-zero sign bit — bucket ids
+    * are fully deterministic.
+    *
+    * Multiple tables are OR-amplification: a true neighbor is a
+    * candidate if it collides in ANY table, which is what makes
+    * hyperplane LSH usable on weakly-clustered (e.g. isotropic)
+    * embeddings where a single table's recall collapses.
     */
-  def lshAssign(df: DataFrame, idCol: String, vecCol: String,
-                planes: Int): DataFrame = {
+  def lshAssignTables(df: DataFrame, idCol: String, vecCol: String,
+                      tables: Int, bits: Int): DataFrame = {
     val exploded = df.select(col(idCol),
       posexplode(col(vecCol)).as(Seq("dim", "x")))
-    val sumCols = (0 until planes).map(p =>
+    val sumCols = (0 until tables * bits).map(p =>
       sum(col("x").cast(DecimalType(28, 10)) * planeSign(p, col("dim")).cast(DecimalType(2, 0)))
         .as(s"__s$p"))
-    val bucket = (0 until planes)
-      .map(p => when(col(s"__s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+    val bucketOf = (t: Int) => (0 until bits)
+      .map(b => when(col(s"__s${t * bits + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     exploded.groupBy(col(idCol))
       .agg(sumCols.head, sumCols.tail: _*)
-      .select(col(idCol), bucket.as("bucket"))
+      .select(col(idCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("htable"), bucketOf(t).as("bucket"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.htable").as("htable"), col("tb.bucket").as("bucket"))
   }
 
-  /** ANN via LSH buckets: exact cosine, but only among candidates in the
-    * probe's bucket. Recall < 1 by design; bucket fan-out is the knob.
+  /** Single-table LSH bucket assignment (tables = 1 special case). */
+  def lshAssign(df: DataFrame, idCol: String, vecCol: String,
+                planes: Int): DataFrame =
+    lshAssignTables(df, idCol, vecCol, tables = 1, bits = planes)
+      .select(col(idCol), col("bucket"))
+
+  /** ANN via multi-table LSH: exact cosine among candidates colliding
+    * with the probe in ANY of the `tables` hash tables. Only 8-byte ids
+    * flow through the bucket join; the (probe, candidate) pair set is
+    * deduplicated across tables BEFORE vectors are fetched, so each
+    * surviving pair is scored exactly once and the wide embedding rows
+    * never replicate per table. Recall < 1 by design — tables (up) and
+    * bits (down) are the recall knobs, candidate count the cost.
     */
   def lshTopK(candidates: DataFrame, idCol: String, vecCol: String,
-              probes: DataFrame, k: Int, planes: Int = 16): DataFrame = {
-    val cb = candidates.join(lshAssign(candidates, idCol, vecCol, planes), idCol)
-    val pb = probes.join(
-      lshAssign(probes, "probe_id", "probe_vec", planes), "probe_id")
-    val scored = cb.join(broadcast(pb), Seq("bucket"))
+              probes: DataFrame, k: Int,
+              tables: Int = 16, bits: Int = 6): DataFrame = {
+    val ca = lshAssignTables(candidates, idCol, vecCol, tables, bits)
+    val pa = lshAssignTables(probes, "probe_id", "probe_vec", tables, bits)
+    val pairIds = ca
+      .join(broadcast(pa), Seq("htable", "bucket"))
       .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol)).distinct()
+    val scored = pairIds
+      .join(candidates.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(probes), Seq("probe_id"))
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
     rankTopK(scored, idCol, k)
   }
@@ -122,6 +148,113 @@ object Similarity {
       .groupBy(col(partCol))
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col(partCol), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+
+  /** Centroid model as a literal array<struct<cid,cv>> column: the model
+    * is K·D floats — parameters, not data — so it rides into codegen as
+    * a constant instead of through a join. cv is array<float> to feed
+    * the codegen'd cosine_sim directly.
+    */
+  private def centroidLit(cents: Seq[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedlit(c.map(_.toFloat).toSeq).as("cv"))
+    }: _*)
+
+  /** Nearest-centroid id for a vector column, computed MAP-SIDE as a
+    * fold over the literal model — no join, no shuffle, whole-stage
+    * codegen. Ties break toward the lower cid (strict >).
+    */
+  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column =
+    aggregate(centroidLit(cents),
+      struct(lit(-1).as("cid"), lit(-2.0).as("score")),
+      (acc, ce) => {
+        val s = cosine_sim(vec, ce.getField("cv"))
+        when(s > acc.getField("score"),
+          struct(ce.getField("cid").as("cid"), s.as("score"))).otherwise(acc)
+      }).getField("cid")
+
+  /** Deterministic spherical k-means fit (Lloyd's): seeds are the k
+    * lowest-id vectors, assignment is the map-side [[nearestCentroid]]
+    * fold, per-dim means run as exact DECIMAL sums (partial-aggregation
+    * order can never perturb a centroid), centroids re-normalized each
+    * round. The model (k·dim doubles) lives on the driver like any
+    * fitted-parameter object; each iteration is one narrow scan+agg job
+    * over `df` — at 100 TB fit on a sample (`df.limit(n)` / id-range
+    * filter), then assign the full corpus with the returned model.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 5): Seq[Array[Double]] = {
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var cents: Seq[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(r => norm(r.getSeq[Double](0).toArray)).toSeq
+    for (_ <- 0 until iters) {
+      val means = df
+        .select(nearestCentroid(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(28, 10))) / count(lit(1)))
+          .cast(DoubleType).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // an emptied cluster keeps its previous centroid
+      cents = cents.indices.map(i => means.get(i).map(norm).getOrElse(cents(i)))
+    }
+    cents
+  }
+
+  /** IVF over k-means cells: fit K spherical centroids, assign every
+    * candidate map-side, rank cells per probe against the literal model
+    * (also map-side: score array → sort → top nProbe), exact-search only
+    * the chosen cells. Unlike label-partition IVF this works when no
+    * semantic partition column correlates with geometry — the cells ARE
+    * geometric. Candidate traffic ≈ nProbe/K of the corpus per probe.
+    */
+  def kmeansIvfTopK(candidates: DataFrame, idCol: String, vecCol: String,
+                    probes: DataFrame, k: Int,
+                    kClusters: Int = 16, iters: Int = 5,
+                    nProbe: Int = 4): DataFrame = {
+    val cents = kmeansFit(candidates, idCol, vecCol, kClusters, iters)
+    val assigned = candidates.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), cents).as("__cid"))
+    // per-probe best cells: score all K against the literal model, sort
+    // the (score, cid) structs, take the top nProbe — all map-side
+    val scoredCells = transform(centroidLit(cents), ce => struct(
+      cosine_sim(col("probe_vec"), ce.getField("cv")).as("score"),
+      ce.getField("cid").as("cid")))
+    val pc = probes.select(col("probe_id"), col("probe_vec"),
+      explode(transform(slice(reverse(array_sort(scoredCells)), 1, nProbe),
+        x => x.getField("cid"))).as("__cid"))
+    val scored = assigned.join(broadcast(pc), Seq("__cid"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+    rankTopK(scored, idCol, k)
+  }
+
+  /** Recall@k of an ANN result against the exact top-k, as ONE summary
+    * row (n_probes, recall_ok): mean recall = |ann ∩ exact| / (probes·k)
+    * ≥ `minMeanRecall`. Probes the ANN missed entirely count as zero
+    * hits. This is the oracle-checkable ANN contract — the exact side is
+    * recomputable in any engine, and the boolean only passes if the ANN
+    * genuinely clears the bound.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int,
+                minMeanRecall: Double): DataFrame = {
+    val hits = exact.select(col("probe_id"), col("neighbor_id"))
+      .join(ann.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        (sum(coalesce(col("h"), lit(0L))).cast(DoubleType)
+          / (count(lit(1)) * k) >= minMeanRecall).as("recall_ok"))
+  }
 
   /** IVF search: rank partitions by probe→centroid cosine, exact-search
     * the best nProbe partitions only.
