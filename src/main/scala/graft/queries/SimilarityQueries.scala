@@ -58,7 +58,7 @@ object SimilarityQueries {
   val qAnnLsh = Q(
     "q_ann_lsh",
     (s, d) => Similarity
-      .lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", probes(s, d), 5, planes = 6)
+      .lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", probes(s, d), 5, bits = 6)
       .orderBy(col("probe_id"), col("rank")),
     None)
 
