@@ -23,6 +23,19 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Persist `df` unless this exact (canonicalized) plan is already
+    * cached. Query builders run more than once per session (bench
+    * warm-up + timed pass, Verify + driver re-runs); re-persisting the
+    * identical plan makes the CacheManager log "Asked to cache already
+    * cached data" and re-register the entry. The guard reuses the live
+    * entry instead; entries are freed by the ContextCleaner once the
+    * plan is unreachable.
+    */
+  private def cachedOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Exact dedup groups: one row per distinct normalized content with
     * the canonical (minimum) doc id and the copy count.
     */
@@ -73,8 +86,7 @@ object Dedup {
     // |A| per doc: used by TWO broadcast joins (na and nb), each of
     // which would re-run the explode+agg — persist the 16 bytes/doc
     // result instead (freed by the ContextCleaner once unreferenced).
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cachedOnce(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val probeSh = sh.filter(probePred(col("doc_id")))
       .select(col("doc_id").as("doc_a"), col("hs"))
     val inter = probeSh
@@ -159,8 +171,8 @@ object Dedup {
     // (doc_id + n sig longs + the hashed shingle set ≈ 0.5% of corpus
     // bytes), so materializing it once is the production design — the
     // cache is dropped by the ContextCleaner when the plan is GC'd.
-    val prepared = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = cachedOnce(
+      minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand))
 
     // The banded rows CARRY the hash set to the self-join so the verify
     // step finds hs_a/hs_b in-row instead of joining back into the
@@ -224,17 +236,24 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from a pair graph: connected components by
-    * iterative min-label propagation, the step a dedup pipeline runs
-    * after pair finding (keep one doc per component). Every vertex
-    * starts labelled with itself; each round every vertex takes the
-    * minimum label among itself and its neighbors; fixpoint after
-    * O(component diameter) rounds — near-dup components are short
-    * chains/cliques in practice, so a handful. Each round is one
-    * edges⋈labels shuffle + a min-aggregation, all keyed — no global
-    * state. `localCheckpoint` truncates the growing lineage each round
-    * (an iterative DF loop otherwise re-plans from round zero), and the
-    * driver-side convergence check is one count per round, not a
-    * collect.
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm), the step a dedup pipeline runs after pair finding
+    * (keep one doc per component).
+    *
+    * Each round rewrites the edge set twice:
+    *   - LARGE-STAR: every undirected edge is seen from its smaller
+    *     endpoint u; all strictly larger neighbors re-point at
+    *     m = min(Γ(u) ∪ {u}).
+    *   - SMALL-STAR: edges kept canonical (hi > lo) and grouped by the
+    *     larger endpoint u; u and all its smaller neighbors re-point at
+    *     m = min of the group.
+    * Component diameter roughly halves per round, so the fixpoint — one
+    * star per component, centred on the component minimum — arrives in
+    * O(log n) rounds regardless of chain length (min-label propagation
+    * needs O(diameter) rounds). Each half-round is one keyed
+    * aggregation + one keyed join — no global state, no collect;
+    * `localCheckpoint` truncates the growing lineage per round.
     *
     * @param docs  vertex universe (singletons become their own cluster)
     * @param pairs undirected edges (aCol, bCol)
@@ -242,37 +261,70 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "doc_a", bCol: String = "doc_b",
-                    maxIter: Int = 25): DataFrame = {
-    // materialize the edge list ONCE — it is referenced twice per round
-    // (join + convergence check) across every round, and `pairs` may
-    // itself be an expensive subplan (e.g. the exact Jaccard graph)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = docs.select(col(idCol).as("v"), col(idCol).as("label"))
+                    maxIter: Int = 25): DataFrame =
+    dedupClustersWithRounds(docs, idCol, pairs, aCol, bCol, maxIter)._1
+
+  /** [[dedupClusters]] exposing the round count (spec: a 1000-node path
+    * graph must converge in ≤ ⌈log₂ n⌉ + c rounds, not O(n)).
+    */
+  def dedupClustersWithRounds(docs: DataFrame, idCol: String, pairs: DataFrame,
+                              aCol: String = "doc_a", bCol: String = "doc_b",
+                              maxIter: Int = 25): (DataFrame, Int) = {
+    // canonical undirected edge list (hi > lo), self-loops dropped.
+    // materialized ONCE — `pairs` may itself be an expensive subplan
+    // (e.g. the exact Jaccard graph)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val fromNeighbors = edges
-        .join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("label"))
-      val next = labels.union(fromNeighbors)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      // LARGE-STAR: adjacency from both directions, grouped by u; every
+      // neighbor v > u re-points at m = min(Γ(u) ∪ {u}) ≤ u < v, so the
+      // output is already canonical (hi=v > lo=m) and self-loop-free.
+      val adj = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val minsL = adj.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = adj.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      // SMALL-STAR on the canonical form: group by the larger endpoint
+      // u; m = min of u's smaller neighbors (< u). u and every smaller
+      // neighbor re-point at m (m itself would be a self-loop — drop).
+      val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val small = large.join(minsS, "hi")
+        .select(explode(array(
+          struct(col("hi").as("h"), col("m").as("l")),
+          struct(col("lo").as("h"), col("m").as("l")))).as("e"))
+        .select(col("e.h").as("hi"), col("e.l").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint = edge set unchanged over a full round: both sides are
+      // distinct sets, so equal ⇔ same cardinality ∧ (small ∖ edges) = ∅
+      converged = small.count() == edges.count() &&
+        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = small
       iter += 1
     }
     if (!converged)
-      // partially-propagated labels would split one true component into
-      // several clusters and keepCanonical would then keep duplicates —
-      // make the non-fixpoint loud instead of silent
-      System.err.println(
-        s"[dedup] dedupClusters did NOT converge within $maxIter rounds; " +
-          "labels may split components (raise maxIter)")
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      // 25 alternating rounds cover components of astronomically large
+      // diameter (2^25); reaching this is a logic error, not an input —
+      // partially-contracted labels would split one true component into
+      // several clusters and keepCanonical would then keep duplicates
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIter large/small-star rounds")
+    // at the fixpoint every component is a star centred on its minimum:
+    // each non-centre member has exactly one edge (member=hi → centre=lo)
+    val labels = docs.select(col(idCol).as("doc_id"))
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("__c")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster_id"))
+    (labels, iter)
   }
 
   /** The dedup ACTION: filter a corpus to one canonical document per
@@ -347,8 +399,7 @@ object Dedup {
     // 9 bytes per doc, re-derived 4x through the bucket-guard diamond
     // and both self-join sides without this (same rationale as the
     // minhash signature persist)
-    val fp = simhashFingerprints(docs, idCol, textCol, "sh64")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = cachedOnce(simhashFingerprints(docs, idCol, textCol, "sh64"))
     val quarters = array((0 until 4).map(q =>
       struct(lit(q).as("q"),
         shiftright(col("sh64"), 16 * q).bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)

@@ -6,12 +6,27 @@ import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
 /** Deduplication operators over `documents`: exact, n-gram Jaccard,
-  * MinHash-LSH and SimHash. The hash-based variants have no SQL oracle
-  * (engine hash functions differ) → driver records rows-only checks;
-  * their *verification* stages (exact Jaccard / Hamming) are the same
-  * math the oracle-checked q_jaccard_pairs covers.
+  * MinHash-LSH and SimHash. The hash-based variants' bucket internals
+  * are engine-hash-dependent, but their OUTPUT contracts are still
+  * oracle-checked: both verify candidates with exact-overlap math, and
+  * on this corpus the near-dup pair graph is sharply bimodal (every
+  * true near-dup pair has Jaccard ≥ 0.9, everything else is far below
+  * any threshold), so the found pair SET must equal the exact-Jaccard
+  * pair set DuckDB recomputes — per-pair verification and 100% recall
+  * in one hash comparison.
   */
 object DedupQueries {
+
+  /** Document-frequency cap for the cluster-forming Jaccard graphs: a
+    * shingle occurring in more than this many documents (boilerplate,
+    * stop-word runs) is dropped before the pair join on BOTH engines.
+    * Without it, one corpus-ubiquitous shingle puts the whole corpus on
+    * both sides of a single join key — quadratic in that key's document
+    * frequency. 50 admits every shingle of the synthetic corpus at
+    * sf0.01 (max df there is 7) while bounding any one key's join
+    * contribution to 50×50 at every scale.
+    */
+  private val ClusterMaxDf = 50L
 
   /** Exact dedup groups on the normalized-content fingerprint. */
   val qDedupExact = Q(
@@ -54,22 +69,66 @@ object DedupQueries {
 
   /** MinHash-LSH near-dup pairs (8 bands × 4 rows, Jaccard ≥ 0.6).
     * Signature build is per-row; only band-bucket collisions shuffle.
+    *
+    * Oracle: the exact all-pairs Jaccard graph at the same tau. Found
+    * pairs are verified with exact hashed-shingle Jaccard (so they are
+    * always a SUBSET of the oracle set with matching jaccard values);
+    * the hash matches only if LSH also MISSES nothing — an 8×4 banding
+    * catches a true Jaccard-0.9 pair with p ≈ 0.9998 per pair, and the
+    * xxhash64-seeded permutations are deterministic, so the check is
+    * stable, not flaky.
     */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b")),
-    None,
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b"""),
     headline = true)
 
   /** SimHash near-dup pairs (64-bit fingerprint, Hamming ≤ 6 via
     * 16-bit-quarter collision).
+    *
+    * Oracle: the exact pair set at Jaccard ≥ 0.9. On this corpus the
+    * pair graph is bimodal (near-identical copies vs unrelated docs
+    * whose 64-bit fingerprints differ in ~32 bits — P(Hamming ≤ 6) is
+    * ~1e-12), so SimHash's pair SET must coincide with the very-near-dup
+    * set exactly. The engine-specific Hamming value stays out of the
+    * compared schema; the pair identities are the semantic content.
     */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b")),
-    None)
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9
+      ORDER BY doc_a, doc_b"""))
 
   /** Embedding-cosine near-dup pairs over `embeddings` (probe subset
     * vec_id % 100 = 0, rounded cosine ≥ 0.35) — oracle-checked against

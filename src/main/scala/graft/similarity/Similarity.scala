@@ -163,14 +163,20 @@ object Similarity {
     * fold over the literal model — no join, no shuffle, whole-stage
     * codegen. Ties break toward the lower cid (strict >).
     */
-  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column =
+  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column = {
+    // both `when` branches are cast to one explicit struct type: inside a
+    // lambda, struct(...as("score")) loses the alias (field name col2) and
+    // nullability differs from the literal seed, which fails analysis with
+    // DATATYPE_MISMATCH.DATA_DIFF_TYPES
+    val accType = "struct<cid:int,score:double>"
     aggregate(centroidLit(cents),
-      struct(lit(-1).as("cid"), lit(-2.0).as("score")),
+      struct(lit(-1).as("cid"), lit(-2.0).as("score")).cast(accType),
       (acc, ce) => {
         val s = cosine_sim(vec, ce.getField("cv"))
         when(s > acc.getField("score"),
-          struct(ce.getField("cid").as("cid"), s.as("score"))).otherwise(acc)
+          struct(ce.getField("cid"), s).cast(accType)).otherwise(acc)
       }).getField("cid")
+  }
 
   /** Deterministic spherical k-means fit (Lloyd's): seeds are the k
     * lowest-id vectors, assignment is the map-side [[nearestCentroid]]
