@@ -15,11 +15,13 @@ import graft.text.TextAnalysis
   *                    computation is a pure map stage; the only shuffle
   *                    is on (band, bucket) keys, and only colliding docs
   *                    ever meet. No all-pairs anywhere.
-  *   3. SimHash     — one 64-bit fingerprint per doc; near-dup = small
-  *                    Hamming distance, found via band-collision on
-  *                    16-bit quarters (any quarter equal ⇒ candidate,
-  *                    guaranteed to catch Hamming ≤ 3 and probabilistic
-  *                    beyond).
+  *   3. SimHash     — one 64-bit fingerprint per doc; candidates found
+  *                    via block-combination banding (any comboSize-subset
+  *                    of blocks equal ⇒ candidate; the default 8×2
+  *                    guarantees Hamming ≤ 6), then verified with the
+  *                    same exact shingle Jaccard as the MinHash tier —
+  *                    the emitted pair set is a Jaccard contract, never
+  *                    a raw Hamming cut.
   */
 object Dedup {
 
@@ -52,6 +54,23 @@ object Dedup {
   def shingleJaccard(a: Column, b: Column): Column =
     (size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType))
+
+  /** Shared verify step of the LSH tiers: exact hashed-shingle Jaccard
+    * over candidate id pairs. `candidates` is (doc_a, doc_b) — already
+    * deduplicated, so each doc's shingle set is fetched at most once per
+    * pair side and every pair is scored exactly once. `shingleSets` is
+    * the cached (doc_id, hs) relation the candidate generator already
+    * built — two joins against a persisted relation instead of carrying
+    * corpus-order `hs` bytes through the band-bucket exchange.
+    */
+  private def verifyJaccard(candidates: DataFrame, shingleSets: DataFrame,
+                            tau: Double): DataFrame =
+    candidates
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** Exact Jaccard pairs (probe subset × corpus) via an equi-join on
     * exploded shingles: |A∩B| = count of matching shingle rows,
@@ -174,31 +193,30 @@ object Dedup {
     val prepared = cachedOnce(
       minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand))
 
-    // The banded rows CARRY the hash set to the self-join so the verify
-    // step finds hs_a/hs_b in-row instead of joining back into the
-    // aggregate (which would add two more diamond edges).
-    val banded0 = prepared.select(
-      col("doc_id"), col("hs"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("hs"), col("bb.band"), col("bb.bucket"))
-    // bucket admission runs on a COLUMN-PRUNED copy (hs never reaches
-    // the size aggregation)
-    val banded = capBuckets(banded0, Seq("band", "bucket"),
-      maxBucketSize, logDroppedBuckets, "minhash")
+    // The banded rows carry ONLY (doc_id, band, bucket) — 24 bytes/row —
+    // through the bucket exchange. The shingle sets (corpus-order bytes,
+    // ×bands if carried in-row) are joined back from the cached
+    // `prepared` relation AFTER candidate pairs are deduplicated, so the
+    // heavy column crosses the wire once per surviving pair side, not
+    // once per (band, collision).
+    val banded = capBuckets(
+      prepared.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+      Seq("band", "bucket"), maxBucketSize, logDroppedBuckets, "minhash")
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    l.join(r, Seq("band", "bucket"))
+    val candidates = banded
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b") // collapse multi-band collisions
-      .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // collapse multi-band collisions
+    verifyJaccard(candidates, prepared.select(col("doc_id"), col("hs")), tau)
   }
 
   /** Benchmark DECONTAMINATION: per corpus document, the fraction of its
@@ -389,31 +407,78 @@ object Dedup {
       .select(col("doc_id"), assembled.as(outCol))
   }
 
-  /** Near-dup pairs by SimHash: candidates collide on any 16-bit quarter
-    * of the fingerprint (catches all pairs with Hamming ≤ 3), verified
-    * by full Hamming distance ≤ maxHamming.
+  /** Near-dup pairs by SimHash, verified by exact shingle Jaccard.
+    *
+    * SimHash is the CANDIDATE GENERATOR, not the contract: a raw Hamming
+    * cut is NOT a sound near-dup contract — SimHash fingerprints of
+    * same-template documents share most weighted-term votes, so
+    * merely-related docs land at small Hamming without being near-dups —
+    * which is why candidates are verified with the same exact
+    * hashed-shingle Jaccard as [[minhashPairs]] and emitted at
+    * `jaccard >= tau`.
+    *
+    * Candidate generation is block-combination banding (Manku, Jain &
+    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 —
+    * public algorithm): the 64-bit fingerprint splits into `blocks`
+    * equal blocks; each doc is keyed once per `comboSize`-subset of
+    * blocks by the concatenation of that subset's block values. A pair
+    * at Hamming h has ≥ blocks−h clean blocks, so some subset matches
+    * whenever h ≤ blocks − comboSize — the default (8, 2) GUARANTEES
+    * recall to Hamming ≤ 6, which on vote-concentrated near-identical
+    * corpora covers every Jaccard-0.9 pair (one token edit flips only
+    * the handful of near-zero vote sums). C(8,2) = 28 tables of 16-bit
+    * keys: the banded exchange carries 28 ids-only rows per doc, and
+    * chance collisions arrive at ~n²·28/2¹⁶ — for corpora big enough
+    * that 16-bit buckets saturate, (8, 3) gives 56 tables of 24-bit
+    * keys and a Hamming ≤ 5 guarantee.
+    *
+    * `preHamming` is a cost guard, not semantics: an in-row bit_count
+    * over the 8-byte fingerprints already in the collision rows,
+    * dropping chance band collisions (expected Hamming ≈ 32 for
+    * unrelated docs) before the shingle-set joins. 16 is generous — a
+    * pair at Jaccard ≥ 0.9 differs in a handful of votes, nowhere near
+    * 16 bits.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6, maxBucketSize: Int = 4096,
+                   k: Int = 3, tau: Double = 0.9,
+                   blocks: Int = 8, comboSize: Int = 2,
+                   preHamming: Int = 16, maxBucketSize: Int = 4096,
                    logDroppedBuckets: Boolean = false): DataFrame = {
+    require(blocks > 1 && 64 % blocks == 0, s"blocks must divide 64: $blocks")
+    require(comboSize >= 1 && comboSize < blocks,
+      s"comboSize must be in [1, blocks): $comboSize")
+    val w = 64 / blocks
+    val blockMask = (1L << w) - 1
     // 9 bytes per doc, re-derived 4x through the bucket-guard diamond
     // and both self-join sides without this (same rationale as the
     // minhash signature persist)
     val fp = cachedOnce(simhashFingerprints(docs, idCol, textCol, "sh64"))
-    val quarters = array((0 until 4).map(q =>
-      struct(lit(q).as("q"),
-        shiftright(col("sh64"), 16 * q).bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)
-    val banded0 = fp.select(col("doc_id"), col("sh64"), explode(quarters).as("bb"))
+    val blockVal = (i: Int) =>
+      shiftright(col("sh64"), w * i).bitwiseAND(lit(blockMask))
+    val bands = (0 until blocks).combinations(comboSize).toSeq.zipWithIndex
+      .map { case (combo, ci) =>
+        // block values occupy disjoint w-bit ranges, so addition of the
+        // shifted values IS their concatenation — a collision on qv is a
+        // collision on every block of the subset
+        val qv = combo.zipWithIndex
+          .map { case (bi, pos) => shiftleft(blockVal(bi), w * pos) }
+          .reduce(_ + _)
+        struct(lit(ci).as("q"), qv.as("qv"))
+      }
+    val banded0 = fp.select(col("doc_id"), col("sh64"),
+        explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("sh64"), col("bb.q"), col("bb.qv"))
     val banded = capBuckets(banded0, Seq("q", "qv"),
       maxBucketSize, logDroppedBuckets, "simhash")
     val l = banded.select(col("q"), col("qv"), col("doc_id").as("doc_a"), col("sh64").as("ha"))
     val r = banded.select(col("q"), col("qv"), col("doc_id").as("doc_b"), col("sh64").as("hb"))
-    l.join(r, Seq("q", "qv"))
+    val candidates = l.join(r, Seq("q", "qv"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= preHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shingleSets = cachedOnce(docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), k)).as("hs")))
+    verifyJaccard(candidates, shingleSets, tau)
   }
 }

@@ -100,8 +100,12 @@ object AggQueries {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
-  /** HLL sketch count (no SQL oracle — approx value is engine-specific;
-    * driver records a rows-only check). rsd pinned for determinism.
+  /** Built-in approx_count_distinct, oracle-checked as an error BOUND
+    * (the raw estimate is engine-hash specific and stays out of the
+    * compared schema): rsd pinned at 0.01, the oracle asserts the
+    * estimate within 5% (5× the configured rsd) of DuckDB's exact
+    * count(DISTINCT ...) — DuckDB emits TRUE per group, so the hash
+    * matches only if Spark's estimate genuinely lands inside the bound.
     */
   val qApproxDistinct = Q(
     "q_approx_distinct",
@@ -116,9 +120,17 @@ object AggQueries {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
         .join(exact, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** The engine's own persistable HLL sketch
     * (graft.functions.Hll, TypedImperativeAggregate). The estimate is

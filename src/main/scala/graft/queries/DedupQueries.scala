@@ -24,7 +24,9 @@ object DedupQueries {
     * both sides of a single join key — quadratic in that key's document
     * frequency. 50 admits every shingle of the synthetic corpus at
     * sf0.01 (max df there is 7) while bounding any one key's join
-    * contribution to 50×50 at every scale.
+    * contribution to 50×50 at every scale. Per-doc sizes are recomputed
+    * on the capped shingle space on both engines, so the Jaccard values
+    * stay self-consistent and the hashes still match.
     */
   private val ClusterMaxDf = 50L
 
@@ -100,15 +102,20 @@ object DedupQueries {
       ORDER BY doc_a, doc_b"""),
     headline = true)
 
-  /** SimHash near-dup pairs (64-bit fingerprint, Hamming ≤ 6 via
-    * 16-bit-quarter collision).
+  /** SimHash near-dup pairs: 8×2 block-combination banding (guaranteed
+    * candidate recall to Hamming ≤ 6) generates candidates, exact
+    * 3-shingle Jaccard ≥ 0.9 is the emitted contract (same verify step
+    * as the MinHash tier — a raw Hamming cut is not a sound near-dup
+    * contract on same-template corpora, where related docs share most
+    * fingerprint votes).
     *
-    * Oracle: the exact pair set at Jaccard ≥ 0.9. On this corpus the
-    * pair graph is bimodal (near-identical copies vs unrelated docs
-    * whose 64-bit fingerprints differ in ~32 bits — P(Hamming ≤ 6) is
-    * ~1e-12), so SimHash's pair SET must coincide with the very-near-dup
-    * set exactly. The engine-specific Hamming value stays out of the
-    * compared schema; the pair identities are the semantic content.
+    * Oracle: the exact pair set at Jaccard ≥ 0.9 — per-pair verification
+    * makes found pairs a subset of the oracle set; the hash matches
+    * because every Jaccard-0.9 pair on this corpus sits at Hamming ≤ 5
+    * (one-token edits flip only near-zero vote sums), inside the banding
+    * guarantee, so recall is exactly 1. The engine-internal jaccard
+    * value stays out of the compared schema; the pair identities are the
+    * semantic content.
     */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
@@ -153,35 +160,44 @@ object DedupQueries {
       FROM s WHERE score >= 0.35
       ORDER BY id_a, id_b"""))
 
-  /** Near-dup clusters: connected components (iterative min-label
-    * propagation) over the EXACT all-pairs Jaccard graph at tau 0.3,
-    * singletons included — oracle-checked against a DuckDB recursive
-    * CTE over the identical pair graph.
+  /** Near-dup clusters: connected components (alternating
+    * large-star/small-star contraction) over the exact all-pairs Jaccard
+    * graph at tau 0.3 with the [[ClusterMaxDf]] document-frequency cap
+    * active on BOTH engines, singletons included — oracle-checked
+    * against a DuckDB recursive CTE over the identical capped pair
+    * graph.
     */
   val qDedupClusters = Q(
     "q_dedup_clusters",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
-        k = 3, tau = 0.3, probePred = _ => lit(true))
+        k = 3, tau = 0.3, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
       Dedup.dedupClusters(docs, "doc_id", pairs)
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
         FROM documents),
       sh AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
         FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
       pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3),
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(v, label) AS (
@@ -189,7 +205,8 @@ object DedupQueries {
         UNION
         SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
       SELECT v AS doc_id, min(label) AS cluster_id
-      FROM reach GROUP BY v ORDER BY doc_id"""))
+      FROM reach GROUP BY v ORDER BY doc_id"""),
+    headline = true)
 
   /** Benchmark decontamination: per-document 3-gram overlap against a
     * stand-in test set (docs with doc_id % 50 = 0). Self-overlap is
@@ -223,35 +240,43 @@ object DedupQueries {
                    / greatest(len(sh.s), 1), 6) AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
-  /** End-to-end dedup: pairs → components → keep the minimum-id doc of
-    * each cluster. The oracle recomputes the same components via
-    * recursive CTE and keeps v = min(label).
+  /** End-to-end dedup: capped pairs → components → keep the minimum-id
+    * doc of each cluster. The oracle recomputes the same components via
+    * recursive CTE over the identically [[ClusterMaxDf]]-capped pair
+    * graph and keeps v = min(label).
     */
   val qDedupKeep = Q(
     "q_dedup_keep",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
-        k = 3, tau = 0.3, probePred = _ => lit(true))
+        k = 3, tau = 0.3, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
       Dedup.keepCanonical(docs, "doc_id", Dedup.dedupClusters(docs, "doc_id", pairs))
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
         FROM documents),
       sh AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
         FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
       pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3),
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(v, label) AS (

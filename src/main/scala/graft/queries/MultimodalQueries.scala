@@ -107,7 +107,8 @@ object MultimodalQueries {
       SELECT doc_id AS media_id, 8 AS dim,
              CAST(count(*) AS INTEGER) AS f_total,
              CAST(sum(b) AS BIGINT) AS f_weighted
-      FROM chars GROUP BY doc_id ORDER BY media_id"""))
+      FROM chars GROUP BY doc_id ORDER BY media_id"""),
+    headline = true)
 
   /** Stub resize (downsample to ≤64 bytes, every stride-th byte): both
     * the new length and the md5 of the resized CONTENT are

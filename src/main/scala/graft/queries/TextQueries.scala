@@ -170,7 +170,8 @@ object TextQueries {
       FROM scored, b
       WHERE n_tokens >= lo AND n_tokens <= hi
         AND quality >= 0.5 AND pred_lang = 'en'
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qCorpusCurate)
