@@ -23,7 +23,8 @@ class HttpFlightSourceSpec extends SparkSpec {
 
   private def source(status: Int, body: String, seenUrls: StringBuilder = new StringBuilder) =
     new HttpFlightSource(spark, baseUrl = "http://test/api",
-      get = url => { seenUrls.append(url); (status, body) })
+      get = url => { seenUrls.append(url); (status, body) },
+      sleep = _ => ()) // canned transport: back off instantly
 
   test("parses a good payload against the explicit schema, typed and ordered") {
     val urls = new StringBuilder
@@ -45,6 +46,45 @@ class HttpFlightSourceSpec extends SparkSpec {
     intercept[java.io.IOException] {
       source(503, "busy").fetch("EDDF", 0L, 1L, "departure")
     }
+  }
+
+  test("flaky transport: transient 503s retry with exponential backoff, then succeed") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new HttpFlightSource(spark, baseUrl = "http://test/api",
+      get = _ => { calls += 1; if (calls <= 3) (503, "busy") else (200, goodPayload) },
+      sleep = sleeps.append(_))
+    val rows = flaky.fetch("EDDF", 0L, 1L, "departure")
+    assert(rows.length == 2)
+    assert(calls == 4, "three failures + the success")
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L), "doubling backoff")
+  }
+
+  test("flaky transport: thrown IOExceptions retry; exhausted retries rethrow the last") {
+    var calls = 0
+    val recovering = new HttpFlightSource(spark, baseUrl = "http://test/api",
+      get = _ => { calls += 1
+        if (calls <= 2) throw new java.io.IOException("connection reset")
+        (200, goodPayload) },
+      sleep = _ => ())
+    assert(recovering.fetch("EDDF", 0L, 1L, "departure").length == 2)
+    assert(calls == 3)
+
+    var downCalls = 0
+    val down = new HttpFlightSource(spark, baseUrl = "http://test/api",
+      get = _ => { downCalls += 1; throw new java.io.IOException("still down") },
+      maxRetries = 5, sleep = _ => ())
+    val e = intercept[java.io.IOException] { down.fetch("EDDF", 0L, 1L, "departure") }
+    assert(e.getMessage == "still down")
+    assert(downCalls == 6, "initial attempt + 5 retries, as the reference's retries=5")
+  }
+
+  test("client errors (4xx except 429) are permanent: no retries") {
+    var calls = 0
+    val notFound = new HttpFlightSource(spark, baseUrl = "http://test/api",
+      get = _ => { calls += 1; (404, "not found") }, sleep = _ => ())
+    intercept[java.io.IOException] { notFound.fetch("EDDF", 0L, 1L, "departure") }
+    assert(calls == 1, "a 404 can never be fixed by retrying")
   }
 
   test("response check: empty payload and icao24-less first element fail") {

@@ -44,6 +44,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("maxDf cap keeps a boilerplate-heavy corpus's pair graph linear") {
+    // 200 docs = one shared 20-token boilerplate + a unique tail token.
+    // Uncapped, the ubiquitous shingles put every doc pair above tau:
+    // C(200,2) = 19900 edges — the quadratic blowup ClusterMaxDf exists
+    // to prevent. With the cap below 200, boilerplate shingles are
+    // dropped before the join and only the unique-tail shingles remain,
+    // which no two docs share: zero pairs, join input linear in n.
+    val boiler = "merge join table scan filter group sort window " +
+      "hash batch row column key value query spark fast slow big"
+    val docs = (0L until 200L)
+      .map(i => (i, s"$boiler tail$i")).toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", k = 3, tau = 0.3, probePred = _ => lit(true))
+    assert(uncapped.count() == 19900L, "uncapped boilerplate corpus is all-pairs")
+    val capped = graft.dedup.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", k = 3, tau = 0.3, probePred = _ => lit(true),
+      maxDf = Some(50L))
+    assert(capped.isEmpty, "df cap must drop the corpus-ubiquitous shingles")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val adaptiveBefore = spark.conf.get("spark.sql.adaptive.enabled")

@@ -51,6 +51,56 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c(0)(0) - (1.0 + 0.9 - 1.0) / 3) < 1e-7)
   }
 
+  // Deterministic clustered corpus for the recall sweep: 4 orthogonal
+  // cluster centres in 8 dims, 120 vectors (i -> cluster i % 4) with a
+  // small arithmetic perturbation — no RNG, so recall numbers are
+  // stable across runs and JVMs.
+  private def clustered = {
+    val rows = (0 until 120).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(8) { j =>
+        val base = if (j == 2 * c || j == 2 * c + 1) 1.0f else 0.0f
+        base + ((i * 31 + j * 17) % 11 - 5) * 0.03f
+      }
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def probesOf(df: org.apache.spark.sql.DataFrame) =
+    df.filter($"vec_id" % 15 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+
+  test("recall sweep: every ANN path clears its recall contract on a clustered corpus") {
+    val vecs = clustered
+    val probes = probesOf(vecs)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probes, k)
+
+    def check(ann: org.apache.spark.sql.DataFrame, bound: Double, what: String): Unit = {
+      val row = Similarity.recallAtK(ann, exact, k, bound).collect()(0)
+      assert(row.getAs[Long]("n_probes") == 8L, s"$what: probe count")
+      assert(row.getAs[Boolean]("recall_ok"), s"$what: mean recall below $bound")
+    }
+    check(Similarity.lshTopK(vecs, "vec_id", "embedding", probes, k,
+      tables = 16, bits = 6), 0.4, "hyperplane LSH (16 tables x 6 bits)")
+    check(Similarity.ivfTopK(vecs, "vec_id", "embedding", "label", probes, k,
+      nProbe = 2), 0.8, "label-partition IVF (nProbe 2)")
+    check(Similarity.kmeansIvfTopK(vecs, "vec_id", "embedding", probes, k,
+      kClusters = 4, iters = 3, nProbe = 2), 0.8, "k-means IVF (4 cells, nProbe 2)")
+  }
+
+  test("recallAtK counts missed probes as zero hits") {
+    val vecs = clustered
+    val probes = probesOf(vecs)
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probes, 3)
+    // an "ANN" that only ever returns results for one probe
+    val partial = exact.filter($"probe_id" === 0L)
+    val row = Similarity.recallAtK(partial, exact, 3, 0.99).collect()(0)
+    assert(row.getAs[Long]("n_probes") == 8L, "missed probes stay in the denominator")
+    assert(!row.getAs[Boolean]("recall_ok"))
+  }
+
   test("ivfTopK searches only the probed partitions") {
     val probes = vecs.filter($"vec_id" === 0L)
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))

@@ -102,6 +102,57 @@ class TextDedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L))          // star collapses to min=7
   }
 
+  test("dedupClusters converges in O(log n) rounds on a 1000-node path graph") {
+    // A path is the worst case for min-label PROPAGATION (O(diameter)
+    // rounds = 999 here); large-star/small-star contraction must collapse
+    // it in ~log2(n) alternating rounds instead. ceil(log2 1000) = 10;
+    // +3 slack for the fixpoint-detection round and contraction phase.
+    val vertices = spark.range(0, 1000).select($"id".as("doc_id"))
+    val pairs = spark.range(0, 999)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val (labels, rounds) =
+      Dedup.dedupClustersWithRounds(vertices, "doc_id", pairs)
+    assert(labels.filter($"cluster_id" =!= 0L).isEmpty,
+      "every path node must label to the component minimum 0")
+    assert(labels.count() == 1000)
+    assert(rounds <= 13, s"expected <= ceil(log2 1000) + 3 rounds, took $rounds")
+  }
+
+  test("dedupClusters merges a star with two chains hanging off it") {
+    // star centred on 50 with leaves 51..60, chains 10-11-12-13-51 and
+    // 20-21-22-52 grafted onto two leaves: one component, min id 10
+    val vertices = ((10L to 13L) ++ (20L to 22L) ++ (50L to 60L))
+      .map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = (
+      (51L to 60L).map(l => (50L, l)) ++
+        Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 51L)) ++
+        Seq((20L, 21L), (21L, 22L), (22L, 52L))
+      ).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.dedupClustersWithRounds(vertices, "doc_id", pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(10L), s"one component labelled 10, got $got")
+    assert(rounds <= 8, s"18-node component should contract fast, took $rounds")
+  }
+
+  test("minhash oracle precondition: corpus pair graph is bimodal (no exact pair in [0.6, 0.9))") {
+    // q_dedup_minhash's hash-parity oracle at tau 0.6 relies on LSH
+    // missing nothing; 8x4 banding misses a pair at Jaccard j with
+    // probability (1-j^4)^8 — ~2e-4 at j=0.9 but ~33% at j=0.6. The
+    // oracle is sound because the synthetic corpus has NO pairs in the
+    // marginal band: every true near-dup is a >= 0.9 copy. Assert that
+    // precondition here so a corpus change fails loudly in CI instead
+    // of as a flaky hash mismatch.
+    val dir = java.nio.file.Paths.get("/root/testdata/sf0.01/documents.parquet")
+    assume(java.nio.file.Files.exists(dir), "driver testdata not present")
+    val docs = spark.read.parquet(dir.toString)
+    val marginal = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        k = 3, tau = 0.6, probePred = _ => lit(true))
+      .filter(col("jaccard") < 0.9)
+    assert(marginal.isEmpty,
+      s"corpus has marginal-similarity pairs: ${marginal.collect().mkString(",")}")
+  }
+
   test("langId routes stopword-bearing text deterministically") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
