@@ -40,6 +40,17 @@ object Profile {
       docs, "doc_id", "text", 3, 0.3, _ % 10 === 0).count())
     time("jaccard full #2")(graft.dedup.Dedup.jaccardPairsExact(
       docs, "doc_id", "text", 3, 0.3, _ % 10 === 0).count())
+    // the q_dedup_clusters composition, staged: capped all-pairs edge
+    // build vs the CC contraction loop on top of it
+    val capped = graft.dedup.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", 3, 0.3, _ => lit(true), maxDf = Some(50L))
+    time("capped all-pairs edges")(capped.count())
+    time("dedupClusters on edges") {
+      val (labels, rounds) = graft.dedup.Dedup.dedupClustersWithRounds(
+        docs, "doc_id", capped)
+      labels.count()
+      println(s"[prof]   cc rounds=$rounds")
+    }
     spark.stop()
   }
 }

@@ -96,12 +96,19 @@ object Dedup {
                         maxDf: Option[Long] = None): DataFrame = {
     val shAll = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
-    val sh = maxDf.fold(shAll) { cap =>
+    // the (filtered) shingle relation feeds THREE subplan edges — the
+    // sizes aggregation and both sides of the self-join — and Spark
+    // re-executes the tokenize+shingle+hash map work (plus the df
+    // aggregation when capped) once per edge. Persist it instead:
+    // 16 bytes/shingle row, MEMORY_AND_DISK, freed by the
+    // ContextCleaner — the same one-materialization design as the
+    // minhash signature relation.
+    val sh = cachedOnce(maxDf.fold(shAll) { cap =>
       // shingles are pre-deduplicated per doc, so count(*) = doc frequency
       val admitted = shAll.groupBy(col("hs"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("hs"))
       shAll.join(admitted, "hs")
-    }
+    })
     // |A| per doc: used by TWO broadcast joins (na and nb), each of
     // which would re-run the explode+agg — persist the 16 bytes/doc
     // result instead (freed by the ContextCleaner once unreferenced).
@@ -324,9 +331,12 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // fixpoint = edge set unchanged over a full round: both sides are
-      // distinct sets, so equal ⇔ same cardinality ∧ (small ∖ edges) = ∅
-      converged = small.count() == edges.count() &&
-        small.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      // distinct sets, so equal ⇔ symmetric difference empty — rows of
+      // the concatenation appearing once are in exactly one set. ONE
+      // aggregation job per round instead of a count + an anti-join.
+      converged = small.union(edges)
+        .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 1).isEmpty
       edges = small
       iter += 1
     }
