@@ -66,6 +66,30 @@ class TextDedupSpec extends SparkSpec {
       "boilerplate bucket must not self-join")
   }
 
+  test("minhash banded exchange carries only ids, never the shingle sets") {
+    // the scale contract of the r5 rewrite: the (band, bucket) shuffle
+    // moves 24-byte rows; the corpus-order `hs` column joins back in
+    // AFTER candidate-pair dedup, so it must not appear in the output of
+    // any exchange that partitions by band/bucket
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf node), hiding
+    // the exchanges from collect(); turn it off for the plan inspection
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bandedExchanges =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Dedup.minhashPairs(docs, "doc_id", "text", k = 3, tau = 0.3)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.toString.contains("band") => e
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(bandedExchanges.nonEmpty, "expected a (band, bucket) exchange in the plan")
+    bandedExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "hs"),
+        s"banded exchange must not carry hs: ${e.output.map(_.name)}")
+    }
+  }
+
   test("simhash: identical docs hash equal; near-dups are close in Hamming") {
     val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
