@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     ParityQueries.all ++ AggQueries.all ++ EventQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      TextQueries.all ++ CurationQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ SqlQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Curation
+
+/** Corpus-management queries over `documents`: reproducible splits,
+  * stratified sampling, repetition filtering, mixture reweighting.
+  * All per-row map work plus tiny aggregations — the shapes that stay
+  * flat at 100 TB (no corpus-keyed shuffle anywhere except the
+  * final per-group counts).
+  *
+  * The deterministic hash both engines compute identically:
+  * ((id % 999999937) * 2654435761) % buckets — see
+  * [[graft.text.Curation]] for why engine hash builtins and rand()
+  * are both wrong here.
+  */
+object CurationQueries {
+
+  private val hashSql = "((doc_id % 999999937) * 2654435761)"
+
+  /** Reproducible 90/5/5 train/val/test split, reported as per-split
+    * document and character totals.
+    */
+  val qSplitAssign = Q(
+    "q_split_assign",
+    (s, d) => Tables.documents(s, d)
+      .select(col("n_chars"),
+        Curation.splitAssign(col("doc_id"), 900, 50).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("split")),
+    Some(s"""
+      WITH h AS (
+        SELECT n_chars, $hashSql % 1000 AS hb FROM documents)
+      SELECT CASE WHEN hb < 900 THEN 'train'
+                  WHEN hb < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
+  /** Stratified deterministic downsample: keep 5% of the dominant
+    * language, 50% of everything else — the language-rebalancing move.
+    * Shuffle-free: the keep decision is a per-row predicate, no
+    * window, no per-stratum count pass.
+    */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, d) => Tables.documents(s, d)
+      .filter(Curation.sampledAt(col("doc_id"),
+        when(col("lang") === "en", lit(0.05)).otherwise(lit(0.5))))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE $hashSql % 1000000
+            < (CASE WHEN lang = 'en' THEN 0.05 ELSE 0.5 END) * 1000000
+      ORDER BY doc_id"""))
+
+  /** Gopher-style repetition signal: per document, the fraction of
+    * word 2-gram occurrences that are duplicates, plus the boolean
+    * filter verdict at the 0.2 threshold.
+    */
+  val qNgramRepetition = Q(
+    "q_ngram_repetition",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        Curation.ngramCount(col("text"), 2).as("n_2grams"),
+        Curation.duplicateNgramFraction(col("text"), 2).as("dup_frac"))
+      .withColumn("repetitive", col("dup_frac") > 0.2)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2
+                    THEN [coalesce(array_to_string(toks, ' '), '')]
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+               END AS grams
+        FROM t)
+      SELECT doc_id,
+             CAST(len(grams) AS INTEGER) AS n_2grams,
+             round((len(grams) - len(list_distinct(grams)))
+                   / CAST(len(grams) AS DOUBLE), 6) AS dup_frac,
+             round((len(grams) - len(list_distinct(grams)))
+                   / CAST(len(grams) AS DOUBLE), 6) > 0.2 AS repetitive
+      FROM g ORDER BY doc_id"""))
+
+  /** Mixture reweighting: per source, its corpus share and the
+    * uniform-target sampling weight (target share / actual share).
+    * Per-source counts are the only shuffle; the totals row is a
+    * broadcast. weight * n_docs = total/n_sources for every source,
+    * i.e. applying the weights yields the uniform mix.
+    */
+  val qSourceMix = Q(
+    "q_source_mix",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val totals = counts.agg(
+        sum(col("n_docs")).as("total"), count(lit(1)).as("n_sources"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total").cast("double"), 6)
+            .as("frac"),
+          round(col("total").cast("double")
+            / (col("n_sources") * col("n_docs")).cast("double"), 6)
+            .as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   count(*) AS n_sources FROM c)
+      SELECT source, n_docs,
+             round(n_docs / CAST(total AS DOUBLE), 6) AS frac,
+             round(total / CAST(n_sources * n_docs AS DOUBLE), 6) AS weight
+      FROM c, t ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
+    qSourceMix)
+}

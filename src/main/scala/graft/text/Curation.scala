@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * cleaning/dedup: reproducible split assignment, stratified
+  * downsampling, repetition scoring, and mixture reweighting.
+  *
+  * Everything is a pure `Column => Column` builder (no UDFs, no state),
+  * so each op is a shuffle-free map stage fused into the scan — the
+  * property that matters at 100 TB. Reproducibility comes from
+  * arithmetic the oracle engine computes bit-identically: a Knuth
+  * multiplicative hash on the document id, NOT an engine hash builtin
+  * (xxhash64/hash never match across engines) and NOT rand() (not
+  * deterministic across runs, retries, or partitionings).
+  */
+object Curation {
+
+  /** Pre-mod keeps the multiply inside Long range for ANY nonnegative
+    * id: (PreMod-1) * Knuth ≈ 2.65e18 < 2^63-1. Ids are assumed
+    * nonnegative (both engines' `%` follow the dividend's sign).
+    */
+  private val PreMod = 999999937L // largest prime below 10^9
+  private val Knuth = 2654435761L // Knuth's multiplicative constant, ⌊2^32/φ⌋
+
+  /** Deterministic scramble of `id` into [0, buckets). The same doc
+    * lands in the same bucket on every run, engine, and partitioning —
+    * the foundation for splits and samples that survive pipeline
+    * re-runs without a stored assignment table.
+    */
+  def bucketHash(id: Column, buckets: Long): Column =
+    pmod(pmod(id, lit(PreMod)) * lit(Knuth), lit(buckets))
+
+  /** Train/val/test assignment from per-mille cut points:
+    * bucket < trainPerMille → "train", < trainPerMille+valPerMille →
+    * "val", else "test". Membership is a pure function of the id, so
+    * test-set contamination can't creep in when the corpus is re-read,
+    * re-partitioned, or incrementally extended.
+    */
+  def splitAssign(id: Column, trainPerMille: Int, valPerMille: Int): Column =
+    when(bucketHash(id, 1000) < trainPerMille, lit("train"))
+      .when(bucketHash(id, 1000) < trainPerMille + valPerMille, lit("val"))
+      .otherwise(lit("test"))
+
+  /** Deterministic Bernoulli keep-decision at `rate` (a fraction of
+    * 1e6 buckets — rates with ≤ 6 decimals are exact in double, so the
+    * integer threshold compare can never straddle an engine's last
+    * bit). Stratified sampling = a per-row rate expression, e.g.
+    * downsample only the dominant language.
+    */
+  def sampledAt(id: Column, rate: Column): Column =
+    bucketHash(id, 1000000).cast(DoubleType) < rate * lit(1000000.0)
+
+  /** Duplicate n-gram fraction (Gopher-style repetition signal):
+    * 1 − distinct/total over word n-grams — 0 for repetition-free text,
+    * → 1 as the document degenerates into a loop. Documents shorter
+    * than n tokens yield one whole-document gram (fraction 0).
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    // bind the gram array once; referencing the shingle expression
+    // twice would re-tokenize the document per reference
+    element_at(transform(array(TextAnalysis.shingles(text, n)), g =>
+      round((size(g) - size(array_distinct(g))).cast(DoubleType)
+        / size(g).cast(DoubleType), 6)), 1)
+  }
+
+  /** n-gram count matching [[duplicateNgramFraction]]'s denominator. */
+  def ngramCount(text: Column, n: Int): Column =
+    size(TextAnalysis.shingles(text, n)).cast(IntegerType)
+}

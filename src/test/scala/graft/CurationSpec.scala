@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 2000L).map(i => (i, s"doc $i lang"))
+    .toDF("doc_id", "text")
+
+  test("splitAssign partitions every doc, near the 90/5/5 target, reproducibly") {
+    val assigned = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), 900, 50).as("split"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L, "every doc gets exactly one split")
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+    // reproducible: the same ids land in the same split on a re-run
+    val again = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), 900, 50).as("split"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+  }
+
+  test("splitAssign is a pure function of id: extending the corpus never reassigns") {
+    val before = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), Curation.splitAssign(col("doc_id"), 900, 50).as("s"))
+    val after = docs // 20x more docs
+      .select(col("doc_id"), Curation.splitAssign(col("doc_id"), 900, 50).as("s"))
+      .filter(col("doc_id") < 100)
+    assert(before.except(after).isEmpty && after.except(before).isEmpty)
+  }
+
+  test("sampledAt keeps a deterministic subset at roughly the rate") {
+    val kept = docs.filter(Curation.sampledAt(col("doc_id"), lit(0.1)))
+    val n = kept.count()
+    assert(n > 120 && n < 280, s"~10% of 2000 expected, got $n") // hash, not iid
+    // monotone: raising the rate only adds docs, never swaps any
+    val keptMore = docs.filter(Curation.sampledAt(col("doc_id"), lit(0.3)))
+    assert(kept.except(keptMore).isEmpty, "rate 0.1 sample must be a subset of rate 0.3")
+  }
+
+  test("duplicateNgramFraction: 0 for distinct grams, high for a loop, 0 for short docs") {
+    val cases = Seq(
+      (1L, "a b c d e"),        // 4 distinct 2-grams
+      (2L, "spam spam spam spam spam"), // one gram repeated 4x
+      (3L, "single")            // < n tokens -> whole-doc gram
+    ).toDF("doc_id", "text")
+    val got = cases.select(col("doc_id"),
+      Curation.duplicateNgramFraction(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.75) // 4 occurrences, 1 distinct
+    assert(got(3L) == 0.0)
+  }
+
+  test("source mix weights rebalance to uniform: weight * n_docs equal across sources") {
+    val skewed = ((0 until 600).map(i => (i.toLong, "s0")) ++
+      (600 until 800).map(i => (i.toLong, "s1")) ++
+      (800 until 1000).map(i => (i.toLong, "s2"))).toDF("doc_id", "source")
+    val counts = skewed.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum("n_docs").as("total"), count(lit(1)).as("n_sources"))
+    val weighted = counts.crossJoin(broadcast(totals))
+      .select((col("n_docs") * col("total") / (col("n_sources") * col("n_docs")))
+        .as("mass"))
+      .collect().map(_.getDouble(0))
+    assert(weighted.forall(m => math.abs(m - 1000.0 / 3) < 1e-9))
+  }
+}
