@@ -92,6 +92,44 @@ object TextAnalysis {
       + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.25))
   }
 
+  /** All curation metrics in ONE tokenize pass: struct(n_tokens,
+    * quality, pred_lang). [[tokenCount]] + [[qualityScore]] + [[langId]]
+    * written separately tokenize the document ~8× (each stopword count
+    * and each formula term re-evaluates its own tokens()); binding the
+    * lowercased token array once as a lambda variable computes the
+    * identical values — bit-for-bit, same formulas — in a single pass.
+    * The win is pure map-stage constant factor, which is exactly what
+    * matters when the stage runs over 100 TB of text.
+    */
+  def docMetrics(text: Column): Column = {
+    val metrics = transform(array(tokens(lower(text))), toks => {
+      def hits(lang: String): Column =
+        size(filter(toks, w => w.isin(stopwords(lang): _*)))
+      val nTok = size(toks)
+      val nTokD = nTok.cast(DoubleType)
+      val nChars = length(text).cast(DoubleType)
+      val punctRatio = punctCount(text).cast(DoubleType) / greatest(nChars, lit(1.0))
+      val stopRatio = hits("en").cast(DoubleType) / greatest(nTokD, lit(1.0))
+      val quality = least(nTokD / lit(64.0), lit(1.0)) * lit(0.5) +
+        (lit(1.0) - punctRatio) * lit(0.25) +
+        least(stopRatio * lit(4.0), lit(1.0)) * lit(0.25)
+      val en = hits("en"); val de = hits("de")
+      val es = hits("es"); val fr = hits("fr")
+      val best = greatest(en, de, es, fr)
+      val lang = when(best === 0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(de === best, lit("de"))
+        .when(es === best, lit("es"))
+        .otherwise(lit("fr"))
+      struct(nTok.cast(IntegerType).as("n_tokens"), quality.as("quality"),
+        lang.as("pred_lang"))
+    })
+    val m = element_at(metrics, 1)
+    // CJK probe operates on the raw text, outside the token binding
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"),
+      m.withField("pred_lang", lit("zh"))).otherwise(m)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 is md5 everywhere) — the exact-dedup key.
     */

@@ -184,4 +184,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == "es")
     assert(out(4L) == "und")
   }
+
+  test("docMetrics equals the separate builders bit-for-bit") {
+    // the fused one-tokenize-pass rendition must be indistinguishable
+    // from tokenCount + qualityScore + langId composed separately
+    val corpus = docs.union(Seq(
+      (6L, "汉字 text with cjk"),   // zh override path
+      (7L, "der hund und die katze ist nicht ein zu"),
+      (8L, "!!! ??? ...")          // punctuation-only, zero stopwords
+    ).toDF("doc_id", "text"))
+    val fused = corpus.select(col("doc_id"),
+      TextAnalysis.docMetrics(col("text")).as("m"))
+      .select(col("doc_id"), col("m.n_tokens"), col("m.quality"), col("m.pred_lang"))
+    val separate = corpus.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+    assert(fused.except(separate).isEmpty && separate.except(fused).isEmpty)
+  }
 }
