@@ -149,6 +149,28 @@ object SimilarityQueries {
     },
     Some(annOracle))
 
+  /** Per-label centroid components — the class-centroid building block
+    * (IVF seeding, cluster drift checks, per-class mean vectors). See
+    * [[Similarity.labelCentroidComponents]] for the determinism and
+    * shuffle story.
+    */
+  val qLabelCentroids = Q(
+    "q_label_centroids",
+    (s, d) => Similarity
+      .labelCentroidComponents(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label"), col("dim")),
+    Some("""
+      WITH e AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)
+      SELECT label, dim, count(*) AS n,
+             round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS centroid
+      FROM e GROUP BY label, dim ORDER BY label, dim"""))
+
   val all: Seq[Q] = Seq(
-    qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans)
+    qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
+    qLabelCentroids)
 }

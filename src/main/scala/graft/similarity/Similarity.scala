@@ -149,6 +149,25 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col(partCol), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
 
+  /** Per-label centroid COMPONENTS as flat (label, dim, n, centroid)
+    * rows — the cross-engine-deterministic rendition of [[centroids]]:
+    * components are rounded to 6 decimals and summed as DECIMAL(18,6)
+    * (round-then-cast recovers the identical exact decimal in any
+    * engine, so the sum is associative and partial-agg order can never
+    * flip bits). One hash aggregation keyed on (label, dim): map-side
+    * partials, K·D partial rows through the shuffle, no vector collect.
+    */
+  def labelCentroidComponents(df: DataFrame, labelCol: String,
+                              vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v").cast(DoubleType), 6).cast("decimal(18,6)")).as("__s"))
+      .select(col(labelCol), col("dim"), col("n"),
+        round(col("__s").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("centroid"))
+
   /** Centroid model as a literal array<struct<cid,cv>> column: the model
     * is K·D floats — parameters, not data — so it rides into codegen as
     * a constant instead of through a join. cv is array<float> to feed

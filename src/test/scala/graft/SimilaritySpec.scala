@@ -110,4 +110,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.map(_.getAs[Int]("from_partition")).toSet == Set(0))
     assert(hits.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 4L))
   }
+
+  test("labelCentroidComponents equals the per-(label, dim) arithmetic mean") {
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(5.0f, -6.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidComponents(e, "label", "embedding")
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim"))
+        -> (r.getAs[Long]("n"), r.getAs[Double]("centroid"))).toMap
+    assert(got((0, 0)) == (2L, 2.0))  // (1+3)/2
+    assert(got((0, 1)) == (2L, 3.0))  // (2+4)/2
+    assert(got((1, 0)) == (1L, 5.0))
+    assert(got((1, 1)) == (1L, -6.5))
+  }
 }
