@@ -313,11 +313,16 @@ object Dedup {
       val adj = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val minsL = adj.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      // persist, not localCheckpoint: `large` has two consumers within
+      // THIS round (the minsS aggregation and the small-star join), but
+      // per-round lineage truncation is already guaranteed by `small`'s
+      // checkpoint below — an eager checkpoint here would cost one extra
+      // materialization job per round for nothing
       val large = adj.join(minsL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // SMALL-STAR on the canonical form: group by the larger endpoint
       // u; m = min of u's smaller neighbors (< u). u and every smaller
       // neighbor re-point at m (m itself would be a self-loop — drop).
@@ -330,6 +335,10 @@ object Dedup {
         .filter(col("hi") =!= col("lo"))
         .distinct()
         .localCheckpoint()
+      // small is materialized (eager checkpoint) — this round's large
+      // cache is dead; drop it so 25 rounds can't accumulate 25 cached
+      // edge sets
+      large.unpersist(false)
       // fixpoint = edge set unchanged over a full round: both sides are
       // distinct sets, so equal ⇔ symmetric difference empty — rows of
       // the concatenation appearing once are in exactly one set. ONE
