@@ -47,6 +47,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the rows of `batch` whose normalized
+    * fingerprint does NOT already occur in `corpus` — the daily-append
+    * posture (dedup the new day's crawl against everything already
+    * ingested) as one left-anti join on a 16-byte key. The corpus side
+    * reduces to distinct fingerprints before the join, so the shuffle
+    * carries one row per distinct historical document; in production
+    * the fingerprint relation is the thing you'd persist between runs.
+    * Batch-internal duplicates are also collapsed (min id wins),
+    * so re-running never appends.
+    */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val fresh = batch
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("fp"), "left_anti")
+    // canonical row per batch-internal duplicate group
+    val canon = fresh.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    fresh.join(canon, Seq("fp", idCol), "left_semi").drop("fp")
+  }
+
   /** Exact word-shingle Jaccard between two shingle-array columns
     * (per-pair array math — the join-based renditions below scale
     * better; kept as the composable Column form).

@@ -40,6 +40,33 @@ object DedupQueries {
              min(doc_id) AS canonical_id, count(*) AS n_copies
       FROM documents GROUP BY fp ORDER BY canonical_id"""))
 
+  /** Incremental exact dedup — the daily-append posture: docs 400+ are
+    * "today's batch", deduped against the already-ingested corpus
+    * (docs < 400) by normalized fingerprint, batch-internal duplicates
+    * collapsed to the min id. One left-anti join on a 16-byte key.
+    */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncremental(
+        docs.filter(col("doc_id") >= 400),
+        docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      fresh AS (
+        SELECT * FROM fp WHERE doc_id >= 400
+          AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < 400)),
+      canon AS (SELECT fp, min(doc_id) AS mid FROM fresh GROUP BY fp)
+      SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars
+      FROM fresh f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.mid
+      ORDER BY f.doc_id"""))
+
   /** Exact 3-shingle Jaccard pairs for a deterministic probe subset
     * (doc_id % 10 = 0) — the oracle-checked ground truth the LSH
     * variants approximate. Probe-vs-all, so cost is Q·N, not N².
@@ -290,6 +317,7 @@ object DedupQueries {
       ORDER BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qJaccardPairs, qDedupMinhash, qDedupSimhash,
-    qDedupEmbedding, qDedupClusters, qDecontaminate, qDedupKeep)
+    qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
+    qDedupSimhash, qDedupEmbedding, qDedupClusters, qDecontaminate,
+    qDedupKeep)
 }

@@ -45,6 +45,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: bucketHash lands in [0, buckets) and is stable under re-evaluation") {
+    import org.apache.spark.sql.functions.col
+    samples(Gen.listOfN(50, Gen.choose(0L, Long.MaxValue / 2)), 6).foreach { ids =>
+      val df = ids.toDF("id")
+      Seq(7L, 1000L, 1000000L).foreach { b =>
+        val hs = df.select(graft.text.Curation.bucketHash(col("id"), b).as("h"))
+          .collect().map(_.getLong(0))
+        assert(hs.forall(h => h >= 0 && h < b), s"bucket out of range for b=$b")
+      }
+      // determinism across evaluations and partitionings
+      val once = df.select(col("id"), graft.text.Curation.bucketHash(col("id"), 1000).as("h"))
+      val again = df.repartition(7)
+        .select(col("id"), graft.text.Curation.bucketHash(col("id"), 1000).as("h"))
+      assert(once.except(again).isEmpty && again.except(once).isEmpty)
+    }
+  }
+
+  test("law: splitAssign cut points partition the bucket space exactly") {
+    import org.apache.spark.sql.functions.col
+    samples(Gen.listOfN(60, Gen.choose(0L, Long.MaxValue / 2)), 4).foreach { ids =>
+      val df = ids.toDF("id")
+      val withBoth = df.select(
+        graft.text.Curation.bucketHash(col("id"), 1000).as("h"),
+        graft.text.Curation.splitAssign(col("id"), 900, 50).as("s"))
+        .collect()
+      withBoth.foreach { r =>
+        val (h, s) = (r.getLong(0), r.getString(1))
+        val expected = if (h < 900) "train" else if (h < 950) "val" else "test"
+        assert(s == expected, s"h=$h got $s")
+      }
+    }
+  }
+
   test("law: date key bijectivity (y,m,d) <-> y*10000+m*100+d over generated calendars") {
     samples(Gen.zip(Gen.choose(1995, 2030), Gen.choose(1, 12)), 6).foreach { case (y, m) =>
       val dim = DateDim.dateDimension(spark, f"$y%04d-$m%02d-01", f"$y%04d-$m%02d-28")

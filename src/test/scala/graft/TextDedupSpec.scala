@@ -185,6 +185,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == "und")
   }
 
+  test("dedupIncremental: corpus collisions dropped, batch dups collapsed, replay appends zero") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "some existing document")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  QUICK brown fox"),   // normalizes to corpus doc 1 -> dropped
+      (11L, "a genuinely new document"),
+      (12L, "a genuinely  NEW document"), // dup of 11 within the batch
+      (13L, "another new one")).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, corpus, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 13L))
+    // idempotency: replaying the batch against corpus+accepted output appends zero
+    val replay = Dedup.dedupIncremental(
+      batch, corpus.union(out.select("doc_id", "text")), "doc_id", "text")
+    assert(replay.isEmpty)
+  }
+
   test("docMetrics equals the separate builders bit-for-bit") {
     // the fused one-tokenize-pass rendition must be indistinguishable
     // from tokenCount + qualityScore + langId composed separately
