@@ -181,6 +181,82 @@ object TextQueries {
       ORDER BY doc_id"""),
     headline = true)
 
+  /** Top-5 word 2-grams per source (the "what is this source made of"
+    * inspection query). Scale shape: explode → one (source, gram)
+    * count aggregation with map-side partials, then a SUPPORT PRUNE
+    * (n ≥ 3) before the per-source row_number — the prune is what
+    * bounds the window partition at corpus scale (the long tail of
+    * count-1 grams, the overwhelming majority by Heaps' law, never
+    * reaches the sort).
+    */
+  val qTopGrams = Q(
+    "q_top_grams",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(shingles(col("text"), 2)).as("gram"))
+        .groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n").desc, col("gram"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("gram"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS toks
+        FROM documents),
+      g AS (
+        SELECT source, unnest(
+          CASE WHEN len(toks) < 2
+               THEN [coalesce(array_to_string(toks, ' '), '')]
+               ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          END) AS gram
+        FROM t),
+      c AS (
+        SELECT source, gram, count(*) AS n FROM g
+        GROUP BY source, gram HAVING count(*) >= 3),
+      r AS (
+        SELECT source, gram, n,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, gram) AS rk
+        FROM c)
+      SELECT source, CAST(rk AS INTEGER) AS rank, gram, n
+      FROM r WHERE rk <= 5 ORDER BY source, rank"""))
+
+  /** PII scrubbing: mask emails and ≥4-digit runs (ids, phones, card
+    * fragments) — pure per-row regexp_replace map work, the standard
+    * pre-training redaction pass. Patterns are RE2-safe (no backrefs,
+    * no lookaround) so both engines' regex dialects agree; DuckDB
+    * needs the explicit 'g' flag to match Spark's replace-all.
+    */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{4,}"
+      val masked = regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), numRe, "<NUM>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(numRe), lit(0))).as("n_longnums"),
+          (masked =!= col("text")).as("changed"),
+          substring(masked, 1, 80).as("masked_prefix"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_longnums,
+             regexp_replace(regexp_replace(text, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g') <> text AS changed,
+             substring(regexp_replace(regexp_replace(text, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g'), 1, 80) AS masked_prefix
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qCorpusCurate)
+    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub)
 }

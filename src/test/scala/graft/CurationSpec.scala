@@ -56,6 +56,20 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == 0.0)
   }
 
+  test("pii scrub masks emails and long digit runs, leaves short numbers alone") {
+    val fixture = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 5551234567 now"),
+      (2L, "version 2 of chapter 3 has 42 pages")).toDF("doc_id", "text")
+    fixture.createOrReplaceTempView("documents_pii_fixture")
+    val emailRe = "[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val masked = fixture.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        "[0-9]{4,}", "<NUM>").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(masked(1L) == "contact <EMAIL> or call <NUM> now")
+    assert(masked(2L) == "version 2 of chapter 3 has 42 pages")
+  }
+
   test("source mix weights rebalance to uniform: weight * n_docs equal across sources") {
     val skewed = ((0 until 600).map(i => (i.toLong, "s0")) ++
       (600 until 800).map(i => (i.toLong, "s1")) ++
