@@ -140,6 +140,33 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream event-time interval join (impression→conversion
+    * attribution): each conversion joins the same user's impressions
+    * whose timestamp lies in [conv_ts − horizon, conv_ts]. Both sides
+    * carry watermarks and the join condition bounds the time range, so
+    * the symmetric hash join can EVICT state as the watermark advances
+    * — state is O(keys · horizon), never O(stream). Inner join: an
+    * attribution row exists only once both sides have arrived.
+    */
+  def attributionJoin(impressions: DataFrame, conversions: DataFrame,
+                      horizonSeconds: Long = 1800,
+                      watermark: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val conv = conversions
+      .select(col("event_id").as("conv_id"), col("user_id").as("conv_user"),
+        col("ts").as("conv_ts"), col("value"))
+      .withWatermark("conv_ts", watermark)
+    imp.join(conv,
+      col("imp_user") === col("conv_user") &&
+        col("conv_ts") >= col("imp_ts") &&
+        col("conv_ts") <= col("imp_ts") + expr(s"interval $horizonSeconds seconds"))
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("conv_id"),
+        col("imp_ts"), col("conv_ts"), col("value"))
+  }
+
   /** Idempotent streaming sink: every micro-batch is diffed against the
     * target (the U2 EXCEPT-DISTINCT primitive) before appending, so
     * replayed batches append zero rows — exactly the reference's

@@ -163,6 +163,37 @@ class StreamingSpec extends SparkSpec {
     assert(s7(0).n_events == 3 && s7(0).total_value == 7.0)
   }
 
+  test("stream-stream interval join attributes conversions within the horizon only") {
+    val impDir = tmpDir("stream-imp"); val convDir = tmpDir("stream-conv")
+    Seq(
+      Event(100L, ts(0), 7L, "impression", 0.0),
+      Event(101L, ts(5), 8L, "impression", 0.0)
+    ).toDS().write.mode("overwrite").parquet(impDir)
+    val lateTs = java.sql.Timestamp.valueOf("2024-01-01 11:10:00")
+    Seq(
+      Event(200L, ts(20), 7L, "purchase", 9.5),  // in [10:00, 10:30] -> attributed
+      Event(201L, lateTs, 7L, "purchase", 1.0),  // past the 30-min horizon
+      Event(202L, ts(4), 8L, "purchase", 2.0),   // BEFORE the impression
+      Event(203L, ts(10), 9L, "purchase", 3.0)   // no impression for user 9
+    ).toDS().write.mode("overwrite").parquet(convDir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val joined = EventsStreaming.attributionJoin(
+      EventsStreaming.readEvents(spark, impDir, schema),
+      EventsStreaming.readEvents(spark, convDir, schema))
+    val q = joined.writeStream
+      .format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-attrib"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("attrib").collect()
+    assert(rows.length == 1, s"exactly one attribution expected, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("imp_id") == 100L)
+    assert(rows(0).getAs[Long]("conv_id") == 200L)
+    assert(rows(0).getAs[Double]("value") == 9.5)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
