@@ -170,7 +170,45 @@ object SimilarityQueries {
                    / count(*), 6) AS centroid
       FROM e GROUP BY label, dim ORDER BY label, dim"""))
 
+  /** Int8 quantization digest per vector: scale, the quantized-value
+    * checksum/extrema, and the max reconstruction error — scalar
+    * digests rather than the 64-element array so the cross-engine
+    * compare stays on plain columns. The explode(array(...)) Generate
+    * barrier materializes the quant struct once; the digest lambdas
+    * then reference attributes, not re-inlined expressions.
+    */
+  val qQuantizeInt8 = Q(
+    "q_quantize_int8",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(array(Similarity.int8Quantize(col("embedding")))).as("z"))
+      .select(
+        col("vec_id"),
+        round(col("z.scale"), 9).as("scale"),
+        aggregate(col("z.q"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        array_min(col("z.q")).cast("int").as("qmin"),
+        array_max(col("z.q")).cast("int").as("qmax"),
+        round(array_max(zip_with(col("embedding"), col("z.q"),
+          (v, q) => abs(v.cast("double") - q * col("z.scale")))), 6).as("max_abs_err"))
+      .orderBy(col("vec_id")),
+    Some("""
+      WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12) / 127.0 AS sc
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, embedding, sc,
+               list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / sc + 0.5)))) AS qs
+        FROM s)
+      SELECT vec_id, round(sc, 9) AS scale,
+             CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+             CAST(list_aggregate(qs, 'min') AS INTEGER) AS qmin,
+             CAST(list_aggregate(qs, 'max') AS INTEGER) AS qmax,
+             round(list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - qs[i] * sc)), 'max'), 6) AS max_abs_err
+      FROM q ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
-    qLabelCentroids)
+    qLabelCentroids, qQuantizeInt8)
 }

@@ -168,6 +168,28 @@ object Similarity {
         round(col("__s").cast(DoubleType) / col("n").cast(DoubleType), 6)
           .as("centroid"))
 
+  /** Symmetric int8 quantization of a vector column — the standard
+    * embedding-compression move (4× smaller than float32, dot products
+    * stay sign-correct): struct(scale, q) with
+    * scale = max(|v|)/127 (guarded against the zero vector) and
+    * q_i = clamp(floor(v_i/scale + 0.5), ±127). floor-based rounding
+    * deliberately: it is pure IEEE double arithmetic, bit-identical in
+    * any engine, with no round-half ambiguity. The per-vector scale and
+    * the quantized array are computed inside nested lambda bindings so
+    * the max-abs pass runs once per vector, not once per element.
+    */
+  def int8Quantize(vec: Column): Column =
+    element_at(transform(array(vec), e =>
+      element_at(transform(
+        array(greatest(
+          array_max(transform(e, x => abs(x.cast(DoubleType)))),
+          lit(1e-12)) / lit(127.0)),
+        sc => struct(
+          sc.as("scale"),
+          transform(e, x => greatest(lit(-127.0),
+            least(lit(127.0), floor(x.cast(DoubleType) / sc + lit(0.5)))))
+            .as("q"))), 1)), 1)
+
   /** Centroid model as a literal array<struct<cid,cv>> column: the model
     * is K·D floats — parameters, not data — so it rides into codegen as
     * a constant instead of through a join. cv is array<float> to feed

@@ -111,6 +111,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 4L))
   }
 
+  test("int8Quantize: max element hits ±127, error bounded by scale/2, zero vector safe") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),  // amax 1.0 -> scale 1/127
+      (2L, Array(0.0f, 0.0f, 0.0f))     // zero vector -> guard scale, all q = 0
+    ).toDF("vec_id", "embedding")
+    val rows = e.select(col("vec_id"),
+      Similarity.int8Quantize(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale"), col("z.q")).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val scale = r1.getDouble(1)
+    val q = r1.getSeq[Double](2)
+    assert(q(1) == -127.0, "the max-magnitude element must quantize to -127")
+    val orig = Seq(0.5, -1.0, 0.25)
+    orig.zip(q).foreach { case (v, qi) =>
+      assert(math.abs(v - qi * scale) <= scale / 2 + 1e-9,
+        s"reconstruction error exceeds scale/2 for $v") }
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getSeq[Double](2).forall(_ == 0.0), "zero vector quantizes to zeros")
+  }
+
   test("labelCentroidComponents equals the per-(label, dim) arithmetic mean") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 0),
