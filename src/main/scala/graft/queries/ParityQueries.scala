@@ -419,9 +419,32 @@ object ParityQueries {
               FULL OUTER JOIN id ON COALESCE(ea.o_custkey, ia.o_custkey) = id.o_custkey
       ORDER BY o_custkey"""))
 
+  /** Salted skew join, oracle-checked: the salt decomposition is
+    * internal (rowSalt spreads a hot key over N sub-keys; the small
+    * side replicates once per salt), so the result is ROW-IDENTICAL to
+    * the plain join — which is exactly what the oracle asserts. This is
+    * the manual skew weapon for when AQE's runtime splitting isn't
+    * available (e.g. a skewed key feeding a bucketed/pre-partitioned
+    * join that must not be re-planned).
+    */
+  val qSaltedJoin = Q(
+    "q_salted_join",
+    (s, d) => graft.ops.SkewOps.saltedJoin(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity")),
+      Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+      key = "l_suppkey", salts = 8)
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll)
+    qSetOpsAll, qSaltedJoin)
 }
