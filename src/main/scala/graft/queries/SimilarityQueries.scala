@@ -208,7 +208,23 @@ object SimilarityQueries {
                i -> abs(CAST(embedding[i] AS DOUBLE) - qs[i] * sc)), 'max'), 6) AS max_abs_err
       FROM q ORDER BY vec_id"""))
 
+  /** Search over int8-quantized vectors, recall-contracted against the
+    * float exact top-k (cosine is scale-free so quantized arrays rank
+    * directly). Representation error is ≤ 0.5/127 per element, so the
+    * bound is set high — quantization should barely perturb ranking.
+    */
+  val qAnnQuantized = Q(
+    "q_ann_quantized",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val p = probes(s, d)
+      val ann = Similarity.quantizedTopK(emb, "vec_id", "embedding", p, 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", p, 10)
+      Similarity.recallAtK(ann, exact, 10, minMeanRecall = 0.80)
+    },
+    Some(annOracle))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
-    qLabelCentroids, qQuantizeInt8)
+    qLabelCentroids, qQuantizeInt8, qAnnQuantized)
 }

@@ -88,6 +88,10 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 2), 0.8, "label-partition IVF (nProbe 2)")
     check(Similarity.kmeansIvfTopK(vecs, "vec_id", "embedding", probes, k,
       kClusters = 4, iters = 3, nProbe = 2), 0.8, "k-means IVF (4 cells, nProbe 2)")
+    // quantization perturbs each element by <= 0.5/127 — ranking should
+    // be nearly unchanged, so the bound is far above the ANN paths'
+    check(Similarity.quantizedTopK(vecs, "vec_id", "embedding", probes, k),
+      0.9, "int8-quantized brute force")
   }
 
   test("recallAtK counts missed probes as zero hits") {
