@@ -250,7 +250,31 @@ object AggQueries {
       WHERE rn <= 3 ORDER BY c_mktsegment, rank"""),
     headline = true)
 
+  /** Approximate quantiles under a rank-error bound: approx_percentile
+    * at p must land inside the EXACT [p−0.05, p+0.05] quantile band —
+    * the same boolean-contract oracle as the HLL queries (Spark
+    * computes claim + exact band, DuckDB asserts TRUE, the hash only
+    * matches if the sketch genuinely lands in-band). The sketch is the
+    * 100 TB answer to "give me the distribution" — exact percentile
+    * needs a full sort/collect per group, the sketch one mergeable
+    * buffer per partition.
+    */
+  val qApproxQuantiles = Q(
+    "q_approx_quantiles",
+    (s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val cols = ps.map { p =>
+        val approx = expr(s"approx_percentile(l_extendedprice, $p, 1000)")
+        val lo = expr(s"percentile(l_extendedprice, ${p - 0.05})")
+        val hi = expr(s"percentile(l_extendedprice, ${p + 0.05})")
+        (approx >= lo && approx <= hi).as(s"p${(p * 100).toInt}_in_band")
+      }
+      Tables.lineitem(s, d).agg(cols.head, cols.tail: _*)
+    },
+    Some("""
+      SELECT TRUE AS p25_in_band, TRUE AS p50_in_band, TRUE AS p75_in_band"""))
+
   val all: Seq[Q] = Seq(
-    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct, qHllDistinct,
-    qWindowFuncs, qDistribution, qTopkAgg)
+    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct, qApproxQuantiles,
+    qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg)
 }
