@@ -51,6 +51,16 @@ object Profile {
       labels.count()
       println(s"[prof]   cc rounds=$rounds")
     }
+    // same loop with AQE off: isolates AQE's per-stage re-planning
+    // latency, which dominates iterative tiny-stage loops
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("dedupClusters, AQE off") {
+      val (labels, rounds) = graft.dedup.Dedup.dedupClustersWithRounds(
+        docs, "doc_id", capped)
+      labels.count()
+      println(s"[prof]   cc rounds=$rounds")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
