@@ -216,7 +216,13 @@ object Similarity {
     * the codegen'd cosine_sim directly.
     */
   private def centroidLit(cents: Seq[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+    if (cents.isEmpty)
+      // a bare array() is untyped and fails analysis inside the fold
+      // lambda (getField on an untyped lambda var); an empty CORPUS
+      // (cold start, filtered-out partition) must yield an empty typed
+      // model and empty results, not an AnalysisException
+      array().cast("array<struct<cid:int,cv:array<float>>>")
+    else array(cents.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), typedlit(c.map(_.toFloat).toSeq).as("cv"))
     }: _*)
 
