@@ -242,7 +242,56 @@ object EventQueries {
       ORDER BY event_id, signup_id"""),
     headline = true)
 
+  /** Ordered three-step funnel (view → click → purchase), each step
+    * within one hour of the previous, reported as users-surviving per
+    * step. Scale shape: NO self-join of the raw stream — each step is
+    * one keyed aggregation over events joined to the (tiny, one row
+    * per surviving user) previous-step relation, so the event table is
+    * scanned once per step and everything shuffles on user_id. Time
+    * arithmetic in epoch micros (pure integers): no interval literals,
+    * no timestamp-precision skew.
+    */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, d) => {
+      val us = 3600L * 1000000L // 1-hour step window, micros
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + us)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + us)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).select(lit("step1_view").as("step"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("step2_click").as("step"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("step3_purchase").as("step"), col("n_users")))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 3600000000
+             GROUP BY e.user_id)
+      SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT 'step2_click', count(*) FROM s2
+      UNION ALL SELECT 'step3_purchase', count(*) FROM s3
+      ORDER BY step"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
-    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin)
+    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin, qFunnel)
 }
