@@ -291,7 +291,40 @@ object EventQueries {
       UNION ALL SELECT 'step3_purchase', count(*) FROM s3
       ORDER BY step"""))
 
+  /** Daily cohort retention matrix: users grouped by their first-seen
+    * day; n_users = distinct users from that cohort active again at
+    * each day offset. Two keyed aggregations and one join on user_id —
+    * the (user, day) relation is deduplicated FIRST, so the count is a
+    * plain count over distinct pairs, never a count-distinct Expand
+    * over raw events. Day arithmetic is date-subtraction (integer
+    * days): no interval literals, no timezone skew (session is UTC).
+    */
+  val qRetention = Q(
+    "q_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      SELECT cohort_day, CAST(e.day - cohort_day AS INTEGER) AS day_offset,
+             count(*) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
-    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin, qFunnel)
+    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin, qFunnel,
+    qRetention)
 }
