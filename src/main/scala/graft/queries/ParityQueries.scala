@@ -442,9 +442,53 @@ object ParityQueries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** SCD2 dimension merge, oracle-checked end-to-end: the open customer
+    * dim merged with a snapshot where every 7th customer changed
+    * segment — unchanged rows keep their interval, changed rows close
+    * at the effective date and re-open as a new version. The
+    * history-keeping upgrade of the reference's full-snapshot dim
+    * replace (S11). See [[graft.ops.ScdOps.scd2Merge]] for the
+    * single-full-outer-join shape.
+    */
+  val qScd2Merge = Q(
+    "q_scd2_merge",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+        to_date(lit("2023-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val snapshot = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.ops.ScdOps.scd2Merge(current, snapshot, "c_custkey",
+        Seq("c_mktsegment"), "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '2023-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer),
+      snap AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        FROM customer),
+      chg AS (
+        SELECT cur.c_custkey FROM cur JOIN snap USING (c_custkey)
+        WHERE cur.c_mktsegment <> snap.seg)
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM cur
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, valid_from, DATE '2024-06-01' FROM cur
+      WHERE c_custkey IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, seg, DATE '2024-06-01', CAST(NULL AS DATE) FROM snap
+      WHERE c_custkey IN (SELECT c_custkey FROM chg)
+      ORDER BY c_custkey, valid_from"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll, qSaltedJoin)
+    qSetOpsAll, qSaltedJoin, qScd2Merge)
 }
