@@ -274,7 +274,51 @@ object AggQueries {
     Some("""
       SELECT TRUE AS p25_in_band, TRUE AS p50_in_band, TRUE AS p75_in_band"""))
 
+  /** One-pass table profile: per numeric column, row count, null count
+    * and value range — the data-quality primitive every ingest runs.
+    * ALL stats compute in a single codegen'd aggregation with map-side
+    * partials (one scan, no per-column passes); the per-column rows
+    * are just an explode of the one aggregate row. min/max surface as
+    * DOUBLE (exact for bigints < 2^53) so the unpivoted rows are
+    * homogeneous.
+    */
+  val qProfileTable = Q(
+    "q_profile_table", {
+      val pcols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (s, d) => {
+        val aggs = pcols.flatMap(c => Seq(
+          count(col(c)).as(s"__cnt_$c"),
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))) :+ count(lit(1)).as("__n")
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(pcols.map(c => struct(
+            lit(c).as("col_name"), col("__n").as("n"),
+            (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+            col(s"__min_$c").as("min_v"),
+            col(s"__max_$c").as("max_v"))): _*)).as("p"))
+          .select(col("p.col_name"), col("p.n"), col("p.n_nulls"),
+            col("p.min_v"), col("p.max_v"))
+          .orderBy(col("col_name"))
+      }
+    },
+    Some {
+      val pcols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggExprs = pcols.zipWithIndex.map { case (c, i) =>
+        s"count($c) AS c$i, CAST(min($c) AS DOUBLE) AS mn$i, CAST(max($c) AS DOUBLE) AS mx$i"
+      }.mkString(", ")
+      val branches = pcols.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS col_name, n, n - c$i AS n_nulls, mn$i AS min_v, mx$i AS max_v FROM a"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH a AS (SELECT count(*) AS n, $aggExprs FROM lineitem)
+      $branches
+      ORDER BY col_name"""
+    })
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qPivot, qApproxDistinct, qApproxQuantiles,
-    qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg)
+    qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable)
 }
