@@ -257,6 +257,54 @@ object TextQueries {
              substring(regexp_replace(regexp_replace(text, '[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g'), 1, 80) AS masked_prefix
       FROM documents ORDER BY doc_id"""))
 
+  /** Top-3 characteristic terms per document by tf·N/df — TF-IDF with
+    * the rational weight instead of a logarithm, deliberately: ln() is
+    * not bit-identical across libm implementations, while integer
+    * ratios in double are exact, so the ranking is engine-independent
+    * (scores round to 6dp BEFORE ranking; term is the tie-break). The
+    * per-doc window partition is bounded by document length — never a
+    * corpus-sized sort. df is one term-keyed aggregation; N broadcasts.
+    */
+  val qTfidfTerms = Q(
+    "q_tfidf_terms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", round(
+          col("tf").cast("double") * col("n_docs").cast("double")
+            / col("df").cast("double"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("int").as("rank"),
+          col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\s+'),
+                                          w -> len(w)>0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               round((tf * n_docs) / CAST(df AS DOUBLE), 6) AS score
+        FROM tf JOIN df USING (term), n),
+      r AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS INTEGER) AS rank, term, score
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub)
+    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms)
 }

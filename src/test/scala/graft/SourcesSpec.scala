@@ -47,4 +47,16 @@ class SourcesSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"))
   }
+
+  test("ORC round-trip preserves rows, schema and predicate pushdown") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val dir = tmpDir("orc-roundtrip")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    val filtered = back.filter(org.apache.spark.sql.functions.col("c_custkey") === 1L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "ORC scan must push the key predicate down")
+  }
 }
