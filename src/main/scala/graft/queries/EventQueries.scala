@@ -289,7 +289,8 @@ object EventQueries {
       SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
       UNION ALL SELECT 'step2_click', count(*) FROM s2
       UNION ALL SELECT 'step3_purchase', count(*) FROM s3
-      ORDER BY step"""))
+      ORDER BY step"""),
+    headline = true)
 
   /** Daily cohort retention matrix: users grouped by their first-seen
     * day; n_users = distinct users from that cohort active again at
@@ -321,7 +322,8 @@ object EventQueries {
              count(*) AS n_users
       FROM e JOIN c USING (user_id)
       GROUP BY cohort_day, day_offset
-      ORDER BY cohort_day, day_offset"""))
+      ORDER BY cohort_day, day_offset"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,

@@ -484,7 +484,8 @@ object ParityQueries {
       UNION ALL
       SELECT c_custkey, seg, DATE '2024-06-01', CAST(NULL AS DATE) FROM snap
       WHERE c_custkey IN (SELECT c_custkey FROM chg)
-      ORDER BY c_custkey, valid_from"""))
+      ORDER BY c_custkey, valid_from"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
