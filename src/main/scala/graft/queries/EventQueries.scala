@@ -325,8 +325,60 @@ object EventQueries {
       ORDER BY cohort_day, day_offset"""),
     headline = true)
 
+  /** Volume anomaly detection: hourly event counts per type, z-scored
+    * against that type's own distribution; |z| > 2 flags the hour.
+    * Mean and variance derive from exact integer sums (Σn, Σn²) — the
+    * double arithmetic on top is identical expression-for-expression
+    * on both engines (sqrt is correctly rounded everywhere), so the
+    * flag can never straddle an engine's last bit. Shape: one windowed
+    * count, one tiny per-type stats row broadcast back — the per-type
+    * stats never see raw events.
+    */
+  val qAnomalyHours = Q(
+    "q_anomaly_hours",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val stats = hourly.groupBy(col("event_type")).agg(
+        count(lit(1)).as("nh"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s").cast("double") / col("nh").cast("double"))
+        .withColumn("variance",
+          col("ss").cast("double") / col("nh").cast("double")
+            - col("mean") * col("mean"))
+        .filter(col("variance") > 0)
+        .withColumn("z", round(
+          (col("n").cast("double") - col("mean")) / sqrt(col("variance")), 6))
+        .select(col("window_start"), col("event_type"), col("n"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS nh, sum(n) AS s, sum(n * n) AS ss
+        FROM hourly GROUP BY event_type),
+      z AS (
+        SELECT window_start, event_type, n,
+               CAST(s AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
+               CAST(ss AS DOUBLE) / CAST(nh AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(nh AS DOUBLE)) AS variance
+        FROM hourly JOIN stats USING (event_type))
+      SELECT window_start, event_type, n,
+             round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) AS z,
+             abs(round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6)) > 2.0 AS is_anomaly
+      FROM z WHERE variance > 0
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
     qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin, qFunnel,
-    qRetention)
+    qRetention, qAnomalyHours)
 }
