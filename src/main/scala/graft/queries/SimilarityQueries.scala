@@ -164,11 +164,16 @@ object SimilarityQueries {
         SELECT label,
                CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
                unnest(embedding) AS v
-        FROM embeddings)
-      SELECT label, dim, count(*) AS n,
-             round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
-                   / count(*), 6) AS centroid
-      FROM e GROUP BY label, dim ORDER BY label, dim"""))
+        FROM embeddings),
+      a AS (
+        SELECT label, dim, count(*) AS n,
+               CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS si
+        FROM e GROUP BY label, dim)
+      SELECT label, dim, n,
+             CAST((CASE WHEN si < 0 THEN -1 ELSE 1 END)
+                  * ((2 * abs(si) + n) // (2 * n)) AS DOUBLE) / 1000000 AS centroid
+      FROM a ORDER BY label, dim"""))
 
   /** Int8 quantization digest per vector: scale, the quantized-value
     * checksum/extrema, and the max reconstruction error — scalar

@@ -274,10 +274,14 @@ object TextQueries {
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // score = tf·N/df rounded to 6dp — but rounded in exact integer
+      // micro-units ((2a+df) div 2df on tf·N·1e6), never on the double
+      // quotient: exact rationals land on 6-decimal half boundaries
+      // where the engines' round() implementations disagree
       val scored = tf.join(df, "term").crossJoin(broadcast(n))
-        .withColumn("score", round(
-          col("tf").cast("double") * col("n_docs").cast("double")
-            / col("df").cast("double"), 6))
+        .withColumn("score",
+          expr("(2 * tf * n_docs * 1000000 + df) div (2 * df)").cast("double")
+            / lit(1000000.0))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       scored.withColumn("rank", row_number().over(w))
@@ -296,7 +300,8 @@ object TextQueries {
       n AS (SELECT count(*) AS n_docs FROM documents),
       scored AS (
         SELECT doc_id, term,
-               round((tf * n_docs) / CAST(df AS DOUBLE), 6) AS score
+               CAST((2 * tf * n_docs * 1000000 + df) // (2 * df) AS DOUBLE)
+                 / 1000000 AS score
         FROM tf JOIN df USING (term), n),
       r AS (
         SELECT doc_id, term, score,

@@ -164,9 +164,18 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("v").cast(DoubleType), 6).cast("decimal(18,6)")).as("__s"))
+      // round(sum/n, 6) on the DOUBLE quotient is NOT cross-engine safe:
+      // exact rationals like sum/n land on 6-decimal half boundaries,
+      // where Java's shortest-repr HALF_UP and a C library's binary
+      // rounding disagree (seen live at sf0.1). Round in exact integer
+      // micro-units instead — half-away on positives via (2a+n) div 2n,
+      // sign split off — then the final /1e6 is one exact IEEE divide.
+      .withColumn("__si", (col("__s") * 1000000).cast("long"))
+      .withColumn("__q",
+        expr("(2 * abs(__si) + n) div (2 * n)")
+          * when(col("__s") < 0, -1L).otherwise(1L))
       .select(col(labelCol), col("dim"), col("n"),
-        round(col("__s").cast(DoubleType) / col("n").cast(DoubleType), 6)
-          .as("centroid"))
+        (col("__q").cast(DoubleType) / lit(1000000.0)).as("centroid"))
 
   /** Symmetric int8 quantization of a vector column — the standard
     * embedding-compression move (4× smaller than float32, dot products
