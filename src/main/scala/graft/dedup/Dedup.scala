@@ -92,7 +92,12 @@ object Dedup {
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // output rounding via exact integer micro-units (DetMath.ratio6):
+      // round(int/int, 6) on the double is not cross-engine safe
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.DetMath.ratio6(
+          size(array_intersect(col("hs_a"), col("hs_b"))),
+          size(array_union(col("hs_a"), col("hs_b")))).as("jaccard"))
 
   /** Exact Jaccard pairs (probe subset × corpus) via an equi-join on
     * exploded shingles: |A∩B| = count of matching shingle rows,
@@ -148,7 +153,11 @@ object Dedup {
       .withColumn("jaccard",
         col("both").cast(DoubleType) / (col("na") + col("nb") - col("both")).cast(DoubleType))
       .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // threshold on the raw double (identical expression both engines);
+      // OUTPUT via exact integer rounding (see DetMath.ratio6)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.DetMath.ratio6(
+          col("both"), col("na") + col("nb") - col("both")).as("jaccard"))
   }
 
   /** Band-bucket admission guard shared by the LSH self-joins: buckets
@@ -278,8 +287,8 @@ object Dedup {
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contamination",
-        round(col("n_contaminated").cast(DoubleType)
-          / greatest(col("n_shingles"), lit(1)).cast(DoubleType), 6))
+        graft.functions.DetMath.ratio6(
+          col("n_contaminated"), greatest(col("n_shingles"), lit(1))))
   }
 
   /** Near-dup CLUSTERS from a pair graph: connected components by

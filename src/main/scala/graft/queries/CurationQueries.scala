@@ -85,10 +85,10 @@ object CurationQueries {
         FROM t)
       SELECT doc_id,
              CAST(len(grams) AS INTEGER) AS n_2grams,
-             round((len(grams) - len(list_distinct(grams)))
-                   / CAST(len(grams) AS DOUBLE), 6) AS dup_frac,
-             round((len(grams) - len(list_distinct(grams)))
-                   / CAST(len(grams) AS DOUBLE), 6) > 0.2 AS repetitive
+             floor((2.0 * (len(grams) - len(list_distinct(grams))) * 1000000
+                    + len(grams)) / (2.0 * len(grams))) / 1000000 AS dup_frac,
+             floor((2.0 * (len(grams) - len(list_distinct(grams))) * 1000000
+                    + len(grams)) / (2.0 * len(grams))) / 1000000 > 0.2 AS repetitive
       FROM g ORDER BY doc_id"""))
 
   /** Mixture reweighting: per source, its corpus share and the
@@ -106,11 +106,9 @@ object CurationQueries {
         sum(col("n_docs")).as("total"), count(lit(1)).as("n_sources"))
       counts.crossJoin(broadcast(totals))
         .select(col("source"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("total").cast("double"), 6)
-            .as("frac"),
-          round(col("total").cast("double")
-            / (col("n_sources") * col("n_docs")).cast("double"), 6)
-            .as("weight"))
+          graft.functions.DetMath.ratio6(col("n_docs"), col("total")).as("frac"),
+          graft.functions.DetMath.ratio6(col("total"),
+            col("n_sources") * col("n_docs")).as("weight"))
         .orderBy(col("source"))
     },
     Some("""
@@ -118,8 +116,9 @@ object CurationQueries {
       t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
                    count(*) AS n_sources FROM c)
       SELECT source, n_docs,
-             round(n_docs / CAST(total AS DOUBLE), 6) AS frac,
-             round(total / CAST(n_sources * n_docs AS DOUBLE), 6) AS weight
+             floor((2.0 * (n_docs) * 1000000 + (total)) / (2.0 * (total))) / 1000000 AS frac,
+             floor((2.0 * (total) * 1000000 + (n_sources * n_docs))
+                   / (2.0 * (n_sources * n_docs))) / 1000000 AS weight
       FROM c, t ORDER BY source"""))
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,

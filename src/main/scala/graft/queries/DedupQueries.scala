@@ -87,8 +87,9 @@ object DedupQueries {
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
         FROM toks)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+             floor((2.0 * (len(list_intersect(a.s, b.s))) * 1000000
+                    + (len(list_distinct(list_concat(a.s, b.s)))))
+                   / (2.0 * (len(list_distinct(list_concat(a.s, b.s)))))) / 1000000 AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE a.doc_id % 10 = 0
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -121,8 +122,9 @@ object DedupQueries {
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
         FROM toks)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+             floor((2.0 * (len(list_intersect(a.s, b.s))) * 1000000
+                    + (len(list_distinct(list_concat(a.s, b.s)))))
+                   / (2.0 * (len(list_distinct(list_concat(a.s, b.s)))))) / 1000000 AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
@@ -263,8 +265,9 @@ object DedupQueries {
       SELECT sh.doc_id,
              CAST(len(sh.s) AS INTEGER) AS n_shingles,
              CAST(len(list_intersect(sh.s, bench.grams)) AS BIGINT) AS n_contaminated,
-             round(CAST(len(list_intersect(sh.s, bench.grams)) AS DOUBLE)
-                   / greatest(len(sh.s), 1), 6) AS contamination
+             floor((2.0 * (len(list_intersect(sh.s, bench.grams))) * 1000000
+                    + greatest(len(sh.s), 1))
+                   / (2.0 * greatest(len(sh.s), 1))) / 1000000 AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
   /** End-to-end dedup: capped pairs → components → keep the minimum-id

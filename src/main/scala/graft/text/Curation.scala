@@ -62,8 +62,8 @@ object Curation {
     // bind the gram array once; referencing the shingle expression
     // twice would re-tokenize the document per reference
     element_at(transform(array(TextAnalysis.shingles(text, n)), g =>
-      round((size(g) - size(array_distinct(g))).cast(DoubleType)
-        / size(g).cast(DoubleType), 6)), 1)
+      graft.functions.DetMath.ratio6(
+        size(g) - size(array_distinct(g)), size(g))), 1)
   }
 
   /** n-gram count matching [[duplicateNgramFraction]]'s denominator. */
