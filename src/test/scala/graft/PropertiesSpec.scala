@@ -78,6 +78,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: DetMath.ratio6 equals true BigDecimal HALF_UP rounding of num/den") {
+    import org.apache.spark.sql.functions.col
+    // the contract double-rounding fails: the quotient's shortest double
+    // repr can end in ...5 while its binary value sits below the half,
+    // making engines disagree; ratio6 must match exact decimal HALF_UP
+    val gen = Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 5000L))
+    samples(Gen.listOfN(300, gen), 4).foreach { pairs =>
+      val got = pairs.toDF("num", "den")
+        .select(col("num"), col("den"),
+          graft.functions.DetMath.ratio6(col("num"), col("den")).as("r"))
+        .collect()
+      got.foreach { r =>
+        val (num, den) = (r.getLong(0), r.getLong(1))
+        val expected = (BigDecimal(num) / BigDecimal(den))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(2) == expected, s"ratio6($num, $den)")
+      }
+    }
+  }
+
   test("law: date key bijectivity (y,m,d) <-> y*10000+m*100+d over generated calendars") {
     samples(Gen.zip(Gen.choose(1995, 2030), Gen.choose(1, 12)), 6).foreach { case (y, m) =>
       val dim = DateDim.dateDimension(spark, f"$y%04d-$m%02d-01", f"$y%04d-$m%02d-28")
