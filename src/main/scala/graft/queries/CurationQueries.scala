@@ -121,6 +121,39 @@ object CurationQueries {
                    / (2.0 * (n_sources * n_docs))) / 1000000 AS weight
       FROM c, t ORDER BY source"""))
 
+  /** Exact-k quota sample per stratum (20 docs per language),
+    * deterministic: docs rank by the Knuth scramble of their id, the
+    * TopKAggregator keeps each stratum's k smallest — O(strata·k)
+    * through the shuffle, never a per-stratum sort (the window
+    * rendition sorts the dominant language's whole corpus in one
+    * task). Complement of [[qStratifiedSample]]'s rate-based sampler:
+    * quotas when the downstream needs exact counts, rates when it
+    * needs shuffle-free throughput.
+    */
+  val qQuotaSample = Q(
+    "q_quota_sample",
+    (s, d) => {
+      val topk = graft.functions.TopKAggregator.topk(20)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          // aggregator keeps highest scores; negate the scramble so
+          // "smallest hash wins" — ties break toward the lower doc_id
+          (-Curation.bucketHash(col("doc_id"), 1000000).cast("double")).as("score"))
+        .groupBy(col("lang"))
+        .agg(topk(col("score"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.id").as("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some(s"""
+      SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY $hashSql % 1000000, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20 ORDER BY lang, rank"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
-    qSourceMix)
+    qSourceMix, qQuotaSample)
 }
