@@ -56,6 +56,19 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == 0.0)
   }
 
+  test("quota sample plan uses the top-k aggregator, never a Window sort") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.queries.CurationQueries.qQuotaSample
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val hasWindow = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty
+      assert(!hasWindow, "quota sampling must not sort whole strata in a window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("pii scrub masks emails and long digit runs, leaves short numbers alone") {
     val fixture = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call 5551234567 now"),

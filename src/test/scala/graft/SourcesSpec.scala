@@ -48,6 +48,22 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new batch columns") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("schema-evolution")
+    val spark2 = spark; import spark2.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score") // later batch adds a column
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    // old rows surface the new column as null; new rows keep their value
+    assert(merged.filter(col("id") === 1L).select("score").collect()(0).isNullAt(0))
+    assert(merged.filter(col("id") === 3L).select("score").collect()(0).getDouble(0) == 0.5)
+    assert(merged.count() == 3)
+  }
+
   test("ORC round-trip preserves rows, schema and predicate pushdown") {
     val src = Tables.load(spark, "/root/testdata/sf0.001", "customer")
     val dir = tmpDir("orc-roundtrip")
