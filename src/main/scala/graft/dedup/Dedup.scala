@@ -349,10 +349,13 @@ object Dedup {
       // per-round lineage truncation is already guaranteed by `small`'s
       // checkpoint below — an eager checkpoint here would cost one extra
       // materialization job per round for nothing
+      // NOT distinct'd: duplicate (hi, lo) rows (one vertex re-pointed
+      // from several neighbors) are harmless to both consumers — minsS
+      // is a min aggregation and small's own distinct absorbs the join
+      // fan-out — and skipping it saves one full exchange per round
       val large = adj.join(minsL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // SMALL-STAR on the canonical form: group by the larger endpoint
       // u; m = min of u's smaller neighbors (< u). u and every smaller
