@@ -167,6 +167,18 @@ object EventsStreaming {
         col("imp_ts"), col("conv_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: a stream joined to a batch
+    * dimension broadcasts the dim into every micro-batch — no state
+    * store at all (unlike stream-stream joins), and the dim is re-read
+    * per trigger so slowly-updated reference tables stay current
+    * without restarting the query. The left join keeps events whose
+    * key is missing from the dim (late dim arrival must not drop
+    * facts — same posture as the batch J3 left-joins).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Idempotent streaming sink: every micro-batch is diffed against the
     * target (the U2 EXCEPT-DISTINCT primitive) before appending, so
     * replayed batches append zero rows — exactly the reference's

@@ -64,6 +64,30 @@ class SourcesSpec extends SparkSpec {
     assert(merged.count() == 3)
   }
 
+  test("CSV and JSON-lines sinks round-trip with explicit schemas") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val csvDir = tmpDir("csv-rt"); val jsonDir = tmpDir("json-rt")
+    src.write.mode("overwrite").option("header", "true").csv(csvDir)
+    src.write.mode("overwrite").json(jsonDir)
+    val fromCsv = spark.read.schema(src.schema).option("header", "true").csv(csvDir)
+    val fromJson = spark.read.schema(src.schema).json(jsonDir)
+    assert(fromCsv.except(src).isEmpty && src.except(fromCsv).isEmpty)
+    assert(fromJson.except(src).isEmpty && src.except(fromJson).isEmpty)
+  }
+
+  test("FAILFAST surfaces malformed records instead of silently nulling them") {
+    val dir = tmpDir("failfast")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "{\"id\": 1}\n{\"id\": \"not-a-number\"}\n".getBytes)
+    val read = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("id INT"))
+      .option("mode", "FAILFAST").json(dir)
+    val thrown = intercept[org.apache.spark.SparkException](read.collect())
+    assert(thrown.getMessage.contains("MALFORMED_RECORD") ||
+      String.valueOf(thrown.getCause).contains("Malformed"))
+  }
+
   test("ORC round-trip preserves rows, schema and predicate pushdown") {
     val src = Tables.load(spark, "/root/testdata/sf0.001", "customer")
     val dir = tmpDir("orc-roundtrip")

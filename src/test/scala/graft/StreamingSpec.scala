@@ -194,6 +194,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("value") == 9.5)
   }
 
+  test("stream-static join enriches events from a batch dim, keeps unmatched facts") {
+    val in = tmpDir("stream-enrich")
+    writeFixture(in) // users 7 and 8
+    val dim = Seq((7L, "gold")).toDF("user_id", "tier") // user 8 missing
+    val enriched = EventsStreaming.enrichStream(
+      EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema),
+      dim, "user_id")
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-enrich"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("enriched").collect()
+    assert(rows.length == 4, "no facts dropped")
+    assert(rows.filter(_.getAs[Long]("user_id") == 7L)
+      .forall(_.getAs[String]("tier") == "gold"))
+    assert(rows.filter(_.getAs[Long]("user_id") == 8L)
+      .forall(_.isNullAt(rows(0).fieldIndex("tier"))), "unmatched key -> null tier")
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
