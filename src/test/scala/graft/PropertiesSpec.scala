@@ -78,6 +78,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("law: scd2Merge invariants hold on generated snapshots") {
+    import org.apache.spark.sql.functions._
+    val stateGen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1, 12), Gen.oneOf("A", "B", "C"))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(1, 15), Gen.oneOf("A", "B", "C", "X"))))
+    samples(stateGen, 6).foreach { case (curPairs, snapPairs) =>
+      val current = curPairs.distinctBy(_._1).toDF("id", "seg")
+        .select(col("id"), col("seg"),
+          to_date(lit("2023-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+      val snapshot = snapPairs.distinctBy(_._1).toDF("id", "seg")
+      val out = graft.ops.ScdOps.scd2Merge(current, snapshot, "id", Seq("seg"), "2024-06-01")
+      // (1) exactly one OPEN row per key that exists anywhere
+      val openPerKey = out.filter(col("valid_to").isNull)
+        .groupBy(col("id")).count().collect()
+      assert(openPerKey.forall(_.getLong(1) == 1L), "one open row per key")
+      val allKeys = (curPairs.map(_._1) ++ snapPairs.map(_._1)).distinct.toSet
+      assert(openPerKey.map(_.getInt(0)).toSet == allKeys, "every key stays represented")
+      // (2) the open row for a snapshot key carries the snapshot value
+      val openVals = out.filter(col("valid_to").isNull)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      snapPairs.distinctBy(_._1).foreach { case (k, v) =>
+        assert(openVals(k) == v, s"open row of $k must match snapshot") }
+      // (3) closed rows end exactly at the effective date
+      out.filter(col("valid_to").isNotNull).collect().foreach { r =>
+        assert(String.valueOf(r.getDate(3)) == "2024-06-01") }
+    }
+  }
+
   test("law: DetMath.ratio6 equals true BigDecimal HALF_UP rounding of num/den") {
     import org.apache.spark.sql.functions.col
     // the contract double-rounding fails: the quotient's shortest double
