@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 
 class OpsSpec extends SparkSpec {
+
+  test("compaction: merges small files, preserves rows exactly, no-ops when compact") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val dir = tmpDir("compact") + "/t"
+    src.repartition(8).write.parquet(dir)
+    val (before, after) = graft.ops.Compaction.compactParquet(spark, dir)
+    assert(before == 8 && after == 1, s"8 small files -> 1, got $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // second run: already compact -> untouched
+    assert(graft.ops.Compaction.compactParquet(spark, dir) == ((1, 1)))
+    // and no stray tmp/backup dirs survive
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("t"), s"leftover dirs: $parent")
+  }
   import spark.implicits._
 
   test("Fs.exists is scheme-aware: bare path and file: URI agree") {
