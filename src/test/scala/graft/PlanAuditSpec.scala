@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression guard over the ENTIRE registry: the scale
+  * rules the manual `Explain` audits enforce, pinned as a spec so a
+  * refactor can't silently reintroduce an all-pairs join or a
+  * sort-everything global window. AQE is disabled for the inspection
+  * (AdaptiveSparkPlanExec is a leaf and hides its children from
+  * collect), so these are the static plans Catalyst commits to.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // intentional exceptions, each with a reason the scaladoc of the
+  // query documents:
+  private val cartesianAllowed = Set(
+    "q_join_cross") // the CROSS JOIN parity operator itself
+  private val globalWindowAllowed = Set(
+    "q_surrogate_key") // reference-parity global row_number over a
+                       // dim-scale table; scalableSurrogateKey is the
+                       // 100 TB path
+
+  private def plans = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.registry.map { q =>
+        q.name -> (try Some(q.run(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan)
+        catch { case _: Throwable => None })
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("no registry query plans a cartesian product or an unpartitioned window") {
+    val offenders = plans.flatMap { case (name, planOpt) =>
+      planOpt.toSeq.flatMap { plan =>
+        val cart = plan.collect { case c: CartesianProductExec => c }.nonEmpty
+        val globalWin = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        Seq(
+          if (cart && !cartesianAllowed(name)) Some(s"$name: CartesianProduct") else None,
+          if (globalWin && !globalWindowAllowed(name)) Some(s"$name: global Window") else None
+        ).flatten
+      }
+    }
+    assert(offenders.isEmpty, s"plan-shape violations:\n  ${offenders.mkString("\n  ")}")
+  }
+}
