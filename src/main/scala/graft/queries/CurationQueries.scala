@@ -154,6 +154,71 @@ object CurationQueries {
         FROM documents)
       WHERE rn <= 20 ORDER BY lang, rank"""))
 
+  /** The full preprocessing pipeline as ONE composition — the actual
+    * use case every individual operator exists for:
+    * quality/language curation → exact dedup (canonical doc per
+    * fingerprint) → reproducible split assignment → per-split account.
+    * Each stage is an operator already oracle-proven in isolation;
+    * this query proves they compose (filters push through, the dedup
+    * group-by keys on the fingerprint of the CURATED set, the split is
+    * a pure function of the surviving ids).
+    */
+  val qPipelineE2e = Q(
+    "q_pipeline_e2e",
+    (s, d) => {
+      import graft.text.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val curated = docs
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          explode(array(TextAnalysis.docMetrics(col("text")))).as("m"))
+        .filter(round(col("m.quality"), 6) >= 0.5 && col("m.pred_lang") === "en")
+      val canonical = curated
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("keep",
+          col("doc_id") === min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("keep"))
+      canonical
+        .select(col("n_chars"),
+          Curation.splitAssign(col("doc_id"), 900, 50).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, n_chars, text,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS nc,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) AS stop_h,
+               len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN ('the','a','of','and','to','in','is','that'))) AS en_h,
+               len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de_h,
+               len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN ('el','la','de','y','que','en','un','es'))) AS es_h,
+               len(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0 AND w IN ('le','la','et','les','des','un','une','est'))) AS fr_h,
+               regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        FROM documents),
+      curated AS (
+        SELECT doc_id, n_chars, text FROM m
+        WHERE round(least(n_tok / 64.0, 1.0) * 0.5
+                    + (1.0 - n_punct / greatest(nc, 1.0)) * 0.25
+                    + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6) >= 0.5
+          AND NOT cjk
+          AND greatest(en_h, de_h, es_h, fr_h) > 0
+          AND en_h = greatest(en_h, de_h, es_h, fr_h)),
+      canonical AS (
+        SELECT doc_id, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keeper
+        FROM curated)
+      SELECT CASE WHEN $hashSql % 1000 < 900 THEN 'train'
+                  WHEN $hashSql % 1000 < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM canonical WHERE doc_id = keeper
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
-    qSourceMix, qQuotaSample)
+    qSourceMix, qQuotaSample, qPipelineE2e)
 }
