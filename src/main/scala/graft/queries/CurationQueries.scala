@@ -217,7 +217,8 @@ object CurationQueries {
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS n_chars_total
       FROM canonical WHERE doc_id = keeper
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qQuotaSample, qPipelineE2e)
