@@ -148,9 +148,17 @@ object EventsStreaming {
     * — state is O(keys · horizon), never O(stream). Inner join: an
     * attribution row exists only once both sides have arrived.
     */
+  /** @param joinType "inner" (attributions only) or "left_outer" —
+    *   unconverted impressions emit with null conversion columns once
+    *   the watermark passes their horizon, so conversion RATE is
+    *   computable from the stream itself. Outer rows only materialize
+    *   as the watermark advances: state must expire before Spark can
+    *   prove no match is coming.
+    */
   def attributionJoin(impressions: DataFrame, conversions: DataFrame,
                       horizonSeconds: Long = 1800,
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val imp = impressions
       .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
         col("ts").as("imp_ts"))
@@ -162,7 +170,8 @@ object EventsStreaming {
     imp.join(conv,
       col("imp_user") === col("conv_user") &&
         col("conv_ts") >= col("imp_ts") &&
-        col("conv_ts") <= col("imp_ts") + expr(s"interval $horizonSeconds seconds"))
+        col("conv_ts") <= col("imp_ts") + expr(s"interval $horizonSeconds seconds"),
+      joinType)
       .select(col("imp_user").as("user_id"), col("imp_id"), col("conv_id"),
         col("imp_ts"), col("conv_ts"), col("value"))
   }

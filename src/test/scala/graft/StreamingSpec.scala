@@ -194,6 +194,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("value") == 9.5)
   }
 
+  test("left-outer attribution surfaces unconverted impressions after the watermark") {
+    // Outer rows flush only in a batch AFTER the min-across-inputs
+    // watermark passes the impression's horizon: BOTH inputs need late
+    // events (the global watermark is the minimum), and one further
+    // batch must run after that watermark commits. Hence the staged
+    // files + maxFilesPerTrigger=1.
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val impDir = tmpDir("stream-imp-lo"); val convDir = tmpDir("stream-conv-lo")
+    Seq(
+      Event(100L, ts(0), 7L, "impression", 0.0),  // converts
+      Event(101L, ts(5), 8L, "impression", 0.0)   // never converts
+    ).toDS().repartition(1).write.mode("append").parquet(impDir)
+    Seq(Event(102L, t("15:00"), 99L, "impression", 0.0)) // watermark pusher
+      .toDS().repartition(1).write.mode("append").parquet(impDir)
+    Seq(
+      Event(200L, ts(20), 7L, "purchase", 9.5),
+      Event(201L, t("14:00"), 9L, "purchase", 1.0)
+    ).toDS().repartition(1).write.mode("append").parquet(convDir)
+    Seq(Event(202L, t("15:00"), 98L, "purchase", 1.0))
+      .toDS().repartition(1).write.mode("append").parquet(convDir)
+    Seq(Event(203L, t("16:00"), 97L, "purchase", 1.0)) // post-watermark batch
+      .toDS().repartition(1).write.mode("append").parquet(convDir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = EventsStreaming.attributionJoin(
+      stream(impDir), stream(convDir),
+      watermark = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_lo")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-attrib-lo"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("attrib_lo").collect()
+    val byImp = rows.groupBy(_.getAs[Long]("imp_id"))
+    assert(byImp(100L).exists(_.getAs[Long]("conv_id") == 200L), "conversion attributed")
+    assert(byImp(101L).forall(_.isNullAt(rows(0).fieldIndex("conv_id"))),
+      "unconverted impression emits with null conversion")
+  }
+
   test("stream-static join enriches events from a batch dim, keeps unmatched facts") {
     val in = tmpDir("stream-enrich")
     writeFixture(in) // users 7 and 8
