@@ -111,14 +111,13 @@ object CurationQueries {
             col("n_sources") * col("n_docs")).as("weight"))
         .orderBy(col("source"))
     },
-    Some("""
+    Some(s"""
       WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
                    count(*) AS n_sources FROM c)
       SELECT source, n_docs,
-             floor((2.0 * (n_docs) * 1000000 + (total)) / (2.0 * (total))) / 1000000 AS frac,
-             floor((2.0 * (total) * 1000000 + (n_sources * n_docs))
-                   / (2.0 * (n_sources * n_docs))) / 1000000 AS weight
+             ${graft.functions.DetMath.ratio6Sql("n_docs", "total")} AS frac,
+             ${graft.functions.DetMath.ratio6Sql("total", "n_sources * n_docs")} AS weight
       FROM c, t ORDER BY source"""))
 
   /** Exact-k quota sample per stratum (20 docs per language),
