@@ -1,8 +1,10 @@
 package graft.dedup
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
 import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines.
@@ -308,8 +310,20 @@ object Dedup {
     * star per component, centred on the component minimum — arrives in
     * O(log n) rounds regardless of chain length (min-label propagation
     * needs O(diameter) rounds). Each half-round is one keyed
-    * aggregation + one keyed join — no global state, no collect;
-    * `localCheckpoint` truncates the growing lineage per round.
+    * aggregation + one keyed join — no global state, no collect.
+    *
+    * The edge build and the final label join are DataFrames; the
+    * iterative tail runs on a typed `RDD[(Long, Long)]`. This is a
+    * measured decision, not style: the loop is driver-synchronized
+    * (convergence is data-dependent), so Catalyst can never plan across
+    * rounds, and under AQE each round paid ~0.8 s of per-stage
+    * re-planning + scheduling against ~0.6 s of actual work at sf0.1 —
+    * pure fixed overhead that scales with ROUNDS, not data. The RDD
+    * tail keeps the identical distributed shape (reduceByKey + join per
+    * half-round, partition counts tracking the shrinking edge set at
+    * ~50k rows/partition with the initial edge partitioning as the
+    * ceiling) and pays milliseconds of driver time per round — the same
+    * trade GraphX makes for iterative graph contraction.
     *
     * @param docs  vertex universe (singletons become their own cluster)
     * @param pairs undirected edges (aCol, bCol)
@@ -326,60 +340,75 @@ object Dedup {
   def dedupClustersWithRounds(docs: DataFrame, idCol: String, pairs: DataFrame,
                               aCol: String = "doc_a", bCol: String = "doc_b",
                               maxIter: Int = 25): (DataFrame, Int) = {
-    // canonical undirected edge list (hi > lo), self-loops dropped.
-    // materialized ONCE — `pairs` may itself be an expensive subplan
-    // (e.g. the exact Jaccard graph)
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("hi"),
-        least(col(aCol), col(bCol)).as("lo"))
+    val spark = docs.sparkSession
+    // canonical undirected edge list (hi > lo), self-loops (and null
+    // endpoints, via the null-rejecting =!=) dropped, integral ids
+    // widened to long. ONE Catalyst plan — `pairs` may itself be an
+    // expensive subplan (e.g. the exact Jaccard graph) and is computed
+    // exactly once, by the count() below.
+    val canonical = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("hi"),
+        least(col(aCol), col(bCol)).cast("long").as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint()
+    var edges: RDD[(Long, Long)] = canonical.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edgeCount = edges.count()
+    // the edge set shrinks towards one row per non-canonical vertex;
+    // keep ~50k rows per partition (ceiling: the initial partitioning,
+    // which tracks cluster size) so late rounds run one dense task
+    // instead of shuffle.partitions near-empty ones
+    val maxParts = math.max(edges.getNumPartitions, 1)
+    val rowsPerPartition = 50000L
+    def parts(n: Long): Int =
+      math.max(1L, math.min(maxParts.toLong,
+        (n + rowsPerPartition - 1) / rowsPerPartition)).toInt
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (!converged && iter < maxIter) {
-      // LARGE-STAR: adjacency from both directions, grouped by u; every
+      val p = parts(edgeCount)
+      // LARGE-STAR: adjacency from both directions, keyed by u; every
       // neighbor v > u re-points at m = min(Γ(u) ∪ {u}) ≤ u < v, so the
       // output is already canonical (hi=v > lo=m) and self-loop-free.
-      val adj = edges.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val minsL = adj.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
-      // persist, not localCheckpoint: `large` has two consumers within
-      // THIS round (the minsS aggregation and the small-star join), but
-      // per-round lineage truncation is already guaranteed by `small`'s
-      // checkpoint below — an eager checkpoint here would cost one extra
-      // materialization job per round for nothing
       // NOT distinct'd: duplicate (hi, lo) rows (one vertex re-pointed
       // from several neighbors) are harmless to both consumers — minsS
-      // is a min aggregation and small's own distinct absorbs the join
+      // is a min reduction and small's own distinct absorbs the join
       // fan-out — and skipping it saves one full exchange per round
-      val large = adj.join(minsL, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // SMALL-STAR on the canonical form: group by the larger endpoint
-      // u; m = min of u's smaller neighbors (< u). u and every smaller
+      val adj = edges.flatMap { case (h, l) => Iterator((h, l), (l, h)) }
+      val minsL = adj.reduceByKey(math.min(_, _), p)
+        .map { case (u, mn) => (u, math.min(mn, u)) }
+      val large = adj.join(minsL, p)
+        .flatMap { case (u, (v, m)) => if (v > u) Iterator((v, m)) else Iterator.empty }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // SMALL-STAR on the canonical form: key by the larger endpoint u;
+      // m = min of u's smaller neighbors (< u). u and every smaller
       // neighbor re-point at m (m itself would be a self-loop — drop).
-      val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val small = large.join(minsS, "hi")
-        .select(explode(array(
-          struct(col("hi").as("h"), col("m").as("l")),
-          struct(col("lo").as("h"), col("m").as("l")))).as("e"))
-        .select(col("e.h").as("hi"), col("e.l").as("lo"))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()
-        .localCheckpoint()
-      // small is materialized (eager checkpoint) — this round's large
-      // cache is dead; drop it so 25 rounds can't accumulate 25 cached
-      // edge sets
-      large.unpersist(false)
+      // |small| ≤ |edges| (large-star preserves edge count per group,
+      // small-star emits ≤ k edges per k-edge group), so last round's
+      // count is a valid partition-sizing bound for this round's output.
+      val minsS = large.reduceByKey(math.min(_, _), p)
+      val small = large.join(minsS, p)
+        .flatMap { case (h, (l, m)) => Iterator((h, m), (l, m)) }
+        .filter { case (h, l) => h != l }
+        .distinct(p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // fixpoint = edge set unchanged over a full round: both sides are
       // distinct sets, so equal ⇔ symmetric difference empty — rows of
-      // the concatenation appearing once are in exactly one set. ONE
-      // aggregation job per round instead of a count + an anti-join.
-      converged = small.union(edges)
-        .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") === 1).isEmpty
+      // the concatenation whose weight sum ≠ 1+2 are in exactly one set.
+      // This single action is the whole round's driver sync: it
+      // materializes `small`'s cache, decides convergence, and yields
+      // next round's edge count (which sizes the next round's shuffles).
+      val (diff, cnt) = small.map(e => (e, 1L)).union(edges.map(e => (e, 2L)))
+        .reduceByKey(_ + _, p)
+        .map { case (_, s) => (if (s != 3L) 1L else 0L, if (s != 2L) 1L else 0L) }
+        .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+      // small is materialized — this round's upstream caches are dead;
+      // drop them so 25 rounds can't accumulate 25 cached edge sets
+      large.unpersist(false)
+      edges.unpersist(false)
+      converged = diff == 0L
+      edgeCount = cnt
       edges = small
       iter += 1
     }
@@ -392,8 +421,9 @@ object Dedup {
         s"dedupClusters did not converge within $maxIter large/small-star rounds")
     // at the fixpoint every component is a star centred on its minimum:
     // each non-centre member has exactly one edge (member=hi → centre=lo)
+    import spark.implicits._
     val labels = docs.select(col(idCol).as("doc_id"))
-      .join(edges.select(col("hi").as("doc_id"), col("lo").as("__c")), Seq("doc_id"), "left")
+      .join(spark.createDataset(edges).toDF("doc_id", "__c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster_id"))
     (labels, iter)
   }
