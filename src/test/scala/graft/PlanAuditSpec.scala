@@ -48,4 +48,18 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"plan-shape violations:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("q_percentiles is sketch-anchored: no exact percentile value buffer in its plan") {
+    // exact `percentile` keeps a value→count map per group — over the
+    // near-unique l_extendedprice that buffer approaches the full column
+    // on one reducer at scale. The query must plan approx_percentile
+    // (bounded mergeable sketch) and nothing percentile-exact.
+    val plan = graft.queries.SqlQueries.qPercentiles
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"),
+      "expected the approx_percentile sketch aggregate")
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"exact percentile aggregate found in plan:\n$plan")
+  }
 }
