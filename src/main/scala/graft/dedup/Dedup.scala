@@ -425,8 +425,16 @@ object Dedup {
     val labels = docs.select(col(idCol).as("doc_id"))
       .join(spark.createDataset(edges).toDF("doc_id", "__c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster_id"))
+    lastClusterRounds = iter
     (labels, iter)
   }
+
+  /** Rounds taken by the most recent [[dedupClustersWithRounds]] call in
+    * this JVM. Bench observability only: the iterative operator's
+    * convergence behavior surfaces in the bench JSON line without
+    * changing any query's result schema.
+    */
+  @volatile var lastClusterRounds: Int = -1
 
   /** The dedup ACTION: filter a corpus to one canonical document per
     * near-dup cluster (the member whose id equals the cluster label,
