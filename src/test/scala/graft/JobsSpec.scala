@@ -79,6 +79,62 @@ class JobsSpec extends SparkSpec with JobFixtures {
       overnight(0).getAs[Int]("flight_date_dim_id") == 20240101)
   }
 
+  test("DailyPipeline runs the DAG order end to end; same-date replay writes zero everywhere") {
+    val lake = tmpDir("lake3") + "/flights"
+    val wh = new ParquetWarehouse(tmpDir("wh3"))
+    val in = DailyPipeline.Inputs(FixtureSource, lake, airports,
+      aircraftsDf, manufacturersDf, typesDf, airlinesDf)
+    val p = DailyPipeline.Params("EDDF", java.time.LocalDate.of(2024, 1, 1),
+      dimDatesStart = "2024-01-01", dimDatesEnd = "2024-01-31", retryDelayMs = 0L)
+
+    val r1 = DailyPipeline.run(spark, wh, in, p)
+    assert(r1 == DailyPipeline.Report(
+      extractedRows = 5, airportsRewritten = true, datesAdded = 31,
+      aircraftsRewritten = true, factRows = 4))
+    // the composed run produced the same warehouse as the task-by-task spec
+    assert(wh.table(spark, "dim_airports").count() == 3)
+    assert(wh.table(spark, "dim_aircrafts").count() == 2)
+    assert(wh.table(spark, "fct_flights").count() == 4)
+
+    // Airflow skip-if-done semantics without the scheduler: a same-date
+    // replay is all zeros/false — nothing appended, nothing rewritten
+    val r2 = DailyPipeline.run(spark, wh, in, p)
+    assert(r2 == DailyPipeline.Report(0L, false, 0L, false, 0L))
+    assert(wh.table(spark, "fct_flights").count() == 4)
+  }
+
+  test("DailyPipeline retries only the extract seam (reference retries=5)") {
+    val lake = tmpDir("lake4") + "/flights"
+    val wh = new ParquetWarehouse(tmpDir("wh4"))
+    var calls = 0
+    val flaky = new FlightSource {
+      def fetch(a: String, b: Long, e: Long, dir: String): Seq[Row] = {
+        calls += 1
+        if (calls <= 2) throw new RuntimeException(s"transient API failure $calls")
+        FixtureSource.fetch(a, b, e, dir)
+      }
+    }
+    val in = DailyPipeline.Inputs(flaky, lake, airports,
+      aircraftsDf, manufacturersDf, typesDf, airlinesDf)
+    val p = DailyPipeline.Params("EDDF", java.time.LocalDate.of(2024, 1, 1),
+      dimDatesStart = "2024-01-01", dimDatesEnd = "2024-01-31", retryDelayMs = 0L)
+    val r = DailyPipeline.run(spark, wh, in, p)
+    assert(r.extractedRows == 5 && r.factRows == 4)
+    assert(calls == 4) // 2 failed attempts, then departure+arrival succeed
+
+    // retry budget exhausted -> the original failure surfaces
+    val alwaysDown = new FlightSource {
+      def fetch(a: String, b: Long, e: Long, dir: String): Seq[Row] =
+        throw new RuntimeException("API down")
+    }
+    val ex = intercept[RuntimeException] {
+      DailyPipeline.run(spark, new ParquetWarehouse(tmpDir("wh5")),
+        in.copy(source = alwaysDown, lakeDir = tmpDir("lake5") + "/flights"),
+        p.copy(extractRetries = 2))
+    }
+    assert(ex.getMessage == "API down")
+  }
+
   test("cleanse order: sentinel-only rows survive as all-NULL, dropped-column-only rows don't") {
     // reference order is drop-cols -> dropna(all) -> filters -> sentinel-to-NULL
     val sentinelOnly = Row(null, "-UNKNOWN-", null, null, null, null, null, null,
