@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * [[StubCodec]] for a real JNI/javacv codec without touching anything
   * else.
   *
-  * Scale notes: decode runs via `mapPartitions` (one codec init per
-  * partition, not per row — the same batching rationale as Arrow-batch
-  * UDFs); frame sampling multiplies rows via `posexplode` *after*
-  * predicate pushdown has had its chance at the scan.
+  * Scale notes: the codec step runs via `Dataset.mapPartitions` (one
+  * codec init per partition, not per row — the same batching rationale
+  * as Arrow-batch UDFs), NOT an `.rdd` hop: the typed hop keeps the
+  * whole operator inside one Catalyst plan, so the op-internal
+  * projection to (id, content) reaches the parquet scan as ReadSchema —
+  * a media table that grows metadata columns never pays their I/O here
+  * (spec-pinned in MultimodalSpec). Frame sampling multiplies rows via
+  * `posexplode` *after* predicate pushdown has had its chance at the
+  * scan.
   */
 object Multimodal {
 
@@ -77,7 +82,9 @@ object Multimodal {
 
   /** Decode pass: binary content → metadata struct, batched per
     * partition. Output schema is explicit so downstream plans bind
-    * without inference.
+    * without inference. Pass-through contract: `decoded` is appended to
+    * whatever columns arrive, so the CALLER's projection decides what
+    * the scan reads — project before decoding a wide table.
     */
   def decode(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
@@ -86,59 +93,55 @@ object Multimodal {
         StructField("height", IntegerType),
         StructField("duration_ms", IntegerType)))))
     val contentIdx = media.schema.fieldIndex("content")
-    val rdd = media.rdd.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       // codec init would happen here, once per partition
       rows.map { row =>
         val payload = row.getAs[Array[Byte]](contentIdx)
         val (w, h, dur) = StubCodec.decodeMeta(if (payload == null) Array.emptyByteArray else payload)
         Row.fromSeq(row.toSeq :+ Row(w, h, dur))
       }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Feature-extraction pass: binary content → dense `array<float>`,
     * batched per partition (codec init once per partition). The stub
     * emits the byte-histogram fake; a real deployment swaps in an
-    * embedding model's forward pass with the same batch shape.
+    * embedding model's forward pass with the same batch shape. Only
+    * (id, content) enter the per-partition hop — the projection is part
+    * of this plan, so parquet reads exactly two columns however wide
+    * the media table is.
     */
   def extractFeatures(media: DataFrame, idCol: String, contentCol: String,
                       k: Int): DataFrame = {
     val outSchema = StructType(Seq(
       media.schema(idCol),
       StructField("feature", ArrayType(FloatType), nullable = false)))
-    val idIdx = media.schema.fieldIndex(idCol)
-    val contentIdx = media.schema.fieldIndex(contentCol)
-    val rdd = media.rdd.mapPartitions { rows =>
+    media.select(col(idCol), col(contentCol)).mapPartitions { rows =>
       // model/codec init would happen here, once per partition
       rows.map { row =>
-        val payload = row.getAs[Array[Byte]](contentIdx)
-        Row(row.get(idIdx),
+        val payload = row.getAs[Array[Byte]](1)
+        Row(row.get(0),
           StubCodec.features(if (payload == null) Array.emptyByteArray else payload, k).toSeq)
       }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Resize pass: binary content → smaller binary content (≤ target
     * bytes), batched per partition. Keeps the id column plus the
-    * resized payload.
+    * resized payload; same pruned two-column hop as [[extractFeatures]].
     */
   def resize(media: DataFrame, idCol: String, contentCol: String,
              targetBytes: Int): DataFrame = {
     val outSchema = StructType(Seq(
       media.schema(idCol),
       StructField("resized", BinaryType)))
-    val idIdx = media.schema.fieldIndex(idCol)
-    val contentIdx = media.schema.fieldIndex(contentCol)
-    val rdd = media.rdd.mapPartitions { rows =>
+    media.select(col(idCol), col(contentCol)).mapPartitions { rows =>
       rows.map { row =>
-        val payload = row.getAs[Array[Byte]](contentIdx)
-        Row(row.get(idIdx),
+        val payload = row.getAs[Array[Byte]](1)
+        Row(row.get(0),
           StubCodec.resize(if (payload == null) Array.emptyByteArray else payload, targetBytes))
       }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Sample up to nFrames fixed-stride "frames" (byte slices) per

@@ -53,4 +53,25 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(1L)).startsWith("adgj"))
     assert(new String(out(2L)) == "tiny") // already under target
   }
+
+  test("the codec hop stays in one plan and prunes a wide table's scan to id+content") {
+    // the mapPartitions codec seam must NOT be an .rdd hop: with a typed
+    // hop the op-internal (id, content) projection reaches the parquet
+    // scan as ReadSchema, so a media table that grows metadata columns
+    // (here documents.parquet: 5 columns) never pays their I/O
+    val dir = java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")
+    assume(java.nio.file.Files.exists(dir), "driver testdata not present")
+    val wide = spark.read.parquet(dir.toString)
+    assert(wide.schema.fieldNames.length > 2, "fixture must be wider than the hop")
+    for (op <- Seq(
+        Multimodal.extractFeatures(wide, "doc_id", "text", k = 4),
+        Multimodal.resize(wide, "doc_id", "text", targetBytes = 16))) {
+      val scans = op.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected the parquet scan inside the op's own plan")
+      assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+        s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")} — pruning defeated")
+    }
+  }
 }
