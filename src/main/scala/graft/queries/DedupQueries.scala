@@ -319,8 +319,70 @@ object DedupQueries {
         ON d.doc_id = c.v AND d.doc_id = c.cluster_id
       ORDER BY d.doc_id"""))
 
+  /** Leakage-proof train/val/test split: the split is a pure function
+    * of the near-dup CLUSTER label, not the doc id, so every member of
+    * a near-dup cluster lands in the same split. Hashing raw doc ids
+    * (qSplitAssign's posture for an already-deduplicated corpus) leaks
+    * near-copies of training documents into val/test — the classic
+    * contamination bug cluster-aware splitting exists to prevent.
+    * Composition: capped pair graph → connected components → Knuth-hash
+    * split of the cluster label. Per split it accounts docs and
+    * clusters; a cluster's label IS its minimum member id, so counting
+    * `doc_id = cluster_id` rows counts clusters with no distinct
+    * Expand.
+    */
+  val qSplitLeakproof = Q(
+    "q_split_leakproof",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        k = 3, tau = 0.3, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
+      Dedup.dedupClusters(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          graft.text.Curation.splitAssign(col("cluster_id"), 900, 50).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("n_clusters"))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+      lab AS (SELECT v AS doc_id, min(label) AS cluster_id FROM reach GROUP BY v)
+      SELECT CASE WHEN ((cluster_id % 999999937) * 2654435761) % 1000 < 900 THEN 'train'
+                  WHEN ((cluster_id % 999999937) * 2654435761) % 1000 < 950 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
+      FROM lab GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupClusters, qDecontaminate,
-    qDedupKeep)
+    qDedupKeep, qSplitLeakproof)
 }

@@ -310,6 +310,45 @@ object TextQueries {
       SELECT doc_id, CAST(rk AS INTEGER) AS rank, term, score
       FROM r WHERE rk <= 3 ORDER BY doc_id, rank"""))
 
+  /** Sequence-packing estimate per source — the batch-planning number a
+    * training run needs before it starts: at context length L, documents
+    * concatenate into ceil(total_tokens / L) packed rows, and
+    * total/(packed·L) is the token-occupancy of those rows (1.0 = every
+    * context slot filled). One aggregation over per-row token counts —
+    * integer math end to end (ceil via (t + L−1) div L, occupancy via
+    * DetMath.ratio6), so the plan is a single codegen'd pass with
+    * map-side partials.
+    */
+  val qPackEstimate = Q(
+    "q_pack_estimate", {
+      val L = 2048
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          // `div` = integer division on both engines; `/` would detour
+          // through double
+          expr(s"(total_tokens + ${L - 1}) DIV $L").as("packed_rows"),
+          graft.functions.DetMath.ratio6(col("total_tokens"),
+            expr(s"((total_tokens + ${L - 1}) DIV $L) * $L")).as("occupancy"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS BIGINT) AS n_tok
+        FROM documents),
+      a AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM t GROUP BY source)
+      SELECT source, n_docs, total_tokens,
+             (total_tokens + 2047) // 2048 AS packed_rows,
+             ${graft.functions.DetMath.ratio6Sql("total_tokens",
+                "((total_tokens + 2047) // 2048) * 2048")} AS occupancy
+      FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms)
+    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms,
+    qPackEstimate)
 }

@@ -33,6 +33,30 @@ class CurationSpec extends SparkSpec {
     assert(before.except(after).isEmpty && after.except(before).isEmpty)
   }
 
+  test("cluster-keyed split co-locates near-dups that doc-keyed hashing would leak") {
+    // pair i with i+777 as near-dup clusters; with per-doc hashing some
+    // pairs straddle train/test (that's the leak), with cluster hashing
+    // none can — and the fixture must actually CONTAIN leaking pairs or
+    // the test proves nothing. (An offset of 1000 would prove nothing:
+    // Knuth·1000 ≡ 0 mod 1000, so i and i+1000 always share a bucket.)
+    val off = 777L
+    val pairs = (0L until 1000L).map(i => (i, i + off)).toDF("doc_a", "doc_b")
+    val byDoc = docs
+      .select(col("doc_id"), Curation.splitAssign(col("doc_id"), 900, 50).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leakingPairs = (0L until 1000L).count(i => byDoc(i) != byDoc(i + off))
+    assert(leakingPairs > 0, "fixture must contain doc-hash-split pairs")
+
+    val clusters = graft.dedup.Dedup.dedupClusters(docs, "doc_id", pairs)
+    val splitOf = clusters
+      .select(col("doc_id"), Curation.splitAssign(col("cluster_id"), 900, 50).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 1000L).foreach { i =>
+      assert(splitOf(i) == splitOf(i + off),
+        s"cluster {$i, ${i + off}} split across ${splitOf(i)}/${splitOf(i + off)}")
+    }
+  }
+
   test("sampledAt keeps a deterministic subset at roughly the rate") {
     val kept = docs.filter(Curation.sampledAt(col("doc_id"), lit(0.1)))
     val n = kept.count()
