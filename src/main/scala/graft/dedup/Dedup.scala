@@ -472,6 +472,42 @@ object Dedup {
       .distinct() // both-probe pairs arrive from each direction
   }
 
+  /** Embedding-cosine near-dup pairs, ALL-PAIRS scale path: multi-table
+    * hyperplane-LSH buckets generate candidates (ids-only self-join per
+    * (table, bucket), deduplicated across tables BEFORE vectors are
+    * fetched — the [[minhashPairs]] wire discipline applied to vectors),
+    * then exact rounded cosine ≥ tau is the emitted contract. Where
+    * [[embeddingPairs]] broadcasts a probe batch against the corpus
+    * (O(|probes|·N)), this never forms a cross product: cost is bucket
+    * collisions only, and `maxBucketSize` drops degenerate buckets the
+    * same way the text LSH tiers do. Recall < 1 by design — tables (up)
+    * and bits (down) are the recall knobs; the emitted set is always a
+    * subset of the exact pair graph, contract-checked by measured
+    * recall in q_dedup_embedding_lsh.
+    */
+  def embeddingPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, tables: Int = 16, bits: Int = 6,
+                        maxBucketSize: Int = 4096,
+                        logDroppedBuckets: Boolean = false): DataFrame = {
+    val assigned = cachedOnce(
+      graft.similarity.Similarity.lshAssignTables(vecs, idCol, vecCol, tables, bits))
+    val capped = capBuckets(assigned, Seq("htable", "bucket"),
+      maxBucketSize, logDroppedBuckets, "embedding-lsh buckets")
+    val pairIds = capped.select(col(idCol).as("id_a"), col("htable"), col("bucket"))
+      .join(capped.select(col(idCol).as("id_b"), col("htable"), col("bucket")),
+        Seq("htable", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairIds
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .withColumn("score",
+        round(graft.functions.VectorExpressions.cosine_sim(col("__va"), col("__vb")), 6))
+      .filter(col("score") >= tau)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** 64-bit SimHash fingerprints: each token hash votes ±1 per bit
     * position; the sign of each accumulated position is the fingerprint
     * bit. Computed as explode → 64 conditional-sum aggregates — all

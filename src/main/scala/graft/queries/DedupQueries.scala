@@ -189,6 +189,45 @@ object DedupQueries {
       FROM s WHERE score >= 0.35
       ORDER BY id_a, id_b"""))
 
+  /** ALL-PAIRS embedding near-dup via hyperplane-LSH buckets — the
+    * scale path ([[Dedup.embeddingPairsLsh]]: never probes × corpus,
+    * only bucket collisions meet). Contract oracle, one full-outer join
+    * + one aggregation: the LSH pair set must be a SUBSET of the exact
+    * rounded-cosine ≥ 0.35 graph (structural — candidates are verified
+    * with the same exact cosine) with measured recall ≥ 0.9 (32 tables
+    * × 4 bits measures 0.996 at sf0.001, 1.0 at sf0.01; the bound sits
+    * under the floor). DuckDB recomputes the exact graph and asserts
+    * the booleans TRUE — the hash only matches if the LSH genuinely
+    * clears both.
+    */
+  val qDedupEmbeddingLsh = Q(
+    "q_dedup_embedding_lsh",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+          tau = 0.35, tables = 32, bits = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("__l"))
+      val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+          tau = 0.35, probePred = _ => lit(true))
+        .select(col("id_a"), col("id_b"), lit(1).as("__e"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("__e"), lit(0))).cast("bigint").as("n_exact"),
+          (sum(when(col("__e").isNotNull && col("__l").isNotNull, 1).otherwise(0))
+            .cast("double")
+            / sum(coalesce(col("__e"), lit(0))) >= 0.9).as("recall_ok"),
+          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0).as("subset_ok"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS subset_ok
+      FROM p WHERE score >= 0.35"""))
+
   /** Near-dup clusters: connected components (alternating
     * large-star/small-star contraction) over the exact all-pairs Jaccard
     * graph at tau 0.3 with the [[ClusterMaxDf]] document-frequency cap
@@ -383,6 +422,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
-    qDedupSimhash, qDedupEmbedding, qDedupClusters, qDecontaminate,
-    qDedupKeep, qSplitLeakproof)
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupClusters,
+    qDecontaminate, qDedupKeep, qSplitLeakproof)
 }
