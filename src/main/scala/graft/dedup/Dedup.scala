@@ -293,6 +293,39 @@ object Dedup {
           col("n_contaminated"), greatest(col("n_shingles"), lit(1))))
   }
 
+  /** Bloom-filter decontamination PRE-FILTER — the fixed-size rendition
+    * of [[contamination]]'s candidate step for corpora where the
+    * distinct benchmark-gram relation outgrows the broadcast ceiling.
+    * Builds ONE Bloom filter over the benchmark's shingle hashes
+    * (mergeable aggregate; `numBits` caps the memory however large the
+    * benchmark grows) and flags every corpus doc ANY of whose shingles
+    * might be benchmark material. One-sided by construction: Bloom
+    * filters have no false negatives, so a truly contaminated doc can
+    * never be missed; false positives only send a bounded extra
+    * fraction of clean docs to the exact verify ([[contamination]] on
+    * the flagged subset). The probe side is a single broadcast of the
+    * filter bytes + a codegen'd membership test per shingle row.
+    */
+  def contaminationBloomFlags(corpus: DataFrame, idCol: String, textCol: String,
+                              bench: DataFrame, benchTextCol: String, k: Int,
+                              estimatedItems: Long = 1L << 20,
+                              numBits: Long = 1L << 23): DataFrame = {
+    import graft.functions.BloomFunctions
+    // scalar subquery, not a join: might_contain requires a constant or
+    // scalar-subquery filter side; the subquery runs once and its bytes
+    // ship to every task like any scalar
+    val bloom = BloomFunctions.scalarOf(bench
+      .select(explode(array_distinct(
+        TextAnalysis.shingleHashes(col(benchTextCol), k))).as("hs"))
+      .agg(BloomFunctions.bloomFilterAgg(col("hs"), estimatedItems, numBits).as("__bf")))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(max(BloomFunctions.mightContain(bloom, col("hs")).cast("int")).as("__h"))
+      .select(col("doc_id"), (col("__h") === 1).as("bloom_hit"))
+  }
+
   /** Near-dup CLUSTERS from a pair graph: connected components by
     * alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14 — public

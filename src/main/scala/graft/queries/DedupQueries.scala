@@ -309,6 +309,37 @@ object DedupQueries {
                    / (2.0 * greatest(len(sh.s), 1))) / 1000000 AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
+  /** Bloom pre-filtered decontamination, contract-checked against the
+    * exact rendition: `no_false_negatives` is the Bloom guarantee
+    * (every doc the exact pass finds contaminated is flagged) and the
+    * false-positive rate among clean docs stays under 5% (the fraction
+    * the pre-filter would needlessly send to exact verification).
+    * DuckDB asserts the booleans TRUE and recounts the corpus — a hash
+    * match means the fixed-size pre-filter genuinely dominates the
+    * exact candidate step.
+    */
+  val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val flags = Dedup.contaminationBloomFlags(docs, "doc_id", "text", bench, "text", k = 3)
+      val exact = Dedup.contamination(docs, "doc_id", "text", bench, "text", k = 3)
+        .select(col("doc_id"), (col("n_contaminated") > 0).as("dirty"))
+      flags.join(exact, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(when(col("dirty") && !col("bloom_hit"), 1).otherwise(0)) === 0)
+            .as("no_false_negatives"),
+          (sum(when(!col("dirty") && col("bloom_hit"), 1).otherwise(0)).cast("double")
+            / greatest(sum(when(!col("dirty"), 1).otherwise(0)), lit(1)) <= 0.05)
+            .as("fp_rate_ok"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+      FROM documents"""))
+
   /** End-to-end dedup: capped pairs → components → keep the minimum-id
     * doc of each cluster. The oracle recomputes the same components via
     * recursive CTE over the identically [[ClusterMaxDf]]-capped pair
@@ -423,5 +454,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupClusters,
-    qDecontaminate, qDedupKeep, qSplitLeakproof)
+    qDecontaminate, qDecontaminateBloom, qDedupKeep, qSplitLeakproof)
 }
