@@ -120,6 +120,41 @@ object CurationQueries {
              ${graft.functions.DetMath.ratio6Sql("total", "n_sources * n_docs")} AS weight
       FROM c, t ORDER BY source"""))
 
+  /** Temperature-weighted mixture (T = 0.5): per-source sampling share
+    * ∝ n_docs^T — the standard move for upweighting low-resource
+    * sources (multilingual/multi-domain training mixes) without going
+    * fully uniform. Cross-engine determinism: sqrt is IEEE-exact in
+    * both engines, and the normalizer Σ√n is summed as a SORTED fold
+    * (sort_array + aggregate here, list_sort + list_aggregate in
+    * DuckDB), so partial-agg order can never flip a bit; the final
+    * share/weight are organic doubles where round(,6) is safe. The
+    * per-source counts are the only shuffle — the normalizer row is a
+    * broadcast, same shape as q_source_mix.
+    */
+  val qSourceMixTemperature = Q(
+    "q_source_mix_temperature",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val totals = counts.agg(
+        sum(col("n_docs")).as("total"),
+        aggregate(sort_array(collect_list(sqrt(col("n_docs")))), lit(0.0),
+          (acc, x) => acc + x).as("z"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs")) / col("z"), 6).as("share_t"),
+          round(col("total") / (col("z") * sqrt(col("n_docs"))), 6).as("weight_t"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   list_aggregate(list_sort(list(sqrt(n_docs))), 'sum') AS z FROM c)
+      SELECT source, n_docs,
+             round(sqrt(n_docs) / z, 6) AS share_t,
+             round(total / (z * sqrt(n_docs)), 6) AS weight_t
+      FROM c, t ORDER BY source"""))
+
   /** Exact-k quota sample per stratum (20 docs per language),
     * deterministic: docs rank by the Knuth scramble of their id, the
     * TopKAggregator keeps each stratum's k smallest — O(strata·k)
@@ -220,5 +255,5 @@ object CurationQueries {
     headline = true)
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
-    qSourceMix, qQuotaSample, qPipelineE2e)
+    qSourceMix, qSourceMixTemperature, qQuotaSample, qPipelineE2e)
 }
