@@ -219,6 +219,21 @@ object Dedup {
     * for true Jaccard s is 1-(1-s^r)^b — with 8×4 the S-curve crosses
     * ~0.55, so tau >= 0.6 keeps verification cheap and recall high.
     */
+  /** Signature rows → (…carryCols, band, bucket): one row per (doc,
+    * band), bucket = hash of that band's signature slots. Carries ONLY
+    * the listed columns — 24 bytes/row for the default (doc_id) —
+    * through the bucket exchange.
+    */
+  private def bandSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                             carryCols: Seq[String]): DataFrame =
+    sigs.select(
+      carryCols.map(col) :+
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+          .as("bb"): _*)
+      .select(carryCols.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    tau: Double = 0.6, maxBucketSize: Int = 4096,
@@ -240,13 +255,7 @@ object Dedup {
     // heavy column crosses the wire once per surviving pair side, not
     // once per (band, collision).
     val banded = capBuckets(
-      prepared.select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+      bandSignatures(prepared, bands, rowsPerBand, Seq("doc_id")),
       Seq("band", "bucket"), maxBucketSize, logDroppedBuckets, "minhash")
 
     val candidates = banded

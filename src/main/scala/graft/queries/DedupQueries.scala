@@ -309,6 +309,49 @@ object DedupQueries {
                    / (2.0 * greatest(len(sh.s), 1))) / 1000000 AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
+  /** Semantic (embedding-space) dedup end to end: exact rounded-cosine
+    * pair graph at tau 0.35 → connected components → keep the
+    * minimum-id vector of each cluster. The same pairs→clusters→keep
+    * composition as the text tier (q_dedup_keep), proving
+    * [[Dedup.dedupClusters]]/[[Dedup.keepCanonical]] are
+    * graph-agnostic; the oracle recomputes components over the
+    * identical cosine graph with a recursive CTE. (At scale the pair
+    * stage swaps in [[Dedup.embeddingPairsLsh]]; the exact graph here
+    * keeps the oracle sound.)
+    */
+  val qDedupEmbeddingKeep = Q(
+    "q_dedup_embedding_keep",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        tau = 0.35, probePred = _ => lit(true))
+      val clusters = Dedup.dedupClusters(emb, "vec_id",
+        pairs, aCol = "id_a", bCol = "id_b")
+      Dedup.keepCanonical(emb, "vec_id", clusters)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+              >= 0.35),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(v, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
+      SELECT emb.vec_id, emb.label
+      FROM embeddings emb
+      JOIN (SELECT v, min(label) AS cl FROM reach GROUP BY v) c
+        ON emb.vec_id = c.v AND emb.vec_id = c.cl
+      ORDER BY emb.vec_id"""))
+
   /** Bloom pre-filtered decontamination, contract-checked against the
     * exact rendition: `no_false_negatives` is the Bloom guarantee
     * (every doc the exact pass finds contaminated is flagged) and the
@@ -453,6 +496,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
-    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupClusters,
-    qDecontaminate, qDecontaminateBloom, qDedupKeep, qSplitLeakproof)
+    qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
+    qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupKeep,
+    qSplitLeakproof)
 }
