@@ -25,16 +25,17 @@ object KeyOps {
   def surrogateKey(df: DataFrame, idCol: String, orderCol: String): DataFrame =
     df.withColumn(idCol, row_number().over(Window.orderBy(col(orderCol))))
 
-  /** Scale-safe dense surrogate key, 1-based, ordered by `orderCol`.
+  /** Scale-safe dense surrogate key, 1-based, ordered by `orderCols`.
     *
     * Sort → `zipWithIndex` keeps every partition parallel (no single
     * WindowExec partition): one range-shuffle for the sort, one O(#parts)
     * driver pass for the per-partition offsets. Ids are identical to the
     * global-window variant for a total, duplicate-free ordering.
     */
-  def scalableSurrogateKey(df: DataFrame, idCol: String, orderCol: String): DataFrame = {
+  def scalableSurrogateKey(df: DataFrame, idCol: String, orderCols: String*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val ord = orderCols.map(col)
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
     val withId = sorted.rdd.zipWithIndex.map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }

@@ -71,6 +71,35 @@ object AggQueries {
       GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * the (flag, status) detail, the per-flag subtotal, and the grand
+    * total, in ONE pass over the scan (Catalyst plans a single Expand +
+    * hash aggregate, not three unioned scans). `grouping_id` keys which
+    * set produced each row so a grouping NULL can't be confused with a
+    * data NULL.
+    */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(*) AS n,
+             CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -319,6 +348,6 @@ object AggQueries {
     })
 
   val all: Seq[Q] = Seq(
-    qGroupStats, qRollup, qCube, qPivot, qApproxDistinct, qApproxQuantiles,
+    qGroupStats, qRollup, qCube, qGroupingSets, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable)
 }

@@ -1,8 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.Tables
-import graft.text.Curation
+import graft.ops.KeyOps
+import graft.text.{Curation, TextAnalysis}
 
 /** Corpus-management queries over `documents`: reproducible splits,
   * stratified sampling, repetition filtering, mixture reweighting.
@@ -254,6 +257,82 @@ object CurationQueries {
       GROUP BY 1 ORDER BY 1"""),
     headline = true)
 
+  /** Deterministic global training order ("corpus shuffle"): every doc
+    * gets a dense 1-based position ordered by the Knuth hash of its id
+    * (doc_id tie-break for ids that collide mod the bucket count). The
+    * hash decorrelates position from ingest order — the property
+    * shuffled training data needs — while staying reproducible across
+    * runs, engines, and partitionings, unlike ORDER BY rand().
+    *
+    * Scale shape: one range-shuffle sort on (h, doc_id) + zipWithIndex
+    * (every partition stays parallel; see KeyOps.scalableSurrogateKey) —
+    * NOT a global row_number window, which would drag the corpus
+    * through one WindowExec partition.
+    */
+  val qShuffleOrder = Q(
+    "q_shuffle_order",
+    (s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), Curation.bucketHash(col("doc_id"), 1000000L).as("h"))
+      KeyOps.scalableSurrogateKey(hashed, "position", "h", "doc_id")
+        .select(col("doc_id"), col("position"))
+        .orderBy(col("position"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY $hashSql % 1000000, doc_id) AS position
+      FROM documents ORDER BY position"""))
+
+  /** Token-budget corpus selection: take the highest-quality documents
+    * until an 8000-token budget is filled — "best N tokens", the
+    * selection move data-constrained training runs make.
+    *
+    * The naive rendition is a prefix over a GLOBAL quality sort
+    * (cumulative-sum window over the whole corpus — one WindowExec
+    * partition, a scale-killer). Instead: quality is bucketed into
+    * ≤1001 integer bands (q_micros DIV 1000); per-bucket token totals
+    * (a ≤1001-row aggregate — metadata, collected driver-side like the
+    * k-means centroids) give each bucket its tokens-before prefix; the
+    * in-bucket cumulative sum is a window PARTITIONED by bucket, so no
+    * partition sees more than one band's docs. Global prefix = bucket
+    * prefix + in-bucket prefix, exactly — because the selection order
+    * (bucket desc, q_micros desc, doc_id) equals the total order
+    * (q_micros desc, doc_id): the bucket is monotone in q_micros.
+    * The oracle computes the same prefix with one flat window.
+    */
+  val qBudgetSelect = Q(
+    "q_budget_select",
+    (s, d) => {
+      val m = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        round(round(TextAnalysis.qualityScore(col("text")), 6) * 1000000, 0)
+          .cast(LongType).as("q_micros"))
+      Curation.budgetSelect(m, "doc_id", "n_tok", "q_micros", budget = 8000L)
+        .select(col("doc_id"), col("n_tok"), col("q_micros"), col("cum_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS INTEGER) AS n_tok,
+               CAST(round(round(
+                 least(CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS DOUBLE) / 64.0, 1.0) * 0.5
+                 + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE)
+                          / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.25
+                 + least(CAST(len(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0 AND w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                         / greatest(CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.25,
+                 6) * 1000000, 0) AS BIGINT) AS q_micros
+        FROM documents),
+      sel AS (
+        SELECT doc_id, n_tok, q_micros,
+               CAST(sum(n_tok) OVER (ORDER BY q_micros DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        FROM m)
+      SELECT doc_id, n_tok, q_micros, cum_tok
+      FROM sel WHERE cum_tok <= 8000 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
-    qSourceMix, qSourceMixTemperature, qQuotaSample, qPipelineE2e)
+    qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
+    qBudgetSelect, qPipelineE2e)
 }

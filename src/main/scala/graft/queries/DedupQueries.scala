@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
@@ -494,9 +495,69 @@ object DedupQueries {
              CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
       FROM lab GROUP BY 1 ORDER BY 1"""))
 
+  /** Cross-source duplication report: for every (source, source) pair,
+    * how many verified near-dup pairs (Jaccard ≥ 0.6) straddle it, and
+    * the exact sum of their similarities. This is the audit that tells
+    * a corpus owner WHERE duplication comes from (mirror sites, feed
+    * overlap, within-source boilerplate) before deciding what to drop.
+    *
+    * The pair relation is tiny next to the corpus (near-dups are rare),
+    * so the two source-lookup joins put the pair side opposite the full
+    * documents relation — AQE broadcasts the pair side; the corpus is
+    * never shuffled. Source pairs are canonicalized (lo ≤ hi) so A↔B
+    * and B↔A duplication lands in one row; the similarity total is an
+    * exact DECIMAL(18,6) sum (jaccard is a 6-dp rational), so partial
+    * aggregation order can't flip bits.
+    */
+  val qDupRateBySource = Q(
+    "q_dup_rate_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashPairs(docs, "doc_id", "text")
+        .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(
+          least(col("sa.source"), col("sb.source")).as("source_lo"),
+          greatest(col("sa.source"), col("sb.source")).as("source_hi"),
+          col("jaccard"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("jaccard").cast(DecimalType(18, 6)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("jaccard_total"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               floor((2.0 * (len(list_intersect(a.s, b.s))) * 1000000
+                      + (len(list_distinct(list_concat(a.s, b.s)))))
+                     / (2.0 * (len(list_distinct(list_concat(a.s, b.s)))))) / 1000000 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6),
+      ps AS (
+        SELECT least(x.source, y.source) AS source_lo,
+               greatest(x.source, y.source) AS source_hi,
+               p.jaccard
+        FROM p JOIN documents x ON p.da = x.doc_id
+               JOIN documents y ON p.db = y.doc_id)
+      SELECT source_lo, source_hi, count(*) AS n_pairs,
+             CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS jaccard_total
+      FROM ps GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupKeep,
-    qSplitLeakproof)
+    qSplitLeakproof, qDupRateBySource)
 }

@@ -109,6 +109,38 @@ object EventQueries {
                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** Trailing-hour rolling aggregate as a time-RANGE frame (not a row
+    * frame): per event, how many events of its type landed in the
+    * preceding hour and their value total. The frame is defined on the
+    * event-time VALUE (epoch micros), so irregular event spacing is
+    * handled exactly — a row frame of fixed width would not be. Ties on
+    * the ordering key are frame peers in both engines (RANGE includes
+    * all peers), so no tie-break column is needed for determinism.
+    * Partitioned by event_type — state per window partition is bounded
+    * by that type's events inside one hour, not the corpus.
+    */
+  val qRollingHour = Q(
+    "q_rolling_hour",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(
+          col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          asDouble(sum(dec(col("value"))).over(w)).as("sum_last_hour"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type,
+             count(*) OVER w AS n_last_hour,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   /** Semi-structured extraction: JSON props → typed column → aggregate.
     * get_json_object stays inside codegen (no UDF).
     */
@@ -378,7 +410,7 @@ object EventQueries {
       ORDER BY window_start, event_type"""))
 
   val all: Seq[Q] = Seq(
-    qEventsTumbling, qEventsSessionize, qEventsRunning, qEventsJson,
-    qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin, qFunnel,
-    qRetention, qAnomalyHours)
+    qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
+    qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin,
+    qFunnel, qRetention, qAnomalyHours)
 }

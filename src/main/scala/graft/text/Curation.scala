@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
@@ -69,4 +70,43 @@ object Curation {
   /** n-gram count matching [[duplicateNgramFraction]]'s denominator. */
   def ngramCount(text: Column, n: Int): Column =
     size(TextAnalysis.shingles(text, n)).cast(IntegerType)
+
+  /** Token-budget selection: the rows of `df` whose global prefix sum of
+    * `tokenCol` — in (`rankCol` desc, `idCol` asc) order — stays within
+    * `budget`, with that prefix sum attached as `cumCol`. "Take the best
+    * documents until the budget is full."
+    *
+    * The naive form is a cumulative-sum window over a GLOBAL sort — one
+    * WindowExec partition holding the corpus. Instead the rank is
+    * bucketed into ≤ `buckets`+1 integer bands (`rankCol` DIV width);
+    * per-band token totals (a `buckets`-row aggregate — metadata scale,
+    * collected driver-side like a fitted model) give every band its
+    * tokens-before offset, and the in-band cumulative sum runs in a
+    * window PARTITIONED by band. Global prefix = band offset + in-band
+    * prefix, exactly, because (band desc, rank desc, id) is the same
+    * total order as (rank desc, id) — the band is monotone in the rank.
+    *
+    * `rankCol` must be a nonnegative integral column bounded by
+    * `buckets * bucketWidth`; `idCol` must be unique (makes the order
+    * total, so the selected set is engine- and partitioning-stable).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                   rankCol: String, budget: Long,
+                   bucketWidth: Long = 1000L): DataFrame = {
+    val banded = df.withColumn("__band", expr(s"$rankCol DIV $bucketWidth"))
+    val hist = banded.groupBy(col("__band"))
+      .agg(sum(col(tokenCol)).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    val offsets = hist.map { case (b, t) => val before = acc; acc += t; (b, before) }
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets.toIndexedSeq).toDF("__band", "__before")
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col(rankCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsetDf), "__band")
+      .withColumn("cum_tok", col("__before") + sum(col(tokenCol)).over(w))
+      .filter(col("cum_tok") <= budget)
+      .drop("__band", "__before")
+  }
 }

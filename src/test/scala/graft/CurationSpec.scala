@@ -119,4 +119,59 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(weighted.forall(m => math.abs(m - 1000.0 / 3) < 1e-9))
   }
+
+  test("shuffle order is a dense 1..n permutation, reproducible, not ingest order") {
+    val run = graft.queries.CurationQueries.qShuffleOrder
+      .run(spark, "/root/testdata/sf0.001")
+    val pos = run.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val n = pos.length
+    assert(pos.map(_._2).sorted.toSeq == (1L to n.toLong).toSeq,
+      "positions must be exactly 1..n")
+    // decorrelated from ingest order: the id-sorted position sequence is
+    // far from monotone (a sorted corpus would have 0 inversions-free
+    // violation; a shuffled one has ~half of adjacent pairs inverted)
+    val byId = pos.sortBy(_._1).map(_._2)
+    val inversions = byId.sliding(2).count { case Array(a, b) => a > b }
+    assert(inversions > n / 4, s"only $inversions adjacent inversions in $n: not shuffled")
+    val again = graft.queries.CurationQueries.qShuffleOrder
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(pos.toSeq == again.toSeq, "order must be identical across runs")
+  }
+
+  test("budget select equals the brute-force global quality-order prefix") {
+    import graft.text.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    val selected = graft.queries.CurationQueries.qBudgetSelect.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(selected.nonEmpty, "budget must admit at least one doc")
+    assert(selected.forall(_._3 <= 8000L), "every selected prefix sum within budget")
+    // brute force: collect all metrics, sort by (quality desc, id), take
+    // the prefix — must be the identical doc set
+    val all = graft.Tables.documents(spark, sf).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"),
+      round(round(TextAnalysis.qualityScore(col("text")), 6) * 1000000, 0)
+        .cast("long").as("q_micros"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var acc = 0L
+    val expect = all.takeWhile { case (_, t, _) => { acc += t; acc <= 8000L } }
+      .map(_._1).toSet
+    assert(selected.map(_._1).toSet == expect,
+      "histogram+boundary path must equal the global prefix")
+  }
+
+  test("budgetSelect edges: zero budget, full budget, exact boundary, rank ties") {
+    // ranks straddle band edges (999/1000) and tie (id 3,4) on purpose
+    val m = Seq((1L, 10, 2500L), (2L, 20, 1000L), (3L, 30, 999L),
+      (4L, 40, 999L), (5L, 50, 0L)).toDF("id", "tok", "rank")
+    def sel(budget: Long) = Curation.budgetSelect(m, "id", "tok", "rank", budget)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sel(0L) == Seq(), "zero budget selects nothing")
+    assert(sel(9L) == Seq(), "budget below the best doc selects nothing")
+    assert(sel(150L) == Seq(1L, 2L, 3L, 4L, 5L), "full budget selects all")
+    assert(sel(30L) == Seq(1L, 2L), "exact boundary included")
+    assert(sel(60L) == Seq(1L, 2L, 3L), "tie broken by id: 3 before 4")
+  }
 }
