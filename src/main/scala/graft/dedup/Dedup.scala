@@ -89,9 +89,17 @@ object Dedup {
     */
   private def verifyJaccard(candidates: DataFrame, shingleSets: DataFrame,
                             tau: Double): DataFrame =
+    verifyJaccard2(candidates, shingleSets, shingleSets, tau)
+
+  /** Exact-Jaccard verification with distinct a-side/b-side shingle
+    * relations (cross-relation candidates; both sides identical in the
+    * self-join case).
+    */
+  private def verifyJaccard2(candidates: DataFrame, shinglesA: DataFrame,
+                             shinglesB: DataFrame, tau: Double): DataFrame =
     candidates
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(shinglesA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(shinglesB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("jaccard", shingleJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= tau)
       // output rounding via exact integer micro-units (DetMath.ratio6):
@@ -266,6 +274,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct() // collapse multi-band collisions
     verifyJaccard(candidates, prepared.select(col("doc_id"), col("hs")), tau)
+  }
+
+  /** Incremental near-dup detection: verified (corpus doc, batch doc)
+    * near-dup pairs ACROSS two relations — the continuous-ingest form
+    * of [[minhashPairs]], where each new crawl batch is screened
+    * against the standing corpus before admission (the near-dup
+    * extension of [[dedupIncremental]]'s exact-fingerprint screen).
+    *
+    * Same signature scheme and seeds as the self-join variant, so the
+    * banding S-curve and the recall contract pinned in TextDedupSpec
+    * carry over: candidates collide per band, are deduplicated as
+    * id-pairs, then verified with exact shingle Jaccard. Only the
+    * BATCH side is banded against the corpus index — corpus×corpus
+    * pairs are not re-derived on every ingest (that work happened when
+    * those docs were themselves a batch). Cost per ingest is
+    * O(batch bands + collisions), not O(corpus²).
+    *
+    * Bucket guard: the cross-join admits single-member buckets (a
+    * lone corpus doc CAN pair with a lone batch doc — `capBuckets`'
+    * ≥2 rule is self-join-only), so only the upper cap applies, on the
+    * corpus side, where boilerplate mega-buckets would go quadratic.
+    *
+    * @return (doc_a = corpus id, doc_b = batch id, jaccard ≥ tau)
+    */
+  def minhashPairsCross(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                        tau: Double = 0.6, maxBucketSize: Int = 4096): DataFrame = {
+    val sigC = cachedOnce(minhashSignatures(corpus, idCol, textCol, k, bands * rowsPerBand))
+    val sigB = cachedOnce(minhashSignatures(batch, idCol, textCol, k, bands * rowsPerBand))
+    val bandC = bandSignatures(sigC, bands, rowsPerBand, Seq("doc_id"))
+    val admitted = bandC.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val candidates = bandSignatures(sigB, bands, rowsPerBand, Seq("doc_id"))
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      .join(bandC.join(admitted, Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("doc_id").as("doc_a")),
+        Seq("band", "bucket"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard2(candidates,
+      sigC.select(col("doc_id"), col("hs")),
+      sigB.select(col("doc_id"), col("hs")), tau)
   }
 
   /** Benchmark DECONTAMINATION: per corpus document, the fraction of its

@@ -40,4 +40,22 @@ object IncrementalOps {
     // exceptAll both ways = multiset equality without a full sort
     x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
   }
+
+  /** Incremental aggregate maintenance: merge an existing aggregate
+    * with a delta aggregate over the same keys by re-summing the
+    * mergeable measure columns. For sums/counts (and any commutative
+    * monoid) this equals the from-scratch aggregate over the combined
+    * input — the property that lets a daily rollup absorb one day's
+    * partial instead of rescanning the full history at every load.
+    * The merge input is two aggregate relations (keys-cardinality
+    * rows), so the shuffle is tiny regardless of fact size.
+    */
+  def mergeAggregates(existing: DataFrame, delta: DataFrame,
+                      keys: Seq[String], measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    val aggs = measures.map(m => sum(col(m)).as(m))
+    existing.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

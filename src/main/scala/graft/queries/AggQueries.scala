@@ -100,6 +100,77 @@ object AggQueries {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** Data-quality expectation report: five declarative rules over
+    * lineitem, ALL evaluated in one codegen'd aggregation pass
+    * ([[graft.ops.Quality.report]] — conditional counts, no per-rule
+    * scans), reshaped to one row per rule. Mixes passing and failing
+    * rules so the report shape itself is exercised.
+    */
+  val qDqReport = Q(
+    "q_dq_report",
+    (s, d) => {
+      import graft.ops.Quality
+      Quality.report(Tables.lineitem(s, d), Seq(
+        Quality.notNull("l_orderkey"),
+        Quality.inRange("l_quantity", 1, 45),
+        Quality.inRange("l_discount", 0, 0.1),
+        Quality.inSet("l_returnflag", Seq("A", "N", "R")),
+        Quality.Rule("positive_revenue",
+          col("l_extendedprice").isNull || col("l_discount").isNull
+            || col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 0)))
+    },
+    Some("""
+      WITH c AS (
+        SELECT count(*) AS n,
+          count(*) FILTER (WHERE l_orderkey IS NULL) AS v_nn,
+          count(*) FILTER (WHERE NOT (l_quantity IS NULL OR (l_quantity >= 1 AND l_quantity <= 45))) AS v_qty,
+          count(*) FILTER (WHERE NOT (l_discount IS NULL OR (l_discount >= 0 AND l_discount <= 0.1))) AS v_disc,
+          count(*) FILTER (WHERE NOT (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))) AS v_rf,
+          count(*) FILTER (WHERE NOT (l_extendedprice IS NULL OR l_discount IS NULL
+                                      OR l_extendedprice * (1.0 - l_discount) > 0)) AS v_rev
+        FROM lineitem)
+      SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+        SELECT 'not_null_l_orderkey' AS rule, n, v_nn AS v FROM c
+        UNION ALL SELECT 'range_l_quantity', n, v_qty FROM c
+        UNION ALL SELECT 'range_l_discount', n, v_disc FROM c
+        UNION ALL SELECT 'set_l_returnflag', n, v_rf FROM c
+        UNION ALL SELECT 'positive_revenue', n, v_rev FROM c)
+      ORDER BY rule"""))
+
+  /** Incremental aggregate maintenance: history partial (shipped before
+    * 1997) merged with the new-period partial via
+    * [[graft.ops.IncrementalOps.mergeAggregates]] — and the oracle is
+    * the FROM-SCRATCH aggregate over the whole table, proving
+    * merge-of-partials ≡ full recompute (sums/counts are mergeable
+    * monoids; decimal sums keep the merge order-insensitive). This is
+    * the daily-rollup absorb pattern: per load, rescan one day, not the
+    * full history.
+    */
+  val qIncrementalAgg = Q(
+    "q_incremental_agg",
+    (s, d) => {
+      import graft.ops.IncrementalOps
+      val li = Tables.lineitem(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      val cutoff = "1997-01-01"
+      IncrementalOps.mergeAggregates(
+        partial(li.filter(col("l_shipdate") < cutoff)),
+        // complement, not `>=`: a NULL ship date must land in exactly
+        // one partial or merge-of-partials silently loses rows
+        partial(li.filter(!(col("l_shipdate") < cutoff) || col("l_shipdate").isNull)),
+        Seq("l_returnflag"), Seq("sum_qty", "n"))
+        .select(col("l_returnflag"), asDouble(col("sum_qty")).as("sum_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -348,6 +419,7 @@ object AggQueries {
     })
 
   val all: Seq[Q] = Seq(
-    qGroupStats, qRollup, qCube, qGroupingSets, qPivot, qApproxDistinct, qApproxQuantiles,
+    qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
+    qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable)
 }

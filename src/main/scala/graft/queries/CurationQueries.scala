@@ -283,6 +283,38 @@ object CurationQueries {
              row_number() OVER (ORDER BY $hashSql % 1000000, doc_id) AS position
       FROM documents ORDER BY position"""))
 
+  /** Shard manifest over the deterministic training order: 64-row
+    * shards, each row the shard's row count and inclusive position
+    * range — the index a sequential training reader uses to address
+    * shard files without opening them. Shard id is pure arithmetic on
+    * the position ([[graft.ops.Sharding.shardId]]), so the manifest is
+    * as reproducible as the order; the FS-level export of the same
+    * layout is [[graft.ops.Sharding.exportShards]] (spec-tested —
+    * file layout is not oracle-expressible).
+    */
+  val qShardManifest = Q(
+    "q_shard_manifest",
+    (s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), Curation.bucketHash(col("doc_id"), 1000000L).as("h"))
+      KeyOps.scalableSurrogateKey(hashed, "position", "h", "doc_id")
+        .withColumn("shard", graft.ops.Sharding.shardId(col("position"), 64L))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("position")).as("first_pos"),
+          max(col("position")).as("last_pos"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY $hashSql % 1000000, doc_id) AS position
+        FROM documents)
+      SELECT CAST(floor((position - 1) / 64.0) AS BIGINT) AS shard,
+             count(*) AS n_rows,
+             min(position) AS first_pos, max(position) AS last_pos
+      FROM p GROUP BY 1 ORDER BY 1"""))
+
   /** Token-budget corpus selection: take the highest-quality documents
     * until an 8000-token budget is filled — "best N tokens", the
     * selection move data-constrained training runs make.
@@ -334,5 +366,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
-    qBudgetSelect, qPipelineE2e)
+    qShardManifest, qBudgetSelect, qPipelineE2e)
 }

@@ -495,6 +495,42 @@ object DedupQueries {
              CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
       FROM lab GROUP BY 1 ORDER BY 1"""))
 
+  /** Incremental (new-batch-vs-corpus) near-dup screen: docs with
+    * doc_id % 7 == 0 play the incoming crawl batch, the rest the
+    * standing corpus; every verified cross near-dup pair (Jaccard ≥
+    * 0.6) surfaces. The oracle recomputes the exact cross-relation
+    * Jaccard graph; the LSH recall argument is the same bimodality
+    * contract as q_dedup_minhash (the cross pairs are a subset of the
+    * all-pairs graph the recall spec pins at both gate sfs).
+    */
+  val qDedupCrossBatch = Q(
+    "q_dedup_cross_batch",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashPairsCross(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor((2.0 * (len(list_intersect(a.s, b.s))) * 1000000
+                    + (len(list_distinct(list_concat(a.s, b.s)))))
+                   / (2.0 * (len(list_distinct(list_concat(a.s, b.s)))))) / 1000000 AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
   /** Cross-source duplication report: for every (source, source) pair,
     * how many verified near-dup pairs (Jaccard ≥ 0.6) straddle it, and
     * the exact sum of their similarities. This is the audit that tells
@@ -559,5 +595,5 @@ object DedupQueries {
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupKeep,
-    qSplitLeakproof, qDupRateBySource)
+    qSplitLeakproof, qDupRateBySource, qDedupCrossBatch)
 }

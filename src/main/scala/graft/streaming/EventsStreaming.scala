@@ -223,4 +223,45 @@ object EventsStreaming {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming corpus ingest with a near-dup screen — the continuous
+    * form of [[graft.dedup.Dedup.minhashPairsCross]]: every micro-batch
+    * of candidate documents is screened (Jaccard ≥ tau) against the
+    * standing corpus PLUS everything earlier batches admitted, then
+    * screened against itself (within-batch near-dup groups keep their
+    * min-id member), and only the survivors append to `out`.
+    *
+    * Admission monotonicity: once a doc is in the sink it becomes part
+    * of the screen for every later batch, so a near-copy arriving in a
+    * later crawl — or the same batch replayed after a crash — can never
+    * be re-admitted (replay safety comes from the final id-level
+    * anti-join against the sink). Per batch the cost is the cross
+    * screen's O(batch bands + collisions), not corpus².
+    */
+  def nearDupScreenSink(staticCorpus: DataFrame, idCol: String, textCol: String,
+                        out: String, tau: Double = 0.6)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sunk =
+      if (graft.ops.Fs.exists(out)) Some(spark.read.parquet(out)) else None
+    val corpus = sunk.fold(staticCorpus.select(col(idCol), col(textCol))) { s =>
+      staticCorpus.select(col(idCol), col(textCol))
+        .unionByName(s.select(col(idCol), col(textCol)))
+    }
+    val b = batch.dropDuplicates(idCol)
+    // within-batch screen: of each near-dup pair (doc_a < doc_b) the
+    // higher id goes; transitively the min id of each group survives
+    val intraDup = graft.dedup.Dedup.minhashPairs(b, idCol, textCol, tau = tau)
+      .select(col("doc_b").as(idCol)).distinct()
+    val crossDup = graft.dedup.Dedup.minhashPairsCross(corpus, b, idCol, textCol, tau = tau)
+      .select(col("doc_b").as(idCol)).distinct()
+    val admitted = b
+      .join(intraDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+    val delta = sunk.fold(admitted) { s =>
+      admitted.join(s.select(col(idCol)), Seq(idCol), "left_anti")
+    }
+    if (!delta.isEmpty)
+      delta.write.mode("append").parquet(out)
+  }
 }

@@ -93,7 +93,11 @@ object Curation {
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
                    rankCol: String, budget: Long,
                    bucketWidth: Long = 1000L): DataFrame = {
-    val banded = df.withColumn("__band", expr(s"$rankCol DIV $bucketWidth"))
+    // a row with an unknown rank or token count cannot be ordered or
+    // budgeted — it never competes for the budget (NULL text rows
+    // upstream of a quality score land here)
+    val banded = df.filter(col(rankCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("__band", expr(s"$rankCol DIV $bucketWidth"))
     val hist = banded.groupBy(col("__band"))
       .agg(sum(col(tokenCol)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)

@@ -21,6 +21,61 @@ class OpsSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftover dirs: $parent")
   }
 
+  test("Quality.report: one pass, null-pass rule semantics, deterministic order") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[Double], Option[String])](
+      (Some(1L), Some(5.0), Some("A")), (Some(2L), Some(99.0), Some("X")),
+      (None, None, None)
+    ).toDF("k", "v", "f")
+    val rep = Quality.report(df, Seq(
+      Quality.notNull("k"),
+      Quality.inRange("v", 0, 10),   // null v passes; 99 violates
+      Quality.inSet("f", Seq("A", "B"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rep.toSeq == Seq(
+      ("not_null_k", 3L, 1L, false),
+      ("range_v", 3L, 1L, false),
+      ("set_f", 3L, 1L, false)))
+    val clean = Quality.report(df.filter(col("k") === 1), Seq(Quality.notNull("k")))
+      .collect()
+    assert(clean.head.getBoolean(3), "clean relation passes")
+  }
+
+  test("mergeAggregates over partials equals the from-scratch aggregate") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i % 3, i.toLong, 1L)).toDF("g", "x", "n")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(sum(col("x")).as("x"), sum(col("n")).as("n"))
+    val merged = IncrementalOps.mergeAggregates(
+      agg(rows.filter(col("x") <= 60)), agg(rows.filter(col("x") > 60)),
+      Seq("g"), Seq("x", "n"))
+    val full = agg(rows)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+  }
+
+  test("exportShards: contiguous fixed-size shards, in-order rows, one file per shard") {
+    import spark.implicits._
+    val df = (1L to 250L).map(p => (p * 10, p)).toDF("payload", "pos")
+    val root = tmpDir("shards") + "/t"
+    Sharding.exportShards(df, "pos", 64L, root)
+    val shardDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSet ==
+      Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    for (dir <- shardDirs) {
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${dir.getName}: one ordered file, got ${files.length}")
+      val shard = dir.getName.stripPrefix("shard=").toLong
+      // read the single file directly — in-file row order is the contract
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("pos").collect().map(_.getLong(0))
+      assert(rows.toSeq == rows.sorted.toSeq, s"${dir.getName}: rows out of order")
+      val lo = shard * 64 + 1
+      val hi = math.min(lo + 63, 250L)
+      assert(rows.toSeq == (lo to hi), s"${dir.getName}: range mismatch")
+    }
+  }
+
   test("compaction composes over a partitioned layout, one leaf at a time") {
     import org.apache.spark.sql.functions.col
     val src = Tables.load(spark, "/root/testdata/sf0.001", "orders")

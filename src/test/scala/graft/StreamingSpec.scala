@@ -274,4 +274,39 @@ class StreamingSpec extends SparkSpec {
       EventsStreaming.readEvents(spark, in, schema), out, tmpDir("ckpt4"))
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("nearDupScreenSink: rejects corpus/prior/within-batch near-dups, replay appends zero") {
+    import spark.implicits._
+    val out = tmpDir("ingest-out") + "/corpus"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val sink = EventsStreaming.nearDupScreenSink(corpus, "doc_id", "text", out, tau = 0.3) _
+
+    // batch 0: 101 near-dups corpus doc 1 -> rejected; 103/104 are
+    // within-batch near-dups -> min id 103 admitted; 105 novel -> admitted
+    val b0 = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat"),
+      (103L, "el perro grande la casa de un gato es aqui hoy"),
+      (104L, "el perro grande la casa de un gato es aqui ahora"),
+      (105L, "statistics on partitioned analytical workloads matter")
+    ).toDF("doc_id", "text")
+    sink(b0, 0L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(103L, 105L))
+
+    // batch 1: 201 near-dups ADMITTED doc 103 -> rejected; 202 novel
+    val b1 = Seq(
+      (201L, "el perro grande la casa de un gato es aqui manana"),
+      (202L, "sorted files compact into bigger ordered runs quickly")
+    ).toDF("doc_id", "text")
+    sink(b1, 1L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(103L, 105L, 202L))
+
+    // crash replay of batch 1: nothing new appends
+    sink(b1, 1L)
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }

@@ -235,4 +235,45 @@ class TextDedupSpec extends SparkSpec {
       TextAnalysis.langId(col("text")).as("pred_lang"))
     assert(fused.except(separate).isEmpty && separate.except(fused).isEmpty)
   }
+
+  test("minhashPairsCross: lone-bucket cross pair found, unrelated docs never pair") {
+    // corpus doc 1 and batch doc 102 are near-dups and are each ALONE in
+    // their band buckets on their side — the self-join's ≥2-members rule
+    // would starve this pair; the cross screen must find it.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (102L, "the quick brown fox jumps over the lazy cat"),
+      (105L, "el perro la casa de un gato es aqui")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsCross(corpus, batch, "doc_id", "text", tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 102L)), s"near-dup cross pair must surface, got $pairs")
+    assert(pairs.forall { case (a, b) => a == 1L && b == 102L },
+      s"unrelated docs must not pair, got $pairs")
+  }
+
+  test("minhashPairsCross recall is 1.0 vs the exact cross >=0.6 graph at sf0.01") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val found = Dedup.minhashPairsCross(corpus, batch, "doc_id", "text")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact graph: all-pairs >=0.6 restricted to the split (reuses the
+    // exact operator already pinned against DuckDB)
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+      k = 3, tau = 0.6, probePred = _ => lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        // jaccardPairsExact emits a<b; orient to (corpus, batch)
+        if (a % 7 != 0 && b % 7 == 0) Some((a, b))
+        else if (b % 7 != 0 && a % 7 == 0) Some((b, a))
+        else None
+      }.toSet
+    assert(exact.nonEmpty, "fixture must contain cross-split near-dup pairs")
+    assert(found == exact, s"missed=${exact -- found} extra=${found -- exact}")
+  }
 }
