@@ -1,6 +1,24 @@
 package graft
 
 import graft.queries.Q
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Accumulates shuffle bytes across all tasks — the per-query delta is
+  * the number that actually predicts 100 TB behavior (wall time at
+  * sf0.1 mostly measures fixed overheads; shuffle volume scales).
+  */
+private final class ShuffleTally extends SparkListener {
+  val read = new AtomicLong
+  val written = new AtomicLong
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+}
 
 object Bench {
   /** Times each headline query on SPARK_GRAFT_SF_DIR (default sf0.1) and
@@ -24,6 +42,19 @@ object Bench {
     // untimed warm-up of every query: codegen compilation and the
     // parquet footer cache are one-off costs, not steady-state throughput
     headline.foreach(q => try exec(q, spark, sfDir) catch { case _: Throwable => })
+    // untimed metrics pass: per-query shuffle-byte deltas via a task
+    // listener. Sequential execution attributes deltas to the right
+    // query; the short sleep drains the async listener bus (a stray
+    // late event misattributes a few KB, not the shape of the number).
+    // Kept OUT of the timed reps so the drain never pollutes timing.
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val shuffleMb = headline.map { q =>
+      val r0 = tally.read.get
+      try exec(q, spark, sfDir) catch { case _: Throwable => }
+      Thread.sleep(100)
+      q.name -> (tally.read.get - r0) / 1e6
+    }.toMap
     // n timed runs per query, report the MEDIAN: single-shot numbers have
     // twice been re-adjudicated as ambient-load noise (a one-off GC or a
     // background process lands entirely in one sample; the median of 3
@@ -52,7 +83,10 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     // convergence observability for the one iterative operator
     val ccRounds = graft.dedup.Dedup.lastClusterRounds
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
+    val sh = results.map { case (k, _) =>
+      "\"" + k + "\":" + f"${shuffleMb.getOrElse(k, -1.0)}%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
     spark.stop()
   }
 }
