@@ -277,6 +277,56 @@ object DedupQueries {
       FROM reach GROUP BY v ORDER BY doc_id"""),
     headline = true)
 
+  /** Near-dup cluster-size histogram: how many clusters of each size
+    * the corpus holds — the one-glance duplication summary (a heavy
+    * tail of large clusters means mirror/boilerplate trouble; all-1s
+    * means a clean corpus). Derived from the same component labeling
+    * as q_dedup_clusters; two tiny keyed aggregations on top.
+    */
+  val qClusterSizes = Q(
+    "q_cluster_sizes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        k = 3, tau = 0.3, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
+      Dedup.dedupClusters(docs, "doc_id", pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v),
+      lab AS (SELECT v, min(label) AS cluster_id FROM reach GROUP BY v),
+      cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM cs GROUP BY 1 ORDER BY 1"""))
+
   /** Benchmark decontamination: per-document 3-gram overlap against a
     * stand-in test set (docs with doc_id % 50 = 0). Self-overlap is
     * expected for the benchmark docs themselves (contamination 1.0) —
@@ -594,6 +644,6 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
-    qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupKeep,
-    qSplitLeakproof, qDupRateBySource, qDedupCrossBatch)
+    qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
+    qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch)
 }

@@ -229,7 +229,36 @@ object SimilarityQueries {
     },
     Some(annOracle))
 
+  /** Hard-negative mining for contrastive training: per probe, the
+    * top-10 most-similar OTHER-label vectors ([[Similarity.hardNegatives]]).
+    * Exactly q_knn_brute's plan with the label exclusion riding the
+    * broadcast-join condition.
+    */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val p = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+          col("label").as("probe_label"))
+      Similarity
+        .hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding", "label", p, 10)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS pl
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id AND e.label <> p.pl)
+      SELECT probe_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored)
+      WHERE rn <= 10 ORDER BY probe_id, rank"""))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
-    qLabelCentroids, qQuantizeInt8, qAnnQuantized)
+    qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives)
 }

@@ -70,6 +70,25 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Hard-negative mining: per probe, the top-k most similar vectors
+    * with a DIFFERENT label — the contrastive-training move (the
+    * negatives that are hardest to tell apart teach the most). Same
+    * plan shape as [[bruteForceTopK]] (broadcast probe batch,
+    * O(groups·k) top-k aggregation, no Window sort); the label
+    * inequality rides the join condition, so excluded same-label rows
+    * never reach the scorer.
+    *
+    * @param probes (probe_id, probe_vec, probe_label)
+    */
+  def hardNegatives(candidates: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, probes: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
+      .join(broadcast(probes),
+        col(idCol) =!= col("probe_id") && col(labelCol) =!= col("probe_label"))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+    rankTopK(scored, idCol, k)
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane sign for (plane, dim):
     * parity of xxhash64 — reproducible everywhere, no stored model.
     */
