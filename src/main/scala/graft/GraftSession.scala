@@ -28,7 +28,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
-  /** Harness-local session: local[cpus] (env SPARK_GRAFT_CPUS, default 4). */
+  /** Harness-local session: local[cpus] (env SPARK_GRAFT_CPUS,
+    * default 4 — measured, not assumed: at the harness's bench scale
+    * (sf0.1) 4 threads beat 32 on this 32-core box in matched back-to-
+    * back runs (14.2 s vs 17.6 s total), because sub-second queries
+    * over ~60k-row tables are dominated by per-task scheduling and
+    * single-JVM contention, not scan/shuffle work — though ambient-load
+    * variance on the shared box is large, so small deltas are noise.
+    * Parallelism should track the DATA, and shuffle partitions track
+    * the threads: at real scale set SPARK_GRAFT_CPUS to the core count
+    * and size spark.sql.files.maxPartitionBytes so splits stay ~128 MB.
+    */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
