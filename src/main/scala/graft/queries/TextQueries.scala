@@ -348,7 +348,36 @@ object TextQueries {
                 "((total_tokens + 2047) // 2048) * 2048")} AS occupancy
       FROM a ORDER BY source"""))
 
+  /** Corpus-wide adjacent character-pair frequencies, top 20 — the
+    * counting step of one BPE merge round (the most frequent pair is
+    * the next merge a byte-pair-encoding tokenizer would learn).
+    * Per-token pair explosion is map-side work; one shuffle on the
+    * pair key with partial counts — the same scalable shape as
+    * q_token_freq one level down. Length-1 tokens are excluded BEFORE
+    * the sequence expression: Spark's sequence(1, 0) counts DOWN
+    * (step defaults to -1), it is not empty.
+    */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20),
+    Some("""
+      WITH w AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'), x -> len(x)>0)) AS w
+        FROM documents),
+      pairs AS (
+        SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2))
+      SELECT pair, count(*) AS n FROM pairs
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms,
+    qTokenFreq, qBpePairs, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms,
     qPackEstimate)
 }
