@@ -31,7 +31,25 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
+      forward = false)
+
+  /** Forward as-of join: every `left` row gains the payload of the
+    * EARLIEST `right` row with `rightTs >= leftTs` on the same key —
+    * "the next event after": next price tick, next maintenance slot,
+    * first response after a request. Equal timestamps match (the `<=`
+    * mirror of [[asofJoin]]'s convention); same output naming.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, rightPayload: Seq[String],
+                      prefix: String = "asof_"): DataFrame =
+    asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
+      forward = true)
+
+  private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, rightPayload: Seq[String],
+                       prefix: String, forward: Boolean): DataFrame = {
     val outCols = rightPayload.map(c => c -> s"$prefix$c") :+ (rightTs -> s"${prefix}ts")
     // The whole right payload rides in ONE struct carried by a single
     // last(_, ignoreNulls): the struct is non-NULL for every right row
@@ -43,9 +61,12 @@ object TemporalOps {
         struct(outCols.map { case (c, o) => col(c).as(o) }: _*).as("__pack"): _*)
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     // right rows sort BEFORE left rows at the same instant, so an equal
-    // timestamp is visible to the left row (the >= contract)
+    // timestamp is visible to the left row (the >= contract); the
+    // forward variant walks the timeline in reverse, which turns the
+    // same carry into "earliest right row at or after"
+    val ts = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ts, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__pack", last(col("__pack"), ignoreNulls = true).over(w))

@@ -240,6 +240,38 @@ object EventQueries {
       ORDER BY event_id"""),
     headline = true)
 
+  /** Forward as-of join (graft.ops.TemporalOps.asofJoinForward): each
+    * view event finds the user's NEXT purchase at or after it — the
+    * "time to conversion" lookup. Oracle: DuckDB's native ASOF with the
+    * inequality flipped (l.ts <= r.ts picks the minimum matching ts).
+    */
+  val qAsofForward = Q(
+    "q_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+      graft.ops.TemporalOps
+        .asofJoinForward(views, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("purchase_ts_us"),
+          col("asof_purchase_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      r AS (SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             epoch_us(r.ts) AS purchase_ts_us, r.purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      ORDER BY event_id"""))
+
   /** Range join (graft.ops.TemporalOps.rangeJoin): purchases landing
     * within two hours after a signup, per user — bucketized equi-join
     * (1-hour buckets) against a DuckDB inequality-join oracle.
@@ -411,6 +443,6 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
-    qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qRangeJoin,
-    qFunnel, qRetention, qAnomalyHours)
+    qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
+    qRangeJoin, qFunnel, qRetention, qAnomalyHours)
 }

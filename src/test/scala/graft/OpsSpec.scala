@@ -118,6 +118,20 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is after
   }
 
+  test("asofJoinForward: next match, equal-ts inclusion, no-match NULLs, key isolation") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 12L), (3L, 100L, 20L), (4L, 200L, 70L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, "a"), (100L, 15L, "b"), (200L, 60L, "z"))
+      .toDF("k", "t", "v")
+    val got = TemporalOps.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("asof_v")), Option(r.getAs[Any]("asof_ts")))).toMap
+    assert(got(1L) == (Some("a"), Some(10L)))  // equal ts matches (<= contract)
+    assert(got(2L) == (Some("b"), Some(15L)))  // earliest of the later rows
+    assert(got(3L) == (None, None))            // nothing at or after t=20
+    assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is before
+  }
+
   test("asofJoin: NULL payload field of the latest match stays NULL (no cross-row backfill)") {
     val left = Seq((1L, 100L, 30L)).toDF("id", "k", "t")
     val right = Seq(
