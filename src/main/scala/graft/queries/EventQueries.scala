@@ -272,6 +272,68 @@ object EventQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
       ORDER BY event_id"""))
 
+  /** Time-series gap fill + resample: the per-type hourly count series
+    * over the corpus's full time range INCLUDING empty hours (n = 0),
+    * plus the last non-empty hour's value total carried forward — the
+    * regularized grid downstream forecasting/alerting consumes (a
+    * groupBy alone silently skips empty buckets; thresholds and
+    * windowed models need them present).
+    *
+    * The hour grid is generated per type from the GLOBAL min/max hour
+    * (a 2-value broadcast aggregate crossed with the tiny type dim —
+    * types × hours rows, independent of event count); observed hours
+    * left-join onto it, and the carry is a keyed window. No generator
+    * touches the event relation itself.
+    */
+  val qGapFill = Q(
+    "q_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("value")))).as("total_value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("total_value"), ignoreNulls = true).over(w).as("carried_value"))
+        .orderBy(col("event_type"), col("hour_us"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events),
+      grid AS (
+        SELECT t.event_type, g.hour
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) g)
+      SELECT grid.event_type, epoch_us(grid.hour) AS hour_us,
+             coalesce(hourly.n, 0) AS n,
+             last_value(hourly.total_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      FROM grid LEFT JOIN hourly
+        ON grid.event_type = hourly.event_type AND grid.hour = hourly.hour
+      ORDER BY grid.event_type, hour_us"""))
+
   /** Range join (graft.ops.TemporalOps.rangeJoin): purchases landing
     * within two hours after a signup, per user — bucketized equi-join
     * (1-hour buckets) against a DuckDB inequality-join oracle.
@@ -444,5 +506,5 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
-    qRangeJoin, qFunnel, qRetention, qAnomalyHours)
+    qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours)
 }
