@@ -377,7 +377,33 @@ object TextQueries {
       SELECT pair, count(*) AS n FROM pairs
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
 
+  /** Heavy hitters via the SpaceSaving sketch: corpus-wide top-10
+    * tokens from a capacity-256 mergeable buffer — the 100 TB path for
+    * q_token_freq's exact groupBy (the exchange carries O(parts·256)
+    * instead of the token dictionary). This corpus's token domain is
+    * far below the capacity, so the sketch is provably EXACT here
+    * (err = 0) and the oracle is the plain exact top-10; the unbounded-
+    * domain guarantees are pinned in FunctionsSpec.
+    */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => {
+      import graft.functions.SpaceSavingAggregator
+      Tables.documents(s, d)
+        .select(explode(tokens(lower(col("text")))).as("token"))
+        .agg(SpaceSavingAggregator.spaceSaving(256)(col("token")).as("sketch"))
+        .select(explode(col("sketch")).as("it"))
+        .select(col("it.token").as("token"), col("it.count").as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)
+    },
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0)) AS token
+            FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 10"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qBpePairs, qCorpusCurate, qTopGrams, qPiiScrub, qTfidfTerms,
-    qPackEstimate)
+    qTokenFreq, qBpePairs, qHeavyHitters, qCorpusCurate, qTopGrams, qPiiScrub,
+    qTfidfTerms, qPackEstimate)
 }

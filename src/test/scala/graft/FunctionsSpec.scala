@@ -43,4 +43,33 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions installs without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("SpaceSaving: exact in-capacity; heavy hitter guaranteed over capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.SpaceSavingAggregator
+    def sketch(df: org.apache.spark.sql.DataFrame, m: Int) = df
+      .agg(SpaceSavingAggregator.spaceSaving(m)(col("t")).as("sk"))
+      .select(explode(col("sk")).as("it"))
+      .select(col("it.token"), col("it.count"), col("it.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // distinct ≤ capacity → exact counts, zero error
+    val small = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val exact = sketch(small.toDF("t").repartition(4), m = 8)
+    assert(exact.toSet == Set(("a", 30L, 0L), ("b", 20L, 0L), ("c", 10L, 0L)))
+
+    // 300 singletons + one token with 100 occurrences, capacity 16:
+    // n = 400, n/m = 25 < 100 → the heavy token MUST survive, its
+    // reported count in [true, true + err], err < n/m per partition
+    // semantics (overestimates only)
+    val heavy = (Seq.fill(100)("HOT") ++ (1 to 300).map("u" + _))
+    val sk = sketch(scala.util.Random.shuffle(heavy).toDF("t").repartition(4), m = 16)
+    assert(sk.length <= 16)
+    val hot = sk.find(_._1 == "HOT")
+    assert(hot.isDefined, s"heavy hitter evicted: $sk")
+    val (_, c, e) = hot.get
+    assert(c >= 100L, "sketch count never underestimates")
+    assert(c - e <= 100L, "count minus error lower-bounds the true count")
+  }
 }
