@@ -171,6 +171,29 @@ object AggQueries {
              count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** EXACT median of a near-unique column — the multi-pass selection
+    * rendition ([[graft.ops.Selection.kthSmallest]]: 2-3 histogram-
+    * narrowing aggregation passes, driver sees only bucket counts +
+    * a bounded tail). This is the answer to "exact, not sketch" that
+    * q_percentiles' approx_percentile consciously is not, WITHOUT the
+    * exact `percentile` aggregate's per-group value buffer that made
+    * the original rendition a scale hazard.
+    */
+  val qExactMedian = Q(
+    "q_exact_median",
+    (s, d) => {
+      val m = graft.ops.Selection.exactMedian(
+        Tables.lineitem(s, d), col("l_extendedprice"))
+      import s.implicits._
+      Seq(m).toDF("median_price")
+    },
+    Some("""
+      SELECT median_price FROM (
+        SELECT l_extendedprice AS median_price,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem) WHERE rn = (n + 1) // 2"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -420,6 +443,6 @@ object AggQueries {
 
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
-    qPivot, qApproxDistinct, qApproxQuantiles,
+    qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable)
 }

@@ -21,6 +21,24 @@ class OpsSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftover dirs: $parent")
   }
 
+  test("kthSmallest: exact across narrowing rounds, duplicates, boundary buckets") {
+    import spark.implicits._
+    // values 1.5, 3.0, ..., 7500.0 shuffled; tiny threshold/buckets
+    // force several narrowing rounds
+    val xs = scala.util.Random.shuffle((1 to 5000).map(_.toDouble * 1.5).toList).toDF("x")
+    for (k <- Seq(1L, 2L, 2500L, 4999L, 5000L))
+      assert(Selection.kthSmallest(xs, col("x"), k, buckets = 8, collectThreshold = 16)
+        == k * 1.5, s"k=$k")
+    // constant column: range collapses, never collected wholesale
+    val dup = Seq.fill(1000)(7.0).toDF("x")
+    assert(Selection.kthSmallest(dup, col("x"), 500L, buckets = 8, collectThreshold = 16) == 7.0)
+    // 999 duplicates + one outlier: both sides of the cliff, and the
+    // outlier exercises the clamped last bucket (v == hi)
+    val mixed = (Seq.fill(999)(1.0) ++ Seq(2.0)).toDF("x")
+    assert(Selection.kthSmallest(mixed, col("x"), 999L, buckets = 8, collectThreshold = 16) == 1.0)
+    assert(Selection.kthSmallest(mixed, col("x"), 1000L, buckets = 8, collectThreshold = 16) == 2.0)
+  }
+
   test("Quality.report: one pass, null-pass rule semantics, deterministic order") {
     import spark.implicits._
     val df = Seq[(Option[Long], Option[Double], Option[String])](
