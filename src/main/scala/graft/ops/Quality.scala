@@ -34,6 +34,11 @@ object Quality {
     */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
+    // rule names are spliced into a selectExpr below — keep them
+    // identifier-shaped so a name can't smuggle SQL into the plan
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name must be [A-Za-z0-9_]+: '${r.name}'"))
+    require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
     val counts = df.agg(
       count(lit(1)).as("__n"),
       rules.map(r => count(when(!r.pred, 1)).as(s"__v_${r.name}")): _*)

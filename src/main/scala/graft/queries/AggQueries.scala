@@ -182,10 +182,14 @@ object AggQueries {
   val qExactMedian = Q(
     "q_exact_median",
     (s, d) => {
-      val m = graft.ops.Selection.exactMedian(
-        Tables.lineitem(s, d), col("l_extendedprice"))
       import s.implicits._
-      Seq(m).toDF("median_price")
+      val li = Tables.lineitem(s, d)
+      val n = li.filter(col("l_extendedprice").isNotNull).count()
+      // empty relation → empty result (the oracle's rn = … over zero
+      // rows), mirroring SQL rather than throwing
+      if (n == 0) Seq.empty[Double].toDF("median_price")
+      else Seq(graft.ops.Selection.kthSmallest(
+        li, col("l_extendedprice"), (n + 1) / 2)).toDF("median_price")
     },
     Some("""
       SELECT median_price FROM (
