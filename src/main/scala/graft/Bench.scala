@@ -4,19 +4,16 @@ import graft.queries.Q
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
-/** Accumulates shuffle bytes across all tasks — the per-query delta is
-  * the number that actually predicts 100 TB behavior (wall time at
-  * sf0.1 mostly measures fixed overheads; shuffle volume scales).
+/** Accumulates shuffle-read bytes across all tasks — the per-query
+  * delta is the number that actually predicts 100 TB behavior (wall
+  * time at sf0.1 mostly measures fixed overheads; shuffle volume
+  * scales).
   */
 private final class ShuffleTally extends SparkListener {
   val read = new AtomicLong
-  val written = new AtomicLong
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
-    if (m != null) {
-      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-      written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-    }
+    if (m != null) read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
   }
 }
 
@@ -39,14 +36,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     val headline = SparkEntry.registry.filter(_.headline)
-    // untimed warm-up of every query: codegen compilation and the
-    // parquet footer cache are one-off costs, not steady-state throughput
-    headline.foreach(q => try exec(q, spark, sfDir) catch { case _: Throwable => })
-    // untimed metrics pass: per-query shuffle-byte deltas via a task
-    // listener. Sequential execution attributes deltas to the right
-    // query; the short sleep drains the async listener bus (a stray
-    // late event misattributes a few KB, not the shape of the number).
-    // Kept OUT of the timed reps so the drain never pollutes timing.
+    // untimed warm-up pass, doubling as the shuffle-byte measurement:
+    // metering the FIRST (cold) execution is what captures the
+    // exchanges that build cached relations — a warmed re-run would
+    // read those from cache and report ~0 for exactly the
+    // shuffle-heaviest queries. Sequential execution attributes deltas
+    // to the right query; the short sleep drains the async listener
+    // bus (a stray late event misattributes a few KB, not the shape of
+    // the number). The listener is removed before the timed reps.
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     val shuffleMb = headline.map { q =>
@@ -55,6 +52,7 @@ object Bench {
       Thread.sleep(100)
       q.name -> (tally.read.get - r0) / 1e6
     }.toMap
+    spark.sparkContext.removeSparkListener(tally)
     // n timed runs per query, report the MEDIAN: single-shot numbers have
     // twice been re-adjudicated as ambient-load noise (a one-off GC or a
     // background process lands entirely in one sample; the median of 3
@@ -83,8 +81,10 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     // convergence observability for the one iterative operator
     val ccRounds = graft.dedup.Dedup.lastClusterRounds
+    // locale-independent 2-dp rendering (an f"%.2f" would emit comma
+    // decimals — malformed JSON — under a comma-decimal default locale)
     val sh = results.map { case (k, _) =>
-      "\"" + k + "\":" + f"${shuffleMb.getOrElse(k, -1.0)}%.2f" }
+      "\"" + k + "\":" + math.round(shuffleMb.getOrElse(k, -1.0) * 100) / 100.0 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
     spark.stop()

@@ -181,7 +181,7 @@ object Dedup {
     */
   private def capBuckets(banded: DataFrame, keys: Seq[String],
                          maxBucketSize: Int, logDropped: Boolean,
-                         what: String): DataFrame = {
+                         what: String, minBucketSize: Int = 2): DataFrame = {
     val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
     if (logDropped) {
       val dropped = sizes.filter(col("__bsz") > maxBucketSize).count()
@@ -190,7 +190,8 @@ object Dedup {
           s"[dedup] $what: dropped $dropped buckets larger than $maxBucketSize members")
     }
     banded.join(
-      sizes.filter(col("__bsz").between(2, maxBucketSize)).select(keys.map(col): _*),
+      sizes.filter(col("__bsz").between(minBucketSize, maxBucketSize))
+        .select(keys.map(col): _*),
       keys)
   }
 
@@ -304,15 +305,13 @@ object Dedup {
                         tau: Double = 0.6, maxBucketSize: Int = 4096): DataFrame = {
     val sigC = cachedOnce(minhashSignatures(corpus, idCol, textCol, k, bands * rowsPerBand))
     val sigB = cachedOnce(minhashSignatures(batch, idCol, textCol, k, bands * rowsPerBand))
-    val bandC = bandSignatures(sigC, bands, rowsPerBand, Seq("doc_id"))
-    val admitted = bandC.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
+    val bandC = capBuckets(
+      bandSignatures(sigC, bands, rowsPerBand, Seq("doc_id")),
+      Seq("band", "bucket"), maxBucketSize, logDropped = false, "minhash-cross",
+      minBucketSize = 1) // a lone corpus doc CAN pair with a batch doc
     val candidates = bandSignatures(sigB, bands, rowsPerBand, Seq("doc_id"))
       .select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-      .join(bandC.join(admitted, Seq("band", "bucket"))
-        .select(col("band"), col("bucket"), col("doc_id").as("doc_a")),
+      .join(bandC.select(col("band"), col("bucket"), col("doc_id").as("doc_a")),
         Seq("band", "bucket"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()

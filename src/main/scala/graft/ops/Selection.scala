@@ -19,23 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** The k-th smallest value (1-based) of a numeric column. */
+  /** The k-th smallest value (1-based) of a numeric column. NULL and
+    * NaN values are excluded (NaN has no order statistics rank);
+    * ±Infinity values are ranked directly, so the bucket math only
+    * ever sees a finite range.
+    */
   def kthSmallest(df: DataFrame, valueCol: Column, k: Long,
                   buckets: Int = 1024, collectThreshold: Long = 65536): Double = {
     require(k >= 1, "k is 1-based")
-    val vals0 = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
-    val firstRow = vals0.agg(min(col("v")), max(col("v")), count(lit(1))).head()
-    require(k <= firstRow.getLong(2), s"k=$k exceeds ${firstRow.getLong(2)} rows")
-    var lo = firstRow.getDouble(0)
-    var hi = firstRow.getDouble(1)
-    var vals = vals0
-    var kk = k
-    var n = firstRow.getLong(2)
+    val vals0 = df.select(valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val firstRow = vals0.agg(
+      min(col("v")), max(col("v")), count(lit(1)),
+      count(when(col("v") === Double.NegativeInfinity, 1)),
+      count(when(col("v") === Double.PositiveInfinity, 1))).head()
+    val total = firstRow.getLong(2)
+    require(k <= total, s"k=$k exceeds $total rows")
+    val nNegInf = firstRow.getLong(3)
+    val nPosInf = firstRow.getLong(4)
+    // infinite values break equal-width bucketing (width overflows or
+    // floor() yields NaN) — but their ranks are known without any
+    // narrowing: they ARE the two ends of the order
+    if (k <= nNegInf) return Double.NegativeInfinity
+    if (k > total - nPosInf) return Double.PositiveInfinity
+    var lo = if (nNegInf > 0)
+      vals0.filter(col("v") =!= Double.NegativeInfinity).agg(min(col("v"))).head().getDouble(0)
+    else firstRow.getDouble(0)
+    var hi = if (nPosInf > 0)
+      vals0.filter(col("v") =!= Double.PositiveInfinity).agg(max(col("v"))).head().getDouble(0)
+    else firstRow.getDouble(1)
+    var vals = vals0.filter(!col("v").isin(
+      Double.NegativeInfinity, Double.PositiveInfinity))
+    var kk = k - nNegInf
+    var n = total - nNegInf - nPosInf
     // each round divides the range by `buckets`; 64 rounds bottoms out
     // double precision long before this guard can trigger
     var rounds = 0
     while (n > collectThreshold && lo < hi && rounds < 64) {
-      val width = (hi - lo) / buckets
+      // divide-then-subtract keeps the width finite even when hi - lo
+      // would overflow (lo near -MAX, hi near +MAX)
+      val width = hi / buckets - lo / buckets
       // clamp: v == hi would index one past the end
       val bucketOf = least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1))
       val counts = vals.groupBy(bucketOf.cast("int").as("b"))
@@ -47,8 +70,12 @@ object Selection {
       }.get
       kk -= acc
       n = cSel
-      val newLo = lo + bSel * width
-      val newHi = if (bSel == buckets - 1) hi else lo + (bSel + 1) * width
+      // barycentric form: each term stays within ±MAX even when the
+      // naive lo + bSel*width would overflow on a full-double-range lo
+      def edge(b: Int): Double =
+        (lo / buckets) * (buckets - b) + (hi / buckets) * b
+      val newLo = edge(bSel)
+      val newHi = if (bSel == buckets - 1) hi else edge(bSel + 1)
       // the k-th value is in [newLo, newHi] (upper edge inclusive only
       // for the clamped last bucket); keep rows by the SAME bucket
       // predicate used for counting so the count and the filter agree

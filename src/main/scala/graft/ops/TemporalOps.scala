@@ -56,15 +56,20 @@ object TemporalOps {
     // even when payload fields inside it are NULL, so a NULL field of the
     // latest match stays NULL instead of being backfilled from an older
     // right row (per-column carries would mix values across right rows).
-    val r2 = right.select(
+    // a NULL-timestamp right row can never be "the latest/next match"
+    // (the SQL comparison is NULL) — drop it here, or null-ordering
+    // would sort it to one end of the timeline and leak its payload
+    val r2 = right.filter(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
         struct(outCols.map { case (c, o) => col(c).as(o) }: _*).as("__pack"): _*)
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     // right rows sort BEFORE left rows at the same instant, so an equal
     // timestamp is visible to the left row (the >= contract); the
     // forward variant walks the timeline in reverse, which turns the
-    // same carry into "earliest right row at or after"
-    val ts = if (forward) col("__ts").desc else col("__ts").asc
+    // same carry into "earliest right row at or after". NULL-timestamp
+    // LEFT rows must sort before every right row in BOTH walks (they
+    // match nothing) — asc puts nulls first already; desc must say so.
+    val ts = if (forward) col("__ts").desc_nulls_first else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ts, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

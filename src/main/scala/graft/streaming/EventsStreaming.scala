@@ -260,8 +260,12 @@ object EventsStreaming {
       .join(crossDup, Seq(idCol), "left_anti")
     val delta = sunk.fold(admitted) { s =>
       admitted.join(s.select(col(idCol)), Seq(idCol), "left_anti")
-    }
-    if (!delta.isEmpty)
-      delta.write.mode("append").parquet(out)
+    }.persist() // the screen plan feeds BOTH the emptiness probe and the
+                // write — without a persist each would run the candidate
+                // joins + exact verify end to end
+    try {
+      if (!delta.isEmpty)
+        delta.write.mode("append").parquet(out)
+    } finally delta.unpersist()
   }
 }

@@ -96,8 +96,13 @@ object Curation {
     // a row with an unknown rank or token count cannot be ordered or
     // budgeted — it never competes for the budget (NULL text rows
     // upstream of a quality score land here)
+    // the banded relation feeds the histogram collect AND the final
+    // join — persist so the caller's metric expressions (often a full
+    // tokenize+score pass) run once, not twice; the ContextCleaner
+    // drops the cache when the plan is GC'd
     val banded = df.filter(col(rankCol).isNotNull && col(tokenCol).isNotNull)
       .withColumn("__band", expr(s"$rankCol DIV $bucketWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = banded.groupBy(col("__band"))
       .agg(sum(col(tokenCol)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)

@@ -150,6 +150,24 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is before
   }
 
+  test("asof joins: NULL timestamps match nothing, in both directions and on both sides") {
+    import spark.implicits._
+    val left = Seq((1L, Some(100L)), (2L, None: Option[Long])).map { case (id, t) =>
+      (id, 1L, t) }.toDF("id", "k", "t")
+    val right = Seq((1L, Some(100L), "ok"), (2L, None: Option[Long], "leak"))
+      .map { case (id, t, v) => (1L, t, v + id) }.toDF("k", "t", "v")
+    for ((name, res) <- Seq(
+      "backward" -> TemporalOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v")),
+      "forward" -> TemporalOps.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("v")))) {
+      val got = res.collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[String]("asof_v"))).toMap
+      assert(got(1L) == Some("ok1"), s"$name: equal-ts right row matches")
+      assert(got(2L).isEmpty, s"$name: NULL-ts left row must match nothing")
+      assert(!got.values.flatten.exists(_.startsWith("leak")),
+        s"$name: NULL-ts right row must never be carried")
+    }
+  }
+
   test("asofJoin: NULL payload field of the latest match stays NULL (no cross-row backfill)") {
     val left = Seq((1L, 100L, 30L)).toDF("id", "k", "t")
     val right = Seq(
