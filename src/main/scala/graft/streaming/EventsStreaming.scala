@@ -43,6 +43,25 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Declarative sessionization via the native session_window
+    * aggregate — the built-in alternative to [[sessionizeStream]]'s
+    * explicit flatMapGroupsWithState machine: Spark merges overlapping
+    * per-key gap windows and the WATERMARK is what closes a session
+    * (Append emits it only once event time passes session end). Use
+    * this form when per-session output is plain aggregates; the state
+    * machine remains for custom split/emission logic.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Keyed custom state via mapGroupsWithState: per-user running stats
     * that survive across micro-batches (processing-time timeout left to
     * the caller's trigger cadence).

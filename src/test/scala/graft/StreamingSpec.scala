@@ -275,6 +275,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("native session_window stream: watermark closes finished sessions, open one held back") {
+    val in = tmpDir("stream-in-sw")
+    writeFixture(in)
+    val events = EventsStreaming.readEvents(spark, in,
+      implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+    // zero-delay watermark: after draining, event time sits at 10:59 —
+    // user 7's first session (10:00-10:10, ends 10:40 with the gap) and
+    // user 8's (ends 10:50) are closed and emitted; user 7's 10:59
+    // session is still open, so Append must hold it back
+    val q = EventsStreaming.sessionWindowStats(events, watermark = "0 seconds")
+      .writeStream
+      .format("memory").queryName("sw")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-sw"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sw").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).sorted
+    assert(rows.toSeq == Seq((7L, 2L), (8L, 1L)),
+      s"closed sessions only, got ${rows.toSeq}")
+  }
+
   test("nearDupScreenSink: rejects corpus/prior/within-batch near-dups, replay appends zero") {
     import spark.implicits._
     val out = tmpDir("ingest-out") + "/corpus"
