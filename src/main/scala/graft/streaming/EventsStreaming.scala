@@ -62,6 +62,39 @@ object EventsStreaming {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  final case class StaleKey(user_id: Long, last_ts: java.sql.Timestamp)
+
+  /** Absence (missed-heartbeat) detection: emits one StaleKey record
+    * when a key that HAS been seen goes silent for `horizonSeconds` of
+    * EVENT time — monitoring's "host stopped reporting", the inverse of
+    * every presence-triggered operator here. Timeouts fire off the
+    * watermark, so silence is judged by the stream's own clock, not
+    * wall-clock; a flagged key's state is dropped (re-appearing later
+    * re-arms detection from scratch). State per live key is one
+    * timestamp — O(keys), bounded.
+    */
+  def staleKeys(events: Dataset[Event], horizonSeconds: Long,
+                watermark: String = "0 seconds"): Dataset[StaleKey] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, StaleKey](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(StaleKey(userId, new java.sql.Timestamp(last)))
+          } else {
+            val latest = (batch.map(_.ts.getTime) ++ state.getOption.iterator).max
+            state.update(latest)
+            state.setTimeoutTimestamp(latest + horizonSeconds * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Keyed custom state via mapGroupsWithState: per-user running stats
     * that survive across micro-batches (processing-time timeout left to
     * the caller's trigger cadence).

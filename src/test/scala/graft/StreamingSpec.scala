@@ -298,6 +298,50 @@ class StreamingSpec extends SparkSpec {
       s"closed sessions only, got ${rows.toSeq}")
   }
 
+  test("staleKeys: silent key flagged once via event-time timeout, active key not, re-arm works") {
+    val in = tmpDir("stream-in-stale")
+    val ckpt = tmpDir("ckpt-stale")
+    val out = tmpDir("stale-out") + "/stale"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming.staleKeys(events, horizonSeconds = 600)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStreaming.StaleKey], _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def stale(): Array[(Long, java.sql.Timestamp)] =
+      if (!graft.ops.Fs.exists(out)) Array.empty
+      else spark.read.parquet(out).as[EventsStreaming.StaleKey].collect()
+        .map(s => (s.user_id, s.last_ts))
+
+    // batch 1: both users alive; nothing is stale yet
+    Seq(Event(1L, ts(0), 7L, "hb", 0.0), Event(2L, ts(1), 8L, "hb", 0.0))
+      .toDS().write.mode("overwrite").parquet(in)
+    run()
+    assert(stale().isEmpty)
+
+    // batch 2: user 8 keeps beating; the watermark passes 10:00 + 10min
+    // -> user 7 flagged exactly once with its last heartbeat
+    Seq(Event(3L, ts(30), 8L, "hb", 0.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(stale().toSeq == Seq((7L, ts(0))))
+
+    // batch 3: user 7 re-appears then goes silent again past the horizon
+    // -> re-armed detection flags it a second time with the NEW last_ts
+    Seq(Event(4L, ts(35), 7L, "hb", 0.0), Event(5L, ts(59), 8L, "hb", 0.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(stale().toSet == Set((7L, ts(0)), (7L, ts(35))))
+  }
+
   test("nearDupScreenSink: rejects corpus/prior/within-batch near-dups, replay appends zero") {
     import spark.implicits._
     val out = tmpDir("ingest-out") + "/corpus"
