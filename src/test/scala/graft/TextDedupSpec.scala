@@ -255,6 +255,26 @@ class TextDedupSpec extends SparkSpec {
       s"unrelated docs must not pair, got $pairs")
   }
 
+  test("minhashPairsCross: corpus-side mega-bucket is capped, normal buckets still pair") {
+    import spark.implicits._
+    // 300 identical corpus docs form a mega-bucket in every band; with
+    // the cap below 300 the batch twin of that text finds NO pairs
+    // (identical-text floods are the exact-dedup tier's job) while an
+    // unrelated normal-sized near-dup pair still surfaces
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 300L).map(i => (i, boiler)) :+
+      (400L, "el perro grande la casa de un gato es aqui hoy")).toDF("doc_id", "text")
+    val batch = Seq(
+      (501L, boiler),
+      (502L, "el perro grande la casa de un gato es aqui ahora")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsCross(corpus, batch, "doc_id", "text",
+      tau = 0.3, maxBucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((400L, 502L)),
+      s"capped mega-bucket must not pair, normal bucket must: $pairs")
+  }
+
   test("minhashPairsCross recall is 1.0 vs the exact cross >=0.6 graph at sf0.01") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
