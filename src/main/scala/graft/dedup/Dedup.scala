@@ -645,13 +645,19 @@ object Dedup {
     * blocks by the concatenation of that subset's block values. A pair
     * at Hamming h has ≥ blocks−h clean blocks, so some subset matches
     * whenever h ≤ blocks − comboSize — the default (8, 2) GUARANTEES
-    * recall to Hamming ≤ 6, which on vote-concentrated near-identical
-    * corpora covers every Jaccard-0.9 pair (one token edit flips only
-    * the handful of near-zero vote sums). C(8,2) = 28 tables of 16-bit
-    * keys: the banded exchange carries 28 ids-only rows per doc, and
-    * chance collisions arrive at ~n²·28/2¹⁶ — for corpora big enough
-    * that 16-bit buckets saturate, (8, 3) gives 56 tables of 24-bit
-    * keys and a Hamming ≤ 5 guarantee.
+    * recall to Hamming ≤ 6; beyond that radius recall is probabilistic
+    * (28 tables still catch most pairs by chance). That radius is a
+    * HAMMING promise, not a Jaccard one: on short documents a true
+    * Jaccard-0.9 pair can sit well outside it (measured on the gate
+    * corpora: max Hamming of J≥0.9 pairs is 5 at sf0.01 but 11 at
+    * sf0.1), which is why q_dedup_simhash's oracle is a verified-subset
+    * + recall-bound contract rather than pair-set equality — and why
+    * widening the banding is no fix: C(16,2)'s 8-bit keys saturate with
+    * corpus size and the bucket cap then drops exactly the buckets the
+    * "guarantee" needs. C(8,2) = 28 tables of 16-bit keys: the banded
+    * exchange carries 28 ids-only rows per doc, and chance collisions
+    * arrive at ~n²·28/2¹⁶ — for corpora big enough that 16-bit buckets
+    * saturate, (8, 3) gives 56 tables of 24-bit keys (Hamming ≤ 5).
     *
     * `preHamming` is a cost guard, not semantics: an in-row bit_count
     * over the 8-byte fingerprints already in the collision rows,

@@ -139,19 +139,35 @@ object DedupQueries {
     * contract on same-template corpora, where related docs share most
     * fingerprint votes).
     *
-    * Oracle: the exact pair set at Jaccard ≥ 0.9 — per-pair verification
-    * makes found pairs a subset of the oracle set; the hash matches
-    * because every Jaccard-0.9 pair on this corpus sits at Hamming ≤ 5
-    * (one-token edits flip only near-zero vote sums), inside the banding
-    * guarantee, so recall is exactly 1. The engine-internal jaccard
-    * value stays out of the compared schema; the pair identities are the
-    * semantic content.
+    * Oracle: a verified-SUBSET + recall-bound contract (the
+    * q_dedup_embedding_lsh shape), NOT pair-set equality. Measured on
+    * the gate corpora, true Jaccard-0.9 pairs reach SimHash Hamming 5
+    * at sf0.01 but 11 at sf0.1 (short docs → few votes → noisy bits),
+    * and no banding guarantees Hamming ≤ 11 affordably — C(16,2)
+    * banding's 8-bit keys saturate with corpus size, and the bucket cap
+    * would void the "guarantee" exactly when it matters. A recall
+    * bound is the honest contract for a Hamming-radius generator asked
+    * a Jaccard question: subset_ok is exact (per-pair verification);
+    * recall ≥ 0.95 holds with margin (measured 1.0 at sf0.01, 0.992 at
+    * sf0.1). MinHash remains the tier with a pinned recall-1.0 oracle.
     */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
-    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
-      .select(col("doc_a"), col("doc_b"))
-      .orderBy(col("doc_a"), col("doc_b")),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val found = Dedup.simhashPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__f"))
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          k = 3, tau = 0.9, probePred = _ => lit(true))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+      exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("__e"), lit(0))).cast("bigint").as("n_exact"),
+          (sum(when(col("__e").isNotNull && col("__f").isNotNull, 1).otherwise(0))
+            .cast("double")
+            / sum(coalesce(col("__e"), lit(0))) >= 0.95).as("recall_ok"),
+          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0).as("subset_ok"))
+    },
     Some("""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
@@ -161,11 +177,11 @@ object DedupQueries {
                list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
         FROM toks)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             TRUE AS recall_ok, TRUE AS subset_ok
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9
-      ORDER BY doc_a, doc_b"""))
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9"""))
 
   /** Embedding-cosine near-dup pairs over `embeddings` (probe subset
     * vec_id % 100 = 0, rounded cosine ≥ 0.35) — oracle-checked against

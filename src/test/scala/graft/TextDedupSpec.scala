@@ -255,6 +255,27 @@ class TextDedupSpec extends SparkSpec {
       s"unrelated docs must not pair, got $pairs")
   }
 
+  test("simhash oracle precondition: verified subset + recall >= 0.95 at both gate sfs") {
+    // the q_dedup_simhash contract is recall-bounded, not exact —
+    // measured J>=0.9 pairs reach Hamming 11 at sf0.1, outside any
+    // affordable banding guarantee. Pin the bound the oracle relies on
+    // so a testdata refresh that breaks it fails HERE, not in the gate.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.Tables.documents(spark, sf)
+      val found = Dedup.simhashPairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          k = 3, tau = 0.9, probePred = _ => lit(true))
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"$sf: fixture must contain J>=0.9 pairs")
+      assert((found -- exact).isEmpty, s"$sf: found pairs must be a subset")
+      val recall = found.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.95, s"$sf: recall $recall below the oracle bound")
+    }
+  }
+
   test("minhashPairsCross: corpus-side mega-bucket is capped, normal buckets still pair") {
     import spark.implicits._
     // 300 identical corpus docs form a mega-bucket in every band; with
