@@ -32,8 +32,41 @@ object Bench {
   private def exec(q: Q, spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+  private def loadAvg(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Block until the async listener bus has delivered every queued event
+    * (shuffle-byte attribution between sequential queries). The method is
+    * private[spark], so it is reached reflectively; a bounded sleep is
+    * the fallback if the internals ever move.
+    */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(100) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Ambient-load gate, measured BEFORE any Spark work: twice (r5, r6)
+    // a recorded bench was invalidated by co-running load that the
+    // end-of-run sentinel could only report after the fact. Sample the
+    // 1-minute load while the machine should be idle; if it is loud,
+    // sleep once (a just-exited sbt/test JVM decays out of the 1-min
+    // average) and re-sample. Still loud ⇒ the run executes anyway but
+    // the JSON line carries a loud INVALID marker — the artifact
+    // labels itself instead of needing a judge re-run to interpret.
+    var loadBefore = loadAvg()
+    if (loadBefore > 2.0) {
+      System.err.println(
+        f"[bench] ambient load $loadBefore%.2f > 2 before start; sleeping 60s and re-sampling")
+      Thread.sleep(60000)
+      loadBefore = loadAvg()
+    }
+    val invalid = loadBefore > 2.0
+    if (invalid)
+      System.err.println(
+        f"[bench] INVALID: load_avg $loadBefore%.2f > 2 at start — numbers are ambient-load noise")
     val spark = GraftSession.local()
     val headline = SparkEntry.registry.filter(_.headline)
     // untimed warm-up pass, doubling as the shuffle-byte measurement:
@@ -49,7 +82,7 @@ object Bench {
     val shuffleMb = headline.map { q =>
       val r0 = tally.read.get
       try exec(q, spark, sfDir) catch { case _: Throwable => }
-      Thread.sleep(100)
+      drainListenerBus(spark.sparkContext)
       q.name -> (tally.read.get - r0) / 1e6
     }.toMap
     spark.sparkContext.removeSparkListener(tally)
@@ -74,11 +107,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // ambient-load sentinel: 1-minute system load average at the end of
-    // the run (-1.0 where unavailable). A recorded run with load far
-    // above the core count is machine noise, not a regression.
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // end-of-run load is kept for continuity but is dominated by this
+    // bench's own 32-thread work; load_avg_before is the ambient signal
+    // and load_ok the verdict
+    val load = loadAvg()
     // convergence observability for the one iterative operator
     val ccRounds = graft.dedup.Dedup.lastClusterRounds
     // locale-independent 2-dp rendering (an f"%.2f" would emit comma
@@ -86,7 +118,8 @@ object Bench {
     val sh = results.map { case (k, _) =>
       "\"" + k + "\":" + math.round(shuffleMb.getOrElse(k, -1.0) * 100) / 100.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
+    val status = if (invalid) "\"INVALID: load_avg>2\"" else "\"ok\""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","status":$status,"load_avg_before":$loadBefore,"queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
     spark.stop()
   }
 }

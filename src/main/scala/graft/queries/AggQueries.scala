@@ -196,7 +196,8 @@ object AggQueries {
         SELECT l_extendedprice AS median_price,
                row_number() OVER (ORDER BY l_extendedprice) AS rn,
                count(*) OVER () AS n
-        FROM lineitem) WHERE rn = (n + 1) // 2"""))
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      WHERE rn = (n + 1) // 2"""))
 
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.

@@ -71,30 +71,48 @@ object DedupQueries {
   /** Exact 3-shingle Jaccard pairs for a deterministic probe subset
     * (doc_id % 10 = 0) — the oracle-checked ground truth the LSH
     * variants approximate. Probe-vs-all, so cost is Q·N, not N².
+    *
+    * Runs with the [[ClusterMaxDf]] document-frequency cap, like every
+    * cluster-forming graph: without it one corpus-ubiquitous shingle
+    * (boilerplate, a stop-word run) is a single join key whose
+    * |probes∋s|×|docs∋s| intermediate is quadratic in that key's df —
+    * the probe predicate bounds one side by 10% of the corpus, not the
+    * key. The cap bounds EVERY key's contribution to 50×50 at any
+    * scale; per-doc sizes are recomputed on the capped shingle space by
+    * both engines (the oracle CTE mirrors the cap), so the Jaccard
+    * values stay self-consistent and hash-identical. At the gate
+    * corpora the cap admits every shingle (max df 7 at sf0.01), so it
+    * changes no answer there — it exists for the corpus where it would.
     */
   val qJaccardPairs = Q(
     "q_jaccard_pairs",
     (s, d) => Dedup
       .jaccardPairsExact(Tables.documents(s, d), "doc_id", "text",
-        k = 3, tau = 0.3, probePred = _ % 10 === 0)
+        k = 3, tau = 0.3, probePred = _ % 10 === 0, maxDf = Some(ClusterMaxDf))
       .orderBy(col("doc_a"), col("doc_b")),
-    Some("""
+    Some(s"""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
         FROM documents),
       sh AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                  ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
-        FROM toks)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             floor((2.0 * (len(list_intersect(a.s, b.s))) * 1000000
-                    + (len(list_distinct(list_concat(a.s, b.s)))))
-                   / (2.0 * (len(list_distinct(list_concat(a.s, b.s)))))) / 1000000 AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE a.doc_id % 10 = 0
-        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.3
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+            FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 10 = 0
+            GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b,
+             floor((2.0 * i.nboth * 1000000 + (sa.n + sb.n - i.nboth))
+                   / (2.0 * (sa.n + sb.n - i.nboth))) / 1000000 AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+             JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3
       ORDER BY doc_a, doc_b"""),
     headline = true)
 
@@ -162,11 +180,17 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
       exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
         .agg(
-          sum(coalesce(col("__e"), lit(0))).cast("bigint").as("n_exact"),
-          (sum(when(col("__e").isNotNull && col("__f").isNotNull, 1).otherwise(0))
-            .cast("double")
-            / sum(coalesce(col("__e"), lit(0))) >= 0.95).as("recall_ok"),
-          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0).as("subset_ok"))
+          coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).cast("bigint").as("n_exact"),
+          // recall is vacuously satisfied when the corpus holds no exact
+          // pair (0/0 → NULL otherwise, which would surface a fixture
+          // refresh as a confusing hash mismatch instead of a spec fail)
+          coalesce(
+            sum(when(col("__e").isNotNull && col("__f").isNotNull, 1).otherwise(0))
+              .cast("double")
+              / sum(coalesce(col("__e"), lit(0))) >= 0.95,
+            lit(true)).as("recall_ok"),
+          coalesce(sum(when(col("__e").isNull, 1).otherwise(0)) === 0, lit(true))
+            .as("subset_ok"))
     },
     Some("""
       WITH toks AS (
@@ -229,11 +253,15 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), lit(1).as("__e"))
       exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
         .agg(
-          sum(coalesce(col("__e"), lit(0))).cast("bigint").as("n_exact"),
-          (sum(when(col("__e").isNotNull && col("__l").isNotNull, 1).otherwise(0))
-            .cast("double")
-            / sum(coalesce(col("__e"), lit(0))) >= 0.9).as("recall_ok"),
-          (sum(when(col("__e").isNull, 1).otherwise(0)) === 0).as("subset_ok"))
+          coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).cast("bigint").as("n_exact"),
+          // vacuous recall when no exact pair exists (see q_dedup_simhash)
+          coalesce(
+            sum(when(col("__e").isNotNull && col("__l").isNotNull, 1).otherwise(0))
+              .cast("double")
+              / sum(coalesce(col("__e"), lit(0))) >= 0.9,
+            lit(true)).as("recall_ok"),
+          coalesce(sum(when(col("__e").isNull, 1).otherwise(0)) === 0, lit(true))
+            .as("subset_ok"))
     },
     Some("""
       WITH p AS (

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Corpus-curation operators a training-data pipeline runs after
   * cleaning/dedup: reproducible split assignment, stratified
@@ -93,6 +93,18 @@ object Curation {
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
                    rankCol: String, budget: Long,
                    bucketWidth: Long = 1000L): DataFrame = {
+    // enforce the documented preconditions instead of failing later with
+    // a ClassCastException (double token sums) or a DIV on non-integral
+    // ranks: both columns must be integral; rank nonnegativity is
+    // data-dependent and is checked for free on the collected histogram
+    def requireIntegral(name: String): Unit = df.schema(name).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"budgetSelect: column '$name' must be integral, got $t " +
+          "(cast token counts / ranks to int or long upstream)")
+    }
+    requireIntegral(tokenCol)
+    requireIntegral(rankCol)
     // a row with an unknown rank or token count cannot be ordered or
     // budgeted — it never competes for the budget (NULL text rows
     // upstream of a quality score land here)
@@ -106,6 +118,9 @@ object Curation {
     val hist = banded.groupBy(col("__band"))
       .agg(sum(col(tokenCol)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    require(hist.forall(_._1 >= 0),
+      s"budgetSelect: rankCol '$rankCol' must be nonnegative " +
+        s"(found a negative band in the rank histogram)")
     var acc = 0L
     val offsets = hist.map { case (b, t) => val before = acc; acc += t; (b, before) }
     val offsetDf = df.sparkSession
