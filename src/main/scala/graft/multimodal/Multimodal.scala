@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side mechanics — schema, partition-preserving batch
   * iteration, frame sampling, feature extraction shape — are real and
-  * tested. The actual codec step is STUBBED (no image/audio libraries in
-  * this environment) behind [[StubCodec]]: a deterministic fake that
-  * derives "decoded" metadata from the payload bytes, so tests are
-  * reproducible and the plumbing is exercised end-to-end. Swap
-  * [[StubCodec]] for a real JNI/javacv codec without touching anything
-  * else.
+  * tested. The codec step is a SEAM ([[MediaCodec]]) with two
+  * implementations: [[StubCodec]], a deterministic byte-math fake the
+  * DuckDB oracle can reproduce (the default — it keeps every query
+  * hash-checkable), and [[ImageIoCodec]], a REAL PNG/BMP/GIF/JPEG
+  * decoder over the JDK's javax.imageio, spec-pinned on fixture images
+  * (ImageIoSpec). Audio/video codecs would be further implementations
+  * of the same seam (no such library ships in this JVM).
   *
   * Scale notes: the codec step runs via `Dataset.mapPartitions` (one
   * codec init per partition, not per row — the same batching rationale
@@ -39,14 +40,30 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", IntegerType)))))) // audio/video
 
-  /** STUB codec — deterministic fake "decode".
-    *
-    * A real deployment replaces this object with bindings to an image/
-    * audio library; the function signatures are the contract. The fake
-    * derives plausible metadata purely from payload bytes so results
-    * are stable across engines and runs.
+  /** The codec SEAM: everything the per-partition media hop needs from a
+    * decoder. Implementations must be serializable (the object ships in
+    * the task closure); `init()` runs once per partition before the
+    * first row — the place for native-library/model warm-up.
     */
-  object StubCodec {
+  trait MediaCodec extends Serializable {
+    def init(): Unit = ()
+    /** payload → (width, height, duration_ms); (-1, -1, -1) = undecodable */
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Int)
+    /** payload → dense k-dim feature vector */
+    def features(payload: Array[Byte], k: Int): Array[Float]
+    /** payload → reduced payload bounded by `targetBytes` */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte]
+  }
+
+  /** STUB codec — deterministic fake "decode" (the default).
+    *
+    * The fake derives plausible metadata purely from payload bytes so
+    * results are stable across engines and runs — which is what lets
+    * the oracle queries verify the PLUMBING byte-for-byte in DuckDB.
+    * [[ImageIoCodec]] is the real-decode implementation of the same
+    * seam for actual image payloads.
+    */
+  object StubCodec extends MediaCodec {
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       val b0 = if (n > 0) payload(0) & 0xff else 0
@@ -80,13 +97,106 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * whatever readers the running JVM registers). Same seam as
+    * [[StubCodec]]; plug it into [[decode]]/[[extractFeatures]]/
+    * [[resize]] for genuine pixel work with the identical Spark plan,
+    * partitioning, and batch shape. The oracle queries keep the stub
+    * (DuckDB cannot decode pixels); ImageIoSpec pins this codec's
+    * behavior on fixture images instead.
+    *
+    * Decoding happens entirely inside the executor task — payload bytes
+    * in, small struct/vector out — so nothing about the 100 TB posture
+    * changes: one codec init per partition, pruned (id, content)
+    * columns through the hop, no driver involvement.
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def init(): Unit = {
+      // executors have no display; ImageIO's disk cache would add a
+      // file-system round-trip per decode on pure in-memory payloads
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+    }
+
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage =
+      if (payload == null || payload.length == 0) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+
+    /** (width, height, 0) for a decodable image; (-1, -1, -1) otherwise
+      * (a still image has no duration; the sentinel keeps undecodable
+      * rows visible instead of faking zeros a filter could mistake for
+      * a 0×0 image).
+      */
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Int) = {
+      val img = read(payload)
+      if (img == null) (-1, -1, -1) else (img.getWidth, img.getHeight, 0)
+    }
+
+    /** k-bin luminance histogram over decoded pixels (integer ITU-R 601
+      * luma approximation (77R + 150G + 29B) >> 8 — deterministic, no
+      * float rounding); zeros when undecodable.
+      */
+    def features(payload: Array[Byte], k: Int): Array[Float] = {
+      val acc = new Array[Float](k)
+      val img = read(payload)
+      if (img != null) {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16 & 0xff) * 77 + (rgb >> 8 & 0xff) * 150 +
+              (rgb & 0xff) * 29) >> 8).min(255)
+            acc(luma * k / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+      }
+      acc
+    }
+
+    /** Real downscale-and-reencode: shrink so the PIXEL COUNT fits
+      * `targetBytes` (the seam's size budget, read as an uncompressed-
+      * payload proxy — encoded size isn't knowable before encoding),
+      * nearest-neighbor sampling (deterministic — Graphics2D
+      * interpolation varies by JVM), PNG out. Payloads already within
+      * budget, or undecodable ones, pass through unchanged.
+      */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      val img = read(payload)
+      if (img == null || img.getWidth.toLong * img.getHeight <= targetBytes) payload
+      else {
+        val scale = math.sqrt(targetBytes.toDouble / (img.getWidth.toLong * img.getHeight))
+        val w = math.max(1, (img.getWidth * scale).toInt)
+        val h = math.max(1, (img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        buf.toByteArray
+      }
+    }
+  }
+
   /** Decode pass: binary content → metadata struct, batched per
     * partition. Output schema is explicit so downstream plans bind
     * without inference. Pass-through contract: `decoded` is appended to
     * whatever columns arrive, so the CALLER's projection decides what
     * the scan reads — project before decoding a wide table.
     */
-  def decode(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
       StructField("decoded", StructType(Seq(
         StructField("width", IntegerType),
@@ -94,10 +204,10 @@ object Multimodal {
         StructField("duration_ms", IntegerType)))))
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
-      // codec init would happen here, once per partition
+      codec.init() // once per partition
       rows.map { row =>
         val payload = row.getAs[Array[Byte]](contentIdx)
-        val (w, h, dur) = StubCodec.decodeMeta(if (payload == null) Array.emptyByteArray else payload)
+        val (w, h, dur) = codec.decodeMeta(if (payload == null) Array.emptyByteArray else payload)
         Row.fromSeq(row.toSeq :+ Row(w, h, dur))
       }
     }(Encoders.row(outSchema))
@@ -112,16 +222,16 @@ object Multimodal {
     * the media table is.
     */
   def extractFeatures(media: DataFrame, idCol: String, contentCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       media.schema(idCol),
       StructField("feature", ArrayType(FloatType), nullable = false)))
     media.select(col(idCol), col(contentCol)).mapPartitions { rows =>
-      // model/codec init would happen here, once per partition
+      codec.init() // model/codec warm-up, once per partition
       rows.map { row =>
         val payload = row.getAs[Array[Byte]](1)
         Row(row.get(0),
-          StubCodec.features(if (payload == null) Array.emptyByteArray else payload, k).toSeq)
+          codec.features(if (payload == null) Array.emptyByteArray else payload, k).toSeq)
       }
     }(Encoders.row(outSchema))
   }
@@ -131,15 +241,16 @@ object Multimodal {
     * resized payload; same pruned two-column hop as [[extractFeatures]].
     */
   def resize(media: DataFrame, idCol: String, contentCol: String,
-             targetBytes: Int): DataFrame = {
+             targetBytes: Int, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       media.schema(idCol),
       StructField("resized", BinaryType)))
     media.select(col(idCol), col(contentCol)).mapPartitions { rows =>
+      codec.init() // once per partition
       rows.map { row =>
         val payload = row.getAs[Array[Byte]](1)
         Row(row.get(0),
-          StubCodec.resize(if (payload == null) Array.emptyByteArray else payload, targetBytes))
+          codec.resize(if (payload == null) Array.emptyByteArray else payload, targetBytes))
       }
     }(Encoders.row(outSchema))
   }
