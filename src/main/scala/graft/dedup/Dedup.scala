@@ -666,20 +666,17 @@ object Dedup {
     * pair at Jaccard ≥ 0.9 differs in a handful of votes, nowhere near
     * 16 bits.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, tau: Double = 0.9,
-                   blocks: Int = 8, comboSize: Int = 2,
-                   preHamming: Int = 16, maxBucketSize: Int = 4096,
-                   logDroppedBuckets: Boolean = false): DataFrame = {
+  /** (doc_id, sh64) → one row per block-combination band:
+    * (doc_id, sh64, q = combination index, qv = concatenated block
+    * values of that combination). Shared by the self-join and cross
+    * variants so both band with the identical key scheme.
+    */
+  private def simhashBanded(fp: DataFrame, blocks: Int, comboSize: Int): DataFrame = {
     require(blocks > 1 && 64 % blocks == 0, s"blocks must divide 64: $blocks")
     require(comboSize >= 1 && comboSize < blocks,
       s"comboSize must be in [1, blocks): $comboSize")
     val w = 64 / blocks
     val blockMask = (1L << w) - 1
-    // 9 bytes per doc, re-derived 4x through the bucket-guard diamond
-    // and both self-join sides without this (same rationale as the
-    // minhash signature persist)
-    val fp = cachedOnce(simhashFingerprints(docs, idCol, textCol, "sh64"))
     val blockVal = (i: Int) =>
       shiftright(col("sh64"), w * i).bitwiseAND(lit(blockMask))
     val bands = (0 until blocks).combinations(comboSize).toSeq.zipWithIndex
@@ -692,10 +689,20 @@ object Dedup {
           .reduce(_ + _)
         struct(lit(ci).as("q"), qv.as("qv"))
       }
-    val banded0 = fp.select(col("doc_id"), col("sh64"),
-        explode(array(bands: _*)).as("bb"))
+    fp.select(col("doc_id"), col("sh64"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("sh64"), col("bb.q"), col("bb.qv"))
-    val banded = capBuckets(banded0, Seq("q", "qv"),
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, tau: Double = 0.9,
+                   blocks: Int = 8, comboSize: Int = 2,
+                   preHamming: Int = 16, maxBucketSize: Int = 4096,
+                   logDroppedBuckets: Boolean = false): DataFrame = {
+    // 9 bytes per doc, re-derived 4x through the bucket-guard diamond
+    // and both self-join sides without this (same rationale as the
+    // minhash signature persist)
+    val fp = cachedOnce(simhashFingerprints(docs, idCol, textCol, "sh64"))
+    val banded = capBuckets(simhashBanded(fp, blocks, comboSize), Seq("q", "qv"),
       maxBucketSize, logDroppedBuckets, "simhash")
     val l = banded.select(col("q"), col("qv"), col("doc_id").as("doc_a"), col("sh64").as("ha"))
     val r = banded.select(col("q"), col("qv"), col("doc_id").as("doc_b"), col("sh64").as("hb"))
@@ -707,5 +714,83 @@ object Dedup {
     val shingleSets = cachedOnce(docs.select(col(idCol).as("doc_id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), k)).as("hs")))
     verifyJaccard(candidates, shingleSets, tau)
+  }
+
+  /** Incremental SimHash near-dup screen: verified (corpus doc, batch
+    * doc) pairs ACROSS two relations — the SimHash rendition of
+    * [[minhashPairsCross]], for the workload where SimHash screens
+    * better (template-heavy crawls: same-boilerplate documents share
+    * most fingerprint votes, so one 8-byte fingerprint per doc beats a
+    * 32-slot signature on wire cost while banding the same way).
+    *
+    * Identical shape and discipline: only the BATCH side is banded
+    * against the standing corpus fingerprint index (corpus×corpus pairs
+    * were screened when those docs were themselves a batch); the upper
+    * bucket cap applies on the CORPUS side only and single-member
+    * corpus buckets are admitted (a lone corpus doc CAN pair with a
+    * batch doc); the `preHamming` in-row guard drops chance collisions
+    * before any shingle bytes move; candidates are deduplicated as id
+    * pairs and verified with exact cross-relation shingle Jaccard.
+    * The emitted contract is `jaccard >= tau`, never a raw Hamming cut
+    * — and like the self-join variant, banding guarantees Hamming ≤
+    * blocks−comboSize recall only, so the oracle contract for this
+    * screen is verified-subset + recall-bound (see q_dedup_simhash).
+    * Cost per ingest: O(batch bands + collisions), never corpus².
+    *
+    * @return (doc_a = corpus id, doc_b = batch id, jaccard ≥ tau)
+    */
+  def simhashPairsCross(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 3, tau: Double = 0.9,
+                        blocks: Int = 8, comboSize: Int = 2,
+                        preHamming: Int = 16, maxBucketSize: Int = 4096): DataFrame = {
+    val fpC = cachedOnce(simhashFingerprints(corpus, idCol, textCol, "sh64"))
+    val fpB = simhashFingerprints(batch, idCol, textCol, "sh64")
+    val bandC = capBuckets(simhashBanded(fpC, blocks, comboSize), Seq("q", "qv"),
+      maxBucketSize, logDropped = false, "simhash-cross",
+      minBucketSize = 1) // a lone corpus doc CAN pair with a batch doc
+    val candidates = simhashBanded(fpB, blocks, comboSize)
+      .select(col("q"), col("qv"), col("doc_id").as("doc_b"), col("sh64").as("hb"))
+      .join(bandC.select(col("q"), col("qv"), col("doc_id").as("doc_a"), col("sh64").as("ha")),
+        Seq("q", "qv"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= preHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shC = cachedOnce(corpus.select(col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), k)).as("hs")))
+    val shB = cachedOnce(batch.select(col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), k)).as("hs")))
+    verifyJaccard2(candidates, shC, shB, tau)
+  }
+
+  /** Exact cross-relation Jaccard pairs (every corpus doc × every batch
+    * doc at `jaccard >= tau`) via the same exploded-shingle equi-join as
+    * [[jaccardPairsExact]] — cost proportional to actual shingle
+    * overlap, never |corpus|×|batch|. Ground truth for the incremental
+    * screens' recall contracts; `doc_a` is the corpus id, `doc_b` the
+    * batch id, with no ordering constraint between them (the relations
+    * partition the id space by construction at the call sites).
+    */
+  def jaccardPairsExactCross(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int, tau: Double): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
+    val shC = cachedOnce(sh(corpus, "doc_a"))
+    val shB = cachedOnce(sh(batch, "doc_b"))
+    def sizes(s: DataFrame, idAs: String, nAs: String) =
+      s.groupBy(col(idAs)).agg(count(lit(1)).as(nAs))
+    val inter = shC.join(shB, Seq("hs"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(broadcast(sizes(shC, "doc_a", "na")), "doc_a")
+      .join(broadcast(sizes(shB, "doc_b", "nb")), "doc_b")
+      .withColumn("jaccard",
+        col("both").cast(DoubleType) / (col("na") + col("nb") - col("both")).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.DetMath.ratio6(
+          col("both"), col("na") + col("nb") - col("both")).as("jaccard"))
   }
 }

@@ -625,6 +625,54 @@ object DedupQueries {
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.6
       ORDER BY doc_a, doc_b"""))
 
+  /** Incremental SimHash screen, cross-batch: the same %7 batch/corpus
+    * split as q_dedup_cross_batch, screened with one 64-bit fingerprint
+    * per doc instead of a 32-slot MinHash signature — the cheaper wire
+    * shape for template-heavy crawls. Contract oracle, same form as
+    * q_dedup_simhash: the emitted pair set is exact-Jaccard-verified
+    * (subset_ok structural) and must recover ≥ 0.95 of the exact
+    * cross-relation J ≥ 0.9 graph, which DuckDB recomputes; a raw
+    * Hamming radius cannot promise full Jaccard recall (measured: the
+    * gate corpora hold J≥0.9 pairs at Hamming 11 at sf0.1).
+    */
+  val qDedupCrossSimhash = Q(
+    "q_dedup_cross_simhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val found = Dedup.simhashPairsCross(corpus, batch, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__f"))
+      val exact = Dedup.jaccardPairsExactCross(corpus, batch, "doc_id", "text",
+          k = 3, tau = 0.9)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+      exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).cast("bigint").as("n_exact"),
+          // vacuous recall when no exact cross pair exists (see q_dedup_simhash)
+          coalesce(
+            sum(when(col("__e").isNotNull && col("__f").isNotNull, 1).otherwise(0))
+              .cast("double")
+              / sum(coalesce(col("__e"), lit(0))) >= 0.95,
+            lit(true)).as("recall_ok"),
+          coalesce(sum(when(col("__e").isNull, 1).otherwise(0)) === 0, lit(true))
+            .as("subset_ok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             TRUE AS recall_ok, TRUE AS subset_ok
+      FROM sh a JOIN sh b ON a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9"""))
+
   /** Cross-source duplication report: for every (source, source) pair,
     * how many verified near-dup pairs (Jaccard ≥ 0.6) straddle it, and
     * the exact sum of their similarities. This is the audit that tells
@@ -689,5 +737,6 @@ object DedupQueries {
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
-    qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch)
+    qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
+    qDedupCrossSimhash)
 }

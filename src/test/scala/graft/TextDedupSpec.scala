@@ -317,4 +317,48 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must contain cross-split near-dup pairs")
     assert(found == exact, s"missed=${exact -- found} extra=${found -- exact}")
   }
+
+  test("simhashPairsCross: lone corpus bucket pairs, mega-bucket is capped") {
+    import spark.implicits._
+    // same two contracts as the minhash cross screen, on the simhash
+    // rendition: (a) a corpus doc ALONE in its band buckets must still
+    // pair with a batch near-dup (minBucketSize=1 admission); (b) 300
+    // identical boilerplate docs form a corpus-side mega-bucket that
+    // the cap drops — identical-text floods belong to the exact tier
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 300L).map(i => (i, boiler)) :+
+      (400L, "el perro grande la casa de un gato es aqui hoy")).toDF("doc_id", "text")
+    val batch = Seq(
+      (501L, boiler),
+      (502L, "el perro grande la casa de un gato es aqui ahora")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsCross(corpus, batch, "doc_id", "text",
+      tau = 0.3, maxBucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((400L, 502L)),
+      s"capped mega-bucket must not pair, lone bucket must: $pairs")
+  }
+
+  test("simhashPairsCross contract holds vs the exact cross >=0.9 graph at both gate sfs") {
+    // the cross screen inherits q_dedup_simhash's verified-subset +
+    // recall-bound contract; pin it against jaccardPairsExactCross on
+    // the driver corpora so a fixture refresh fails here, not the gate
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.Tables.documents(spark, sf)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val found = Dedup.simhashPairsCross(corpus, batch, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.jaccardPairsExactCross(corpus, batch, "doc_id", "text",
+          k = 3, tau = 0.9)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((found -- exact).isEmpty, s"$sf: found pairs must be a verified subset")
+      if (exact.nonEmpty) {
+        val recall = found.intersect(exact).size.toDouble / exact.size
+        assert(recall >= 0.95, s"$sf: cross recall $recall below the oracle bound")
+      }
+    }
+  }
 }
