@@ -276,6 +276,72 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Streaming incremental-aggregate sink: each micro-batch's keyed
+    * partial aggregate is absorbed into a persistent rollup via
+    * [[IncrementalOps.mergeAggregates]] — the reference's @daily rollup
+    * cadence made continuous. Only keys-cardinality relations ever
+    * merge or rewrite; the fact stream is aggregated once, per batch,
+    * and never rescanned.
+    *
+    * Exactly-once across replays WITHOUT a transactional store: the
+    * rollup is written as a versioned directory `rollup-<batchId>`
+    * (committed = has `_SUCCESS`), readers take the highest committed
+    * version, and a batch whose id is ≤ the highest committed version
+    * is skipped — foreachBatch re-delivers a replayed batch under the
+    * SAME id, so a crash between write and GC can only leave a
+    * superseded directory behind, never double-count a batch. A fresh
+    * checkpoint restarts ids at 0, which the same guard turns into a
+    * no-op replay (matching [[idempotentAppendSink]]'s contract).
+    *
+    * @param partial batch → its keyed partial aggregate; must emit
+    *   `keys ++ measures`, measures mergeable by sum (counts, sums —
+    *   any commutative monoid in sum form)
+    */
+  def rollupAbsorbSink(out: String, keys: Seq[String], measures: Seq[String],
+                       partial: DataFrame => DataFrame)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Seq[(Long, Path)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName.stripPrefix("rollup-").toLongOption
+          .filter(_ => st.getPath.getName.startsWith("rollup-") &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_ -> st.getPath)
+      }.sortBy(_._1)
+    val latest = committed.lastOption
+    if (latest.exists(_._1 >= batchId)) return // replayed batch: already absorbed
+    val delta = partial(batch)
+    val merged = latest.fold(delta) { case (_, p) =>
+      IncrementalOps.mergeAggregates(
+        spark.read.parquet(p.toString), delta, keys, measures)
+    }.select((keys ++ measures).map(col): _*)
+    merged.write.mode("overwrite").parquet(s"$out/rollup-$batchId")
+    // GC superseded versions AFTER the new one is committed (best-effort:
+    // a crash here strands a stale directory that readers ignore)
+    committed.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The highest committed rollup written by [[rollupAbsorbSink]]
+    * (None before the first batch commits).
+    */
+  def currentRollup(spark: SparkSession, out: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith("rollup-") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix("rollup-").toLongOption
+        .map(_ -> st.getPath))
+      .sortBy(_._1).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
+  }
+
   /** Streaming corpus ingest with a near-dup screen — the continuous
     * form of [[graft.dedup.Dedup.minhashPairsCross]]: every micro-batch
     * of candidate documents is screened (Jaccard ≥ tau) against the

@@ -259,6 +259,49 @@ class StreamingSpec extends SparkSpec {
       .forall(_.isNullAt(rows(0).fieldIndex("tier"))), "unmatched key -> null tier")
   }
 
+  test("rollupAbsorbSink: three micro-batches merge to the from-scratch aggregate, replay absorbs zero") {
+    val in = tmpDir("stream-in-rollup")
+    val out = tmpDir("stream-rollup") + "/daily"
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    // three "days" as three files -> maxFilesPerTrigger=1 yields three
+    // genuine micro-batches, each absorbed incrementally
+    val days = Seq(
+      Seq(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(10), 7L, "view", 2.0)),
+      Seq(Event(3L, ts(20), 8L, "click", 5.0)),
+      Seq(Event(4L, ts(30), 7L, "click", 3.0), Event(5L, ts(40), 9L, "view", 4.0)))
+    days.foreach(d => d.toDS().coalesce(1).write.mode("append").parquet(in))
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(
+          EventsStreaming.rollupAbsorbSink(out, Seq("event_type"), Seq("n", "total_value"), partial) _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-rollup-1"))
+    def rollup(): Map[String, (Long, Double)] =
+      EventsStreaming.currentRollup(spark, out).get
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // merged incremental result == one-shot aggregate over all events
+    val expected = Map("click" -> ((3L, 9.0)), "view" -> ((2L, 6.0)))
+    assert(rollup() == expected)
+    // fresh checkpoint -> the stream re-reads all three files; every
+    // batch id is <= the committed version, so nothing double-counts
+    run(tmpDir("ckpt-rollup-2"))
+    assert(rollup() == expected)
+    // direct stale-batch replay (the crash-recovery path) is also a no-op
+    EventsStreaming.rollupAbsorbSink(out, Seq("event_type"), Seq("n", "total_value"), partial)(
+      days.head.toDS().toDF(), 0L)
+    assert(rollup() == expected)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
