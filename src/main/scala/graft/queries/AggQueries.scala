@@ -197,7 +197,11 @@ object AggQueries {
                row_number() OVER (ORDER BY l_extendedprice) AS rn,
                count(*) OVER () AS n
         FROM lineitem WHERE l_extendedprice IS NOT NULL)
-      WHERE rn = (n + 1) // 2"""))
+      WHERE rn = (n + 1) // 2"""),
+    // headline: the multi-pass histogram-narrowing selection is a plan
+    // shape nothing else in the bench exercises (iterative driver-
+    // synchronized aggregation passes)
+    headline = true)
 
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.

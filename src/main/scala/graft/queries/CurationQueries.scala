@@ -362,7 +362,11 @@ object CurationQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
         FROM m)
       SELECT doc_id, n_tok, q_micros, cum_tok
-      FROM sel WHERE cum_tok <= 8000 ORDER BY doc_id"""))
+      FROM sel WHERE cum_tok <= 8000 ORDER BY doc_id"""),
+    // headline: band-partitioned cumulative sum + driver-side band
+    // histogram — the scalable global-prefix-sum shape, unlike any
+    // other benched window
+    headline = true)
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,

@@ -401,7 +401,10 @@ object TextQueries {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0)) AS token
             FROM documents)
-      GROUP BY token ORDER BY n DESC, token LIMIT 10"""))
+      GROUP BY token ORDER BY n DESC, token LIMIT 10"""),
+    // headline: the only mergeable-sketch aggregation over an exploded
+    // token stream in the bench (typed Aggregator + partial merge)
+    headline = true)
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCorpusCurate, qTopGrams, qPiiScrub,
