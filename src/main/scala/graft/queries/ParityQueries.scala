@@ -487,9 +487,35 @@ object ParityQueries {
       ORDER BY c_custkey, valid_from"""),
     headline = true)
 
+  /** Z-order (Morton) layout key over (customer, order day) — the
+    * multi-dimensional clustering sort for file pruning
+    * ([[graft.ops.Layout]]). The z-value is pure bit interleaving, so
+    * DuckDB recomputes it bit-for-bit; LayoutSpec holds the pruning
+    * geometry claims (tile extents, chunks touched per 1-D band query).
+    * 16 bits per dimension covers both gate corpora (custkey ≤ 15k,
+    * epoch-day ≤ 11.6k); the operator's `bits` scales to the domain.
+    */
+  val qZorder = Q(
+    "q_zorder",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        graft.ops.Layout.zValue2(
+          col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+          bits = 16).as("z_value"))
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(list_sum([
+               ((CAST(o_custkey AS BIGINT) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+               + ((CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1)
+                 * (CAST(1 AS BIGINT) << (2*i+1))
+               for i in range(0, 16)]) AS BIGINT) AS z_value
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll, qSaltedJoin, qScd2Merge)
+    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder)
 }
