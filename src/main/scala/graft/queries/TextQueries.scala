@@ -406,7 +406,51 @@ object TextQueries {
     // token stream in the bench (typed Aggregator + partial merge)
     headline = true)
 
+  /** Count-Min point-frequency estimates, contract-checked: where
+    * q_heavy_hitters finds WHICH items are frequent, the CMS answers
+    * "how often did THIS item occur" for items chosen after the pass —
+    * depth×width fixed memory at any corpus/dictionary size. The sketch
+    * internals are hash-dependent, so the oracle asserts the exact
+    * top-10 counts (DuckDB recomputes) plus the two CMS guarantees as
+    * booleans: estimates never undershoot the true count (structural),
+    * and overshoot stays within 2·N/width (deterministic on the fixed
+    * hash family; the expectation is N/width per row, min over 4 rows).
+    */
+  val qCmsFreq = Q(
+    "q_cms_freq",
+    (s, d) => {
+      import graft.functions.CountMinSketch
+      val depth = 4
+      val width = 2048
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(lower(col("text")))).as("token"))
+      val sketch = toks.agg(
+        CountMinSketch.countMin(depth, width)(
+          CountMinSketch.positions(col("token"), depth, width)).as("sk"),
+        count(lit(1)).as("n_total"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10)
+      top.crossJoin(sketch) // one sketch row against ten token rows
+        .select(col("token"), col("n"), col("n_total"),
+          CountMinSketch.estimate(col("sk"), col("token"), depth, width).as("est"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_top"),
+          sum(col("n")).cast("bigint").as("total_top"),
+          (sum(when(col("est") < col("n"), 1).otherwise(0)) === 0)
+            .as("never_underestimates"),
+          (sum(when(col("est") - col("n") > col("n_total") * 2 / lit(width), 1)
+            .otherwise(0)) === 0).as("err_bounded"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0)) AS token
+        FROM documents),
+      top AS (SELECT token, count(*) AS n FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 10)
+      SELECT CAST(count(*) AS BIGINT) AS n_top, CAST(sum(n) AS BIGINT) AS total_top,
+             TRUE AS never_underestimates, TRUE AS err_bounded
+      FROM top"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qTokenFreq, qBpePairs, qHeavyHitters, qCorpusCurate, qTopGrams, qPiiScrub,
-    qTfidfTerms, qPackEstimate)
+    qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
+    qPiiScrub, qTfidfTerms, qPackEstimate)
 }

@@ -72,4 +72,32 @@ class FunctionsSpec extends SparkSpec {
     assert(c >= 100L, "sketch count never underestimates")
     assert(c - e <= 100L, "count minus error lower-bounds the true count")
   }
+
+  test("CountMin: exact when collision-free, never underestimates when saturated, merge lossless") {
+    import spark.implicits._
+    import graft.functions.CountMinSketch
+    import org.apache.spark.sql.functions._
+    // skewed stream: token t_i occurs i times, 40 distinct tokens
+    val items = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i"))
+    val df = items.toDF("item")
+    def sketchOf(d: org.apache.spark.sql.DataFrame, depth: Int, width: Int): Seq[Long] =
+      d.agg(CountMinSketch.countMin(depth, width)(
+          CountMinSketch.positions(col("item"), depth, width)).as("sk"))
+        .collect()(0).getSeq[Long](0)
+    def estimates(sk: Seq[Long], depth: Int, width: Int): Map[String, Long] =
+      (1 to 40).map(i => s"t$i").toDF("item")
+        .select(col("item"),
+          CountMinSketch.estimate(typedLit(sk), col("item"), depth, width).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // roomy sketch: estimates are exactly the true counts
+    val roomy = estimates(sketchOf(df, 4, 1024), 4, 1024)
+    assert((1 to 40).forall(i => roomy(s"t$i") == i.toLong), s"collision-free regime must be exact: $roomy")
+    // saturated sketch (width 8 << 40 distinct): collisions everywhere,
+    // but min-of-rows still never undershoots the true count
+    val tight = estimates(sketchOf(df, 3, 8), 3, 8)
+    assert((1 to 40).forall(i => tight(s"t$i") >= i.toLong), s"CMS must never underestimate: $tight")
+    // merge of per-partition partials == the one-pass sketch, elementwise
+    assert(sketchOf(df.repartition(8), 4, 64) == sketchOf(df.coalesce(1), 4, 64),
+      "partial-merge must equal the single-pass sketch")
+  }
 }
