@@ -763,6 +763,53 @@ object Dedup {
     verifyJaccard2(candidates, shC, shB, tau)
   }
 
+  /** Edit-distance near-match pairs (entity resolution / OCR-noise
+    * dedup): probe docs × corpus at Levenshtein ≤ `maxDist`, found
+    * completely via LENGTH-BAND blocking — |len(a) − len(b)| ≤ dist is
+    * a hard necessary condition, so with bands of width maxDist+1 every
+    * qualifying pair shares a band key once both sides also emit their
+    * successor band. The verify step runs Spark's thresholded
+    * levenshtein (banded O(len·maxDist) DP that bails to −1 early, not
+    * the full O(len²) table).
+    *
+    * Wire discipline as everywhere in this tier: only (band, id, len)
+    * rows enter the blocking join; texts are fetched per surviving
+    * deduplicated pair. Blocking by length alone is the honest verify
+    * tier for a probe batch; at corpus×corpus scale compose it with a
+    * content blocker (the minhash bands) so band populations stay
+    * bounded — the length band then prunes within buckets.
+    *
+    * @return (doc_a = probe id, doc_b, dist ≤ maxDist), doc_a < doc_b
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, probePred: Column => Column): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be nonnegative: $maxDist")
+    val w = maxDist + 1
+    val base = cachedOnce(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t"), length(col(textCol)).as("__len")))
+    // both sides emit {band, band+1}: a pair one band apart meets in the
+    // higher band, a same-band pair in both (deduplicated below)
+    val banded = base
+      .select(col("doc_id"), col("__len"),
+        explode(array(
+          (col("__len") / lit(w)).cast("int"),
+          (col("__len") / lit(w)).cast("int") + 1)).as("__band"))
+    val pairIds = banded.filter(probePred(col("doc_id")))
+      .select(col("__band"), col("doc_id").as("doc_a"), col("__len").as("__la"))
+      .join(banded.select(col("__band"), col("doc_id").as("doc_b"), col("__len").as("__lb")),
+        Seq("__band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairIds
+      .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0) // thresholded form returns -1 when exceeded
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** Exact cross-relation Jaccard pairs (every corpus doc × every batch
     * doc at `jaccard >= tau`) via the same exploded-shingle equi-join as
     * [[jaccardPairsExact]] — cost proportional to actual shingle

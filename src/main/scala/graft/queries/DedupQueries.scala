@@ -673,6 +673,26 @@ object DedupQueries {
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9"""))
 
+  /** Edit-distance near-match pairs for the probe subset — the
+    * character-level rendition of q_jaccard_pairs (entity resolution,
+    * OCR noise, small in-place edits that token shingles can miss).
+    * Complete by construction (length-band blocking is a necessary
+    * condition, not a heuristic), so the oracle is plain pair-set
+    * equality against DuckDB's levenshtein over the same probe split.
+    */
+  val qEditPairs = Q(
+    "q_edit_pairs",
+    (s, d) => Dedup
+      .editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 24, probePred = _ % 10 === 0)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0 AND levenshtein(a.text, b.text) <= 24
+      ORDER BY doc_a, doc_b"""))
+
   /** Cross-source duplication report: for every (source, source) pair,
     * how many verified near-dup pairs (Jaccard ≥ 0.6) straddle it, and
     * the exact sum of their similarities. This is the audit that tells
@@ -738,5 +758,5 @@ object DedupQueries {
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
-    qDedupCrossSimhash)
+    qDedupCrossSimhash, qEditPairs)
 }

@@ -339,6 +339,20 @@ class TextDedupSpec extends SparkSpec {
       s"capped mega-bucket must not pair, lone bucket must: $pairs")
   }
 
+  test("editDistancePairs: band-boundary pair found, distance exact, far pairs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "kitten"), (11L, "sitting"),   // classic distance 3
+      (20L, "a" * 30), (21L, "a" * 52),    // lengths one band apart (w=25), dist 22
+      (30L, "x" * 200)                     // no partner within 24
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 24, probePred = _ % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (10,20) passes length blocking (diff exactly 24) but fails verify
+    assert(pairs == Set((10L, 11L, 3), (20L, 21L, 22)))
+  }
+
   test("simhashPairsCross contract holds vs the exact cross >=0.9 graph at both gate sfs") {
     // the cross screen inherits q_dedup_simhash's verified-subset +
     // recall-bound contract; pin it against jaccardPairsExactCross on
