@@ -368,7 +368,38 @@ object CurationQueries {
     // other benched window
     headline = true)
 
+  /** GPT-style sequence packing manifest: the corpus token stream in
+    * doc_id order, chopped into 512-token training sequences; one row
+    * per document giving its (seq_first, seq_last, seq_offset) span.
+    * Scalable prefix-sum shape (band histogram + band-partitioned
+    * window — see [[graft.text.Curation.packSequences]]); the oracle
+    * computes the same stream positions with one flat window.
+    */
+  val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) => Curation.packSequences(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", seqLen = 512L, bucketWidth = 500L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t WHERE n_tok > 0)
+      SELECT doc_id, n_tok AS tokens,
+             CAST((cum - n_tok) // 512 AS BIGINT) AS seq_first,
+             CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
+             CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
-    qShardManifest, qBudgetSelect, qPipelineE2e)
+    qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences)
 }

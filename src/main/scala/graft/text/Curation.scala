@@ -133,4 +133,74 @@ object Curation {
       .filter(col("cum_tok") <= budget)
       .drop("__band", "__before")
   }
+
+  /** GPT-style sequence packing: concatenate documents in `idCol` order
+    * and chop the token stream into training sequences of exactly
+    * `seqLen` tokens (documents span sequence boundaries — no padding,
+    * no per-sequence bin packing). Returns one row per input document
+    * with its span in the packed stream:
+    *
+    *   `tokens`     — the document's token count (rows with 0 or NULL
+    *                  tokens occupy no stream positions and are dropped)
+    *   `seq_first`  — id of the sequence holding the doc's first token
+    *   `seq_last`   — id of the sequence holding its last token
+    *   `seq_offset` — position of the first token within `seq_first`
+    *
+    * This is the writer-side manifest a packed-tfrecord/parquet export
+    * needs: every doc knows exactly which shard-sequences it lands in
+    * and where, so the export is an embarrassingly-parallel slice per
+    * sequence range.
+    *
+    * Scale shape: the global running token total is NOT a global-window
+    * cum-sum (single-partition sort at 100 TB) — it is the
+    * [[budgetSelect]] band decomposition on `idCol DIV bucketWidth`:
+    * per-band token sums (one aggregation, `O(maxId / bucketWidth)`
+    * rows to the driver), prefix offsets broadcast back, in-band
+    * cum-sum under a window PARTITIONED by band. `(band asc, id asc)`
+    * equals `(id asc)` because the band is monotone in the id, so the
+    * in-band prefix plus the band offset is the exact global prefix.
+    * Size `bucketWidth` so the histogram stays driver-bounded (1e6
+    * bands ≈ 16 MB at a trillion docs with width 1e6).
+    *
+    * `idCol` must be a unique nonnegative integral column (the pack
+    * order); `tokenCol` integral. Both preconditions are enforced.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, bucketWidth: Long = 8192L): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive: $seqLen")
+    def requireIntegral(name: String): Unit = df.schema(name).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"packSequences: column '$name' must be integral, got $t")
+    }
+    requireIntegral(idCol)
+    requireIntegral(tokenCol)
+    val banded = df
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0 && col(idCol).isNotNull)
+      .withColumn("__band", expr(s"$idCol DIV $bucketWidth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = banded.groupBy(col("__band"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.forall(_._1 >= 0),
+      s"packSequences: idCol '$idCol' must be nonnegative")
+    var acc = 0L
+    val offsets = hist.map { case (b, t) => val before = acc; acc += t; (b, before) }
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets.toIndexedSeq).toDF("__band", "__before")
+    val w = Window.partitionBy(col("__band")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = col(tokenCol).cast(LongType)
+    banded.join(broadcast(offsetDf), "__band")
+      .withColumn("__cum", col("__before") + sum(tok).over(w))
+      // integer DIV, not `/`: Long / Long is a DOUBLE in Spark, and a
+      // packed stream past 2^53 tokens would round its sequence ids
+      .withColumn("__start", col("__cum") - tok)
+      .select(
+        col(idCol),
+        tok.as("tokens"),
+        expr(s"__start DIV $seqLen").as("seq_first"),
+        expr(s"(__cum - 1) DIV $seqLen").as("seq_last"),
+        pmod(col("__start"), lit(seqLen)).as("seq_offset"))
+  }
 }

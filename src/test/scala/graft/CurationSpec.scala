@@ -174,4 +174,34 @@ class CurationSpec extends SparkSpec {
     assert(sel(30L) == Seq(1L, 2L), "exact boundary included")
     assert(sel(60L) == Seq(1L, 2L, 3L), "tie broken by id: 3 before 4")
   }
+
+  test("packSequences: spans match a sequential pack; zero/NULL-token docs drop") {
+    // ids straddle band edges (width 3) and include a doc that itself
+    // spans two sequences (id 5: stream [7,15) over seqLen 8 → 0..1)
+    val docs = Seq(
+      (0L, Some(3)), (1L, Some(4)), (2L, Some(0)),   // band 0; id 2 drops
+      (3L, None), (4L, Some(5)), (5L, Some(8)),      // band 1; id 3 drops
+      (9L, Some(1))                                  // band 3 (gap is fine)
+    ).toDF("id", "tok")
+    val got = Curation.packSequences(docs, "id", "tok", seqLen = 8L, bucketWidth = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // sequential oracle: cum stream positions [start, start+tok)
+    val expect = Seq(
+      (0L, 3L, 0L, 0L, 0L),   // [0,3)
+      (1L, 4L, 0L, 0L, 3L),   // [3,7)
+      (4L, 5L, 0L, 1L, 7L),   // [7,12) spans seqs 0-1
+      (5L, 8L, 1L, 2L, 4L),   // [12,20) spans seqs 1-2
+      (9L, 1L, 2L, 2L, 4L))   // [20,21)
+    assert(got == expect, s"pack spans must equal the sequential pack: $got")
+  }
+
+  test("packSequences: exact seq boundary lands the next doc at offset 0") {
+    val docs = Seq((1L, 8), (2L, 8), (3L, 16)).toDF("id", "tok")
+    val got = Curation.packSequences(docs, "id", "tok", seqLen = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L), (2L, 1L, 1L, 0L), (3L, 2L, 3L, 0L)),
+      s"aligned docs must fill whole sequences: $got")
+  }
 }
