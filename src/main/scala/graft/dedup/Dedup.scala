@@ -810,6 +810,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public literature): spherical
+    * k-means partitions the embedding space into `kClusters` cells and
+    * candidate pairs are generated WITHIN cells only, then verified by
+    * exact rounded cosine ≥ `tau`. Complements the hyperplane tier
+    * ([[embeddingPairsLsh]]): centroids adapt to the corpus geometry
+    * (random hyperplanes don't), which is why SemDeDup is the published
+    * recipe at web scale.
+    *
+    * Scale shape: the fit touches the corpus `iters` times map-side
+    * (model = kClusters·dim doubles on the driver, like any fitted
+    * parameter object — fit on a sample at 100 TB); assignment is one
+    * codegen fold, no shuffle; the only exchange is the per-cell
+    * ids-only self-join, O(Σ cell²) bounded by `maxClusterSize` exactly
+    * as every banded tier here ([[capBuckets]] — at web scale pick
+    * kClusters ~ n/⟨cell⟩ to keep cells small; the paper uses ~100k
+    * cells). Recall < 1 by design: pairs straddling a cell boundary are
+    * unseen — the emitted set is a verified SUBSET of the exact pair
+    * graph, contract-checked by measured recall in q_dedup_semantic.
+    */
+  def semanticPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, kClusters: Int = 16, iters: Int = 5,
+                    nProbe: Int = 2, maxClusterSize: Int = 65536,
+                    logDroppedBuckets: Boolean = false): DataFrame = {
+    val cents = graft.similarity.Similarity.kmeansFit(vecs, idCol, vecCol, kClusters, iters)
+    // multi-probe assignment: a vector joins its nProbe nearest cells,
+    // so a pair straddling one boundary still meets in the runner-up
+    // cell — the recall knob (up), traded against ×nProbe candidate rows
+    val assigned = cachedOnce(vecs.select(col(idCol),
+      explode(graft.similarity.Similarity.nearestCells(col(vecCol), cents, nProbe))
+        .as("__cid")))
+    val capped = capBuckets(assigned, Seq("__cid"), maxClusterSize,
+      logDroppedBuckets, "semantic cells")
+    val pairIds = capped.select(col(idCol).as("id_a"), col("__cid"))
+      .join(capped.select(col(idCol).as("id_b"), col("__cid")), Seq("__cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can co-occur in up to nProbe shared cells
+    pairIds
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .withColumn("score",
+        round(graft.functions.VectorExpressions.cosine_sim(col("__va"), col("__vb")), 6))
+      .filter(col("score") >= tau)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** Exact cross-relation Jaccard pairs (every corpus doc × every batch
     * doc at `jaccard >= tau`) via the same exploded-shingle equi-join as
     * [[jaccardPairsExact]] — cost proportional to actual shingle

@@ -273,6 +273,48 @@ object DedupQueries {
       SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS subset_ok
       FROM p WHERE score >= 0.35"""))
 
+  /** SemDeDup-style semantic near-dup (k-means cells + multi-probe
+    * assignment + exact-cosine verify — [[Dedup.semanticPairs]]),
+    * contract-checked exactly like the hyperplane tier: subset_ok is
+    * exact (every emitted pair re-verified against the full cosine
+    * graph), recall ≥ 0.9 measured (0.97 at sf0.01 / 0.96 at sf0.1 with
+    * 8 cells × 3 probes; single-probe is ~0.4 on this corpus — the
+    * multi-probe term is what makes the centroid tier honest at a loose
+    * tau where similar pairs straddle cell boundaries). Pinned at both
+    * gate sfs in RecallPinSpec.
+    */
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      val sem = Dedup.semanticPairs(emb, "vec_id", "embedding",
+          tau = 0.35, kClusters = 8, nProbe = 3)
+        .select(col("id_a"), col("id_b"), lit(1).as("__s"))
+      val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+          tau = 0.35, probePred = _ => lit(true))
+        .select(col("id_a"), col("id_b"), lit(1).as("__e"))
+      exact.join(sem, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).cast("bigint").as("n_exact"),
+          // vacuous recall when no exact pair exists (see q_dedup_simhash)
+          coalesce(
+            sum(when(col("__e").isNotNull && col("__s").isNotNull, 1).otherwise(0))
+              .cast("double")
+              / sum(coalesce(col("__e"), lit(0))) >= 0.9,
+            lit(true)).as("recall_ok"),
+          coalesce(sum(when(col("__e").isNull, 1).otherwise(0)) === 0, lit(true))
+            .as("subset_ok"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS subset_ok
+      FROM p WHERE score >= 0.35"""))
+
   /** Near-dup clusters: connected components (alternating
     * large-star/small-star contraction) over the exact all-pairs Jaccard
     * graph at tau 0.3 with the [[ClusterMaxDf]] document-frequency cap
@@ -758,5 +800,5 @@ object DedupQueries {
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
-    qDedupCrossSimhash, qEditPairs)
+    qDedupCrossSimhash, qEditPairs, qDedupSemantic)
 }

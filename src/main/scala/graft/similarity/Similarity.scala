@@ -273,6 +273,19 @@ object Similarity {
       }).getField("cid")
   }
 
+  /** The `nProbe` nearest centroid ids for a vector column, as an
+    * array — the multi-probe variant of [[nearestCentroid]], same
+    * map-side shape (score the literal model, sort the (score, cid)
+    * structs, slice). Ties order by the struct sort (score, then cid).
+    */
+  def nearestCells(vec: Column, cents: Seq[Array[Double]], nProbe: Int): Column = {
+    val scored = transform(centroidLit(cents), ce => struct(
+      cosine_sim(vec, ce.getField("cv")).as("score"),
+      ce.getField("cid").as("cid")))
+    transform(slice(reverse(array_sort(scored)), 1, nProbe),
+      x => x.getField("cid"))
+  }
+
   /** Deterministic spherical k-means fit (Lloyd's): seeds are the k
     * lowest-id vectors, assignment is the map-side [[nearestCentroid]]
     * fold, per-dim means run as exact DECIMAL sums (partial-aggregation

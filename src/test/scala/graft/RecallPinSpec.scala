@@ -29,6 +29,19 @@ class RecallPinSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup oracle precondition: subset + recall >= 0.9 at both gate sfs") {
+    assume(dirs.nonEmpty, "driver testdata not present")
+    dirs.foreach { d =>
+      val row = queries.DedupQueries.qDedupSemantic.run(spark, d).collect()(0)
+      assert(row.getAs[Long]("n_exact") > 0,
+        s"$d: fixture must contain cosine>=0.35 pairs or the pin is vacuous")
+      assert(row.getAs[Boolean]("subset_ok"),
+        s"$d: semantic tier emitted a pair outside the exact graph — verify step broken")
+      assert(row.getAs[Boolean]("recall_ok"),
+        s"$d: 8-cell x 3-probe k-means recall fell below the 0.9 oracle bound")
+    }
+  }
+
   test("quantized-ANN oracle precondition: mean recall@10 >= 0.8 at both gate sfs") {
     assume(dirs.nonEmpty, "driver testdata not present")
     dirs.foreach { d =>
