@@ -450,7 +450,32 @@ object TextQueries {
              TRUE AS never_underestimates, TRUE AS err_bounded
       FROM top"""))
 
+  /** Sliding-window chunking: 32-token windows advancing by 24 (8
+    * tokens of overlap), one row per (doc, window) — see
+    * [[graft.text.Curation.chunkDocuments]]. The oracle rebuilds the
+    * same windows with DuckDB's 1-based inclusive list slices.
+    */
+  val qChunkDocs = Q(
+    "q_chunk_docs",
+    (s, d) => graft.text.Curation
+      .chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkLen = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> len(w)>0) AS tk
+        FROM documents),
+      n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+      c AS (SELECT doc_id, tk, n,
+              CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS nc
+            FROM n),
+      e AS (SELECT doc_id, tk, CAST(unnest(range(nc)) AS INTEGER) AS chunk_idx FROM c)
+      SELECT doc_id, chunk_idx,
+             CAST(len(tk[chunk_idx*24+1 : chunk_idx*24+32]) AS INTEGER) AS chunk_tokens,
+             array_to_string(tk[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
+      FROM e ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
-    qPiiScrub, qTfidfTerms, qPackEstimate)
+    qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs)
 }

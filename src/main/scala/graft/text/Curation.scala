@@ -134,6 +134,42 @@ object Curation {
       .drop("__band", "__before")
   }
 
+  /** Sliding-window document chunking: each document's token stream is
+    * cut into windows of `chunkLen` tokens advancing by
+    * `chunkLen − overlap` (the RAG / long-context prep that turns one
+    * document row into its trainable pieces, each carrying `overlap`
+    * tokens of left context). One output row per (doc, window):
+    * `chunk_idx`, `chunk_tokens` (window size — only the final window
+    * is shorter), `chunk_text` (space-rejoined). Zero-token documents
+    * produce no rows; a final window that would START past
+    * `n − overlap` is never emitted (it would be pure overlap, fully
+    * contained in its predecessor).
+    *
+    * Pure per-row map + explode — fused into the scan, shuffle-free,
+    * the shape that stays flat at 100 TB. Row growth is
+    * ~n/(chunkLen−overlap) per doc, bounded and predictable.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > 0, s"chunkDocuments: chunkLen must be positive: $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"chunkDocuments: overlap must be in [0, chunkLen): $overlap")
+    val step = chunkLen - overlap
+    val n = size(col("__t"))
+    // integer ceil: windows = ((n − chunkLen) + step − 1) DIV step + 1,
+    // clamped to 1 when the doc fits in a single window
+    val nChunks = when(n <= chunkLen, lit(1)).otherwise(
+      floor((n - chunkLen + step - 1) / lit(step)).cast(IntegerType) + 1)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(n > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__t"), i * step + 1, lit(chunkLen)))).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in `idCol` order
     * and chop the token stream into training sequences of exactly
     * `seqLen` tokens (documents span sequence boundaries — no padding,

@@ -196,6 +196,23 @@ class CurationSpec extends SparkSpec {
     assert(got == expect, s"pack spans must equal the sequential pack: $got")
   }
 
+  test("chunkDocuments: window starts/sizes, pure-overlap tail suppressed, empty doc drops") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc(10)), (2L, doc(8)), (3L, doc(13)), (4L, "  "), (5L, doc(3)))
+      .toDF("id", "text")
+    val got = Curation.chunkDocuments(docs, "id", "text", chunkLen = 8, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq(
+      (1L, 0, 8), (1L, 1, 6),              // [1..8], [5..10]
+      (2L, 0, 8),                          // exactly one window, no tail
+      (3L, 0, 8), (3L, 1, 8), (3L, 2, 5),  // [1..8], [5..12], [9..13]
+      (5L, 0, 3)                           // short doc: single partial window
+    ), s"window layout wrong: $got")
+    assert(got(1)._4 == "w5 w6 w7 w8 w9 w10", "overlap must carry left context")
+  }
+
   test("packSequences: exact seq boundary lands the next doc at offset 0") {
     val docs = Seq((1L, 8), (2L, 8), (3L, 16)).toDF("id", "tok")
     val got = Curation.packSequences(docs, "id", "tok", seqLen = 8L)
