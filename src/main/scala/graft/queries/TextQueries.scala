@@ -310,6 +310,62 @@ object TextQueries {
       SELECT doc_id, CAST(rk AS INTEGER) AS rank, term, score
       FROM r WHERE rk <= 3 ORDER BY doc_id, rank"""))
 
+  /** Unigram-LM rarity score — the perplexity-proxy quality signal a
+    * corpus filter runs at scale: per document, the mean INVERSE token
+    * probability Σ(N/ctᵥ)/n_tok over the document's token occurrences,
+    * where ctᵥ is the token's corpus frequency and N the corpus token
+    * total. High = rare-token-heavy (OCR noise, codes, boilerplate
+    * IDs); low = stopword-heavy. The arithmetic mean of 1/p ranks like
+    * the geometric (true perplexity) for filtering purposes but stays a
+    * RATIONAL: each occurrence's N/ct rounds to exact integer micros
+    * ((2·N·1e6 + ct) div (2·ct) — one integer per distinct token), and
+    * the per-doc mean divides exactly once more — no ln(), no float
+    * accumulation-order nondeterminism, the q_tfidf_terms discipline.
+    *
+    * Plan shape at 100 TB: word-count (explode → per-(doc,token)
+    * counts), token-frequency table joined back on the token key (a
+    * dimension join — per hot token the frequency side is ONE row, so
+    * the worst key fans out linearly, never quadratically), then one
+    * keyed aggregation per doc. Two shuffles total, all codegen.
+    */
+  val qTokenRarity = Q(
+    "q_token_rarity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val ct = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+      val n = ct.agg(sum(col("ct")).as("n_total"))
+      tf.join(ct, "term").crossJoin(broadcast(n))
+        .withColumn("__micro",
+          expr("(2 * n_total * 1000000 + ct) div (2 * ct)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"),
+          sum(col("tf") * col("__micro")).as("__sum"))
+        .withColumn("rarity",
+          expr("((2 * __sum + n_tok) div (2 * n_tok))").cast("double") / lit(1000000.0))
+        .select(col("doc_id"), col("n_tok"), col("rarity"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\s+'),
+                                                w -> len(w)>0)) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+      n AS (SELECT sum(ct) AS n_total FROM ct),
+      m AS (
+        SELECT doc_id, sum(tf) AS n_tok,
+               sum(tf * ((2 * n_total * 1000000 + ct) // (2 * ct))) AS s
+        FROM tf JOIN ct USING (term), n
+        GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST((2 * s + n_tok) // (2 * n_tok) AS DOUBLE) / 1000000 AS rarity
+      FROM m ORDER BY doc_id"""))
+
   /** Sequence-packing estimate per source — the batch-planning number a
     * training run needs before it starts: at context length L, documents
     * concatenate into ceil(total_tokens / L) packed rows, and
@@ -477,5 +533,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
-    qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs)
+    qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity)
 }
