@@ -170,6 +170,45 @@ object Dedup {
           col("both"), col("na") + col("nb") - col("both")).as("jaccard"))
   }
 
+  /** Containment pairs (probe subset × corpus): |A∩B| / min(|A|,|B|) ≥
+    * `tau` over hashed `k`-shingle sets. Jaccard is blind to SIZE
+    * ASYMMETRY — a 50-token document quoted verbatim inside a
+    * 5000-token page has Jaccard ≈ 0.01 but containment 1.0 — so this
+    * is the sub-document duplication screen (quotes, syndicated
+    * passages, page-in-page mirrors) the symmetric tier cannot express.
+    * Same exploded-shingle equi-join and `maxDf` stop-shingle
+    * discipline as [[jaccardPairsExact]]: cost ∝ actual overlap, hot
+    * keys bounded by the cap, only 8-byte hashes shuffle.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, tau: Double,
+                       probePred: Column => Column,
+                       maxDf: Option[Long] = None): DataFrame = {
+    val shAll = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
+    val sh = cachedOnce(maxDf.fold(shAll) { cap =>
+      val admitted = shAll.groupBy(col("hs"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("hs"))
+      shAll.join(admitted, "hs")
+    })
+    val sizes = cachedOnce(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+    val inter = sh.filter(probePred(col("doc_id")))
+      .select(col("doc_id").as("doc_a"), col("hs"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("containment",
+        col("both").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.DetMath.ratio6(
+          col("both"), least(col("na"), col("nb"))).as("containment"))
+  }
+
   /** Band-bucket admission guard shared by the LSH self-joins: buckets
     * with a single member can't form a pair (skipping them shrinks the
     * join input), and buckets above `maxBucketSize` — boilerplate or
@@ -808,6 +847,56 @@ object Dedup {
       .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("dist") >= 0) // thresholded form returns -1 when exceeded
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** Repeated-substring spans (the primitive behind Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — public literature): for every document, the maximal token
+    * spans all of whose `gramLen`-token windows occur at least
+    * `minCount` times corpus-wide (counting every position, so a
+    * verbatim repeat inside ONE document counts too — the paper's
+    * suffix-array semantics, which doc-level near-dup misses entirely:
+    * boilerplate headers, license blocks, templated passages pasted
+    * into otherwise-unique pages). The k-gram inverted index is the
+    * scalable stand-in for the paper's suffix array: a span of R
+    * repeated tokens is exactly a run of R−gramLen+1 repeated windows,
+    * so maximal spans = maximal runs of repeated window positions.
+    *
+    * Plan shape at 100 TB: window hashing is pure map work (8-byte
+    * xxhash64 per position — the token strings never shuffle); the
+    * repeated-window set comes from one count aggregation on the hash
+    * key; membership is a dimension join (per hot gram the index side
+    * is ONE row — linear fan-out, never quadratic); run merging is a
+    * gaps-and-islands window partitioned per document. Two shuffles +
+    * one keyed window, no all-pairs anywhere.
+    *
+    * @return (doc_id, span_start, span_end, span_tokens) — 0-based
+    *         inclusive token positions, spans sorted per doc
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    gramLen: Int, minCount: Long = 2L): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be positive: $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= gramLen)
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(__t) - $gramLen), " +
+          s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
+        .as(Seq("pos", "gh")))
+    val repeated = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(repeated, "gh")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + gramLen - 1).cast("bigint").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + gramLen).cast("bigint").as("span_tokens"))
+      .drop("__grp")
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:

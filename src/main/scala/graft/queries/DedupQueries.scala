@@ -715,6 +715,77 @@ object DedupQueries {
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.9"""))
 
+  /** Containment near-dup pairs for the probe subset: |A∩B|/min(|A|,|B|)
+    * ≥ 0.5 on 3-shingle sets — the size-asymmetric screen (a short doc
+    * quoted inside a long one scores containment 1.0 but Jaccard ≈ 0,
+    * invisible to q_jaccard_pairs). Same capped exploded-shingle join
+    * as the Jaccard tier; the oracle mirrors the cap and the
+    * min-denominator in one CTE chain.
+    */
+  val qContainmentPairs = Q(
+    "q_containment_pairs",
+    (s, d) => Dedup
+      .containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, tau = 0.5, probePred = _ % 10 === 0, maxDf = Some(ClusterMaxDf))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+            FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 10 = 0
+            GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b,
+             ${graft.functions.DetMath.ratio6Sql("i.nboth", "least(sa.n, sb.n)")} AS containment
+      FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+             JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.nboth AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** Repeated-substring spans (Lee et al. ACL'22 semantics): per doc,
+    * the maximal token spans whose every 8-token window occurs ≥ 2
+    * times corpus-wide — the WITHIN-document dedup signal (boilerplate
+    * headers, license blocks, templated passages) that doc-level
+    * near-dup cannot see. The engine runs the hashed-window inverted
+    * index ([[Dedup.repeatedSpans]]); the oracle rebuilds the identical
+    * spans from the raw gram strings — the hash only matches if the
+    * 8-byte window keys partition exactly like the strings they stand
+    * for (xxhash64 collisions would merge distinct windows).
+    */
+  val qRepeatedSpans = Q(
+    "q_repeated_spans",
+    (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        gramLen = 8, minCount = 2L)
+      .orderBy(col("doc_id"), col("span_start")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8)),
+      rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      hit AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hit)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
   /** Edit-distance near-match pairs for the probe subset — the
     * character-level rendition of q_jaccard_pairs (entity resolution,
     * OCR noise, small in-place edits that token shingles can miss).
@@ -800,5 +871,6 @@ object DedupQueries {
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
-    qDedupCrossSimhash, qEditPairs, qDedupSemantic)
+    qDedupCrossSimhash, qEditPairs, qDedupSemantic, qRepeatedSpans,
+    qContainmentPairs)
 }

@@ -531,7 +531,106 @@ object TextQueries {
              array_to_string(tk[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
       FROM e ORDER BY doc_id, chunk_idx"""))
 
+  /** Bigram language-model estimation: conditional next-token
+    * probabilities p(w2|w1) = c(w1 w2)/c(w1 ·) with the top-3
+    * continuations per context, for contexts seen ≥ 50 times — the
+    * counting core of n-gram LM training (and of the contamination
+    * heuristics built on LM surprise). Probabilities are exact integer
+    * micro rationals (the q_tfidf_terms discipline — c12/c1 never
+    * detours through engine-specific float division).
+    *
+    * Plan shape: bigram explosion is map-side; one shuffle keys the
+    * (w1, w2) counts; the context totals reduce FROM those counts (no
+    * second corpus pass) and join back as a dimension; the top-3 window
+    * partitions on contexts already pruned to ≥ 50 occurrences, so no
+    * partition exceeds the corpus's continuation fan-out for a frequent
+    * word — the same support-prune-bounds-the-window shape as
+    * q_top_grams.
+    */
+  val qBigramLm = Q(
+    "q_bigram_lm",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(col("c12").desc, col("w2"))
+      val bi = Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val contexts = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        .filter(col("c1") >= 50)
+      bi.join(contexts, "w1")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("w1"), col("rk").cast("int").as("rank"), col("w2"),
+          col("c12"), col("c1"),
+          graft.functions.DetMath.ratio6(col("c12"), col("c1")).as("p"))
+        .orderBy(col("w1"), col("rank"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      bi AS (
+        SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i + 1 AS INTEGER)] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      cx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1
+             HAVING sum(c12) >= 50),
+      r AS (
+        SELECT c.w1, c.w2, c.c12, cx.c1,
+               row_number() OVER (PARTITION BY c.w1 ORDER BY c.c12 DESC, c.w2) AS rk
+        FROM c JOIN cx USING (w1))
+      SELECT w1, CAST(rk AS INTEGER) AS rank, w2, c12, c1,
+             ${graft.functions.DetMath.ratio6Sql("c12", "c1")} AS p
+      FROM r WHERE rk <= 3 ORDER BY w1, rank"""))
+
+  /** Tokenizer vocabulary coverage: per document, the fraction of token
+    * OCCURRENCES falling outside the corpus's top-256 vocabulary — the
+    * out-of-vocabulary rate a tokenizer-budget decision needs (a high
+    * OOV tail marks codes/OCR noise that will shatter into bytes).
+    * The vocabulary is the deterministic top-256 by corpus frequency
+    * (count desc, token asc); membership rides a BROADCAST join against
+    * the exploded token stream (the vocab is a fitted artifact — a few
+    * KiB at any corpus size), and the per-doc aggregation is one keyed
+    * count pass. Docs with zero tokens have no occurrences and drop out
+    * on both engines. Rate is an exact integer-micro rational.
+    */
+  val qOovRate = Q(
+    "q_oov_rate",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      val vocab = tf.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(256)
+        .select(col("w"), lit(1).as("__v"))
+      tf.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          graft.functions.DetMath.ratio6(col("n_oov"), col("n_tok")).as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0)) AS w
+        FROM documents),
+      v AS (SELECT w FROM (SELECT w, count(*) AS n FROM t GROUP BY 1
+                           ORDER BY n DESC, w LIMIT 256)),
+      a AS (
+        SELECT doc_id, count(*) AS n_tok,
+               sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END) AS n_oov
+        FROM t GROUP BY 1)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_oov AS BIGINT) AS n_oov,
+             ${graft.functions.DetMath.ratio6Sql("n_oov", "n_tok")} AS oov_rate
+      FROM a ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
-    qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity)
+    qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
+    qOovRate)
 }

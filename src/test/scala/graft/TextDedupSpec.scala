@@ -375,4 +375,51 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("repeatedSpans: cross-doc repeat found, within-doc repeat found, maximal merge, unique text silent") {
+    // docs a/b share the 4-token run "one two three four five" (5 tokens
+    // → two overlapping 4-grams that must merge into ONE maximal span);
+    // doc c repeats a 4-gram within itself; doc d is entirely unique.
+    val corpus = Seq(
+      (1L, "one two three four five alpha beta gamma delta"),
+      (2L, "zz yy one two three four five xx ww vv"),
+      (3L, "p q r s k1 k2 k3 k4 m n p2 q2 k1 k2 k3 k4 z9"),
+      (4L, "totally unique words nothing shared anywhere at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "doc_id", "text", gramLen = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 1: tokens 0-4 = the shared run, one merged span of 5 tokens
+    assert(spans(1L) == Set((0L, 4L, 5L)))
+    // doc 2: same run at tokens 2-6
+    assert(spans(2L) == Set((2L, 6L, 5L)))
+    // doc 3: k1..k4 at positions 4-7 and 12-15 — two separate spans,
+    // found purely from WITHIN-document repetition
+    assert(spans(3L) == Set((4L, 7L, 4L), (12L, 15L, 4L)))
+    // doc 4: nothing
+    assert(!spans.contains(4L))
+  }
+
+  test("containmentPairs scores a verbatim quote 1.0 where Jaccard stays below threshold") {
+    val host = "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9 q0 q1 q2 q3 q4 " +
+      "h10 h11 h12 h13 h14 h15 h16 h17 h18 h19 h20 h21 h22 h23"
+    val corpus = Seq(
+      (10L, "q0 q1 q2 q3 q4"), // the short doc, quoted verbatim inside 11
+      (11L, host),
+      (12L, "unrelated filler text with different content words")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+        k = 3, tau = 0.5, probePred = _ => lit(true))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // all 3 of the quote's 3-shingles appear in the host → containment 1.0
+    assert(cont((10L, 11L)) == 1.0)
+    assert(cont.size == 1)
+    // the same pair is invisible to the symmetric tier at any usable tau
+    val jac = Dedup.jaccardPairsExact(corpus, "doc_id", "text",
+        k = 3, tau = 0.3, probePred = _ => lit(true))
+      .collect()
+    assert(jac.isEmpty)
+  }
 }
