@@ -899,6 +899,44 @@ object Dedup {
       .drop("__grp")
   }
 
+  /** The ACTION on [[repeatedSpans]]: rebuild each document with every
+    * repeated span of at least `minSpanTokens` tokens REMOVED — the Lee
+    * et al. scrub itself, not just the report. Span detection runs on
+    * the lowercased token stream; removal indexes the ORIGINAL-case
+    * tokens (whitespace tokenization is case-stable, so positions
+    * transfer). Per doc the span list is a handful of (start, end)
+    * structs carried through one left join; the rebuild is a map-side
+    * higher-order filter — no extra shuffle beyond the span detection
+    * itself. Documents with zero tokens drop out (nothing to scrub).
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text)
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         gramLen: Int, minCount: Long = 2L,
+                         minSpanTokens: Long = 16L): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, gramLen, minCount)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val kept = expr(
+      """CASE WHEN __spans IS NULL THEN __t ELSE
+           transform(
+             filter(transform(__t, (w, i) -> struct(w AS w, i AS i)),
+                    s -> NOT exists(__spans,
+                           sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),
+             s -> s.w)
+         END""")
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept", kept)
+      .select(col("doc_id"),
+        size(col("__t")).cast("bigint").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("bigint").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540 — public literature): spherical

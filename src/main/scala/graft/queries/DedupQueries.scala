@@ -784,7 +784,63 @@ object DedupQueries {
       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
              CAST(max(pos) + 7 AS BIGINT) AS span_end,
              CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
-      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+    // headline: the inverted-index + gaps-and-islands plan shape is in
+    // no other benched query (the suffix-array dedup stand-in)
+    headline = true)
+
+  /** The scrub ACTION on q_repeated_spans: every repeated span of ≥ 16
+    * tokens removed from every document that carries it — the
+    * boilerplate-removal posture (headers, license blocks, templated
+    * passages are cut EVERYWHERE they occur; whole-document duplication
+    * is the exact-dedup tier's job, where a canonical copy survives).
+    * Exact duplicates therefore scrub to empty here — visible in the
+    * output as clean_text = '' — which is the honest composition order:
+    * exact dedup first, span scrub second. The oracle rebuilds the
+    * identical cleaned text from raw gram strings with an anti-semi
+    * join against the span ranges.
+    */
+  val qScrubSpans = Q(
+    "q_scrub_spans",
+    (s, d) => Dedup.scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        gramLen = 8, minCount = 2L, minSpanTokens = 16L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text,'\s+'), w -> len(w)>0) AS t,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS tl
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(tl[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks WHERE len(tl) >= 8)),
+      rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      hit AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM hit),
+      spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        FROM isl GROUP BY doc_id, grp
+        HAVING max(pos) - min(pos) + 8 >= 16),
+      tok AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS w
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) > 0)),
+      keep AS (
+        SELECT k.doc_id, k.pos, k.w FROM tok k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = k.doc_id
+                            AND k.pos BETWEEN s.span_start AND s.span_end)),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(w, ' ' ORDER BY pos) AS clean_text
+             FROM keep GROUP BY 1)
+      SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             CAST(len(tk.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(ka.clean_text, '') AS clean_text
+      FROM toks tk LEFT JOIN ka USING (doc_id)
+      WHERE len(tk.t) > 0
+      ORDER BY doc_id"""))
 
   /** Edit-distance near-match pairs for the probe subset — the
     * character-level rendition of q_jaccard_pairs (entity resolution,
@@ -872,5 +928,5 @@ object DedupQueries {
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qDedupSemantic, qRepeatedSpans,
-    qContainmentPairs)
+    qContainmentPairs, qScrubSpans)
 }

@@ -503,8 +503,42 @@ object EventQueries {
       FROM z WHERE variance > 0
       ORDER BY window_start, event_type"""))
 
+  /** Telemetry debounce: drop an event when the PREVIOUS event of the
+    * same (user, type) lies within an hour — client-side retry and
+    * double-fire suppression before any funnel/retention math. One lag
+    * window keyed by (user, type); ties broken by event_id so the kept
+    * set is deterministic under identical timestamps. (The anchor-based
+    * THROTTLE — keep one per horizon window measured from the last KEPT
+    * event — is iterative state; its streaming rendition is the
+    * mapGroupsWithState sessionizer's shape. The lag form is the
+    * standard batch debounce and is exactly one codegen window.)
+    */
+  val qEventDebounce = Q(
+    "q_event_debounce",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > 3600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some("""
+      WITH lagged AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        FROM events)
+      SELECT event_id, user_id, event_type, ts_us
+      FROM lagged
+      WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000
+      ORDER BY user_id, ts_us, event_id"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
-    qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours)
+    qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce)
 }

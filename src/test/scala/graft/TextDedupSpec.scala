@@ -402,6 +402,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!spans.contains(4L))
   }
 
+  test("scrubRepeatedSpans removes the shared run everywhere, preserves case, leaves unique docs intact") {
+    // 6-token boilerplate shared by docs 1 and 2 (gramLen 4, minSpan 6);
+    // original casing differs from the lowercased matching stream
+    val corpus = Seq(
+      (1L, "All Rights Reserved By Acme Corp plus unique tail words here"),
+      (2L, "intro words all rights reserved by acme corp trailing bits"),
+      (3L, "entirely original content with no repetition at all today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text",
+        gramLen = 4, minCount = 2L, minSpanTokens = 6L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((6L, "plus unique tail words here")))
+    assert(out(2L) == ((6L, "intro words trailing bits")))
+    assert(out(3L)._1 == 0L)
+    assert(out(3L)._2 == "entirely original content with no repetition at all today")
+  }
+
   test("containmentPairs scores a verbatim quote 1.0 where Jaccard stays below threshold") {
     val host = "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9 q0 q1 q2 q3 q4 " +
       "h10 h11 h12 h13 h14 h15 h16 h17 h18 h19 h20 h21 h22 h23"
