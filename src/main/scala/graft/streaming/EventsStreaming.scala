@@ -325,6 +325,75 @@ object EventsStreaming {
     committed.foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Streaming heavy-hitters absorb: each micro-batch is sketched
+    * DISTRIBUTED into a capacity-m SpaceSaving summary (only ≤ m
+    * finished items ever reach the driver — bounded metadata, the
+    * k-means-centroid discipline), then merged with the persisted
+    * sketch under the mergeable-summaries rule and re-persisted. The
+    * continuous rendition of q_heavy_hitters: top tokens over the WHOLE
+    * stream history in O(m) state, no token dictionary ever stored or
+    * shuffled. Same versioned `sketch-<batchId>` replay guard as
+    * [[rollupAbsorbSink]] — a replayed batch absorbs zero. In the
+    * exact regime (observed distinct ≤ m, no evictions on any path)
+    * the absorbed sketch carries the EXACT stream-total counts; in
+    * general the SpaceSaving bounds hold (every item with true count
+    * > n/m present, overestimate ≤ err < n/m).
+    */
+  def heavyHittersAbsorbSink(out: String, capacity: Int, tokenCol: String)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.functions.SpaceSavingAggregator
+    import SpaceSavingAggregator.Item
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Seq[(Long, Path)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName.stripPrefix("sketch-").toLongOption
+          .filter(_ => st.getPath.getName.startsWith("sketch-") &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_ -> st.getPath)
+      }.sortBy(_._1)
+    val latest = committed.lastOption
+    if (latest.exists(_._1 >= batchId)) return // replayed batch: already absorbed
+    val delta: List[Item] = batch
+      .agg(SpaceSavingAggregator.spaceSaving(capacity)(col(tokenCol)).as("sk"))
+      .select(explode(col("sk")).as("it"))
+      .select(col("it.token").as("token"), col("it.count").as("count"),
+        col("it.err").as("err"))
+      .as[Item].collect().toList
+    val prior: List[Item] = latest
+      .map { case (_, p) => spark.read.parquet(p.toString).as[Item].collect().toList }
+      .getOrElse(Nil)
+    val merged =
+      new SpaceSavingAggregator.SpaceSaving(capacity).merge(prior, delta)
+    merged.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/sketch-$batchId")
+    committed.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The highest committed sketch written by
+    * [[heavyHittersAbsorbSink]], as (token, count, err) rows sorted
+    * heaviest-first (None before the first batch commits).
+    */
+  def currentHeavyHitters(spark: SparkSession, out: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith("sketch-") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix("sketch-").toLongOption
+        .map(_ -> st.getPath))
+      .sortBy(_._1).lastOption
+      .map { case (_, p) =>
+        spark.read.parquet(p.toString)
+          .orderBy(col("count").desc, col("token")) }
+  }
+
   /** The highest committed rollup written by [[rollupAbsorbSink]]
     * (None before the first batch commits).
     */

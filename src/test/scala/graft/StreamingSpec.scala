@@ -302,6 +302,61 @@ class StreamingSpec extends SparkSpec {
     assert(rollup() == expected)
   }
 
+  test("heavyHittersAbsorbSink: absorbed sketch is exact in-regime, replay absorbs zero, heavy item survives eviction") {
+    val in = tmpDir("stream-in-hh")
+    val out = tmpDir("stream-hh") + "/tokens"
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    // token stream rides event_type; small domain => exact regime at m=8
+    val days = Seq(
+      Seq(Event(1L, ts(0), 1L, "aa", 0), Event(2L, ts(1), 1L, "aa", 0),
+        Event(3L, ts(2), 1L, "bb", 0)),
+      Seq(Event(4L, ts(10), 1L, "aa", 0), Event(5L, ts(11), 1L, "cc", 0)),
+      Seq(Event(6L, ts(20), 1L, "bb", 0), Event(7L, ts(21), 1L, "aa", 0)))
+    days.foreach(d => d.toDS().coalesce(1).write.mode("append").parquet(in))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(EventsStreaming.heavyHittersAbsorbSink(out, 8, "event_type") _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-hh-1"))
+    def sketch(): Seq[(String, Long, Long)] =
+      EventsStreaming.currentHeavyHitters(spark, out).get
+        .collect().map(r => (r.getAs[String]("token"),
+          r.getAs[Long]("count"), r.getAs[Long]("err"))).toSeq
+    // distinct (3) < capacity (8): exact counts, zero error, sorted heavy-first
+    assert(sketch() == Seq(("aa", 4L, 0L), ("bb", 2L, 0L), ("cc", 1L, 0L)))
+    // fresh checkpoint -> all three files replay under ids <= committed: no-op
+    run(tmpDir("ckpt-hh-2"))
+    assert(sketch() == Seq(("aa", 4L, 0L), ("bb", 2L, 0L), ("cc", 1L, 0L)))
+    // direct stale-batch replay is also a no-op
+    EventsStreaming.heavyHittersAbsorbSink(out, 8, "event_type")(
+      days.head.toDS().toDF(), 0L)
+    assert(sketch() == Seq(("aa", 4L, 0L), ("bb", 2L, 0L), ("cc", 1L, 0L)))
+    // eviction regime: capacity 2, 12 distinct light tokens + one token
+    // at true count 8 > n/m — the SpaceSaving guarantee says it MUST be
+    // reported, overestimated by at most its err
+    val out2 = tmpDir("stream-hh2") + "/tokens"
+    val light = (1 to 12).map(i => s"t$i")
+    val batch1 = (light.take(6) ++ Seq.fill(4)("hot")).zipWithIndex
+      .map { case (t, i) => Event(100L + i, ts(i), 1L, t, 0) }
+    val batch2 = (light.drop(6) ++ Seq.fill(4)("hot")).zipWithIndex
+      .map { case (t, i) => Event(200L + i, ts(30 + i), 1L, t, 0) }
+    EventsStreaming.heavyHittersAbsorbSink(out2, 2, "event_type")(batch1.toDS().toDF(), 0L)
+    EventsStreaming.heavyHittersAbsorbSink(out2, 2, "event_type")(batch2.toDS().toDF(), 1L)
+    val hot = EventsStreaming.currentHeavyHitters(spark, out2).get
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("count"), r.getAs[Long]("err")))).toMap
+    assert(hot.contains("hot"))
+    val (cnt, err) = hot("hot")
+    assert(cnt >= 8L && cnt - err <= 8L)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
