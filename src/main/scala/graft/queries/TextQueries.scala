@@ -629,8 +629,96 @@ object TextQueries {
              ${graft.functions.DetMath.ratio6Sql("n_oov", "n_tok")} AS oov_rate
       FROM a ORDER BY doc_id"""))
 
+  /** Source-normalized quality: each document's PERCENTILE RANK of
+    * quality within its own source — the cross-source-comparable score
+    * a mixture-aware filter thresholds on (a raw cutoff keeps the best
+    * of clean sources and the worst of noisy ones; a per-source
+    * percentile keeps each source's best). rank() ties are peers on
+    * both engines; pct = (rank−1)/(n−1) as an exact integer-micro
+    * rational, 0 for singleton sources. Window state is bounded per
+    * source partition.
+    */
+  val qQualityPctRank = Q(
+    "q_quality_pct_rank",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("q"))
+      val per = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          round(qualityScore(col("text")), 6).as("q"))
+        .withColumn("rk", rank().over(w))
+        .withColumn("n", count(lit(1)).over(per))
+        .select(col("doc_id"), col("source"), col("q").as("quality"),
+          when(col("n") > 1,
+            graft.functions.DetMath.ratio6(col("rk") - 1, col("n") - 1))
+            .otherwise(lit(0.0)).as("pct_rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS DOUBLE) AS stop_h
+        FROM documents),
+      sc AS (
+        SELECT doc_id, source,
+               round(least(n_tok / 64.0, 1.0) * 0.5
+                     + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25
+                     + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6) AS q
+        FROM m),
+      r AS (
+        SELECT doc_id, source, q,
+               rank() OVER (PARTITION BY source ORDER BY q) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM sc)
+      SELECT doc_id, source, q AS quality,
+             CASE WHEN n > 1
+                  THEN ${graft.functions.DetMath.ratio6Sql("rk - 1", "n - 1")}
+                  ELSE 0.0 END AS pct_rank
+      FROM r ORDER BY doc_id"""))
+
+  /** Source × language contingency table with expected counts and lift
+    * — the mixture diagnostic that flags a source whose language mix
+    * diverges from the corpus (expected = row·col/N under independence;
+    * lift = observed/expected). All three derived relations (row
+    * totals, column totals, grand total) REDUCE from the cell counts —
+    * the corpus is scanned and shuffled exactly once — and ride back as
+    * broadcasts. Exact integer-micro rationals throughout (counts ×
+    * counts stay integral).
+    */
+  val qCrosstab = Q(
+    "q_crosstab",
+    (s, d) => {
+      val cell = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_obs"))
+      val rowT = cell.groupBy(col("source")).agg(sum(col("n_obs")).as("rt"))
+      val colT = cell.groupBy(col("lang")).agg(sum(col("n_obs")).as("ct"))
+      val tot = cell.agg(sum(col("n_obs")).as("nn"))
+      cell.join(broadcast(rowT), "source")
+        .join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_obs"),
+          graft.functions.DetMath.ratio6(col("rt") * col("ct"), col("nn")).as("expected"),
+          graft.functions.DetMath.ratio6(col("n_obs") * col("nn"), col("rt") * col("ct")).as("lift"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""
+      WITH cell AS (
+        SELECT source, lang, count(*) AS n_obs FROM documents GROUP BY 1, 2),
+      rt AS (SELECT source, sum(n_obs) AS rt FROM cell GROUP BY 1),
+      ct AS (SELECT lang, sum(n_obs) AS ct FROM cell GROUP BY 1),
+      nn AS (SELECT sum(n_obs) AS nn FROM cell)
+      SELECT cell.source, cell.lang, n_obs,
+             ${graft.functions.DetMath.ratio6Sql("rt.rt * ct.ct", "nn.nn")} AS expected,
+             ${graft.functions.DetMath.ratio6Sql("n_obs * nn.nn", "rt.rt * ct.ct")} AS lift
+      FROM cell JOIN rt USING (source) JOIN ct USING (lang), nn
+      ORDER BY source, lang"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
-    qOovRate)
+    qOovRate, qQualityPctRank, qCrosstab)
 }

@@ -192,6 +192,50 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming throttle — the ANCHOR-based rate limit q_event_debounce's
+    * scaladoc defers here: per (user, event_type), emit an event only
+    * when at least `horizonSeconds` have passed since the last EMITTED
+    * event (not merely the previous event — a steady sub-horizon drizzle
+    * is suppressed entirely after its first event, which the lag-based
+    * batch debounce cannot express without iterative state). State is
+    * ONE timestamp per live key, evicted by event-time timeout once the
+    * watermark passes a full quiet horizon — O(active keys), never
+    * O(stream). Within a batch the group iterates in event-time order,
+    * so a batch spanning several horizons emits each window's anchor.
+    */
+  def throttleStream(events: Dataset[Event], horizonSeconds: Long,
+                     watermark: String = "0 seconds"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[java.sql.Timestamp, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, String), batch: Iterator[Event],
+         state: GroupState[java.sql.Timestamp]) =>
+          if (state.hasTimedOut) {
+            // quiet for a full horizon: forget the anchor — the next
+            // event starts a fresh window (and is emitted)
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer[Event]()
+            var anchor = state.getOption.map(_.getTime)
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (anchor.forall(a => e.ts.getTime - a > horizonSeconds * 1000)) {
+                out += e
+                anchor = Some(e.ts.getTime)
+              }
+            }
+            anchor.foreach { a =>
+              state.update(new java.sql.Timestamp(a))
+              state.setTimeoutTimestamp(a + horizonSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream event-time interval join (impression→conversion
     * attribution): each conversion joins the same user's impressions
     * whose timestamp lies in [conv_ts − horizon, conv_ts]. Both sides

@@ -163,6 +163,58 @@ class StreamingSpec extends SparkSpec {
     assert(s7(0).n_events == 3 && s7(0).total_value == 7.0)
   }
 
+  test("throttleStream: one event per horizon measured from the last EMITTED event") {
+    val in = tmpDir("stream-in-thr")
+    val ckpt = tmpDir("ckpt-thr")
+    val out = tmpDir("throttle-out") + "/kept"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming.throttleStream(events, horizonSeconds = 600)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def kept(): Set[Long] =
+      if (!graft.ops.Fs.exists(out)) Set.empty
+      else spark.read.parquet(out).as[Event].collect().map(_.event_id).toSet
+    // user 7 drizzle: 0, 2, 5 min (one anchor), then 12 (new window),
+    // then 30; the lag-based debounce would KEEP the 5-min event (gap
+    // from previous = 3 min? no — it would keep any event > 10 min after
+    // its immediate predecessor; here e3 is 3 min after e2, dropped by
+    // both, but a steady 6-min drizzle distinguishes the two: each
+    // event is < horizon from its predecessor yet the THIRD is > horizon
+    // from the anchor). Events 10/11/12 encode that steady drizzle for
+    // user 8: 0, 6, 13 min — anchor logic emits e10 and e12 (13 > 10
+    // from anchor 0), lag logic would emit only e10.
+    Seq(
+      Event(1L, ts(0), 7L, "click", 1.0),
+      Event(2L, ts(2), 7L, "click", 1.0),
+      Event(3L, ts(5), 7L, "click", 1.0),
+      Event(4L, ts(12), 7L, "click", 1.0),
+      Event(5L, ts(30), 7L, "click", 1.0),
+      Event(10L, ts(0), 8L, "view", 1.0),
+      Event(11L, ts(6), 8L, "view", 1.0),
+      Event(12L, ts(13), 8L, "view", 1.0)
+    ).toDS().write.mode("overwrite").parquet(in)
+    run()
+    assert(kept() == Set(1L, 4L, 5L, 10L, 12L))
+    // batch 2: 5 min after user 7's anchor (suppressed), then 15 after
+    Seq(Event(6L, ts(35), 7L, "click", 1.0), Event(7L, ts(45), 7L, "click", 1.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(kept() == Set(1L, 4L, 5L, 10L, 12L, 7L))
+    // no new input: rerun is a no-op
+    run()
+    assert(kept() == Set(1L, 4L, 5L, 10L, 12L, 7L))
+  }
+
   test("stream-stream interval join attributes conversions within the horizon only") {
     val impDir = tmpDir("stream-imp"); val convDir = tmpDir("stream-conv")
     Seq(
