@@ -880,11 +880,15 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .filter(size(col("__t")) >= gramLen)
-    val grams = toks.select(col("doc_id"),
+    // the gram relation feeds TWO subplan edges (the repeated-set
+    // aggregation and the membership probe) — persist the 12-byte rows
+    // once instead of re-running tokenize+hash per edge (the
+    // jaccardPairsExact discipline)
+    val grams = cachedOnce(toks.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, size(__t) - $gramLen), " +
           s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
-        .as(Seq("pos", "gh")))
+        .as(Seq("pos", "gh"))))
     val repeated = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
       .select(col("gh"))
