@@ -450,8 +450,74 @@ object AggQueries {
       ORDER BY col_name"""
     })
 
+  /** Pearson correlation matrix over (l_quantity, l_extendedprice,
+    * l_discount) in ONE aggregation pass: the nine moment sums are
+    * exact DECIMAL accumulations (order-agnostic under partial
+    * aggregation), and the correlation formula runs once per pair on
+    * those exact sums — every double op (·, −, /, sqrt) is
+    * correctly-rounded IEEE, so identical inputs give identical
+    * results on both engines. `corr()` built-ins are NOT used: their
+    * streaming update order is engine-specific and would flip low
+    * bits. Pearson r is SCALE-INVARIANT, so each column is first
+    * scaled to an exact integer (×10⁴ covers the 2-dp TPC-H domains)
+    * and every moment is an integer sum — DECIMAL(38,0) on Spark,
+    * HUGEINT in DuckDB, both exact and associative; at a scale where
+    * ~10³⁸ could overflow, shard the sums and merge (the moments are
+    * a commutative monoid like every sketch here).
+    */
+  val qCorrelation = Q(
+    "q_correlation", {
+      import org.apache.spark.sql.Column
+      def r(n: Column, sx: Column, sy: Column, sxy: Column,
+            sxx: Column, syy: Column): Column =
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      (s, d) => {
+        def i(c: String) = expr(s"CAST(round($c * 10000) AS DECIMAL(38,0))")
+        val (q, p, dd) = (i("l_quantity"), i("l_extendedprice"), i("l_discount"))
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            asDouble(sum(q)).as("sq"), asDouble(sum(p)).as("sp"),
+            asDouble(sum(dd)).as("sd"),
+            asDouble(sum(q * q)).as("sqq"), asDouble(sum(p * p)).as("spp"),
+            asDouble(sum(dd * dd)).as("sdd"),
+            asDouble(sum(q * p)).as("sqp"), asDouble(sum(q * dd)).as("sqd"),
+            asDouble(sum(p * dd)).as("spd"))
+          .select(
+            col("n").cast("bigint").as("n_rows"),
+            r(col("n"), col("sq"), col("sp"), col("sqp"), col("sqq"), col("spp"))
+              .as("corr_qty_price"),
+            r(col("n"), col("sq"), col("sd"), col("sqd"), col("sqq"), col("sdd"))
+              .as("corr_qty_discount"),
+            r(col("n"), col("sp"), col("sd"), col("spd"), col("spp"), col("sdd"))
+              .as("corr_price_discount"))
+      }
+    },
+    Some("""
+      WITH sc AS (
+        SELECT CAST(round(l_quantity * 10000) AS HUGEINT) AS q,
+               CAST(round(l_extendedprice * 10000) AS HUGEINT) AS p,
+               CAST(round(l_discount * 10000) AS HUGEINT) AS d
+        FROM lineitem),
+      m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+               CAST(sum(d) AS DOUBLE) AS sd,
+               CAST(sum(q * q) AS DOUBLE) AS sqq, CAST(sum(p * p) AS DOUBLE) AS spp,
+               CAST(sum(d * d) AS DOUBLE) AS sdd,
+               CAST(sum(q * p) AS DOUBLE) AS sqp, CAST(sum(q * d) AS DOUBLE) AS sqd,
+               CAST(sum(p * d) AS DOUBLE) AS spd
+        FROM sc)
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price,
+             round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_discount,
+             round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_discount
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
-    qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable)
+    qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
+    qCorrelation)
 }

@@ -537,8 +537,60 @@ object EventQueries {
       WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000
       ORDER BY user_id, ts_us, event_id"""))
 
+  /** Winsorization (outlier clipping) at exact per-type P1/P99: the
+    * cutoffs are the values at ranks ceil(n/100) and ceil(99n/100) —
+    * rank-defined (integer math both engines), never interpolated, so
+    * the clip is reproducible. The cutoff relation is one row per
+    * event_type and rides back as a BROADCAST; the clipped total is an
+    * exact decimal sum. The ranking window partitions per type — at
+    * 100 TB swap the rank window for `ops/Selection.kthSmallest` per
+    * group (histogram narrowing; same contract, no per-type sort) —
+    * the query pins the semantics the scale path must reproduce.
+    */
+  val qWinsorize = Q(
+    "q_winsorize",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val per = Window.partitionBy(col("event_type"))
+      val cuts = Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(per))
+        .filter(col("rn") === expr("(n + 99) DIV 100") ||
+          col("rn") === expr("(99 * n + 99) DIV 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(cuts), "event_type")
+        .select(col("event_type"), col("lo"), col("hi"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("clipped")))).as("clipped_total"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"), col("clipped_total"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      cuts AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM r
+        WHERE rn = (n + 99) // 100 OR rn = (99 * n + 99) // 100
+        GROUP BY 1)
+      SELECT e.event_type, count(*) AS n, c.lo, c.hi,
+             CAST(sum(CAST(least(greatest(e.value, c.lo), c.hi) AS DECIMAL(18,4))) AS DOUBLE)
+               AS clipped_total
+      FROM events e JOIN cuts c USING (event_type)
+      GROUP BY e.event_type, c.lo, c.hi
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
-    qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce)
+    qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
+    qWinsorize)
 }

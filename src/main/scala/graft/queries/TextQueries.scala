@@ -717,8 +717,43 @@ object TextQueries {
       FROM cell JOIN rt USING (source) JOIN ct USING (lang), nn
       ORDER BY source, lang"""))
 
+  /** Declared-vs-predicted language confusion matrix — the label-quality
+    * audit run before trusting a corpus's `lang` metadata (crawl
+    * metadata lies; the confusion matrix says where). One keyed
+    * aggregation over per-row langId predictions; diagonal rows carry
+    * `agree = true` so the agreement rate reads off directly.
+    */
+  val qLangConfusion = Q(
+    "q_lang_confusion",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
+      .orderBy(col("lang"), col("pred_lang")),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${hitsSql(stopwordsSql)} AS en_h,
+               ${hitsSql("('der','die','das','und','ist','nicht','ein','zu')")} AS de_h,
+               ${hitsSql("('el','la','de','y','que','en','un','es')")} AS es_h,
+               ${hitsSql("('le','la','et','les','des','un','une','est')")} AS fr_h,
+               regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        FROM documents),
+      pred AS (
+        SELECT lang,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                    WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                    WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+                    WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM scored)
+      SELECT lang, pred_lang, count(*) AS n, lang = pred_lang AS agree
+      FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
-    qOovRate, qQualityPctRank, qCrosstab)
+    qOovRate, qQualityPctRank, qCrosstab, qLangConfusion)
 }
