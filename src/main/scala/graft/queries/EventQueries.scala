@@ -588,9 +588,118 @@ object EventQueries {
       GROUP BY e.event_type, c.lo, c.hi
       ORDER BY event_type"""))
 
+  /** Top session-opening paths: the ordered first-3 event types of each
+    * 30-min session, counted corpus-wide — the navigation-pattern
+    * summary behind funnel design (which openings are common enough to
+    * instrument). Reuses q_events_sessionize's keyed lag/running-sum
+    * session labels, then one row_number ≤ 3 window per session and a
+    * count on the path string. Every window is (user)- or
+    * (user, session)-keyed; paths shuffle once for the final count.
+    */
+  val qTopPaths = Q(
+    "q_top_paths",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_s", lag(col("ts").cast(LongType), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts").cast(LongType) - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .withColumn("step", row_number().over(ws))
+        .filter(col("step") <= 3)
+        .groupBy(col("user_id"), col("session_seq"))
+        // collect_list carries no order guarantee — sort the (step, type)
+        // structs post-hoc so the path is deterministic
+        .agg(expr("concat_ws('>', transform(array_sort(" +
+          "collect_list(struct(step, event_type))), x -> x.event_type))").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_seq
+        FROM flagged
+      ), stepped AS (
+        SELECT user_id, session_seq, event_type,
+               row_number() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts, event_id) AS step
+        FROM sessions
+      ), paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM stepped WHERE step <= 3
+        GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY 1
+      ORDER BY n_sessions DESC, path LIMIT 20"""))
+
+  /** Time-weighted average value per event type — the right mean for
+    * irregularly-sampled series (a sensor reading "held" for 3 hours
+    * must weigh 3 hours, not one sample). Each reading is weighted by
+    * its holding interval (lead(ts) − ts, in micros; the last reading
+    * of a type has no interval and drops out — the standard
+    * left-closed convention). The weighted sum works in scaled
+    * integers (value×10⁴ exact for the 4-dp domain; ×interval micros
+    * stays under 38 digits) — DECIMAL(38,0) on Spark, HUGEINT in
+    * DuckDB, associative on both — and the final quotient is one
+    * double division on identical inputs. One lead window per type,
+    * one keyed aggregation.
+    */
+  val qTimeWeightedAvg = Q(
+    "q_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur_us")).as("span_us"),
+          asDouble(sum(
+            expr("CAST(round(value * 10000) AS DECIMAL(38,0)) * dur_us")))
+            .as("wsum"))
+        .select(col("event_type"), col("n_intervals"), col("span_us"),
+          (col("wsum") / (col("span_us").cast("double") * lit(10000.0))).as("tw_avg"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                 - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+        FROM events),
+      a AS (
+        SELECT event_type, count(*) AS n_intervals,
+               CAST(sum(dur_us) AS BIGINT) AS span_us,
+               CAST(sum(CAST(round(value * 10000) AS HUGEINT) * dur_us) AS DOUBLE) AS wsum
+        FROM l WHERE dur_us IS NOT NULL
+        GROUP BY 1)
+      SELECT event_type, n_intervals, span_us,
+             wsum / (CAST(span_us AS DOUBLE) * 10000.0) AS tw_avg
+      FROM a ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
-    qWinsorize)
+    qWinsorize, qTopPaths, qTimeWeightedAvg)
 }

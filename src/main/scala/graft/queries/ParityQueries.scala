@@ -513,9 +513,39 @@ object ParityQueries {
                for i in range(0, 16)]) AS BIGINT) AS z_value
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Schema-evolution union: two generations of the same feed with
+    * DIFFERENT columns (the old extract lacks o_orderpriority, the new
+    * one dropped o_totalprice) merged by NAME with missing columns
+    * null-filled — `unionByName(allowMissingColumns = true)`, the
+    * ingest-time posture for a source whose schema drifted mid-history.
+    * Positional union would silently misalign; the reference's strict
+    * positional EXCEPT discipline (U2) is exactly why the by-name form
+    * must exist alongside it.
+    */
+  val qUnionEvolve = Q(
+    "q_union_evolve",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val oldGen = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val newGen = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      oldGen.unionByName(newGen, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder)
+    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve)
 }
