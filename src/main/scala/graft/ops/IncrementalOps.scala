@@ -58,4 +58,35 @@ object IncrementalOps {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MERGE-INTO upsert semantics as one full-outer join: rows of
+    * `updates` replace same-key rows of `target` (WHEN MATCHED THEN
+    * UPDATE), new keys insert (WHEN NOT MATCHED THEN INSERT),
+    * untouched target rows pass through. The presence MARKER — not
+    * value non-nullness — decides who wins, so an update row carrying
+    * a legitimate NULL attribute still replaces the target row (the
+    * classic coalesce-based upsert bug). Schemas must match by name;
+    * `updates` must be key-unique (enforced — a duplicate-key update
+    * relation makes MERGE ambiguous, and Spark would emit both rows).
+    * One shuffle on the key; at warehouse scale the target side is the
+    * big one, so AQE broadcast-ises the update side when small.
+    */
+  def upsert(target: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(target.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert schemas differ: target ${target.columns.sorted.mkString(",")} " +
+        s"vs updates ${updates.columns.sorted.mkString(",")}")
+    // one aggregation over the (small) update side — the guard that
+    // keeps MERGE deterministic is worth the extra action
+    require(updates.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).isEmpty,
+      s"updates not unique on (${keys.mkString(", ")}) — MERGE is ambiguous")
+    val nonKeys = target.columns.filterNot(keys.contains).toSeq
+    val u = nonKeys.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+      .withColumn("__upd", lit(1))
+    target.join(u, keys, "full_outer")
+      .select(keys.map(col) ++ nonKeys.map(c =>
+        when(col("__upd").isNotNull, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

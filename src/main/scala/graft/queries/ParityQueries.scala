@@ -543,9 +543,44 @@ object ParityQueries {
       FROM orders WHERE o_orderkey % 2 = 1
       ORDER BY o_orderkey"""))
 
+  /** MERGE-INTO upsert over the customer dim: every %10 key's segment
+    * is rewritten (matched → update), a derived +10M key range inserts
+    * (not matched → insert), everything else passes through. Exercises
+    * [[graft.ops.IncrementalOps.upsert]]'s marker semantics end to end;
+    * the oracle states the same three row fates as a UNION of
+    * anti-joined branches.
+    */
+  val qUpsert = Q(
+    "q_upsert",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(
+          cust.filter(col("c_custkey") % 97 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      graft.ops.IncrementalOps.upsert(cust, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      upd AS (
+        SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal
+        FROM cust WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        FROM cust WHERE c_custkey % 97 = 0)
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM cust
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
+      ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve)
+    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert)
 }

@@ -341,32 +341,62 @@ object EventsStreaming {
     *   `keys ++ measures`, measures mergeable by sum (counts, sums —
     *   any commutative monoid in sum form)
     */
-  def rollupAbsorbSink(out: String, keys: Seq[String], measures: Seq[String],
-                       partial: DataFrame => DataFrame)
-                      (batch: DataFrame, batchId: Long): Unit = {
+  /** Versioned-directory absorb discipline shared by every absorb sink:
+    * committed = `<prefix>-<version>` dirs carrying `_SUCCESS`; a batch
+    * whose id is ≤ the highest committed version is skipped (replay
+    * absorbs zero — foreachBatch re-delivers under the SAME id);
+    * otherwise `merged(latestDir)` is written as the next version and
+    * superseded versions are GC'd AFTER the commit (best-effort: a
+    * crash strands a stale dir that readers ignore, never
+    * double-counts).
+    */
+  private def absorbVersioned(spark: SparkSession, out: String, prefix: String,
+                              batchId: Long)
+                             (merged: Option[String] => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val spark = batch.sparkSession
     val base = new Path(out)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed: Seq[(Long, Path)] =
       if (!fs.exists(base)) Seq.empty
       else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
-        st.getPath.getName.stripPrefix("rollup-").toLongOption
-          .filter(_ => st.getPath.getName.startsWith("rollup-") &&
+        st.getPath.getName.stripPrefix(s"$prefix-").toLongOption
+          .filter(_ => st.getPath.getName.startsWith(s"$prefix-") &&
             fs.exists(new Path(st.getPath, "_SUCCESS")))
           .map(_ -> st.getPath)
       }.sortBy(_._1)
     val latest = committed.lastOption
     if (latest.exists(_._1 >= batchId)) return // replayed batch: already absorbed
-    val delta = partial(batch)
-    val merged = latest.fold(delta) { case (_, p) =>
-      IncrementalOps.mergeAggregates(
-        spark.read.parquet(p.toString), delta, keys, measures)
-    }.select((keys ++ measures).map(col): _*)
-    merged.write.mode("overwrite").parquet(s"$out/rollup-$batchId")
-    // GC superseded versions AFTER the new one is committed (best-effort:
-    // a crash here strands a stale directory that readers ignore)
+    merged(latest.map(_._2.toString))
+      .write.mode("overwrite").parquet(s"$out/$prefix-$batchId")
     committed.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The highest committed `<prefix>-<version>` dir under `out`. */
+  private def latestVersioned(spark: SparkSession, out: String,
+                              prefix: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith(s"$prefix-") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix(s"$prefix-").toLongOption
+        .map(_ -> st.getPath))
+      .sortBy(_._1).lastOption.map(_._2.toString)
+  }
+
+  def rollupAbsorbSink(out: String, keys: Seq[String], measures: Seq[String],
+                       partial: DataFrame => DataFrame)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    absorbVersioned(spark, out, "rollup", batchId) { latest =>
+      val delta = partial(batch)
+      latest.fold(delta) { p =>
+        IncrementalOps.mergeAggregates(
+          spark.read.parquet(p), delta, keys, measures)
+      }.select((keys ++ measures).map(col): _*)
+    }
   }
 
   /** Streaming heavy-hitters absorb: each micro-batch is sketched
@@ -385,75 +415,76 @@ object EventsStreaming {
     */
   def heavyHittersAbsorbSink(out: String, capacity: Int, tokenCol: String)
                             (batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
     import graft.functions.SpaceSavingAggregator
     import SpaceSavingAggregator.Item
     val spark = batch.sparkSession
     import spark.implicits._
-    val base = new Path(out)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[(Long, Path)] =
-      if (!fs.exists(base)) Seq.empty
-      else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
-        st.getPath.getName.stripPrefix("sketch-").toLongOption
-          .filter(_ => st.getPath.getName.startsWith("sketch-") &&
-            fs.exists(new Path(st.getPath, "_SUCCESS")))
-          .map(_ -> st.getPath)
-      }.sortBy(_._1)
-    val latest = committed.lastOption
-    if (latest.exists(_._1 >= batchId)) return // replayed batch: already absorbed
-    val delta: List[Item] = batch
-      .agg(SpaceSavingAggregator.spaceSaving(capacity)(col(tokenCol)).as("sk"))
-      .select(explode(col("sk")).as("it"))
-      .select(col("it.token").as("token"), col("it.count").as("count"),
-        col("it.err").as("err"))
-      .as[Item].collect().toList
-    val prior: List[Item] = latest
-      .map { case (_, p) => spark.read.parquet(p.toString).as[Item].collect().toList }
-      .getOrElse(Nil)
-    val merged =
-      new SpaceSavingAggregator.SpaceSaving(capacity).merge(prior, delta)
-    merged.toDS().coalesce(1).write.mode("overwrite")
-      .parquet(s"$out/sketch-$batchId")
-    committed.foreach { case (_, p) => fs.delete(p, true) }
+    absorbVersioned(spark, out, "sketch", batchId) { latest =>
+      val delta: List[Item] = batch
+        .agg(SpaceSavingAggregator.spaceSaving(capacity)(col(tokenCol)).as("sk"))
+        .select(explode(col("sk")).as("it"))
+        .select(col("it.token").as("token"), col("it.count").as("count"),
+          col("it.err").as("err"))
+        .as[Item].collect().toList
+      val prior: List[Item] = latest
+        .map(p => spark.read.parquet(p).as[Item].collect().toList)
+        .getOrElse(Nil)
+      new SpaceSavingAggregator.SpaceSaving(capacity)
+        .merge(prior, delta).toDS().toDF().coalesce(1)
+    }
   }
 
   /** The highest committed sketch written by
     * [[heavyHittersAbsorbSink]], as (token, count, err) rows sorted
     * heaviest-first (None before the first batch commits).
     */
-  def currentHeavyHitters(spark: SparkSession, out: String): Option[DataFrame] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(out)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) None
-    else fs.listStatus(base).toSeq.filter(_.isDirectory)
-      .filter(st => st.getPath.getName.startsWith("sketch-") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap(st => st.getPath.getName.stripPrefix("sketch-").toLongOption
-        .map(_ -> st.getPath))
-      .sortBy(_._1).lastOption
-      .map { case (_, p) =>
-        spark.read.parquet(p.toString)
-          .orderBy(col("count").desc, col("token")) }
+  def currentHeavyHitters(spark: SparkSession, out: String): Option[DataFrame] =
+    latestVersioned(spark, out, "sketch")
+      .map(p => spark.read.parquet(p).orderBy(col("count").desc, col("token")))
+
+  /** Streaming distinct-count absorb: per micro-batch the per-key HLL
+    * registers are built DISTRIBUTED ([[graft.functions.Hll]] — 4 KiB
+    * binary per key), merged register-wise with the persisted sketch
+    * relation by one keyed `hll_merge` aggregation, and re-persisted
+    * under the same versioned replay guard. The continuous "distinct
+    * users per segment over all history" — the one rollup
+    * [[rollupAbsorbSink]] CANNOT absorb (distinct is not a sum; naive
+    * per-batch distinct counts double-count returners). Register
+    * merge is idempotent AND associative, so the absorbed sketch is
+    * byte-identical to the one-shot sketch over the whole history.
+    */
+  def distinctAbsorbSink(out: String, keys: Seq[String], valueCol: String)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    absorbVersioned(spark, out, "hll", batchId) { latest =>
+      val delta = batch.groupBy(keys.map(col): _*)
+        .agg(graft.functions.Hll.hll_sketch(col(valueCol)).as("sketch"))
+      latest.fold(delta) { p =>
+        spark.read.parquet(p).unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(graft.functions.Hll.hll_merge(col("sketch")).as("sketch"))
+      }
+    }
   }
+
+  /** The highest committed HLL relation written by
+    * [[distinctAbsorbSink]], with the cardinality estimate projected
+    * out per key (None before the first batch commits).
+    */
+  def currentDistinct(spark: SparkSession, out: String,
+                      keys: Seq[String]): Option[DataFrame] =
+    latestVersioned(spark, out, "hll").map { p =>
+      spark.read.parquet(p)
+        .select(keys.map(col) :+
+          graft.functions.Hll.hll_estimate(col("sketch")).as("approx_distinct"): _*)
+        .orderBy(keys.map(col): _*)
+    }
 
   /** The highest committed rollup written by [[rollupAbsorbSink]]
     * (None before the first batch commits).
     */
-  def currentRollup(spark: SparkSession, out: String): Option[DataFrame] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(out)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) None
-    else fs.listStatus(base).toSeq.filter(_.isDirectory)
-      .filter(st => st.getPath.getName.startsWith("rollup-") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap(st => st.getPath.getName.stripPrefix("rollup-").toLongOption
-        .map(_ -> st.getPath))
-      .sortBy(_._1).lastOption
-      .map { case (_, p) => spark.read.parquet(p.toString) }
-  }
+  def currentRollup(spark: SparkSession, out: String): Option[DataFrame] =
+    latestVersioned(spark, out, "rollup").map(p => spark.read.parquet(p))
 
   /** Streaming corpus ingest with a near-dup screen — the continuous
     * form of [[graft.dedup.Dedup.minhashPairsCross]]: every micro-batch

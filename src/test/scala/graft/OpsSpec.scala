@@ -234,6 +234,29 @@ class OpsSpec extends SparkSpec {
     assert(IncrementalOps.exceptNew(batch, batch).isEmpty)
   }
 
+  test("upsert: marker (not null-coalesce) decides row fates; duplicate update keys rejected") {
+    import graft.ops.IncrementalOps
+    val target = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, Option("c"), 30.0)).toDF("k", "attr", "v")
+    val updates = Seq(
+      (2L, Option.empty[String], 99.0), // matched update carrying a REAL NULL
+      (4L, Option("d"), 40.0)           // new key -> insert
+    ).toDF("k", "attr", "v")
+    val got = IncrementalOps.upsert(target, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 99.0),      // NULL attr REPLACED the target value
+      (3L, Some("c"), 30.0),
+      (4L, Some("d"), 40.0)))
+    val dup = Seq((2L, Option("x"), 1.0), (2L, Option("y"), 2.0)).toDF("k", "attr", "v")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalOps.upsert(target, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
   test("sameContent is multiset equality, column order independent") {
     val a = Seq((1, "x"), (1, "x"), (2, "y")).toDF("id", "v")
     val b = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("v", "id")

@@ -409,6 +409,56 @@ class StreamingSpec extends SparkSpec {
     assert(cnt >= 8L && cnt - err <= 8L)
   }
 
+  test("distinctAbsorbSink: absorbed registers equal the one-shot sketch, replay absorbs zero") {
+    val in = tmpDir("stream-in-hll")
+    val out = tmpDir("stream-hll") + "/distinct"
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    // user 7 appears in all three batches — a sum-based rollup would
+    // count it three times; the register merge cannot
+    val days = Seq(
+      Seq(Event(1L, ts(0), 7L, "click", 0), Event(2L, ts(1), 8L, "click", 0),
+        Event(3L, ts(2), 7L, "view", 0)),
+      Seq(Event(4L, ts(10), 7L, "click", 0), Event(5L, ts(11), 9L, "click", 0)),
+      Seq(Event(6L, ts(20), 7L, "click", 0), Event(7L, ts(21), 10L, "view", 0)))
+    days.foreach(d => d.toDS().coalesce(1).write.mode("append").parquet(in))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(
+          EventsStreaming.distinctAbsorbSink(out, Seq("event_type"), "user_id") _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-hll-1"))
+    def estimates(): Map[String, Long] =
+      EventsStreaming.currentDistinct(spark, out, Seq("event_type")).get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny cardinalities sit in HLL's linear-counting regime: exact
+    assert(estimates() == Map("click" -> 3L, "view" -> 2L))
+    // absorbed registers are byte-identical to the one-shot sketch
+    // (merge associativity), not merely estimate-equal
+    val oneShot = spark.read.parquet(in)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Hll.hll_sketch(col("user_id")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    val hllDir = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("hll-")).maxBy(_.getName).getAbsolutePath
+    val absorbed = spark.read.parquet(hllDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch")).toMap
+    assert(oneShot.keySet == absorbed.keySet)
+    oneShot.foreach { case (k, regs) =>
+      assert(java.util.Arrays.equals(regs, absorbed(k)), s"registers differ for $k") }
+    // replay: fresh checkpoint and direct stale-batch both absorb zero
+    run(tmpDir("ckpt-hll-2"))
+    EventsStreaming.distinctAbsorbSink(out, Seq("event_type"), "user_id")(
+      days.head.toDS().toDF(), 0L)
+    assert(estimates() == Map("click" -> 3L, "view" -> 2L))
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
