@@ -752,8 +752,53 @@ object TextQueries {
       SELECT lang, pred_lang, count(*) AS n, lang = pred_lang AS agree
       FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
 
+  /** The dataset card: one row summarizing the corpus — doc/token
+    * volume, source/language breadth, exact-duplicate rate, and mean
+    * quality — the numbers a dataset README leads with, in ONE
+    * aggregation pass over a single scan (the distinct counts share
+    * the Expand; quality folds to integer micros so the mean is an
+    * exact integer division, no float accumulation).
+    */
+  val qCorpusCard = Q(
+    "q_corpus_card",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("len_micros",
+        expr("CAST(round(least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 1000000) AS BIGINT)"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(col("len_micros")).as("__lm"))
+      .select(col("n_docs"), col("total_tokens"), col("n_sources"),
+        col("n_langs"),
+        graft.functions.DetMath.ratio6(
+          col("n_docs") - col("n_distinct"), col("n_docs")).as("dup_rate"),
+        expr("__lm DIV n_docs").as("mean_len_score_micros")),
+    Some(s"""
+      WITH m AS (
+        SELECT source, lang,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS BIGINT) AS n_tok,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      m2 AS (
+        SELECT *, CAST(round(least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 1000000) AS BIGINT) AS len_micros
+        FROM m)
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             ${graft.functions.DetMath.ratio6Sql(
+               "count(*) - count(DISTINCT fp)", "count(*)")} AS dup_rate,
+             CAST(sum(len_micros) AS BIGINT) // count(*) AS mean_len_score_micros
+      FROM m2"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
-    qOovRate, qQualityPctRank, qCrosstab, qLangConfusion)
+    qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard)
 }
