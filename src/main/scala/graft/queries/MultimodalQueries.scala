@@ -138,6 +138,41 @@ object MultimodalQueries {
                        if (i - 1) % r.stride = 0]) AS INTEGER) AS resized_bytes
       FROM m JOIN r ON m.doc_id = r.doc_id ORDER BY media_id"""))
 
+  /** Media near-dup: codec feature vectors fed UNCHANGED into the
+    * embedding dedup tier ([[graft.dedup.Dedup.embeddingPairs]]) — the
+    * cross-tier composition that makes the embedding operators
+    * modality-agnostic (an image near-dup pipeline is decode →
+    * features → the SAME pair/cluster/keep machinery as text
+    * embeddings; at scale swap in `embeddingPairsLsh` exactly as the
+    * text tier does). Stub features are k=8 byte histograms, so every
+    * dot product is integer-exact and DuckDB recomputes the identical
+    * rounded cosine from (doc, bucket, count) relations — no vector
+    * type needed on the oracle side. tau 0.9999 isolates near-copies
+    * (whitespace/case variants shift few byte buckets).
+    */
+  val qMediaNeardup = Q(
+    "q_media_neardup",
+    (s, d) => graft.dedup.Dedup.embeddingPairs(
+        Multimodal.extractFeatures(media(s, d), "media_id", "content", k = 8)
+          .select(col("media_id"), col("feature")),
+        "media_id", "feature", tau = 0.9999, probePred = _ % 10 === 0)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, unnest([ascii(substring(text, i, 1)) % 8
+                               for i in range(1, octet_length(CAST(text AS BLOB)) + 1)]) AS b
+        FROM documents),
+      h AS (SELECT doc_id, b, count(*) AS n FROM chars GROUP BY 1, 2),
+      nrm AS (SELECT doc_id, sum(n * n) AS nn FROM h GROUP BY 1),
+      d AS (SELECT a.doc_id AS pa, b.doc_id AS pb, sum(a.n * b.n) AS dot
+            FROM h a JOIN h b ON a.b = b.b AND a.doc_id <> b.doc_id
+            WHERE a.doc_id % 10 = 0 GROUP BY 1, 2),
+      c AS (SELECT DISTINCT least(pa, pb) AS id_a, greatest(pa, pb) AS id_b,
+                   round(dot / (sqrt(x.nn) * sqrt(y.nn)), 6) AS score
+            FROM d JOIN nrm x ON x.doc_id = pa JOIN nrm y ON y.doc_id = pb
+            WHERE round(dot / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.9999)
+      SELECT id_a, id_b, score FROM c ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDecode,
-    qMultimodalFeatures, qMultimodalResize)
+    qMultimodalFeatures, qMultimodalResize, qMediaNeardup)
 }
