@@ -777,8 +777,11 @@ object TextQueries {
       .select(col("n_docs"), col("total_tokens"), col("n_sources"),
         col("n_langs"),
         graft.functions.DetMath.ratio6(
-          col("n_docs") - col("n_distinct"), col("n_docs")).as("dup_rate"),
-        expr("__lm DIV n_docs").as("mean_len_score_micros")),
+          col("n_docs") - col("n_distinct"), greatest(col("n_docs"), lit(1L)))
+          .as("dup_rate"),
+        // greatest(…, 1): an empty corpus yields a zeroed card row
+        // instead of an integer-division-by-zero crash
+        expr("__lm DIV greatest(n_docs, 1)").as("mean_len_score_micros")),
     Some(s"""
       WITH m AS (
         SELECT source, lang,
@@ -793,7 +796,7 @@ object TextQueries {
              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
              ${graft.functions.DetMath.ratio6Sql(
-               "count(*) - count(DISTINCT fp)", "count(*)")} AS dup_rate,
+               "count(*) - count(DISTINCT fp)", "greatest(count(*), 1)")} AS dup_rate,
              CAST(sum(len_micros) AS BIGINT) // count(*) AS mean_len_score_micros
       FROM m2"""))
 
