@@ -697,9 +697,60 @@ object EventQueries {
              wsum / (CAST(span_us AS DOUBLE) * 10000.0) AS tw_avg
       FROM a ORDER BY event_type"""))
 
+  /** q_winsorize's SCALE PATH made real: the identical output (and the
+    * identical DuckDB oracle) with the per-type P1/P99 cutoffs computed
+    * by [[graft.ops.Selection.kthSmallestByGroup]] — iterative
+    * histogram narrowing for all types simultaneously, no per-type
+    * sort, driver sees only bucket counts — instead of the rank
+    * window. Rank-vs-value subtlety: the rank definition picks the
+    * value at rank ceil(n/100) under (value, event_id) ordering; the
+    * value-space narrowing returns the same VALUE (ties on value make
+    * the tie-break order irrelevant to the value itself), which is
+    * what the shared oracle proves.
+    */
+  val qWinsorizeScalable = Q(
+    "q_winsorize_scalable",
+    (s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d)
+      val lo = graft.ops.Selection.kthSmallestByGroup(
+        events, "event_type", col("value"), n => (n + 99) / 100)
+      val hi = graft.ops.Selection.kthSmallestByGroup(
+        events, "event_type", col("value"), n => (99 * n + 99) / 100)
+      val cuts = lo.keys.toSeq.sorted
+        .map(g => (g, lo(g), hi(g)))
+        .toDF("event_type", "lo", "hi")
+      events
+        .join(broadcast(cuts), "event_type")
+        .select(col("event_type"), col("lo"), col("hi"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("clipped")))).as("clipped_total"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"), col("clipped_total"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      cuts AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM r
+        WHERE rn = (n + 99) // 100 OR rn = (99 * n + 99) // 100
+        GROUP BY 1)
+      SELECT e.event_type, count(*) AS n, c.lo, c.hi,
+             CAST(sum(CAST(least(greatest(e.value, c.lo), c.hi) AS DECIMAL(18,4))) AS DOUBLE)
+               AS clipped_total
+      FROM events e JOIN cuts c USING (event_type)
+      GROUP BY e.event_type, c.lo, c.hi
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
-    qWinsorize, qTopPaths, qTimeWeightedAvg)
+    qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable)
 }

@@ -257,6 +257,39 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("not unique"))
   }
 
+  test("kthSmallestByGroup matches per-group sorted ranks: duplicates, skewed sizes, infinities") {
+    import graft.ops.Selection
+    // deterministic pseudo-random values: xxhash-free integer mix, three
+    // groups with very different sizes, heavy duplicates in group b
+    val rows = (1 to 2000).map { i =>
+      val g = if (i % 7 == 0) "a" else if (i % 3 == 0) "b" else "c"
+      val v = if (g == "b") (i % 5).toDouble          // huge duplicate mass
+        else ((i * 2654435761L) % 10007).toDouble - 5003.0
+      (g, v)
+    } ++ Seq(("d", 1.0), ("d", Double.PositiveInfinity),
+      ("d", Double.NegativeInfinity))
+    val df = rows.toDF("g", "v")
+    def expected(kOf: Long => Long): Map[String, Double] =
+      rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> sorted((kOf(sorted.length.toLong) - 1).toInt)
+      }
+    for (kOf <- Seq[Long => Long](
+      n => (n + 1) / 2,            // median
+      n => (99 * n + 99) / 100,    // P99 rank
+      _ => 1L,                     // minimum
+      n => n)) {                   // maximum
+      val got = Selection.kthSmallestByGroup(df, "g", col("v"), kOf,
+        buckets = 16, collectThreshold = 8)
+      assert(got == expected(kOf), s"mismatch for $kOf")
+    }
+    // group d: min is -inf, max is +inf via the endpoint counts
+    assert(Selection.kthSmallestByGroup(df, "g", col("v"), _ => 1L)("d")
+      == Double.NegativeInfinity)
+    assert(Selection.kthSmallestByGroup(df, "g", col("v"), n => n)("d")
+      == Double.PositiveInfinity)
+  }
+
   test("sameContent is multiset equality, column order independent") {
     val a = Seq((1, "x"), (1, "x"), (2, "y")).toDF("id", "v")
     val b = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("v", "id")
