@@ -748,9 +748,67 @@ object EventQueries {
       GROUP BY e.event_type, c.lo, c.hi
       ORDER BY event_type"""))
 
+  /** Per-type linear trend (least-squares slope + intercept of value
+    * over event time) — drift detection for a metric stream. The
+    * q_correlation discipline grouped: x is event-time micros CENTERED
+    * on each type's first event (broadcast min join — centering keeps
+    * x² sums ~10³⁴ at century spans, inside exact integer range), y is
+    * value×10⁴; all five moments are exact integer sums, the
+    * slope/intercept formulas run once per group on identical doubles.
+    * Slope is reported per HOUR (slope_micros × 3.6e9 / 1e4 — pure
+    * double scaling, deterministic).
+    */
+  val qTrend = Q(
+    "q_trend",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val t0 = ev.groupBy(col("event_type")).agg(min(col("ts_us")).as("t0"))
+      ev.join(broadcast(t0), "event_type")
+        .select(col("event_type"),
+          expr("CAST(ts_us - t0 AS DECIMAL(38,0))").as("x"),
+          expr("CAST(round(value * 10000) AS DECIMAL(38,0))").as("y"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          asDouble(sum(col("x"))).as("sx"),
+          asDouble(sum(col("y"))).as("sy"),
+          asDouble(sum(col("x") * col("x"))).as("sxx"),
+          asDouble(sum(col("x") * col("y"))).as("sxy"))
+        .select(col("event_type"), col("n").cast("bigint").as("n_events"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+            * lit(3.6e9) / lit(1e4), 6).as("slope_per_hour"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+            / col("n") / lit(1e4), 6).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        FROM events),
+      t0 AS (SELECT event_type, min(ts_us) AS t0 FROM ev GROUP BY 1),
+      sc AS (
+        SELECT ev.event_type,
+               CAST(ts_us - t0 AS HUGEINT) AS x,
+               CAST(round(value * 10000) AS HUGEINT) AS y
+        FROM ev JOIN t0 USING (event_type)),
+      m AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM sc GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n_events,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3.6e9 / 1e4, 6)
+               AS slope_per_hour,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 1e4, 6)
+               AS intercept
+      FROM m ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
-    qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable)
+    qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend)
 }
