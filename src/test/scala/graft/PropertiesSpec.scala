@@ -138,4 +138,41 @@ class PropertiesSpec extends SparkSpec {
       assert(rows.length == 28)
     }
   }
+
+  test("law: upsert is idempotent and key-complete on generated relations") {
+    val rel: Gen[List[(Int, String)]] =
+      Gen.listOfN(15, Gen.zip(Gen.choose(0, 12), Gen.oneOf("x", "y", "z")))
+    samples(Gen.zip(rel, rel), 6).foreach { case (t0, u0) =>
+      val target = t0.toMap.toSeq.toDF("k", "v")        // key-unique both sides
+      val updates = u0.toMap.toSeq.toDF("k", "v")
+      val once = IncrementalOps.upsert(target, updates, Seq("k"))
+      val twice = IncrementalOps.upsert(once, updates, Seq("k"))
+      assert(IncrementalOps.sameContent(once, twice))   // idempotent
+      val keys = once.select("k").collect().map(_.getInt(0)).toSet
+      assert(keys == (t0.map(_._1) ++ u0.map(_._1)).toSet) // union of key sets
+      // every update row is present verbatim in the result
+      val u = updates.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      once.collect().foreach { r =>
+        u.get(r.getInt(0)).foreach(v => assert(r.getString(1) == v))
+      }
+    }
+  }
+
+  test("law: kthSmallestByGroup agrees with the global kthSmallest per group") {
+    import graft.ops.Selection
+    import org.apache.spark.sql.functions.col
+    val rel: Gen[List[(String, Int)]] = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-1000, 1000)))
+    samples(rel, 4).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val byGroup = Selection.kthSmallestByGroup(df, "g", col("v"),
+        n => (n + 1) / 2, buckets = 8, collectThreshold = 4)
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val global = Selection.kthSmallest(
+          df.filter(col("g") === g), col("v"), (vs.length + 1) / 2,
+          buckets = 8, collectThreshold = 4)
+        assert(byGroup(g) == global, s"group $g")
+      }
+    }
+  }
 }
