@@ -903,6 +903,51 @@ object Dedup {
       .drop("__grp")
   }
 
+  /** Cross-batch [[repeatedSpans]] — the ingest posture: spans of the
+    * INCOMING batch whose every `gramLen`-window occurs at least
+    * `minCount` times across corpus ∪ batch. The corpus side reduces
+    * to its (hash, count) gram index — the relation a production
+    * pipeline persists and merges per ingest (the
+    * [[minhashPairsCross]] index discipline applied to windows), so
+    * per batch the cost is batch grams + one dimension join against
+    * the index; the corpus text is never re-scanned. Batch-internal
+    * repetition counts toward the threshold (a template repeated
+    * within one crawl batch is boilerplate even if the corpus has
+    * never seen it).
+    */
+  def repeatedSpansCross(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         gramLen: Int, minCount: Long = 2L): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be positive: $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= gramLen)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(__t) - $gramLen), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
+          .as(Seq("pos", "gh")))
+    val bg = cachedOnce(grams(batch))
+    val corpusIndex = grams(corpus).groupBy(col("gh"))
+      .agg(count(lit(1)).as("cc"))
+    val batchCounts = bg.groupBy(col("gh")).agg(count(lit(1)).as("bc"))
+    val admitted = batchCounts
+      .join(corpusIndex, Seq("gh"), "left")
+      .filter(col("bc") + coalesce(col("cc"), lit(0L)) >= minCount)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    bg.join(admitted, "gh")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + gramLen - 1).cast("bigint").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + gramLen).cast("bigint").as("span_tokens"))
+      .drop("__grp")
+  }
+
   /** The ACTION on [[repeatedSpans]]: rebuild each document with every
     * repeated span of at least `minSpanTokens` tokens REMOVED — the Lee
     * et al. scrub itself, not just the report. Span detection runs on

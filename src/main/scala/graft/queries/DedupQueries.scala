@@ -789,6 +789,43 @@ object DedupQueries {
     // no other benched query (the suffix-array dedup stand-in)
     headline = true)
 
+  /** Cross-batch repeated-span screen: the %7 batch's boilerplate spans
+    * vs the standing corpus's gram index (plus batch-internal
+    * repetition) — the ingest-time rendition of q_repeated_spans. The
+    * corpus text is never rescanned per batch; only its (hash, count)
+    * index joins. The oracle rebuilds identical spans from raw gram
+    * strings over the same %7 split.
+    */
+  val qRepeatedSpansCross = Q(
+    "q_repeated_spans_cross",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.repeatedSpansCross(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", gramLen = 8, minCount = 2L)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8)),
+      rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      hit AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+              WHERE g.doc_id % 7 = 0),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hit)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
   /** The scrub ACTION on q_repeated_spans: every repeated span of ≥ 16
     * tokens removed from every document that carries it — the
     * boilerplate-removal posture (headers, license blocks, templated
@@ -928,5 +965,5 @@ object DedupQueries {
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qDedupSemantic, qRepeatedSpans,
-    qContainmentPairs, qScrubSpans)
+    qContainmentPairs, qScrubSpans, qRepeatedSpansCross)
 }

@@ -420,6 +420,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L)._2 == "entirely original content with no repetition at all today")
   }
 
+  test("repeatedSpansCross: corpus boilerplate and batch-internal repeats flagged, fresh content silent") {
+    val corpus = Seq(
+      (1L, "standard footer legal text here plus corpus only words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // tokens 2-6 = the corpus footer's first 5 tokens (one merged span)
+      (10L, "aa bb standard footer legal text here cc dd"),
+      // batch-internal repeat of a 4-gram, never seen in the corpus
+      (11L, "k1 k2 k3 k4 mm nn k1 k2 k3 k4 oo"),
+      // entirely fresh: every gram occurs once across corpus + batch
+      (12L, "totally fresh unseen content with unique wording only")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansCross(corpus, batch, "doc_id", "text",
+        gramLen = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(spans(10L) == Set((2L, 6L, 5L)))
+    assert(spans(11L) == Set((0L, 3L, 4L), (6L, 9L, 4L)))
+    assert(!spans.contains(12L))
+    // corpus docs are the INDEX, never the output
+    assert(!spans.contains(1L))
+  }
+
   test("containmentPairs scores a verbatim quote 1.0 where Jaccard stays below threshold") {
     val host = "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9 q0 q1 q2 q3 q4 " +
       "h10 h11 h12 h13 h14 h15 h16 h17 h18 h19 h20 h21 h22 h23"
