@@ -500,6 +500,94 @@ object EventsStreaming {
     * anti-join against the sink). Per batch the cost is the cross
     * screen's O(batch bands + collisions), not corpus².
     */
+  /** Streaming boilerplate-scrub ingest: each micro-batch's documents
+    * are scrubbed of repeated spans (≥ `minSpanTokens` tokens whose
+    * every `gramLen`-window occurs ≥ `minCount` times across the
+    * PERSISTED gram index ∪ the batch), the cleaned rows append to
+    * `out`, and the batch's gram counts merge into the versioned index
+    * — [[graft.dedup.Dedup.repeatedSpansCross]] made continuous, with
+    * the corpus-index-never-rescanned property intact: per batch the
+    * work is batch grams + one dimension join against the index.
+    *
+    * Replay: the index is the replay authority (same versioned-dir
+    * guard as every absorb sink); a replayed batch is skipped BEFORE
+    * the append, so the cleaned rows land exactly once. Crash between
+    * append and index commit re-delivers the batch, and the id-level
+    * anti-join against the sink drops the already-appended rows.
+    *
+    * @return nothing; cleaned rows in `out`, gram index under
+    *         `indexDir` as `grams-<batchId>` (gh, c)
+    */
+  def boilerplateScrubSink(idCol: String, textCol: String,
+                           out: String, indexDir: String,
+                           gramLen: Int = 8, minCount: Long = 2L,
+                           minSpanTokens: Long = 16L)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val committedVersion = latestVersioned(spark, indexDir, "grams")
+      .map(p => new org.apache.hadoop.fs.Path(p).getName
+        .stripPrefix("grams-").toLong)
+    if (committedVersion.exists(_ >= batchId)) return // replayed batch
+    val b = batch.dropDuplicates(idCol)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        graft.text.TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= gramLen)
+      .select(col("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(__t) - $gramLen), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
+          .as(Seq("pos", "gh")))
+    val bg = grams(b).persist()
+    try {
+      val batchCounts = bg.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      val index = latestVersioned(spark, indexDir, "grams")
+        .map(p => spark.read.parquet(p))
+      val total = index.fold(batchCounts) { idx =>
+        idx.unionByName(batchCounts)
+          .groupBy(col("gh")).agg(sum(col("c")).as("c"))
+      }.persist()
+      val admitted = total.filter(col("c") >= minCount).select(col("gh"))
+      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      val spans = bg.join(admitted, "gh")
+        .withColumn("__grp", col("pos") - row_number().over(w))
+        .groupBy(col("__id"), col("__grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + gramLen - 1).as("span_end"),
+          (max(col("pos")) - min(col("pos")) + gramLen).as("span_tokens"))
+        .filter(col("span_tokens") >= minSpanTokens)
+        .groupBy(col("__id"))
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+      val kept = expr(
+        """CASE WHEN __spans IS NULL THEN __t ELSE
+             transform(
+               filter(transform(__t, (w, i) -> struct(w AS w, i AS i)),
+                      s -> NOT exists(__spans,
+                             sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),
+               s -> s.w)
+           END""")
+      val cleaned = b
+        .select(col(idCol), graft.text.TextAnalysis.tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) > 0)
+        .join(spans.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          concat_ws(" ", kept).as("clean_text"),
+          (size(col("__t")) - size(kept)).cast("bigint").as("n_removed"))
+      // id-level replay safety for the append (crash between append and
+      // index commit re-delivers the batch)
+      val delta =
+        if (graft.ops.Fs.exists(out))
+          cleaned.join(spark.read.parquet(out).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        else cleaned
+      if (!delta.isEmpty) delta.write.mode("append").parquet(out)
+      // commit the merged index LAST — it is the replay authority
+      absorbVersioned(spark, indexDir, "grams", batchId)(_ => total)
+      total.unpersist()
+    } finally bg.unpersist()
+  }
+
   def nearDupScreenSink(staticCorpus: DataFrame, idCol: String, textCol: String,
                         out: String, tau: Double = 0.6)
                        (batch: DataFrame, batchId: Long): Unit = {

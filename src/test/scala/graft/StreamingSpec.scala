@@ -459,6 +459,39 @@ class StreamingSpec extends SparkSpec {
     assert(estimates() == Map("click" -> 3L, "view" -> 2L))
   }
 
+  test("boilerplateScrubSink: index learned from batch 1 scrubs batch 2, replay appends zero") {
+    val out = tmpDir("scrub-out") + "/docs"
+    val idx = tmpDir("scrub-idx") + "/index"
+    val footer = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16"
+    val sink = EventsStreaming.boilerplateScrubSink(
+      "doc_id", "text", out, idx, gramLen = 4, minCount = 2L,
+      minSpanTokens = 16L) _
+    // batch 0: footer appears TWICE (two docs) -> both scrubbed to
+    // their unique remainder; a unique doc passes through intact
+    val b0 = Seq(
+      (1L, s"$footer u1 u2 u3"),
+      (2L, s"v1 v2 $footer"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    sink(b0, 0L)
+    def rows(): Map[Long, (String, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(rows() == Map(
+      1L -> (("u1 u2 u3", 16L)),
+      2L -> (("v1 v2", 16L)),
+      3L -> (("w1 w2 w3 w4 w5 w6 w7 w8", 0L))))
+    // batch 1: ONE new doc carrying the footer — alone it repeats
+    // nothing, only the PERSISTED index knows it is boilerplate
+    val b1 = Seq((10L, s"x1 $footer x2 x3")).toDF("doc_id", "text")
+    sink(b1, 1L)
+    assert(rows()(10L) == (("x1 x2 x3", 16L)))
+    // replaying either batch absorbs zero (index version is the guard)
+    sink(b0, 0L); sink(b1, 1L)
+    assert(rows().size == 4)
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
