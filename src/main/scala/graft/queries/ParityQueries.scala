@@ -578,9 +578,56 @@ object ParityQueries {
       SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
       ORDER BY c_custkey"""))
 
+  /** Point-in-time (PIT) join — feature-store correctness: each order
+    * reads the customer segment that was VALID ON ITS ORDER DATE from
+    * an SCD2 dimension (two validity intervals per %7 key, cut at
+    * 1996-01-01), not today's row. Composed as
+    * [[graft.ops.TemporalOps.asofJoin]] on valid_from — ONE keyed
+    * shuffle and a carry-forward walk, where the naive BETWEEN join is
+    * an inequality join Spark can only nested-loop. The as-of row's
+    * validity window covers the order date by SCD2 construction
+    * (intervals partition time from the first valid_from), which the
+    * oracle re-derives with an explicit window-containment join.
+    */
+  val qPitJoin = Q(
+    "q_pit_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val dim = cust.select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+          to_date(lit("1992-01-01")).as("valid_from"))
+        .unionByName(
+          cust.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey").as("o_custkey"), lit("MOVED").as("c_mktsegment"),
+              to_date(lit("1996-01-01")).as("valid_from")))
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      graft.ops.TemporalOps.asofJoin(orders, dim, Seq("o_custkey"),
+          "o_orderdate", "valid_from", Seq("c_mktsegment"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("asof_c_mktsegment").as("segment_at_order"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey, c_mktsegment, DATE '1992-01-01' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0 THEN DATE '1996-01-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MOVED', DATE '1996-01-01', CAST(NULL AS DATE)
+        FROM customer WHERE c_custkey % 7 = 0)
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             d.c_mktsegment AS segment_at_order
+      FROM orders o LEFT JOIN dim d
+        ON o.o_custkey = d.c_custkey
+       AND o.o_orderdate >= d.valid_from
+       AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
-    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert)
+    qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
+    qPitJoin)
 }
