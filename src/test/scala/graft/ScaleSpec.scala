@@ -35,6 +35,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans and scrub are partitioning-invariant") {
+    import graft.dedup.Dedup
+    val docs = (1 to 60).map { i =>
+      val boiler = "all rights reserved by the acme corporation of delaware"
+      (i.toLong, if (i % 4 == 0) s"$boiler unique tail $i" else s"original body $i with words $i")
+    }.toDF("doc_id", "text")
+    def spans(parts: Int) = Dedup
+      .repeatedSpans(docs.repartition(parts), "doc_id", "text", gramLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans(1) == spans(13))
+    def clean(parts: Int) = Dedup
+      .scrubRepeatedSpans(docs.repartition(parts), "doc_id", "text",
+        gramLen = 4, minSpanTokens = 8L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(clean(1) == clean(13))
+  }
+
   test("saltedSum equals plain aggregation") {
     val df = (1 to 5000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "v")
     val plain = df.groupBy($"k").agg(sum($"v").as("s")).collect()
