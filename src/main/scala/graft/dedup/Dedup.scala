@@ -849,6 +849,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** Hashed token `gramLen`-window relation: one (doc_id, pos, gh)
+    * row per 0-based window start — 8-byte xxhash64 keys, the token
+    * strings never leave the map side. Shared by every repeated-span
+    * operator so tokenization/hashing can never diverge between the
+    * batch, cross-batch, scrub, and streaming renditions.
+    */
+  private[graft] def tokenGrams(df: DataFrame, idCol: String, textCol: String,
+                                gramLen: Int): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be positive: $gramLen")
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= gramLen)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(__t) - $gramLen), " +
+            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
+          .as(Seq("pos", "gh")))
+  }
+
+  /** Gaps-and-islands merge of repeated window positions into maximal
+    * spans: `hits` = (doc_id, pos) rows of repeated windows; a run of
+    * R−gramLen+1 consecutive positions IS a span of R repeated tokens.
+    * One window partitioned per document.
+    */
+  private[graft] def islandSpans(hits: DataFrame, gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + gramLen - 1).cast("bigint").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + gramLen).cast("bigint").as("span_tokens"))
+      .drop("__grp")
+  }
+
+  /** The span-removal projection shared by the scrub renditions: given
+    * `__t` (original-case token array) and `__spans` (nullable array of
+    * (span_start, span_end) structs), the tokens OUTSIDE every span.
+    */
+  private[graft] val keptTokens: Column = expr(
+    """CASE WHEN __spans IS NULL THEN __t ELSE
+         transform(
+           filter(transform(__t, (w, i) -> struct(w AS w, i AS i)),
+                  s -> NOT exists(__spans,
+                         sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),
+           s -> s.w)
+       END""")
+
   /** Repeated-substring spans (the primitive behind Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better",
     * ACL'22 — public literature): for every document, the maximal token
@@ -875,33 +925,17 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     gramLen: Int, minCount: Long = 2L): DataFrame = {
-    require(gramLen >= 1, s"gramLen must be positive: $gramLen")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
-      .filter(size(col("__t")) >= gramLen)
     // the gram relation feeds TWO subplan edges (the repeated-set
     // aggregation and the membership probe) — persist the 12-byte rows
     // once instead of re-running tokenize+hash per edge (the
     // jaccardPairsExact discipline)
-    val grams = cachedOnce(toks.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, size(__t) - $gramLen), " +
-          s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
-        .as(Seq("pos", "gh"))))
+    val grams = cachedOnce(tokenGrams(docs, idCol, textCol, gramLen))
     val repeated = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
       .select(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(repeated, "gh")
-      .withColumn("__grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("__grp"))
-      .agg(
-        min(col("pos")).cast("bigint").as("span_start"),
-        (max(col("pos")) + gramLen - 1).cast("bigint").as("span_end"),
-        (max(col("pos")) - min(col("pos")) + gramLen).cast("bigint").as("span_tokens"))
-      .drop("__grp")
+    islandSpans(grams.join(repeated, "gh"), gramLen)
   }
+
 
   /** Cross-batch [[repeatedSpans]] — the ingest posture: spans of the
     * INCOMING batch whose every `gramLen`-window occurs at least
@@ -918,35 +952,17 @@ object Dedup {
   def repeatedSpansCross(corpus: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String,
                          gramLen: Int, minCount: Long = 2L): DataFrame = {
-    require(gramLen >= 1, s"gramLen must be positive: $gramLen")
-    import org.apache.spark.sql.expressions.Window
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
-      .filter(size(col("__t")) >= gramLen)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(__t) - $gramLen), " +
-            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
-          .as(Seq("pos", "gh")))
-    val bg = cachedOnce(grams(batch))
-    val corpusIndex = grams(corpus).groupBy(col("gh"))
-      .agg(count(lit(1)).as("cc"))
+    val bg = cachedOnce(tokenGrams(batch, idCol, textCol, gramLen))
+    val corpusIndex = tokenGrams(corpus, idCol, textCol, gramLen)
+      .groupBy(col("gh")).agg(count(lit(1)).as("cc"))
     val batchCounts = bg.groupBy(col("gh")).agg(count(lit(1)).as("bc"))
     val admitted = batchCounts
       .join(corpusIndex, Seq("gh"), "left")
       .filter(col("bc") + coalesce(col("cc"), lit(0L)) >= minCount)
       .select(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    bg.join(admitted, "gh")
-      .withColumn("__grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("__grp"))
-      .agg(
-        min(col("pos")).cast("bigint").as("span_start"),
-        (max(col("pos")) + gramLen - 1).cast("bigint").as("span_end"),
-        (max(col("pos")) - min(col("pos")) + gramLen).cast("bigint").as("span_tokens"))
-      .drop("__grp")
+    islandSpans(bg.join(admitted, "gh"), gramLen)
   }
+
 
   /** The ACTION on [[repeatedSpans]]: rebuild each document with every
     * repeated span of at least `minSpanTokens` tokens REMOVED — the Lee
@@ -967,14 +983,7 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    val kept = expr(
-      """CASE WHEN __spans IS NULL THEN __t ELSE
-           transform(
-             filter(transform(__t, (w, i) -> struct(w AS w, i AS i)),
-                    s -> NOT exists(__spans,
-                           sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),
-             s -> s.w)
-         END""")
+    val kept = keptTokens
     docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) > 0)

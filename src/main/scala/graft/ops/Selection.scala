@@ -101,26 +101,45 @@ object Selection {
     kthSmallest(df, valueCol, (n + 1) / 2)
   }
 
-  /** Per-group exact k-th smallest, ALL groups narrowed SIMULTANEOUSLY:
-    * each round is ONE aggregation over the still-live rows — per-group
-    * bucket edges ride in on a broadcast of the driver's O(groups)
-    * state, the exchange carries ≤ groups×buckets counts, and groups
-    * that finish early simply stop contributing rows. This is the
+  /** Per-group exact k-th smallest, ALL groups (and ALL requested
+    * ranks) narrowed SIMULTANEOUSLY: each round is ONE aggregation over
+    * the fact relation — per-(group, rank) bucket edges ride in on a
+    * broadcast of the driver's O(groups·ranks) state, the exchange
+    * carries ≤ states×buckets count rows, and states that finish (or
+    * drop under the collect threshold) stop contributing. This is the
     * grouped rendition of [[kthSmallest]] (the q_winsorize scale path:
-    * per-type P99 over a 100 TB fact table without a per-type sort),
-    * with the same driver discipline — bucket counts and a bounded
-    * final tail, never a value buffer.
+    * per-type P1 AND P99 over a 100 TB fact table in one shared scan
+    * per round, no per-type sort), with the same driver discipline —
+    * bucket counts and a bounded final tail, never a value buffer.
     *
-    * `kOf(n)` picks each group's 1-based rank from its row count
-    * (e.g. `n => (99 * n + 99) / 100` for the P99 rank). NULL/NaN
-    * excluded; ±∞ resolved from the endpoint counts without narrowing.
-    * The final tail resolve is per-(group, value) counts, so even a
-    * range collapsed to a couple of representable doubles with a huge
-    * duplicate mass collects a handful of rows.
+    * Two invariants kill floating-point edge ambiguity:
+    *   - k stays ABSOLUTE within each group's finite value set, and
+    *     rows below the live range are recounted fresh each round
+    *     (bucket −1) — no carried filter whose membership could
+    *     disagree with a count;
+    *   - the narrowed range is DATA-DEFINED: each bucket's actual
+    *     min/max ride along in the same aggregation, and the selected
+    *     bucket's [min, max] becomes the next range. Bucket assignment
+    *     is monotone in v, so every earlier-bucket row is < that min
+    *     and every later-bucket row is > that max — the k-th value can
+    *     never be stranded outside the carried interval by an
+    *     arithmetic-vs-assignment ulp mismatch (the hazard the global
+    *     path dodges by filtering with its own bucket predicate).
+    *
+    * `kOfs` are the 1-based rank pickers, each a function of the
+    * group's row count (e.g. `n => (99 * n + 99) / 100` for P99).
+    * NULL/NaN excluded; ±∞ resolved from the endpoint counts without
+    * narrowing. The final tail resolve is per-(state, value) counts,
+    * bounded by the distinct candidates in each narrowed range even
+    * under huge duplicate mass.
+    *
+    * @return (group, rank-index-into-kOfs) → value
     */
-  def kthSmallestByGroup(df: DataFrame, groupCol: String, valueCol: Column,
-                         kOf: Long => Long, buckets: Int = 1024,
-                         collectThreshold: Long = 4096): Map[String, Double] = {
+  def kthSmallestByGroupMulti(df: DataFrame, groupCol: String, valueCol: Column,
+                              kOfs: Seq[Long => Long], buckets: Int = 1024,
+                              collectThreshold: Long = 4096)
+      : Map[(String, Int), Double] = {
+    require(kOfs.nonEmpty, "at least one rank function")
     val vals0 = df.select(col(groupCol).cast("string").as("g"),
         valueCol.cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
@@ -133,87 +152,88 @@ object Selection {
         col("v"))).as("flo"),
       max(when(!col("v").isin(Double.NegativeInfinity, Double.PositiveInfinity),
         col("v"))).as("fhi")).collect()
-    val done = scala.collection.mutable.Map[String, Double]()
-    // live state per group: (lo, hi, k within the finite range, n live)
-    val state = scala.collection.mutable.Map[String, (Double, Double, Long, Long)]()
+    val done = scala.collection.mutable.Map[(String, Int), Double]()
+    // live state per (group, rank): (lo, hi, k within the finite set,
+    // candidate count in [lo, hi])
+    val state =
+      scala.collection.mutable.Map[(String, Int), (Double, Double, Long, Long)]()
     init.foreach { r =>
       val g = r.getString(0)
       val n = r.getLong(1); val nneg = r.getLong(2); val npos = r.getLong(3)
-      val k = kOf(n)
-      require(k >= 1 && k <= n, s"kOf($n) = $k out of range for group $g")
-      if (k <= nneg) done(g) = Double.NegativeInfinity
-      else if (k > n - npos) done(g) = Double.PositiveInfinity
-      else {
-        val lo = r.getDouble(4); val hi = r.getDouble(5)
-        if (lo == hi) done(g) = lo
-        else state(g) = (lo, hi, k - nneg, n - nneg - npos)
+      kOfs.zipWithIndex.foreach { case (kOf, i) =>
+        val k = kOf(n)
+        require(k >= 1 && k <= n, s"kOf($n) = $k out of range for group $g")
+        if (k <= nneg) done((g, i)) = Double.NegativeInfinity
+        else if (k > n - npos) done((g, i)) = Double.PositiveInfinity
+        else {
+          val lo = r.getDouble(4); val hi = r.getDouble(5)
+          if (lo == hi) done((g, i)) = lo
+          else state((g, i)) = (lo, hi, k - nneg, n - nneg - npos)
+        }
       }
     }
     val spark = df.sparkSession
     import spark.implicits._
-    // INVARIANT: k stays ABSOLUTE within the group's finite value set;
-    // each round recounts `v < lo` fresh (bucket −1) instead of
-    // filtering to a carried range. The (v < lo) / (lo ≤ v ≤ hi)
-    // partition is exact arithmetic on the current lo — no
-    // edge-vs-filter ulp ambiguity can drop or double-count a
-    // boundary value the way a carried closed-interval filter could.
     var rounds = 0
-    while (state.nonEmpty && state.values.exists(_._4 > collectThreshold)
-      && rounds < 64) {
-      val live = state.toSeq.map { case (g, (lo, hi, _, _)) => (g, lo, hi) }
-        .toDF("g", "__lo", "__hi")
+    while (state.values.exists(_._4 > collectThreshold) && rounds < 64) {
+      // only states still above the collect threshold narrow further;
+      // finished/small states wait for the single final resolve
+      val narrowing = state.filter(_._2._4 > collectThreshold).toSeq
+      val live = narrowing
+        .map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }
+        .toDF("g", "__i", "__lo", "__hi")
       // same divide-then-subtract width and clamped bucket as the
-      // global path, but per group via the broadcast state join;
-      // rows below lo land in bucket −1 (the running "already ranked
-      // before this range" count), rows above hi rank after and drop
+      // global path, per state via the broadcast join; rows below lo
+      // land in bucket −1 (the "already ranked before this range"
+      // count), rows above hi rank after and drop
       val b = when(col("v") < col("__lo"), lit(-1)).otherwise(
         greatest(least(floor((col("v") - col("__lo")) /
           (col("__hi") / buckets - col("__lo") / buckets)), lit(buckets - 1)),
           lit(0))).cast("int")
       val counts = vals0.join(broadcast(live), "g")
         .filter(col("v") <= col("__hi"))
-        .groupBy(col("g"), b.as("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("g"), col("__i"), b.as("b"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"), max(col("v")).as("bmax"))
         .collect()
-        .groupBy(_.getString(0))
-        .map { case (g, rows) =>
-          g -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1) }
-      counts.foreach { case (g, bs) =>
-        val (lo, hi, k, _) = state(g)
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.map(r => (r.getInt(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5))).sortBy(_._1) }
+      counts.foreach { case (key, bs) =>
+        val (_, _, k, _) = state(key)
         val below = bs.find(_._1 == -1).map(_._2).getOrElse(0L)
         var acc = below
-        val (bSel, cSel) = bs.filter(_._1 >= 0).find { case (_, c) =>
+        val (_, cSel, bMin, bMax) = bs.filter(_._1 >= 0).find { case (_, c, _, _) =>
           val hit = acc + c >= k; if (!hit) acc += c; hit
         }.get
-        def edge(bi: Int): Double =
-          (lo / buckets) * (buckets - bi) + (hi / buckets) * bi
-        val newLo = edge(bSel)
-        val newHi = if (bSel == buckets - 1) hi else edge(bSel + 1)
-        if (newLo == newHi) { done(g) = newLo; state.remove(g) }
-        else state(g) = (newLo, newHi, k, cSel)
+        // the selected bucket's ACTUAL min/max: the k-th value is one
+        // of its members, so [bMin, bMax] provably contains it
+        if (bMin == bMax) { done(key) = bMin; state.remove(key) }
+        else state(key) = (bMin, bMax, k, cSel)
       }
       rounds += 1
     }
     if (state.nonEmpty) {
-      // one final pass resolves EVERY remaining group: below-range mass
+      // one final pass resolves EVERY remaining state: below-range mass
       // folds into a NULL key, in-range candidates come back as
-      // per-(g, v) counts — bounded by the distinct candidates inside
-      // each narrowed range even under huge duplicate mass
-      val fin = state.toSeq.map { case (g, (lo, hi, _, _)) => (g, lo, hi) }
-        .toDF("g", "__lo", "__hi")
+      // per-(state, value) counts — bounded by the distinct candidates
+      // inside each narrowed range even under huge duplicate mass
+      val fin = state.toSeq.map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }
+        .toDF("g", "__i", "__lo", "__hi")
       val cv = when(col("v") < col("__lo"), lit(null).cast("double"))
         .otherwise(col("v"))
       val tails = vals0.join(broadcast(fin), "g")
         .filter(col("v") <= col("__hi"))
-        .groupBy(col("g"), cv.as("cv")).agg(count(lit(1)).as("c"))
+        .groupBy(col("g"), col("__i"), cv.as("cv")).agg(count(lit(1)).as("c"))
         .collect()
-        .groupBy(_.getString(0))
-      state.foreach { case (g, (_, _, k, _)) =>
-        val rows = tails(g)
-        val below = rows.find(_.isNullAt(1)).map(_.getLong(2)).getOrElse(0L)
-        val sorted = rows.filterNot(_.isNullAt(1))
-          .map(r => r.getDouble(1) -> r.getLong(2)).sortBy(_._1)
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+      state.foreach { case (key, (_, _, k, _)) =>
+        val rows = tails(key)
+        val below = rows.find(_.isNullAt(2)).map(_.getLong(3)).getOrElse(0L)
+        val sorted = rows.filterNot(_.isNullAt(2))
+          .map(r => r.getDouble(2) -> r.getLong(3)).sortBy(_._1)
         var acc = below
-        done(g) = sorted.find { case (_, c) =>
+        done(key) = sorted.find { case (_, c) =>
           val hit = acc + c >= k; if (!hit) acc += c; hit
         }.get._1
       }
@@ -221,4 +241,12 @@ object Selection {
     vals0.unpersist()
     done.toMap
   }
+
+  /** Single-rank convenience over [[kthSmallestByGroupMulti]]. */
+  def kthSmallestByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                         kOf: Long => Long, buckets: Int = 1024,
+                         collectThreshold: Long = 4096): Map[String, Double] =
+    kthSmallestByGroupMulti(df, groupCol, valueCol, Seq(kOf),
+      buckets, collectThreshold)
+      .map { case ((g, _), v) => g -> v }
 }

@@ -713,12 +713,12 @@ object EventQueries {
     (s, d) => {
       import s.implicits._
       val events = Tables.events(s, d)
-      val lo = graft.ops.Selection.kthSmallestByGroup(
-        events, "event_type", col("value"), n => (n + 99) / 100)
-      val hi = graft.ops.Selection.kthSmallestByGroup(
-        events, "event_type", col("value"), n => (99 * n + 99) / 100)
-      val cuts = lo.keys.toSeq.sorted
-        .map(g => (g, lo(g), hi(g)))
+      // BOTH ranks narrow in the same per-round scan (multi-rank state)
+      val both = graft.ops.Selection.kthSmallestByGroupMulti(
+        events, "event_type", col("value"),
+        Seq(n => (n + 99) / 100, n => (99 * n + 99) / 100))
+      val cuts = both.keys.map(_._1).toSeq.distinct.sorted
+        .map(g => (g, both((g, 0)), both((g, 1))))
         .toDF("event_type", "lo", "hi")
       events
         .join(broadcast(cuts), "event_type")

@@ -222,7 +222,9 @@ object EventsStreaming {
             val out = scala.collection.mutable.ListBuffer[Event]()
             var anchor = state.getOption.map(_.getTime)
             batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              if (anchor.forall(a => e.ts.getTime - a > horizonSeconds * 1000)) {
+              // >= : "at least horizonSeconds have passed" admits an
+              // event landing exactly on the horizon boundary
+              if (anchor.forall(a => e.ts.getTime - a >= horizonSeconds * 1000)) {
                 out += e
                 anchor = Some(e.ts.getTime)
               }
@@ -530,16 +532,8 @@ object EventsStreaming {
         .stripPrefix("grams-").toLong)
     if (committedVersion.exists(_ >= batchId)) return // replayed batch
     val b = batch.dropDuplicates(idCol)
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("__id"),
-        graft.text.TextAnalysis.tokens(lower(col(textCol))).as("__t"))
-      .filter(size(col("__t")) >= gramLen)
-      .select(col("__id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(__t) - $gramLen), " +
-            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
-          .as(Seq("pos", "gh")))
-    val bg = grams(b).persist()
+    val bg = graft.dedup.Dedup.tokenGrams(b, idCol, textCol, gramLen)
+      .persist()
     try {
       val batchCounts = bg.groupBy(col("gh")).agg(count(lit(1)).as("c"))
       val index = latestVersioned(spark, indexDir, "grams")
@@ -549,41 +543,31 @@ object EventsStreaming {
           .groupBy(col("gh")).agg(sum(col("c")).as("c"))
       }.persist()
       val admitted = total.filter(col("c") >= minCount).select(col("gh"))
-      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-      val spans = bg.join(admitted, "gh")
-        .withColumn("__grp", col("pos") - row_number().over(w))
-        .groupBy(col("__id"), col("__grp"))
-        .agg(min(col("pos")).as("span_start"),
-          (max(col("pos")) + gramLen - 1).as("span_end"),
-          (max(col("pos")) - min(col("pos")) + gramLen).as("span_tokens"))
+      val spans = graft.dedup.Dedup.islandSpans(bg.join(admitted, "gh"), gramLen)
         .filter(col("span_tokens") >= minSpanTokens)
-        .groupBy(col("__id"))
+        .groupBy(col("doc_id"))
         .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-      val kept = expr(
-        """CASE WHEN __spans IS NULL THEN __t ELSE
-             transform(
-               filter(transform(__t, (w, i) -> struct(w AS w, i AS i)),
-                      s -> NOT exists(__spans,
-                             sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),
-               s -> s.w)
-           END""")
       val cleaned = b
         .select(col(idCol), graft.text.TextAnalysis.tokens(col(textCol)).as("__t"))
         .filter(size(col("__t")) > 0)
-        .join(spans.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+        .join(spans.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
         .select(col(idCol),
-          concat_ws(" ", kept).as("clean_text"),
-          (size(col("__t")) - size(kept)).cast("bigint").as("n_removed"))
+          concat_ws(" ", graft.dedup.Dedup.keptTokens).as("clean_text"),
+          (size(col("__t")) - size(graft.dedup.Dedup.keptTokens)).cast("bigint")
+            .as("n_removed"))
       // id-level replay safety for the append (crash between append and
-      // index commit re-delivers the batch)
-      val delta =
+      // index commit re-delivers the batch); persisted so the emptiness
+      // probe and the write share one execution of the scrub pipeline
+      val delta = (
         if (graft.ops.Fs.exists(out))
           cleaned.join(spark.read.parquet(out).select(col(idCol)),
             Seq(idCol), "left_anti")
-        else cleaned
-      if (!delta.isEmpty) delta.write.mode("append").parquet(out)
-      // commit the merged index LAST — it is the replay authority
-      absorbVersioned(spark, indexDir, "grams", batchId)(_ => total)
+        else cleaned).persist()
+      try {
+        if (!delta.isEmpty) delta.write.mode("append").parquet(out)
+        // commit the merged index LAST — it is the replay authority
+        absorbVersioned(spark, indexDir, "grams", batchId)(_ => total)
+      } finally delta.unpersist()
       total.unpersist()
     } finally bg.unpersist()
   }
