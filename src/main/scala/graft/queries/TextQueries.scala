@@ -462,6 +462,44 @@ object TextQueries {
     // token stream in the bench (typed Aggregator + partial merge)
     headline = true)
 
+  /** Per-source heavy hitters: the capacity-256 SpaceSaving sketch as a
+    * GROUPED aggregate — one sketch per source in a single aggregation
+    * pass (partial sketches merge map-side like any buffer), top-5
+    * tokens each. The per-domain vocabulary profile a mixture report
+    * drills into; same exact-regime oracle argument as the corpus-wide
+    * q_heavy_hitters (distinct tokens per source ≪ capacity on the
+    * gate corpora, so counts are exact and DuckDB recomputes them).
+    */
+  val qHeavyHittersBySource = Q(
+    "q_heavy_hitters_by_source",
+    (s, d) => {
+      import graft.functions.SpaceSavingAggregator
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"))
+        .agg(SpaceSavingAggregator.spaceSaving(256)(col("token")).as("sketch"))
+        .select(col("source"), explode(col("sketch")).as("it"))
+        .select(col("source"), col("it.token").as("token"), col("it.count").as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("int").as("rank"),
+          col("token"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0)) AS token
+        FROM documents),
+      c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2),
+      r AS (SELECT source, token, n,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+            FROM c)
+      SELECT source, CAST(rk AS INTEGER) AS rank, token, n
+      FROM r WHERE rk <= 5 ORDER BY source, rank"""))
+
   /** Count-Min point-frequency estimates, contract-checked: where
     * q_heavy_hitters finds WHICH items are frequent, the CMS answers
     * "how often did THIS item occur" for items chosen after the pass —
@@ -803,5 +841,6 @@ object TextQueries {
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
-    qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard)
+    qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
+    qHeavyHittersBySource)
 }
