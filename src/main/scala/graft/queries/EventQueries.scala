@@ -806,9 +806,56 @@ object EventQueries {
                AS intercept
       FROM m ORDER BY event_type"""))
 
+  /** Last-touch attribution, batch rendition of the streaming
+    * interval join ([[graft.streaming.EventsStreaming.attributionJoin]]):
+    * each purchase is attributed to the user's LATEST view within the
+    * preceding 6 hours, or surfaces unattributed (organic). Composed as
+    * [[graft.ops.TemporalOps.asofJoin]] (one keyed shuffle + carry —
+    * never a per-pair interval join) with the horizon applied as a
+    * post-filter on the carried timestamp; the oracle re-derives the
+    * same winner with a window over the interval join.
+    */
+  val qAttribution = Q(
+    "q_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+      graft.ops.TemporalOps.asofJoin(purchases, views, Seq("user_id"),
+          "ts_us", "ts_us", Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("asof_ts") >= col("ts_us") - 21600000000L,
+            col("asof_view_id")).as("attributed_view_id"),
+          when(col("asof_ts") >= col("ts_us") - 21600000000L,
+            col("ts_us") - col("asof_ts")).as("lag_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vts
+        FROM events WHERE event_type = 'view'),
+      j AS (
+        SELECT p.event_id, p.user_id, p.ts_us, v.view_id, v.vts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.vts DESC, v.view_id DESC) AS rk
+        FROM p JOIN v ON p.user_id = v.user_id
+                     AND v.vts <= p.ts_us AND v.vts >= p.ts_us - 21600000000)
+      SELECT p.event_id, p.user_id, p.ts_us,
+             j.view_id AS attributed_view_id,
+             p.ts_us - j.vts AS lag_us
+      FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rk = 1
+      ORDER BY p.event_id"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
-    qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend)
+    qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
+    qAttribution)
 }
