@@ -838,9 +838,44 @@ object TextQueries {
              CAST(sum(len_micros) AS BIGINT) // count(*) AS mean_len_score_micros
       FROM m2"""))
 
+  /** Quality-weighted sampling: each document kept with probability
+    * EQUAL to its quality score — the importance-sampling curation
+    * posture (DoReMi-style mixture shaping one level down: soft
+    * preference for high-quality docs instead of a hard cutoff), fully
+    * deterministic via the Knuth bucket hash so reruns and engines
+    * agree row-for-row. `Curation.sampledAt` with a per-row rate; the
+    * 6-dp quality rate is exact in the 1e6-bucket integer compare.
+    * Shuffle-free map-side filter.
+    */
+  val qWeightedSample = Q(
+    "q_weighted_sample",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .filter(graft.text.Curation.sampledAt(col("doc_id"), col("q")))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS DOUBLE) AS stop_h
+        FROM documents),
+      sc AS (
+        SELECT doc_id, source,
+               round(least(n_tok / 64.0, 1.0) * 0.5
+                     + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25
+                     + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6) AS q
+        FROM m)
+      SELECT doc_id, source, q
+      FROM sc
+      WHERE CAST(((doc_id % 999999937) * 2654435761) % 1000000 AS DOUBLE) < q * 1000000.0
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
-    qHeavyHittersBySource)
+    qHeavyHittersBySource, qWeightedSample)
 }
