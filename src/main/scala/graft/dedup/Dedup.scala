@@ -27,18 +27,9 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** Persist `df` unless this exact (canonicalized) plan is already
-    * cached. Query builders run more than once per session (bench
-    * warm-up + timed pass, Verify + driver re-runs); re-persisting the
-    * identical plan makes the CacheManager log "Asked to cache already
-    * cached data" and re-register the entry. The guard reuses the live
-    * entry instead; entries are freed by the ContextCleaner once the
-    * plan is unreachable.
-    */
+  /** See [[graft.ops.Caching.cachedOnce]] — idempotent persist. */
   private def cachedOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    graft.ops.Caching.cachedOnce(df)
 
   /** Exact dedup groups: one row per distinct normalized content with
     * the canonical (minimum) doc id and the copy count.

@@ -673,23 +673,26 @@ object TextQueries {
     * of clean sources and the worst of noisy ones; a per-source
     * percentile keeps each source's best). rank() ties are peers on
     * both engines; pct = (rank−1)/(n−1) as an exact integer-micro
-    * rational, 0 for singleton sources. Window state is bounded per
-    * source partition.
+    * rational, 0 for singleton sources.
+    *
+    * Scale shape: the rank is NOT a `Window.partitionBy(source)` sort —
+    * a dominant source (a web crawl is 80-90% of a real 100 TB mix)
+    * would make that a single-task sort of most of the corpus. It is
+    * [[graft.ops.Ranking.rankByGroup]]'s band decomposition: a
+    * (source, quality-band) count histogram to the driver, offsets
+    * broadcast back, in-band rank under a (source, band)-partitioned
+    * window. Exact same output, bounded partition state.
     */
   val qQualityPctRank = Q(
     "q_quality_pct_rank",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("q"))
-      val per = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           round(qualityScore(col("text")), 6).as("q"))
-        .withColumn("rk", rank().over(w))
-        .withColumn("n", count(lit(1)).over(per))
+      graft.ops.Ranking.rankByGroup(scored, "source", "q")
         .select(col("doc_id"), col("source"), col("q").as("quality"),
-          when(col("n") > 1,
-            graft.functions.DetMath.ratio6(col("rk") - 1, col("n") - 1))
+          when(col("__n") > 1,
+            graft.functions.DetMath.ratio6(col("__rk") - 1, col("__n") - 1))
             .otherwise(lit(0.0)).as("pct_rank"))
         .orderBy(col("doc_id"))
     },

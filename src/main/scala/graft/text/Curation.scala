@@ -112,9 +112,9 @@ object Curation {
     // join — persist so the caller's metric expressions (often a full
     // tokenize+score pass) run once, not twice; the ContextCleaner
     // drops the cache when the plan is GC'd
-    val banded = df.filter(col(rankCol).isNotNull && col(tokenCol).isNotNull)
-      .withColumn("__band", expr(s"$rankCol DIV $bucketWidth"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = graft.ops.Caching.cachedOnce(
+      df.filter(col(rankCol).isNotNull && col(tokenCol).isNotNull)
+        .withColumn("__band", expr(s"$rankCol DIV $bucketWidth")))
     val hist = banded.groupBy(col("__band"))
       .agg(sum(col(tokenCol)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
@@ -211,10 +211,9 @@ object Curation {
     }
     requireIntegral(idCol)
     requireIntegral(tokenCol)
-    val banded = df
+    val banded = graft.ops.Caching.cachedOnce(df
       .filter(col(tokenCol).isNotNull && col(tokenCol) > 0 && col(idCol).isNotNull)
-      .withColumn("__band", expr(s"$idCol DIV $bucketWidth"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__band", expr(s"$idCol DIV $bucketWidth")))
     val hist = banded.groupBy(col("__band"))
       .agg(sum(col(tokenCol).cast(LongType)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -49,6 +49,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"plan-shape violations:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("q_quality_pct_rank has no window partitioned on source alone") {
+    // the r7 weak: a per-source rank window is a single-task sort of a
+    // dominant source at 100 TB. The query must plan its windows over
+    // (source, band) — every WindowExec needs >= 2 partition keys.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val offenders = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.TextQueries.qQualityPctRank
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+        .collect { case w: WindowExec if w.partitionSpec.size < 2 => w }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(offenders.isEmpty,
+      s"window partitioned on fewer than 2 keys:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("q_percentiles is sketch-anchored: no exact percentile value buffer in its plan") {
     // exact `percentile` keeps a value→count map per group — over the
     // near-unique l_extendedprice that buffer approaches the full column
