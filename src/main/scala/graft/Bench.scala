@@ -68,7 +68,12 @@ object Bench {
       System.err.println(
         f"[bench] INVALID: load_avg $loadBefore%.2f > 2 at start — numbers are ambient-load noise")
     val spark = GraftSession.local()
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — subset filter for local diagnosis
+    // runs; the driver never sets it, so recorded rounds are unaffected
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val headline = SparkEntry.registry.filter(_.headline)
+      .filter(q => only.forall(_.contains(q.name)))
     // untimed warm-up pass, doubling as the shuffle-byte measurement:
     // metering the FIRST (cold) execution is what captures the
     // exchanges that build cached relations — a warmed re-run would
