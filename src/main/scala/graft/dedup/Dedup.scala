@@ -263,8 +263,8 @@ object Dedup {
     * the listed columns — 24 bytes/row for the default (doc_id) —
     * through the bucket exchange.
     */
-  private def bandSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-                             carryCols: Seq[String]): DataFrame =
+  private[graft] def bandSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                                    carryCols: Seq[String]): DataFrame =
     sigs.select(
       carryCols.map(col) :+
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -805,9 +805,9 @@ object Dedup {
     * Wire discipline as everywhere in this tier: only (band, id, len)
     * rows enter the blocking join; texts are fetched per surviving
     * deduplicated pair. Blocking by length alone is the honest verify
-    * tier for a probe batch; at corpus×corpus scale compose it with a
-    * content blocker (the minhash bands) so band populations stay
-    * bounded — the length band then prunes within buckets.
+    * tier for a probe batch; at corpus×corpus scale use
+    * [[editDistancePairsBlocked]], which composes the minhash-band
+    * content blocker with this length band pruning within buckets.
     *
     * @return (doc_a = probe id, doc_b, dist ≤ maxDist), doc_a < doc_b
     */
@@ -837,6 +837,65 @@ object Dedup {
       .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
       .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("dist") >= 0) // thresholded form returns -1 when exceeded
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** Corpus×corpus edit-distance near-match pairs with CONTENT
+    * blocking — the composition [[editDistancePairs]]' scaladoc
+    * prescribes for two large relations: minhash band buckets (the
+    * exact [[minhashPairs]] signature scheme and seeds) generate
+    * candidates, the length band |len(a) − len(b)| ≤ maxDist prunes
+    * WITHIN each bucket (the necessary condition rides the same join
+    * as a filter), and Spark's thresholded levenshtein verifies.
+    *
+    * Per-key join work is provably bounded: capBuckets admits at most
+    * `maxBucketSize` members per (band, bucket) key, so no key
+    * contributes more than maxBucketSize² candidate rows AT ANY CORPUS
+    * SIZE — the property length-band-only blocking lacks (a length
+    * band's population grows linearly with the corpus, so its self-join
+    * grows quadratically; TextDedupSpec pins the contrast on a
+    * same-length corpus).
+    *
+    * The content blocker makes this tier approximate-candidate: a
+    * qualifying pair is emitted only if it also collides in some
+    * minhash band. An edit touches at most k token shingles, so the
+    * near-identical docs this tier exists for (entity resolution, OCR
+    * noise) keep shingle Jaccard high and collide with the
+    * [[minhashPairs]] S-curve probability; emitted pairs are always
+    * exact (verified), and the recall contract is pinned in
+    * TextDedupSpec and the q_edit_pairs_corpus oracle.
+    *
+    * @return (doc_a, doc_b, dist ≤ maxDist), doc_a < doc_b
+    */
+  def editDistancePairsBlocked(docs: DataFrame, idCol: String, textCol: String,
+                               maxDist: Int, k: Int = 3, bands: Int = 8,
+                               rowsPerBand: Int = 4,
+                               maxBucketSize: Int = 4096): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be nonnegative: $maxDist")
+    val base = cachedOnce(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t"), length(col(textCol)).as("__len")))
+    // signature relation + length — the len column rides the banding so
+    // the in-bucket prune needs no extra join; subplan cache sharing
+    // reuses q_dedup_minhash's signature relation when both run
+    val sigs = cachedOnce(
+      minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+        .join(base.select(col("doc_id"), col("__len")), Seq("doc_id")))
+    val banded = capBuckets(
+      bandSignatures(sigs, bands, rowsPerBand, Seq("doc_id", "__len")),
+      Seq("band", "bucket"), maxBucketSize, logDropped = false, "editblocked")
+    val pairIds = banded
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("__len").as("__la"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("__len").as("__lb")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // collapse multi-band collisions
+    pairIds
+      .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 

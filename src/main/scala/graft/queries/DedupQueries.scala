@@ -899,6 +899,50 @@ object DedupQueries {
       WHERE a.doc_id % 10 = 0 AND levenshtein(a.text, b.text) <= 24
       ORDER BY doc_a, doc_b"""))
 
+  /** Corpus×corpus edit-distance pairs under CONTENT blocking — the
+    * scale rendition of q_edit_pairs (whose length-band-only blocking
+    * is complete but grows quadratically in a band's population; see
+    * Dedup.editDistancePairsBlocked). Candidates come from minhash
+    * band buckets with the length band pruning inside each bucket, so
+    * per-key join work is capped at any corpus size.
+    *
+    * Oracle: the q_dedup_simhash contract shape — found pairs are
+    * per-pair verified with thresholded levenshtein (subset_ok is
+    * exact), and recall against the complete length-band graph must
+    * hold ≥ 0.95 (measured 1.0 at both gate sfs: every qualifying pair
+    * here is near-identical, so shingle Jaccard is high and the 8×4
+    * banding catches it with the minhash S-curve probability).
+    */
+  val qEditPairsCorpus = Q(
+    "q_edit_pairs_corpus",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val found = Dedup
+        .editDistancePairsBlocked(docs, "doc_id", "text", maxDist = 24)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__f"))
+      val exact = Dedup.editDistancePairs(docs, "doc_id", "text",
+          maxDist = 24, probePred = _ => lit(true))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+      exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L)).cast("bigint").as("n_exact"),
+          // vacuously satisfied when the corpus holds no exact pair
+          // (0/0 → NULL would read as a confusing hash mismatch)
+          coalesce(
+            sum(when(col("__e").isNotNull && col("__f").isNotNull, 1).otherwise(0))
+              .cast("double")
+              / sum(coalesce(col("__e"), lit(0))) >= 0.95,
+            lit(true)).as("recall_ok"),
+          coalesce(sum(when(col("__e").isNull, 1).otherwise(0)) === 0, lit(true))
+            .as("subset_ok"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             TRUE AS recall_ok, TRUE AS subset_ok
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 24
+      WHERE levenshtein(a.text, b.text) <= 24"""))
+
   /** Cross-source duplication report: for every (source, source) pair,
     * how many verified near-dup pairs (Jaccard ≥ 0.6) straddle it, and
     * the exact sum of their similarities. This is the audit that tells
@@ -964,6 +1008,6 @@ object DedupQueries {
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
-    qDedupCrossSimhash, qEditPairs, qDedupSemantic, qRepeatedSpans,
-    qContainmentPairs, qScrubSpans, qRepeatedSpansCross)
+    qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
+    qRepeatedSpans, qContainmentPairs, qScrubSpans, qRepeatedSpansCross)
 }

@@ -353,6 +353,67 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((10L, 11L, 3), (20L, 21L, 22)))
   }
 
+  test("editDistancePairsBlocked contract holds vs the complete length-band graph at both gate sfs") {
+    // the corpus×corpus tier: content (minhash-band) blocking with the
+    // length band pruning inside buckets. Emitted pairs are verified
+    // (always a subset); recall vs the COMPLETE graph is the oracle
+    // bound q_edit_pairs_corpus pins. Deterministic seeds — a failure
+    // here is a fixture/parameter change, not flakiness.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.Tables.documents(spark, sf)
+      val found = Dedup.editDistancePairsBlocked(docs, "doc_id", "text", maxDist = 24)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.editDistancePairs(docs, "doc_id", "text",
+          maxDist = 24, probePred = _ => lit(true))
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((found -- exact).isEmpty, s"$sf: found pairs must be a verified subset")
+      if (exact.nonEmpty) {
+        val recall = found.intersect(exact).size.toDouble / exact.size
+        assert(recall >= 0.95, s"$sf: blocked recall $recall below the oracle bound")
+      }
+    }
+  }
+
+  test("editDistancePairsBlocked: buckets stay bounded where length-band blocking is quadratic") {
+    import spark.implicits._
+    // 400 same-length docs of DISTINCT content + 2 planted near-dup
+    // pairs. Length-band blocking puts every doc in one band: its
+    // self-join input is C(400,2)+ candidate pairs and grows
+    // quadratically with the corpus. The content blocker's
+    // (band, bucket) populations stay tiny on distinct content, so its
+    // candidate mass is orders of magnitude smaller — while the
+    // planted near-identical pairs still collide and verify.
+    val base = (0 until 400).map { i =>
+      val t = (0 until 40).map(j => f"tok$i%03d${('a' + j % 26).toChar}").mkString(" ")
+      (i.toLong, t)
+    }
+    // one-char substitution at the head: same length, edit distance 1,
+    // and only the first token's shingles change (keeps Jaccard ~0.95,
+    // far above the banding S-curve knee — deterministic collision)
+    def editOne(t: String): String = "#" + t.tail
+    val docs = (base ++ Seq(
+      (9001L, editOne(base(5)._2)), (9002L, editOne(base(17)._2))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairsBlocked(docs, "doc_id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((5L, 9001L, 1), (17L, 9002L, 1)))
+    // candidate-mass contrast, both computed as sum over blocking keys
+    // of C(population, 2)
+    def pairMass(keyed: org.apache.spark.sql.DataFrame): Long = keyed
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .head().getLong(0)
+    val lenBand = pairMass(docs.select(length(col("text")).as("l"))
+      .groupBy((col("l") / 3).cast("int").as("b")).count())
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val contentBuckets = pairMass(Dedup.bandSignatures(sigs, 8, 4, Seq("doc_id"))
+      .groupBy(col("band"), col("bucket")).count())
+    assert(lenBand > 70000L, s"length-band mass $lenBand should be quadratic here")
+    assert(contentBuckets < lenBand / 50,
+      s"content-bucket mass $contentBuckets should be far below length-band $lenBand")
+  }
+
   test("simhashPairsCross contract holds vs the exact cross >=0.9 graph at both gate sfs") {
     // the cross screen inherits q_dedup_simhash's verified-subset +
     // recall-bound contract; pin it against jaccardPairsExactCross on
