@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** Largest single driver collect (rows) performed by the most recent
+    * [[kthSmallestByGroupMulti]] call — observability for its
+    * driverRowBudget contract (spec-asserted; per-call, not
+    * thread-safe).
+    */
+  @volatile private[graft] var lastMaxCollectRows: Long = 0L
+
   /** The k-th smallest value (1-based) of a numeric column. NULL and
     * NaN values are excluded (NaN has no order statistics rank);
     * ±Infinity values are ranked directly, so the bucket math only
@@ -133,13 +140,34 @@ object Selection {
     * bounded by the distinct candidates in each narrowed range even
     * under huge duplicate mass.
     *
+    * Driver discipline under HIGH GROUP CARDINALITY: no single collect
+    * ever exceeds `driverRowBudget` rows. Live states are processed in
+    * deterministic cohorts sized so the worst case fits the budget —
+    * budget/`buckets` states per narrowing pass, budget/
+    * `collectThreshold` per final-resolve pass — so a million-group
+    * call degrades to more passes, never to a driver OOM. (The initial
+    * per-group stats and the returned map are O(groups·ranks) by
+    * definition — the result itself; the budget governs the
+    * intermediate histogram traffic, which is the part that multiplies
+    * by `buckets`.) The largest single collect actually performed is
+    * recorded in [[lastMaxCollectRows]] for observability.
+    *
     * @return (group, rank-index-into-kOfs) → value
     */
   def kthSmallestByGroupMulti(df: DataFrame, groupCol: String, valueCol: Column,
                               kOfs: Seq[Long => Long], buckets: Int = 1024,
-                              collectThreshold: Long = 4096)
+                              collectThreshold: Long = 4096,
+                              driverRowBudget: Long = 1L << 20)
       : Map[(String, Int), Double] = {
     require(kOfs.nonEmpty, "at least one rank function")
+    require(driverRowBudget >= math.max(buckets.toLong, collectThreshold),
+      s"driverRowBudget $driverRowBudget below one state's worst case " +
+        s"(max(buckets=$buckets, collectThreshold=$collectThreshold))")
+    lastMaxCollectRows = 0L
+    def tally[T](rows: Array[T]): Array[T] = {
+      lastMaxCollectRows = math.max(lastMaxCollectRows, rows.length.toLong)
+      rows
+    }
     val vals0 = df.select(col(groupCol).cast("string").as("g"),
         valueCol.cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
@@ -174,11 +202,21 @@ object Selection {
     }
     val spark = df.sparkSession
     import spark.implicits._
+    // worst-case rows per state: `buckets` histogram rows (narrowing)
+    // or `collectThreshold` candidate rows (final resolve)
+    val narrowCohort = math.max(1L, driverRowBudget / buckets).toInt
+    val resolveCohort = math.max(1L, driverRowBudget / collectThreshold).toInt
     var rounds = 0
-    while (state.values.exists(_._4 > collectThreshold) && rounds < 64) {
+    // the rounds guard scales with cohorting: a cohort pass narrows only
+    // its members, so a million-group call legitimately needs
+    // groups/cohort passes on top of the per-state log(range) rounds
+    val maxRounds = 64 + 64 * (init.length / narrowCohort)
+    while (state.values.exists(_._4 > collectThreshold) && rounds < maxRounds) {
       // only states still above the collect threshold narrow further;
-      // finished/small states wait for the single final resolve
+      // finished/small states wait for the final resolve. Deterministic
+      // cohort: the budget bounds how many states one pass may touch
       val narrowing = state.filter(_._2._4 > collectThreshold).toSeq
+        .sortBy(_._1).take(narrowCohort)
       val live = narrowing
         .map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }
         .toDF("g", "__i", "__lo", "__hi")
@@ -190,11 +228,11 @@ object Selection {
         greatest(least(floor((col("v") - col("__lo")) /
           (col("__hi") / buckets - col("__lo") / buckets)), lit(buckets - 1)),
           lit(0))).cast("int")
-      val counts = vals0.join(broadcast(live), "g")
+      val counts = tally(vals0.join(broadcast(live), "g")
         .filter(col("v") <= col("__hi"))
         .groupBy(col("g"), col("__i"), b.as("b"))
         .agg(count(lit(1)).as("c"), min(col("v")).as("bmin"), max(col("v")).as("bmax"))
-        .collect()
+        .collect())
         .groupBy(r => (r.getString(0), r.getInt(1)))
         .map { case (key, rows) =>
           key -> rows.map(r => (r.getInt(2), r.getLong(3),
@@ -213,21 +251,22 @@ object Selection {
       }
       rounds += 1
     }
-    if (state.nonEmpty) {
-      // one final pass resolves EVERY remaining state: below-range mass
-      // folds into a NULL key, in-range candidates come back as
-      // per-(state, value) counts — bounded by the distinct candidates
-      // inside each narrowed range even under huge duplicate mass
-      val fin = state.toSeq.map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }
+    // final resolve, in driver-bounded cohorts: below-range mass folds
+    // into a NULL key, in-range candidates come back as per-(state,
+    // value) counts — bounded by the distinct candidates inside each
+    // narrowed range even under huge duplicate mass, so a cohort's
+    // collect is ≤ cohort×collectThreshold ≤ driverRowBudget rows
+    state.toSeq.sortBy(_._1).grouped(resolveCohort).foreach { cohort =>
+      val fin = cohort.map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }
         .toDF("g", "__i", "__lo", "__hi")
       val cv = when(col("v") < col("__lo"), lit(null).cast("double"))
         .otherwise(col("v"))
-      val tails = vals0.join(broadcast(fin), "g")
+      val tails = tally(vals0.join(broadcast(fin), "g")
         .filter(col("v") <= col("__hi"))
         .groupBy(col("g"), col("__i"), cv.as("cv")).agg(count(lit(1)).as("c"))
-        .collect()
+        .collect())
         .groupBy(r => (r.getString(0), r.getInt(1)))
-      state.foreach { case (key, (_, _, k, _)) =>
+      cohort.foreach { case (key, (_, _, k, _)) =>
         val rows = tails(key)
         val below = rows.find(_.isNullAt(2)).map(_.getLong(3)).getOrElse(0L)
         val sorted = rows.filterNot(_.isNullAt(2))

@@ -290,6 +290,32 @@ class OpsSpec extends SparkSpec {
       == Double.PositiveInfinity)
   }
 
+  test("kthSmallestByGroupMulti: thousands of groups resolve within the driver row budget") {
+    import graft.ops.Selection
+    // 3000 small groups (straight to the final resolve) plus 3 large
+    // ones (exercise cohorted narrowing). A tight driverRowBudget
+    // forces multi-cohort passes; the answers must not change and no
+    // single collect may exceed the budget.
+    val rows = (0 until 3000).flatMap { g =>
+      (0 until 10).map(j => (f"g$g%04d", ((g * 31 + j * 2654435761L) % 1001).toDouble))
+    } ++ Seq("big0", "big1", "big2").flatMap { g =>
+      (0 until 2000).map(j => (g, ((j * 2654435761L) % 10007).toDouble))
+    }
+    val df = rows.toDF("g", "v")
+    val kOfs = Seq[Long => Long](n => (n + 1) / 2, n => n) // median, max
+    val budget = 2048L
+    val got = Selection.kthSmallestByGroupMulti(df, "g", col("v"), kOfs,
+      buckets = 16, collectThreshold = 16, driverRowBudget = budget)
+    assert(Selection.lastMaxCollectRows <= budget,
+      s"collect of ${Selection.lastMaxCollectRows} rows exceeded the $budget budget")
+    val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      kOfs.zipWithIndex.map { case (kOf, i) =>
+        (g, i) -> sorted((kOf(sorted.length.toLong) - 1).toInt) }
+    }
+    assert(got == expected)
+  }
+
   test("sameContent is multiset equality, column order independent") {
     val a = Seq((1, "x"), (1, "x"), (2, "y")).toDF("id", "v")
     val b = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("v", "id")
