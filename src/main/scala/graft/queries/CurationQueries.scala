@@ -397,7 +397,8 @@ object CurationQueries {
              CAST((cum - n_tok) // 512 AS BIGINT) AS seq_first,
              CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
              CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,

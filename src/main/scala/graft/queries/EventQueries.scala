@@ -746,7 +746,8 @@ object EventQueries {
                AS clipped_total
       FROM events e JOIN cuts c USING (event_type)
       GROUP BY e.event_type, c.lo, c.hi
-      ORDER BY event_type"""))
+      ORDER BY event_type"""),
+    headline = true)
 
   /** Per-type linear trend (least-squares slope + intercept of value
     * over event time) — drift detection for a metric stream. The

@@ -511,7 +511,8 @@ object ParityQueries {
                + ((CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> i) & 1)
                  * (CAST(1 AS BIGINT) << (2*i+1))
                for i in range(0, 16)]) AS BIGINT) AS z_value
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey"""),
+    headline = true)
 
   /** Schema-evolution union: two generations of the same feed with
     * DIFFERENT columns (the old extract lacks o_orderpriority, the new
