@@ -44,11 +44,18 @@ object Layout {
     * order WITHOUT a single-partition sort) plus an in-partition sort,
     * so each output task writes one tight z-contiguous tile. Follow
     * with a partitioned/bucketed write; downstream scans prune on both
-    * dimensions' min/max.
+    * dimensions' min/max (LayoutSpec reads the scan metrics of a
+    * banded query over the written files to prove the row groups are
+    * actually skipped). `numPartitions` sizes the output files — the
+    * knob that matches tiles to the target row-group size in a real
+    * write; default leaves it to spark.sql.shuffle.partitions.
     */
   def zOrderBy(df: DataFrame, x: Column, y: Column, bits: Int,
-               zCol: String = "z_value"): DataFrame =
-    df.withColumn(zCol, zValue2(x, y, bits))
-      .repartitionByRange(col(zCol))
+               zCol: String = "z_value",
+               numPartitions: Option[Int] = None): DataFrame = {
+    val z = df.withColumn(zCol, zValue2(x, y, bits))
+    numPartitions.fold(z.repartitionByRange(col(zCol)))(
+        n => z.repartitionByRange(n, col(zCol)))
       .sortWithinPartitions(col(zCol))
+  }
 }

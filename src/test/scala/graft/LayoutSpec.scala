@@ -56,4 +56,42 @@ class LayoutSpec extends SparkSpec {
     assert(touched(zChunks, _._1, 0, 15) == 4)
     assert(touched(xChunks, _._1, 0, 15) == 4)
   }
+
+  test("written z-clustered parquet actually prunes: scan metrics on a band query") {
+    // the end-to-end pin the tile-math test can't give: WRITE the
+    // layout, SCAN with a band predicate, and read Spark's own scan
+    // metrics. Each of the 16 files is one 16×16 tile (one parquet row
+    // group); the parquet reader skips row groups whose y min/max miss
+    // the band, so the scan DECODES only the 4 matching tiles' rows.
+    // The x-sorted control layout spans y fully in every file — nothing
+    // can be skipped and all 4096 rows decode.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 64
+    val grid = (0 until n * n).map(i => (i % n, i / n))
+    val dir = tmpDir("zorder-scan")
+    Layout.zOrderBy(grid.toDF("x", "y"), col("x"), col("y"), bits = 6,
+        numPartitions = Some(16))
+      .drop("z_value").write.parquet(s"$dir/z")
+    grid.toDF("x", "y").repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")).write.parquet(s"$dir/x")
+    def scanStats(path: String): (Long, Long) = {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q = spark.read.parquet(path).filter(col("y").between(0, 15))
+        // collect() executes q's OWN physical plan (a separate count()
+        // would build a new one and leave these metrics empty)
+        assert(q.collect().length == 1024) // both layouts agree on the answer
+        val scan = q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: FileSourceScanExec => f }.get
+        (scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val (zRows, zFiles) = scanStats(s"$dir/z")
+    val (xRows, xFiles) = scanStats(s"$dir/x")
+    assert(zFiles == 16 && xFiles == 16) // identical listings —
+    // the difference below is row-group pruning, not partition pruning
+    assert(zRows == 1024L, s"z-layout decoded $zRows rows; pruning did not engage")
+    assert(xRows == 4096L, s"x-layout decoded $xRows rows; expected no pruning possible")
+  }
 }
