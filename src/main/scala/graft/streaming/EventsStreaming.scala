@@ -72,6 +72,12 @@ object EventsStreaming {
     * wall-clock; a flagged key's state is dropped (re-appearing later
     * re-arms detection from scratch). State per live key is one
     * timestamp — O(keys), bounded.
+    *
+    * Restart posture: the per-key timestamp and armed timeout live in
+    * the checkpointed state store; a crash between a batch's state
+    * write and its commit marker replays that batch bit-identically
+    * against the prior state version (StreamingSpec pins
+    * kill-and-restart: no double flag, re-arm preserved).
     */
   def staleKeys(events: Dataset[Event], horizonSeconds: Long,
                 watermark: String = "0 seconds"): Dataset[StaleKey] = {
@@ -202,6 +208,11 @@ object EventsStreaming {
     * watermark passes a full quiet horizon — O(active keys), never
     * O(stream). Within a batch the group iterates in event-time order,
     * so a batch spanning several horizons emits each window's anchor.
+    *
+    * Restart posture: the anchor is checkpointed state — recovery from
+    * a crash before a batch's commit marker replays it against the
+    * prior state version, so the anchor neither resets nor
+    * double-advances (StreamingSpec pins kill-and-restart).
     */
   def throttleStream(events: Dataset[Event], horizonSeconds: Long,
                      watermark: String = "0 seconds"): Dataset[Event] = {

@@ -575,6 +575,113 @@ class StreamingSpec extends SparkSpec {
     assert(stale().toSet == Set((7L, ts(0)), (7L, ts(35))))
   }
 
+  // Simulate the crash window Structured Streaming's recovery contract
+  // covers: the engine wrote offsets/N and the state-store delta for
+  // batch N but died BEFORE the commits/N marker. On restart the batch
+  // re-executes against state version N−1 — identical output, same
+  // batchId. Deleting the newest commit marker reproduces that state
+  // exactly (a graceful AvailableNow stop always commits).
+  private def dropLatestCommit(ckpt: String): Unit = {
+    val dir = new java.io.File(s"$ckpt/commits")
+    val latest = dir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    new java.io.File(dir, s".${latest.getName}.crc").delete()
+    assert(latest.delete(), s"could not delete commit marker $latest")
+  }
+
+  test("throttleStream: anchor state survives a kill-and-restart from checkpoint") {
+    val in = tmpDir("stream-in-thr-crash")
+    val ckpt = tmpDir("ckpt-thr-crash")
+    val out = tmpDir("throttle-crash-out") + "/kept"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming.throttleStream(events, horizonSeconds = 600)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], id: Long) =>
+          // per-batchId overwrite: a crash-replayed batch rewrites ITS
+          // OWN directory, so recovery can never double-append
+          b.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def kept(): Seq[Long] =
+      if (!graft.ops.Fs.exists(out)) Seq.empty
+      else spark.read.parquet(out).select("event_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    // batch 0: e1 emitted (anchor 10:00), e2 suppressed
+    Seq(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(5), 7L, "click", 1.0))
+      .toDS().write.mode("overwrite").parquet(in)
+    run()
+    assert(kept() == Seq(1L))
+    // batch 1: e3 re-anchors at 10:12, e4 suppressed
+    Seq(Event(3L, ts(12), 7L, "click", 1.0), Event(4L, ts(15), 7L, "click", 1.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(kept() == Seq(1L, 3L))
+    // kill after batch 1's state write but before its commit; restart
+    // with new input. Recovery must replay batch 1 bit-identically and
+    // resume with the 10:12 anchor: a lost anchor would emit e5
+    // (8 min after it), a double-advanced one would suppress e6 (11 min
+    // after 10:12 but only 3 after e5)
+    dropLatestCommit(ckpt)
+    Seq(Event(5L, ts(20), 7L, "click", 1.0), Event(6L, ts(23), 7L, "click", 1.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(kept() == Seq(1L, 3L, 6L))
+  }
+
+  test("staleKeys: timeout state survives a kill-and-restart from checkpoint, no double flag") {
+    val in = tmpDir("stream-in-stale-crash")
+    val ckpt = tmpDir("ckpt-stale-crash")
+    val out = tmpDir("stale-crash-out") + "/stale"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming.staleKeys(events, horizonSeconds = 600)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStreaming.StaleKey], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def flags(): Seq[(Long, java.sql.Timestamp)] =
+      if (!graft.ops.Fs.exists(out)) Seq.empty
+      else spark.read.parquet(out).select("user_id", "last_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    // run 1: both users alive
+    Seq(Event(1L, ts(0), 7L, "hb", 0.0), Event(2L, ts(1), 8L, "hb", 0.0))
+      .toDS().write.mode("overwrite").parquet(in)
+    run()
+    assert(flags().isEmpty)
+    // run 2: user 8 beats on; watermark passes 10:00+10min -> user 7
+    // flagged once (in the run's timeout batch) and its state removed
+    Seq(Event(3L, ts(30), 8L, "hb", 0.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(flags() == Seq((7L, ts(0))))
+    // kill before that flagging batch committed, then restart with user
+    // 7 reappearing. The replayed batch re-emits (7, 10:00) into the
+    // SAME batch dir (exactly-once stands — the flag must appear once,
+    // not twice), and the restarted state machine re-arms user 7, whose
+    // new silence past 10:35+10min is flagged with the NEW last_ts
+    dropLatestCommit(ckpt)
+    Seq(Event(4L, ts(35), 7L, "hb", 0.0), Event(5L, ts(59), 8L, "hb", 0.0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    val got = flags()
+    assert(got.sortBy(_._2.getTime) == Seq((7L, ts(0)), (7L, ts(35))),
+      s"expected exactly-once flags per silence episode, got $got")
+  }
+
   test("nearDupScreenSink: rejects corpus/prior/within-batch near-dups, replay appends zero") {
     import spark.implicits._
     val out = tmpDir("ingest-out") + "/corpus"
