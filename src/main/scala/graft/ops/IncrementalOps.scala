@@ -74,9 +74,15 @@ object IncrementalOps {
   def upsert(target: DataFrame, updates: DataFrame,
              keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{lit, when}
-    require(target.columns.sorted.sameElements(updates.columns.sorted),
-      s"upsert schemas differ: target ${target.columns.sorted.mkString(",")} " +
-        s"vs updates ${updates.columns.sorted.mkString(",")}")
+    // compare (name, type) pairs, not names alone: a type drift (e.g.
+    // updates carrying a measure as string) must fail HERE with a clear
+    // message, not later as a confusing when/otherwise coercion or an
+    // analysis error far from the call site
+    def sig(df: DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(sig(target) == sig(updates),
+      s"upsert schemas differ: target ${sig(target).mkString(",")} " +
+        s"vs updates ${sig(updates).mkString(",")}")
     // one aggregation over the (small) update side — the guard that
     // keeps MERGE deterministic is worth the extra action
     require(updates.groupBy(keys.map(col): _*)

@@ -70,8 +70,13 @@ object TemporalOps {
     // LEFT rows must sort before every right row in BOTH walks (they
     // match nothing) — asc puts nulls first already; desc must say so.
     val ts = if (forward) col("__ts").desc_nulls_first else col("__ts").asc
+    // __pack as the final key makes the tie-break DETERMINISTIC when
+    // several right rows share (key, rightTs): last() then always
+    // carries the struct-wise maximum payload instead of whichever row
+    // the shuffle happened to order last (struct ordering is
+    // field-by-field, so the first payload column decides)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ts, col("__side"))
+      .orderBy(ts, col("__side"), col("__pack"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__pack", last(col("__pack"), ignoreNulls = true).over(w))

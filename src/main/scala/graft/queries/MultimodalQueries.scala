@@ -149,6 +149,12 @@ object MultimodalQueries {
     * rounded cosine from (doc, bucket, count) relations — no vector
     * type needed on the oracle side. tau 0.9999 isolates near-copies
     * (whitespace/case variants shift few byte buckets).
+    *
+    * The oracle iterates UTF-8 BYTES, not characters: DuckDB has no
+    * blob indexing, so each byte is rebuilt from two hex digits of
+    * `to_hex(encode(text))` — byte-exact for any input, where the
+    * previous char-indexed `substring` silently matched only while the
+    * fixture stayed pure ASCII.
     */
   val qMediaNeardup = Q(
     "q_media_neardup",
@@ -158,10 +164,14 @@ object MultimodalQueries {
         "media_id", "feature", tau = 0.9999, probePred = _ % 10 === 0)
       .orderBy(col("id_a"), col("id_b")),
     Some("""
-      WITH chars AS (
-        SELECT doc_id, unnest([ascii(substring(text, i, 1)) % 8
-                               for i in range(1, octet_length(CAST(text AS BLOB)) + 1)]) AS b
-        FROM documents),
+      WITH hx AS (
+        SELECT doc_id, upper(to_hex(encode(text))) AS h FROM documents),
+      chars AS (
+        SELECT doc_id,
+               unnest([((position(substring(h, 2*i - 1, 1) IN '0123456789ABCDEF') - 1) * 16
+                        + position(substring(h, 2*i, 1) IN '0123456789ABCDEF') - 1) % 8
+                       for i in range(1, length(h) // 2 + 1)]) AS b
+        FROM hx),
       h AS (SELECT doc_id, b, count(*) AS n FROM chars GROUP BY 1, 2),
       nrm AS (SELECT doc_id, sum(n * n) AS nn FROM h GROUP BY 1),
       d AS (SELECT a.doc_id AS pa, b.doc_id AS pb, sum(a.n * b.n) AS dot

@@ -362,7 +362,19 @@ object EventsStreaming {
     * superseded versions are GC'd AFTER the commit (best-effort: a
     * crash strands a stale dir that readers ignore, never
     * double-counts).
+    *
+    * ID-REGRESSION guard: a skipped batch with id EQUAL to the
+    * committed version is the normal crash-replay (same id, same
+    * already-absorbed data). A skipped id STRICTLY BELOW it cannot
+    * come from an intact checkpoint (ids are monotone) — it means the
+    * checkpoint was reset while the absorb directory survived, and
+    * whatever the restarted stream re-reads as batch 0..latest−1 may
+    * include genuinely NEW input that is being dropped. That case is
+    * counted in [[absorbIdRegressions]] and shouted to stderr so a
+    * reset-against-live-sink misconfiguration is loud, not silent.
     */
+  @volatile private[graft] var absorbIdRegressions: Long = 0L
+
   private def absorbVersioned(spark: SparkSession, out: String, prefix: String,
                               batchId: Long)
                              (merged: Option[String] => DataFrame): Unit = {
@@ -378,7 +390,17 @@ object EventsStreaming {
           .map(_ -> st.getPath)
       }.sortBy(_._1)
     val latest = committed.lastOption
-    if (latest.exists(_._1 >= batchId)) return // replayed batch: already absorbed
+    if (latest.exists(_._1 >= batchId)) { // replayed batch: already absorbed
+      if (latest.exists(_._1 > batchId)) {
+        absorbIdRegressions += 1
+        System.err.println(
+          s"[absorb] $out: batch $batchId skipped below committed $prefix " +
+            s"version ${latest.get._1} — a RESET CHECKPOINT against a live " +
+            "absorb directory drops re-read input; restore the checkpoint " +
+            "or point the sink at a fresh directory")
+      }
+      return
+    }
     merged(latest.map(_._2.toString))
       .write.mode("overwrite").parquet(s"$out/$prefix-$batchId")
     committed.foreach { case (_, p) => fs.delete(p, true) }

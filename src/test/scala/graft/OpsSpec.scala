@@ -150,6 +150,23 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None))            // other key's rows invisible; t=60 is before
   }
 
+  test("asof joins: same-key same-ts right rows tie-break deterministically to the max payload") {
+    // two right rows share (k, t): the carry must pick the struct-wise
+    // maximum payload (first payload column decides) in BOTH walk
+    // directions — not whichever row the shuffle ordered last
+    val left = Seq((1L, 100L, 20L), (2L, 100L, 10L)).toDF("id", "k", "t")
+    val right = Seq((100L, 15L, "a"), (100L, 15L, "b"), (100L, 15L, "c"))
+      .toDF("k", "t", "v")
+    for (_ <- 1 to 3) { // stable across repeated executions
+      val back = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("asof_v")).toMap
+      assert(back(1L) == "c")
+      val fwd = TemporalOps.asofJoinForward(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("asof_v")).toMap
+      assert(fwd(2L) == "c")
+    }
+  }
+
   test("asof joins: NULL timestamps match nothing, in both directions and on both sides") {
     import spark.implicits._
     val left = Seq((1L, Some(100L)), (2L, None: Option[Long])).map { case (id, t) =>
@@ -255,6 +272,15 @@ class OpsSpec extends SparkSpec {
       IncrementalOps.upsert(target, dup, Seq("k"))
     }
     assert(e.getMessage.contains("not unique"))
+  }
+
+  test("upsert: a type drift between target and updates fails fast") {
+    val target = Seq((1L, 10.0)).toDF("k", "v")
+    val drift = Seq((1L, "10.0")).toDF("k", "v") // same names, v is string
+    val e = intercept[IllegalArgumentException] {
+      IncrementalOps.upsert(target, drift, Seq("k"))
+    }
+    assert(e.getMessage.contains("schemas differ"))
   }
 
   test("kthSmallestByGroup matches per-group sorted ranks: duplicates, skewed sizes, infinities") {

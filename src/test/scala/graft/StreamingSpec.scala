@@ -345,9 +345,16 @@ class StreamingSpec extends SparkSpec {
     val expected = Map("click" -> ((3L, 9.0)), "view" -> ((2L, 6.0)))
     assert(rollup() == expected)
     // fresh checkpoint -> the stream re-reads all three files; every
-    // batch id is <= the committed version, so nothing double-counts
+    // batch id is <= the committed version, so nothing double-counts —
+    // and ids BELOW the committed version are an id regression the sink
+    // must shout about (a reset checkpoint silently drops whatever the
+    // re-read batches contain; here it is pure replay, but the sink
+    // cannot know that)
+    val regressionsBefore = EventsStreaming.absorbIdRegressions
     run(tmpDir("ckpt-rollup-2"))
     assert(rollup() == expected)
+    assert(EventsStreaming.absorbIdRegressions > regressionsBefore,
+      "reset-checkpoint replay under lower batch ids must be counted loudly")
     // direct stale-batch replay (the crash-recovery path) is also a no-op
     EventsStreaming.rollupAbsorbSink(out, Seq("event_type"), Seq("n", "total_value"), partial)(
       days.head.toDS().toDF(), 0L)
