@@ -123,7 +123,13 @@ object Bench {
     val sh = results.map { case (k, _) =>
       "\"" + k + "\":" + math.round(shuffleMb.getOrElse(k, -1.0) * 100) / 100.0 }
       .mkString("{", ",", "}")
-    val status = if (invalid) "\"INVALID: load_avg>2\"" else "\"ok\""
+    // a run with ANY -1.0 sentinel must not read as "ok": automation
+    // keying on status treated r8's 4 broken queries as a clean bench
+    val nFailed = results.count(_._2 < 0)
+    val status =
+      if (invalid) "\"INVALID: load_avg>2\""
+      else if (nFailed > 0) "\"FAILED: " + nFailed + " queries\""
+      else "\"ok\""
     println(s"""{"metric":"total","value":$total,"unit":"sec","status":$status,"load_avg_before":$loadBefore,"queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
     spark.stop()
   }

@@ -22,9 +22,13 @@ object GraftSession {
       // partitioned INSERT OVERWRITE replaces only the partitions in the
       // batch — never a full-table truncate (CatalogWarehouse relies on it)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // harness events.parquet stores TIMESTAMP(NANOS) which the Spark
-      // reader rejects by default; read as long, convert in Tables.events
+      // harness events.parquet has shipped as TIMESTAMP(NANOS) (which the
+      // Spark reader rejects by default; read as long, convert in
+      // Tables.events) AND as tz-less micros (which would infer as
+      // TIMESTAMP_NTZ and break every unix_micros/window call downstream
+      // — read it as LTZ, exact under the pinned UTC session timezone)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

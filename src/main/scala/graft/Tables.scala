@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness testdata tables (TESTDATA.md).
   *
@@ -26,17 +26,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    * with spark.sql.legacy.parquet.nanosAsLong (set in GraftSession) it
-    * arrives as a nanosecond long. Convert to TimestampType (micros) with
-    * integer division — `/` would go through double and lose precision at
-    * 1.7e18 ns. Harness data is µs-aligned, so the truncation is lossless.
+  /** events.ts has shipped in THREE physical parquet encodings across
+    * harness testdata generations, and this loader normalizes all of
+    * them to session-local TimestampType (micros, UTC session tz):
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+    *     spark.sql.legacy.parquet.nanosAsLong (set in GraftSession) it
+    *     arrives as a nanosecond long. Convert with integer division —
+    *     `/` would go through double and lose precision at 1.7e18 ns.
+    *     Harness data is µs-aligned, so the truncation is lossless.
+    *   - tz-less timestamp[us] (isAdjustedToUTC=false): Spark reads it
+    *     as TIMESTAMP_NTZ by default. Under the pinned UTC session
+    *     timezone, casting NTZ→LTZ reinterprets the same wall-clock
+    *     fields as the same UTC instant — exact, no offset math.
+    *     GraftSession additionally disables inferTimestampNTZ so such
+    *     files arrive as LTZ directly; the branch here covers sessions
+    *     built outside GraftSession.
+    *   - timestamp[us] adjusted to UTC: arrives as TimestampType, no-op.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -13,12 +13,27 @@ object Verify {
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    // A query that throws must STILL surface in the correctness artifact:
+    // r8's 13 TIMESTAMP_NTZ failures were swallowed here (stderr only, no
+    // dump), so CORRECTNESS_r08 shrank to 133 all-green entries and read
+    // as a false 100%. On failure, write a one-row marker dump whose
+    // schema (__verify_error) can never match any oracle — the driver's
+    // compare then reports the query as a failure instead of dropping it
+    // — plus a sidecar errors.json with the exception text.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("__verify_error").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +52,14 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // exit 0 even on failures: the marker dumps + errors.json carry the
+    // signal; a nonzero rc might make the driver skip the compare and
+    // produce NO artifact, which is the very failure mode being fixed
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -32,24 +32,31 @@ object Ranking {
     * Driver discipline: only the (group, band) count histogram is
     * collected — callers must keep groups×`bands` driver-bounded (the
     * [[Selection.kthSmallestByGroupMulti]] contract; source/event-type
-    * cardinalities are fine, a million-group call is not). `groupCol`
-    * and `valueCol` must be non-null; `valueCol` numeric and finite
-    * (rank of NaN/±∞ is ill-defined under equal-width banding).
+    * cardinalities are fine, a million-group call is not).
+    *
+    * Null tolerance: rows with a NULL group, NULL/NaN value, or ±∞
+    * value are unrankable under equal-width banding. They pass through
+    * with null `__rk`/`__n` — degrade, don't abort: one dirty row in a
+    * 100 TB corpus must not kill the whole rank (and NullInputSpec
+    * sweeps exactly this). Clean rows rank against clean rows only
+    * (`__n` counts the group's RANKED rows, SQL's nulls-excluded
+    * aggregate convention).
     */
   def rankByGroup(df: DataFrame, groupCol: String, valueCol: String,
                   bands: Int = 1024): DataFrame = {
     require(bands >= 1, s"rankByGroup: bands must be positive: $bands")
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    val mm = df.agg(min(v), max(v), count(lit(1)),
-      count(when(col(groupCol).isNull || v.isNull || isnan(v) ||
-        v.isin(Double.NegativeInfinity, Double.PositiveInfinity), 1))).head()
-    if (mm.getLong(2) == 0L)
-      return df.withColumn("__rk", lit(null).cast("long"))
+    // never NULL under three-valued logic: if v is null, v.isNull is
+    // true and true OR null = true; all terms are non-null otherwise
+    val dirty = col(groupCol).isNull || v.isNull || isnan(v) ||
+      v.isin(Double.NegativeInfinity, Double.PositiveInfinity)
+    def passThrough(x: DataFrame): DataFrame =
+      x.withColumn("__rk", lit(null).cast("long"))
         .withColumn("__n", lit(null).cast("long"))
-    require(mm.getLong(3) == 0L,
-      s"rankByGroup: '$groupCol' must be non-null and '$valueCol' " +
-        "non-null finite (found NULL/NaN/infinite rows)")
+    val mm = df.agg(min(when(!dirty, v)), max(when(!dirty, v)),
+      count(when(!dirty, 1))).head()
+    if (mm.getLong(2) == 0L) return passThrough(df)
     val lo = mm.getDouble(0)
     val hi = mm.getDouble(1)
     // divide-then-subtract keeps the width finite on extreme ranges
@@ -60,7 +67,7 @@ object Ranking {
       if (width == 0.0) lit(0)
       else greatest(least(floor((v - lit(lo)) / lit(width)),
         lit(bands - 1)), lit(0)).cast("int")
-    val banded = df.withColumn("__band", bandCol)
+    val banded = df.filter(!dirty).withColumn("__band", bandCol)
     val hist = banded
       .groupBy(col(groupCol).cast("string").as("__g"), col("__band"))
       .agg(count(lit(1)).as("__c"))
@@ -75,11 +82,12 @@ object Ranking {
     val offsetDf = spark.createDataFrame(offsets)
       .toDF("__g", "__ob", "__before", "__n")
     val w = Window.partitionBy(col(groupCol), col("__band")).orderBy(v)
-    banded
+    val ranked = banded
       .join(broadcast(offsetDf),
         col(groupCol).cast("string") === col("__g") &&
           col("__band") === col("__ob"))
       .withColumn("__rk", col("__before") + rank().over(w))
       .drop("__g", "__ob", "__band", "__before")
+    ranked.unionByName(passThrough(df.filter(dirty)))
   }
 }

@@ -113,19 +113,31 @@ object TextQueries {
     * predicted language is English. The quantile bounds are a 2-row
     * broadcast (computed once, crossed in); everything else is the same
     * per-row map work as the individual ops above — the full curation
-    * recipe costs one aggregate + one scan. Bounds are rounded to 4
-    * decimals on both engines before comparing so an interpolated
-    * quantile's last bit can never flip a boundary document.
+    * recipe costs one bounded-state order statistic + one scan.
+    *
+    * The bounds are EXACT order statistics at ranks ⌈n/10⌉ and ⌈9n/10⌉
+    * computed by [[graft.ops.Selection.kthSmallestByGroupMulti]]'s
+    * iterative histogram narrowing — NOT the exact `percentile()`
+    * aggregate, whose per-group value→count buffer approaches the full
+    * column on one reducer over a near-unique column (this repo's own
+    * canonical scale anti-pattern, and PlanAuditSpec pins its absence
+    * here). Both ranks narrow in shared scans; the driver sees bucket
+    * counts only, and the resolved bounds enter the plan as filter
+    * LITERALS — pushable, no crossJoin. Rank anchoring (vs interpolated
+    * quantiles) also makes the oracle exact: both engines pick the same
+    * value at the same rank, no last-bit rounding to paper over.
     */
   val qCorpusCurate = Q(
     "q_corpus_curate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val bounds = docs
-        .select(tokenCount(col("text")).cast("double").as("nt"))
-        .agg(
-          expr("round(percentile(nt, 0.1), 4)").as("lo"),
-          expr("round(percentile(nt, 0.9), 4)").as("hi"))
+      val b = graft.ops.Selection.kthSmallestByGroupMulti(
+        docs.select(tokenCount(col("text")).cast("double").as("nt"))
+          .withColumn("__g", lit("all")),
+        "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10))
+      // empty/all-null corpus → no bounds → empty-set filter (±∞ band)
+      val lo = b.getOrElse(("all", 0), Double.PositiveInfinity)
+      val hi = b.getOrElse(("all", 1), Double.NegativeInfinity)
       docs
         // all three metrics from one tokenize pass (docMetrics). The
         // explode(array(...)) wraps the struct in a Generate: field
@@ -140,8 +152,7 @@ object TextQueries {
           col("m.n_tokens").as("n_tokens"),
           round(col("m.quality"), 6).as("quality"),
           col("m.pred_lang").as("pred_lang"))
-        .crossJoin(broadcast(bounds))
-        .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi")
+        .filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi)
           && col("quality") >= 0.5 && col("pred_lang") === "en")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy(col("doc_id"))
@@ -160,8 +171,10 @@ object TextQueries {
                ${hitsSql("('le','la','et','les','des','un','une','est')")} AS fr_h,
                regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
         FROM documents),
-      b AS (SELECT round(quantile_cont(n_tok, 0.1), 4) AS lo,
-                   round(quantile_cont(n_tok, 0.9), 4) AS hi FROM m),
+      b AS (SELECT min(CASE WHEN rn = (n + 9) // 10 THEN n_tok END) AS lo,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END) AS hi
+            FROM (SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn,
+                         count(*) OVER () AS n FROM m)),
       scored AS (
         SELECT doc_id, n_tokens,
                round(least(n_tok / 64.0, 1.0) * 0.5
@@ -690,10 +703,12 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           round(qualityScore(col("text")), 6).as("q"))
       graft.ops.Ranking.rankByGroup(scored, "source", "q")
+        // null __n (an unrankable row — null source or quality) stays
+        // null through both branches rather than reading as a singleton
         .select(col("doc_id"), col("source"), col("q").as("quality"),
           when(col("__n") > 1,
             graft.functions.DetMath.ratio6(col("__rk") - 1, col("__n") - 1))
-            .otherwise(lit(0.0)).as("pct_rank"))
+            .when(col("__n") === 1, lit(0.0)).as("pct_rank"))
         .orderBy(col("doc_id"))
     },
     Some(s"""

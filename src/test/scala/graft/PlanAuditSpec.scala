@@ -78,4 +78,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
       s"exact percentile aggregate found in plan:\n$plan")
   }
+
+  test("q_corpus_curate bounds enter the plan as literals, not an exact percentile") {
+    // the r8 weak: p10/p90 via exact `percentile()` is the same
+    // one-reducer value buffer. Bounds must come from Selection's
+    // histogram narrowing and appear as pushed filter literals —
+    // no percentile aggregate, no bounds crossJoin, in the final plan.
+    val plan = graft.queries.TextQueries.qCorpusCurate
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"exact percentile aggregate found in plan:\n$plan")
+    assert(!plan.contains("NestedLoopJoin"),
+      s"bounds crossJoin found in plan (expected literal filter):\n$plan")
+  }
 }

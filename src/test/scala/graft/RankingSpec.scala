@@ -56,15 +56,35 @@ class RankingSpec extends SparkSpec {
     assert(out.columns.contains("__rk") && out.columns.contains("__n"))
   }
 
-  test("null group or non-finite value fails fast") {
+  test("dirty rows (null group, NaN/null/±inf value) pass through with " +
+       "null __rk/__n; clean rows rank against clean rows only") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "a", 0.5), Row(2L, "a", 0.1), Row(3L, "a", 0.5),
+      Row(4L, "a", Double.NaN),                 // NaN value
+      Row(5L, null, 0.3),                       // null group
+      Row(6L, "a", null),                       // null value
+      Row(7L, "b", Double.PositiveInfinity),    // +inf value
+      Row(8L, "b", 2.0)), schema)
+    val out = Ranking.rankByGroup(df, "g", "v")
+      .select($"id", $"__rk", $"__n")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 3L), (2L, 1L, 3L), (3L, 2L, 3L), // ties are peers, n=3 clean
+      (4L, -1L, -1L), (5L, -1L, -1L), (6L, -1L, -1L), (7L, -1L, -1L),
+      (8L, 1L, 1L)))                            // b's only clean row
+  }
+
+  test("all-dirty input yields null rank columns, no failure") {
     val bad = Seq((1L, "a", Double.NaN)).toDF("id", "g", "v")
-    intercept[IllegalArgumentException](Ranking.rankByGroup(bad, "g", "v"))
-    val badG = spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null, 0.5)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
-    intercept[IllegalArgumentException](Ranking.rankByGroup(badG, "g", "v"))
+    val out = Ranking.rankByGroup(bad, "g", "v").select($"__rk", $"__n").head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Physical-encoding portability pin for `events.ts` — the column the
+  * harness has regenerated in DIFFERENT parquet encodings across
+  * rounds, breaking every event-time query each time the reader's
+  * default type changed:
+  *
+  *   - rounds ≤7: TIMESTAMP(NANOS) (unreadable without nanosAsLong,
+  *     then a nanosecond LongType);
+  *   - round 8: tz-less timestamp[us] (isAdjustedToUTC=false → read as
+  *     TIMESTAMP_NTZ by default → `unix_micros(ts)` fails analysis —
+  *     13 queries silently dropped from CORRECTNESS_r08).
+  *
+  * [[Tables.events]] must yield the IDENTICAL session-local
+  * TimestampType relation for every encoding, so the next testdata
+  * regen cannot flip query behavior. Each fixture here is written in
+  * one physical encoding and read back through the real loader.
+  */
+class TimestampEncodingSpec extends SparkSpec {
+
+  /** Reference instants: (event_id, micros-since-epoch) via the loader
+    * on real harness data — whatever encoding it currently ships in.
+    */
+  private lazy val ref: Map[Long, Long] =
+    Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val base = Tables.events(spark, "/root/testdata/sf0.001")
+    .limit(200).select(col("event_id"), col("ts"))
+
+  private def roundTrip(dir: String): Map[Long, Long] = {
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == TimestampType,
+      s"Tables.events must normalize to TimestampType, got " +
+        got.schema("ts").dataType)
+    got.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("tz-adjusted micros (TIMESTAMP LTZ) round-trips unchanged") {
+    val dir = tmpDir("enc-ltz")
+    base.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(roundTrip(dir) == ref)
+  }
+
+  test("tz-less micros (round-8 encoding) reads as the same instants") {
+    val dir = tmpDir("enc-ntz")
+    // cast LTZ→NTZ under the pinned UTC session tz keeps the wall
+    // fields = the UTC instant; parquet then stores
+    // isAdjustedToUTC=false micros, byte-identical to the harness file
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(roundTrip(dir) == ref)
+  }
+
+  test("tz-less micros read as the same instants even when the session " +
+       "infers TIMESTAMP_NTZ (the Tables.events cast branch)") {
+    val dir = tmpDir("enc-ntz-infer")
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      // the raw read really is NTZ — the branch, not the conf, fixes it
+      assert(spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType.typeName == "timestamp_ntz")
+      assert(roundTrip(dir) == ref)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("nanosecond longs (pre-round-8 nanosAsLong arrival) read as the " +
+       "same instants (the Tables.events div-1000 branch)") {
+    val dir = tmpDir("enc-nanos")
+    // what spark.sql.legacy.parquet.nanosAsLong makes of TIMESTAMP(NANOS):
+    // the column arrives as a plain nanosecond LongType
+    base.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(roundTrip(dir) == ref)
+  }
+}
