@@ -1045,6 +1045,50 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
+  /** Span-level decontamination — the ACTION on [[contamination]]:
+    * every corpus span all of whose `gramLen`-token windows occur in
+    * the benchmark is REMOVED from the document. This is the redaction
+    * posture (cut the leaked passage, keep the page);
+    * [[contamination]]'s doc-level score + drop threshold is the blunt
+    * alternative that throws away a whole crawl page for one quoted
+    * benchmark item. Detection runs on the lowercased token stream
+    * like every span operator here; removal indexes the ORIGINAL-case
+    * tokens (whitespace tokenization is case-stable, so positions
+    * transfer). Benchmark docs fed back through the scrub redact to
+    * empty — the ground-truth check.
+    *
+    * Scale shape: the benchmark reduces to its DISTINCT 8-byte
+    * window-hash relation — the persistable index a production
+    * pipeline builds once per benchmark release and broadcasts; the
+    * corpus side is map-side window hashing + one semi dimension join
+    * + the per-doc islands window. [[repeatedSpans]] cost exactly: two
+    * bounded shuffles + one keyed window, corpus text never shuffled,
+    * no all-pairs anywhere.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text)
+    */
+  def scrubContaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchIdCol: String,
+                             benchTextCol: String, gramLen: Int,
+                             minSpanTokens: Long = 8L): DataFrame = {
+    val benchIndex = tokenGrams(bench, benchIdCol, benchTextCol, gramLen)
+      .select(col("gh")).distinct()
+    val cg = tokenGrams(corpus, idCol, textCol, gramLen)
+    val spans = islandSpans(cg.join(benchIndex, Seq("gh"), "left_semi"), gramLen)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    corpus.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept", keptTokens)
+      .select(col("doc_id"),
+        size(col("__t")).cast("bigint").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("bigint").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540 — public literature): spherical

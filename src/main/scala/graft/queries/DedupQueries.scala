@@ -879,6 +879,63 @@ object DedupQueries {
       WHERE len(tk.t) > 0
       ORDER BY doc_id"""))
 
+  /** Span-level decontamination ACTION on the q_decontaminate setup
+    * (benchmark = docs with doc_id % 50 = 0): every corpus span whose
+    * 8-token windows all occur in the benchmark is cut from the
+    * document — redact the leaked passage, keep the page. Benchmark
+    * docs redact themselves to empty (clean_text = ''), the built-in
+    * ground truth; untouched docs come back verbatim. The oracle
+    * rebuilds the identical cleaned text from raw gram strings with an
+    * anti-semi join against the span ranges (the q_scrub_spans
+    * rendition with the repeated-gram set swapped for the benchmark
+    * gram set).
+    */
+  val qDecontaminateScrub = Q(
+    "q_decontaminate_scrub",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.scrubContaminatedSpans(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          gramLen = 8, minSpanTokens = 8L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text,'\s+'), w -> len(w)>0) AS t,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS tl
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(tl[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks WHERE len(tl) >= 8)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      hit AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM hit),
+      spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        FROM isl GROUP BY doc_id, grp
+        HAVING max(pos) - min(pos) + 8 >= 8),
+      tok AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS w
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) > 0)),
+      keep AS (
+        SELECT k.doc_id, k.pos, k.w FROM tok k
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = k.doc_id
+                            AND k.pos BETWEEN s.span_start AND s.span_end)),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(w, ' ' ORDER BY pos) AS clean_text
+             FROM keep GROUP BY 1)
+      SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             CAST(len(tk.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(ka.clean_text, '') AS clean_text
+      FROM toks tk LEFT JOIN ka USING (doc_id)
+      WHERE len(tk.t) > 0
+      ORDER BY doc_id"""))
+
   /** Edit-distance near-match pairs for the probe subset — the
     * character-level rendition of q_jaccard_pairs (entity resolution,
     * OCR noise, small in-place edits that token shingles can miss).
@@ -1009,5 +1066,6 @@ object DedupQueries {
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
-    qRepeatedSpans, qContainmentPairs, qScrubSpans, qRepeatedSpansCross)
+    qRepeatedSpans, qContainmentPairs, qScrubSpans, qDecontaminateScrub,
+    qRepeatedSpansCross)
 }

@@ -112,6 +112,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3L) == 0.25) // 1 of its 4 shingles is benchmark material
   }
 
+  test("scrubContaminatedSpans: leaked passage redacted in place, clean doc " +
+       "verbatim, benchmark doc empties itself, case preserved") {
+    val benchText = "q one q two q three q four q five q six q seven q eight"
+    val corpus = Seq(
+      (1L, benchText),                                        // the benchmark doc
+      (2L, s"Intro words here THEN $benchText then a closing tail remains"),
+      (3L, "totally unrelated document with enough words to stay whole")
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 1L)
+    val got = Dedup.scrubContaminatedSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", gramLen = 8, minSpanTokens = 8L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((16L, 16L, "")))            // self-redacts to empty
+    // doc 2: the 16 leaked tokens cut, original-case surroundings kept
+    assert(got(2L) ==
+      ((25L, 16L, "Intro words here THEN then a closing tail remains")))
+    assert(got(3L)._2 == 0L && got(3L)._3 ==
+      "totally unrelated document with enough words to stay whole")
+  }
+
   test("dedupClusters: chain and star components converge to min-id labels, singletons stay") {
     val vertices = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq(
