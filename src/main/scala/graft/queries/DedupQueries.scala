@@ -934,7 +934,8 @@ object DedupQueries {
              coalesce(ka.clean_text, '') AS clean_text
       FROM toks tk LEFT JOIN ka USING (doc_id)
       WHERE len(tk.t) > 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   /** Edit-distance near-match pairs for the probe subset — the
     * character-level rendition of q_jaccard_pairs (entity resolution,

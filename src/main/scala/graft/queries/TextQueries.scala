@@ -131,10 +131,14 @@ object TextQueries {
     "q_corpus_curate",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // collectThreshold matches the global kthSmallest default: one
+      // state here, so the worst single collect is 65536 (value, count)
+      // rows — same driver discipline, one narrowing round fewer
       val b = graft.ops.Selection.kthSmallestByGroupMulti(
         docs.select(tokenCount(col("text")).cast("double").as("nt"))
           .withColumn("__g", lit("all")),
-        "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10))
+        "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10),
+        collectThreshold = 65536L)
       // empty/all-null corpus → no bounds → empty-set filter (±∞ band)
       val lo = b.getOrElse(("all", 0), Double.PositiveInfinity)
       val hi = b.getOrElse(("all", 1), Double.NegativeInfinity)
