@@ -400,7 +400,41 @@ object CurationQueries {
       FROM c ORDER BY doc_id"""),
     headline = true)
 
+  /** Length-bucketed inference batching manifest — the serving-side
+    * complement of q_pack_sequences: each document joins a (16-token
+    * padding band, ≤ 8-doc batch) with its padding waste reported,
+    * the assignment an embedding/scoring pass over the corpus uses to
+    * avoid paying the longest document's padding in every batch. The
+    * within-band ordinal is [[graft.ops.Ranking.rankByGroup]]'s band
+    * decomposition — corpora are length-skewed, so a flat per-band
+    * row_number is a single-task sort of the dominant band at scale;
+    * the oracle computes the identical manifest with the flat window.
+    */
+  val qInferBatches = Q(
+    "q_infer_batches",
+    (s, d) => Curation.batchManifest(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", padQuantum = 16L, maxBatchRows = 8L)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\s+'), w -> len(w)>0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      f AS (SELECT doc_id, n_tokens, (n_tokens + 15) // 16 AS len_band
+            FROM m WHERE n_tokens > 0),
+      r AS (SELECT doc_id, n_tokens, len_band,
+                   row_number() OVER (PARTITION BY len_band ORDER BY doc_id) AS rn
+            FROM f)
+      SELECT doc_id, n_tokens, CAST(len_band AS BIGINT) AS len_band,
+             CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+             CAST(len_band * 16 AS BIGINT) AS padded_len,
+             CAST(len_band * 16 - n_tokens AS BIGINT) AS waste
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
-    qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences)
+    qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
+    qInferBatches)
 }

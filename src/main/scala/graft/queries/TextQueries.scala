@@ -643,6 +643,88 @@ object TextQueries {
              ${graft.functions.DetMath.ratio6Sql("c12", "c1")} AS p
       FROM r WHERE rk <= 3 ORDER BY w1, rank"""))
 
+  /** Per-document LM fluency under the corpus bigram model — the
+    * CCNet-style posture (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC 2020 —
+    * public literature) of scoring each document by how well a
+    * corpus-fit n-gram LM predicts it, then filtering/re-weighting on
+    * the score. Two per-doc signals:
+    *
+    *   `lm_fluency`   — mean conditional bigram likelihood: each doc
+    *     bigram occurrence contributes p(w2|w1) = c12/c1 as the exact
+    *     6-dp integer-micro rational ([[graft.functions.DetMath]] —
+    *     NOT a log-prob sum: ln() is not correctly-rounded-portable
+    *     across engines, so perplexity proper cannot hash-match; the
+    *     mean-likelihood rendition ranks documents for the same
+    *     filtering decision with every intermediate an exact integer).
+    *   `novelty_rate` — fraction of the doc's bigram occurrences whose
+    *     corpus count is 1 (hapax transitions: high = neologisms/noise
+    *     /OCR junk, 0 = fully templated text).
+    *
+    * Plan shape: the LM fit is the q_bigram_lm counting core (one
+    * keyed shuffle; context totals REDUCE from bigram counts, no
+    * second corpus pass); scoring re-derives doc bigrams map-side
+    * (recompute beats caching a token stream at corpus scale) and
+    * joins the (w1, w2)-keyed LM dimension — Heaps-law bounded, the
+    * only second exchange — then one per-doc count/sum aggregation.
+    * Micro-sums stay exact: Σ p_micro ≤ n_bigrams·10⁶ keeps every
+    * ratio6 intermediate under 2^53 for docs to ~4e9 bigrams.
+    */
+  val qLmDocScore = Q(
+    "q_lm_doc_score",
+    (s, d) => {
+      def docBigrams = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val lm = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      // p(w2|w1) in integer micros: the ratio6 numerator kept as a LONG
+      // so per-doc sums stay exact integers
+      val pm = lm.join(cx, "w1").select(col("w1"), col("w2"),
+        floor((lit(2.0) * col("c12").cast("double") * lit(1000000.0)
+          + col("c1").cast("double")) / (lit(2.0) * col("c1").cast("double")))
+          .cast("long").as("p_micro"),
+        (col("c12") === 1L).as("hapax"))
+      docBigrams.join(pm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_micro")).as("__sp"),
+          sum(when(col("hapax"), 1L).otherwise(0L)).as("__nh"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.functions.DetMath.ratio6(col("__sp"),
+            col("n_bigrams") * lit(1000000L)).as("lm_fluency"),
+          graft.functions.DetMath.ratio6(col("__nh"),
+            col("n_bigrams")).as("novelty_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id, t[CAST(i AS INTEGER)] AS w1, t[CAST(i + 1 AS INTEGER)] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      cx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+      p AS (SELECT c.w1, c.w2,
+                   CAST(floor((2.0 * c12 * 1000000 + c1) / (2.0 * c1)) AS BIGINT) AS p_micro,
+                   c12 = 1 AS hapax
+            FROM c JOIN cx USING (w1)),
+      a AS (
+        SELECT bi.doc_id, count(*) AS n_bigrams,
+               CAST(sum(p_micro) AS BIGINT) AS sp,
+               CAST(sum(CASE WHEN hapax THEN 1 ELSE 0 END) AS BIGINT) AS nh
+        FROM bi JOIN p USING (w1, w2) GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ${graft.functions.DetMath.ratio6Sql("sp", "n_bigrams * 1000000")} AS lm_fluency,
+             ${graft.functions.DetMath.ratio6Sql("nh", "n_bigrams")} AS novelty_rate
+      FROM a ORDER BY doc_id"""))
+
   /** Tokenizer vocabulary coverage: per document, the fraction of token
     * OCCURRENCES falling outside the corpus's top-256 vocabulary — the
     * out-of-vocabulary rate a tokenizer-budget decision needs (a high
@@ -899,5 +981,5 @@ object TextQueries {
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
-    qHeavyHittersBySource, qWeightedSample)
+    qHeavyHittersBySource, qWeightedSample, qLmDocScore)
 }

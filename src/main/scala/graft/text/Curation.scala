@@ -201,6 +201,46 @@ object Curation {
     * `idCol` must be a unique nonnegative integral column (the pack
     * order); `tokenCol` integral. Both preconditions are enforced.
     */
+  /** Length-bucketed inference batching manifest — the serving-side
+    * twin of [[packSequences]] (which concatenates for training;
+    * inference PADS, so batch members should share a length band or
+    * the short ones pay the longest one's padding). Each document with
+    * tokens > 0 gets:
+    *
+    *   `len_band`   — ⌈tokens / padQuantum⌉, the padding bucket
+    *   `padded_len` — len_band · padQuantum, the batch's padded width
+    *   `batch_idx`  — 0-based batch within the band: documents are
+    *                  ordered by `idCol` (deterministic across runs and
+    *                  partitionings) and grouped `maxBatchRows` at a
+    *                  time
+    *   `waste`      — padded_len − tokens, the padding FLOPs the
+    *                  manifest exists to minimize
+    *
+    * Scale shape: the within-band ordinal is NOT a
+    * `Window.partitionBy(len_band)` row_number — real corpora are
+    * length-skewed, so one band holds a large fraction of the docs and
+    * that window is a single-task sort. It is
+    * [[graft.ops.Ranking.rankByGroup]]'s band decomposition (group =
+    * len_band, value = id): a bands×1024 count histogram to the
+    * driver, offsets broadcast back, ordinal under a (band, id-band)
+    * partitioned window. Ids are unique, so rank = row_number.
+    */
+  def batchManifest(df: DataFrame, idCol: String, tokenCol: String,
+                    padQuantum: Long = 16L, maxBatchRows: Long = 8L): DataFrame = {
+    require(padQuantum > 0, s"batchManifest: padQuantum must be positive: $padQuantum")
+    require(maxBatchRows > 0, s"batchManifest: maxBatchRows must be positive: $maxBatchRows")
+    val base = df
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0 && col(idCol).isNotNull)
+      .withColumn("__lb", expr(s"($tokenCol + ${padQuantum - 1}) DIV $padQuantum"))
+    graft.ops.Ranking.rankByGroup(base, "__lb", idCol)
+      .select(col(idCol),
+        col(tokenCol).cast(LongType).as("n_tokens"),
+        col("__lb").as("len_band"),
+        expr(s"(__rk - 1) DIV $maxBatchRows").as("batch_idx"),
+        (col("__lb") * padQuantum).as("padded_len"),
+        (col("__lb") * padQuantum - col(tokenCol)).as("waste"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     seqLen: Long, bucketWidth: Long = 8192L): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive: $seqLen")

@@ -175,6 +175,34 @@ class CurationSpec extends SparkSpec {
     assert(sel(60L) == Seq(1L, 2L, 3L), "tie broken by id: 3 before 4")
   }
 
+  test("batchManifest: skewed band batches in id order, quantum padding, " +
+       "zero/NULL-token docs drop") {
+    // 17 docs in the dominant 1-16-token band (skew), 2 in band 2, plus
+    // a zero-token and a NULL-token doc that must not appear
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows = ((1L to 17L).map(i => Row(i, 16 - (i % 3).toInt)) ++
+      Seq(Row(18L, 20), Row(19L, 31), Row(20L, 0), Row(21L, null))).asJava
+    val m = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("tok", IntegerType))))
+    val got = Curation.batchManifest(m, "id", "tok",
+        padQuantum = 16L, maxBatchRows = 8L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 19, "zero/NULL-token docs dropped")
+    // band 1: ids 1..17 in id order -> batches of 8: ids 1-8, 9-16, 17
+    assert((1L to 8L).forall(i => got(i)._2 == 0L))
+    assert((9L to 16L).forall(i => got(i)._2 == 1L))
+    assert(got(17L)._2 == 2L)
+    // padding: tok=14 (id 2) pads to 16, waste 2; tok=16 (id 3) waste 0
+    assert(got(2L) == ((1L, 0L, 16L, 2L)))
+    assert(got(3L) == ((1L, 0L, 16L, 0L)))
+    // band 2 holds both longer docs in one batch
+    assert(got(18L) == ((2L, 0L, 32L, 12L)))
+    assert(got(19L) == ((2L, 0L, 32L, 1L)))
+  }
+
   test("packSequences: spans match a sequential pack; zero/NULL-token docs drop") {
     // ids straddle band edges (width 3) and include a doc that itself
     // spans two sequences (id 5: stream [7,15) over seqLen 8 → 0..1)
