@@ -605,6 +605,53 @@ object EventsStreaming {
     } finally bg.unpersist()
   }
 
+  /** Streaming decontamination: scrub benchmark-overlapping spans from
+    * every arriving document BEFORE it lands in the corpus sink —
+    * [[graft.dedup.Dedup.scrubContaminatedSpans]] made continuous, so
+    * benchmark leakage never enters the training corpus at all instead
+    * of being hunted down later. `benchGrams` is the STATIC distinct
+    * gram-hash index of the benchmark release
+    * (`Dedup.tokenGrams(bench, ...).select("gh").distinct` — build once,
+    * callers may cache); per batch the work is batch window hashes +
+    * one semi dimension join + the per-doc islands window. Unlike
+    * [[boilerplateScrubSink]] there is nothing to learn and no carried
+    * state, so no versioned index: replay safety is the id-level
+    * anti-join against the sink alone (a replayed batch's docs are all
+    * already appended, so the delta is empty).
+    *
+    * @return nothing; (id, clean_text, n_removed) appended to `out`
+    */
+  def decontaminateScrubSink(benchGrams: DataFrame, idCol: String,
+                             textCol: String, out: String, gramLen: Int = 8,
+                             minSpanTokens: Long = 8L)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.dropDuplicates(idCol)
+    val bg = graft.dedup.Dedup.tokenGrams(b, idCol, textCol, gramLen)
+    val spans = graft.dedup.Dedup.islandSpans(
+        bg.join(benchGrams.select(col("gh")), Seq("gh"), "left_semi"), gramLen)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val cleaned = b
+      .select(col(idCol), graft.text.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .join(spans.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", graft.dedup.Dedup.keptTokens).as("clean_text"),
+        (size(col("__t")) - size(graft.dedup.Dedup.keptTokens)).cast("bigint")
+          .as("n_removed"))
+    // persisted: the emptiness probe and the write share one execution
+    val delta = (
+      if (graft.ops.Fs.exists(out))
+        cleaned.join(spark.read.parquet(out).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      else cleaned).persist()
+    try {
+      if (!delta.isEmpty) delta.write.mode("append").parquet(out)
+    } finally delta.unpersist()
+  }
+
   def nearDupScreenSink(staticCorpus: DataFrame, idCol: String, textCol: String,
                         out: String, tau: Double = 0.6)
                        (batch: DataFrame, batchId: Long): Unit = {

@@ -499,6 +499,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows().size == 4)
   }
 
+  test("decontaminateScrubSink: leaked benchmark span cut at ingest, clean " +
+       "docs pass, replay appends zero") {
+    val out = tmpDir("decon-out") + "/docs"
+    val benchText = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val benchGrams = graft.dedup.Dedup
+      .tokenGrams(bench, "doc_id", "text", 4).select($"gh").distinct()
+    val sink = EventsStreaming.decontaminateScrubSink(
+      benchGrams, "doc_id", "text", out, gramLen = 4, minSpanTokens = 4L) _
+    val b0 = Seq(
+      (1L, s"u1 u2 $benchText u3 u4"),          // leak mid-document
+      (2L, "w1 w2 w3 w4 w5 w6")                 // clean
+    ).toDF("doc_id", "text")
+    sink(b0, 0L)
+    def rows(): Map[Long, (String, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(rows() == Map(
+      1L -> (("u1 u2 u3 u4", 10L)),
+      2L -> (("w1 w2 w3 w4 w5 w6", 0L))))
+    // next batch: another leak, plus replay of batch 0 — appends only
+    // the new doc (id-level anti-join is the replay guard)
+    val b1 = Seq((10L, s"$benchText tail1 tail2")).toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b0, 0L)
+    assert(rows().size == 3 && rows()(10L) == (("tail1 tail2", 10L)))
+  }
+
   test("foreachBatch idempotent sink: replaying the same input appends zero") {
     val in = tmpDir("stream-in3")
     val out = tmpDir("stream-out") + "/events"
