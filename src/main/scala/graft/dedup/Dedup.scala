@@ -1067,14 +1067,29 @@ object Dedup {
     *
     * @return (doc_id, n_tokens, n_removed, clean_text)
     */
+  /** The REPORT behind [[scrubContaminatedSpans]]: every maximal corpus
+    * span all of whose `gramLen`-token windows occur in the benchmark —
+    * (doc_id, span_start, span_end, span_tokens), 0-based inclusive
+    * token positions. The audit artifact a decontamination decision
+    * reads (which benchmark passages leak, where, how long) before
+    * committing to the scrub; same plan shape as [[repeatedSpans]] with
+    * the repeated-gram set swapped for the benchmark gram index.
+    */
+  def contaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchIdCol: String,
+                        benchTextCol: String, gramLen: Int): DataFrame = {
+    val benchIndex = tokenGrams(bench, benchIdCol, benchTextCol, gramLen)
+      .select(col("gh")).distinct()
+    islandSpans(tokenGrams(corpus, idCol, textCol, gramLen)
+      .join(benchIndex, Seq("gh"), "left_semi"), gramLen)
+  }
+
   def scrubContaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
                              bench: DataFrame, benchIdCol: String,
                              benchTextCol: String, gramLen: Int,
                              minSpanTokens: Long = 8L): DataFrame = {
-    val benchIndex = tokenGrams(bench, benchIdCol, benchTextCol, gramLen)
-      .select(col("gh")).distinct()
-    val cg = tokenGrams(corpus, idCol, textCol, gramLen)
-    val spans = islandSpans(cg.join(benchIndex, Seq("gh"), "left_semi"), gramLen)
+    val spans = contaminatedSpans(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, gramLen)
       .filter(col("span_tokens") >= minSpanTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))

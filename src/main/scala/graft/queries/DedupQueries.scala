@@ -879,6 +879,40 @@ object DedupQueries {
       WHERE len(tk.t) > 0
       ORDER BY doc_id"""))
 
+  /** The contamination-span REPORT on the q_decontaminate setup
+    * (benchmark = docs with doc_id % 50 = 0): which benchmark passages
+    * leak into which corpus documents, where, and how long — the audit
+    * a decontamination decision reads before scrubbing. Benchmark docs
+    * report themselves as one full-length span (ground truth); the
+    * oracle rebuilds identical spans from raw gram strings.
+    */
+  val qContaminatedSpans = Q(
+    "q_contaminated_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedSpans(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", gramLen = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS tl
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(tl[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 6)) AS i FROM toks WHERE len(tl) >= 8)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      hit AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM hit)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+
   /** Span-level decontamination ACTION on the q_decontaminate setup
     * (benchmark = docs with doc_id % 50 = 0): every corpus span whose
     * 8-token windows all occur in the benchmark is cut from the
@@ -1067,6 +1101,6 @@ object DedupQueries {
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
-    qRepeatedSpans, qContainmentPairs, qScrubSpans, qDecontaminateScrub,
-    qRepeatedSpansCross)
+    qRepeatedSpans, qContainmentPairs, qScrubSpans, qContaminatedSpans,
+    qDecontaminateScrub, qRepeatedSpansCross)
 }
