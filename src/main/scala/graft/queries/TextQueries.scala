@@ -725,6 +725,28 @@ object TextQueries {
              ${graft.functions.DetMath.ratio6Sql("nh", "n_bigrams")} AS novelty_rate
       FROM a ORDER BY doc_id"""))
 
+  /** BPE merge-table learning (10 merges) over the corpus — see
+    * [[graft.text.Bpe.learnMerges]] for the vocab-relation + per-round
+    * aggregation scale shape. The merge loop is inherently iterative
+    * (round k's pair counts depend on the k−1 rewrite), which no
+    * single SQL statement expresses — the registry's one deliberately
+    * oracle-less entry: the driver records the weaker rows-only check,
+    * and `BpeSpec` cross-checks the full merge table against an
+    * independent in-memory reference implementation on the same
+    * corpus (the harness documents table), which is a stronger
+    * equivalence than the row-hash compare it replaces.
+    */
+  val qBpeLearn = Q(
+    "q_bpe_learn",
+    (s, d) => {
+      val merges = graft.text.Bpe.learnMerges(
+        Tables.documents(s, d), "text", nMerges = 10)
+      import s.implicits._
+      merges.toDF("merge_rank", "left", "right", "pair_count")
+        .orderBy(col("merge_rank"))
+    },
+    None)
+
   /** Tokenizer vocabulary coverage: per document, the fraction of token
     * OCCURRENCES falling outside the corpus's top-256 vocabulary — the
     * out-of-vocabulary rate a tokenizer-budget decision needs (a high
@@ -981,5 +1003,5 @@ object TextQueries {
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
-    qHeavyHittersBySource, qWeightedSample, qLmDocScore)
+    qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn)
 }
