@@ -55,5 +55,19 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** embeddings.embedding is Array[Float] by engine contract; a
+    * regenerated harness file could plausibly ship float64 elements
+    * (the same physical-encoding-drift class that broke events.ts in
+    * round 8). Normalize on read so every similarity operator sees one
+    * element type regardless of the writer.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 }

@@ -82,4 +82,23 @@ class TimestampEncodingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(roundTrip(dir) == ref)
   }
+
+  test("embeddings: float64 elements normalize to the Array[Float] contract") {
+    // same physical-drift class as events.ts: a regenerated harness
+    // file could ship double elements; every similarity operator must
+    // see the identical float32 relation either way
+    val dir = tmpDir("enc-emb")
+    val orig = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    orig.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.embeddings(spark, dir)
+    assert(got.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    val a = orig.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = got.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b) // float→double→float is exact, so values round-trip
+  }
 }
