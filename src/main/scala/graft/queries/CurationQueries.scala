@@ -283,6 +283,36 @@ object CurationQueries {
              row_number() OVER (ORDER BY $hashSql % 1000000, doc_id) AS position
       FROM documents ORDER BY position"""))
 
+  /** Per-epoch training orders (epochs 0 and 1): the q_shuffle_order
+    * permutation under [[graft.text.Curation.epochHash]]'s epoch salt —
+    * every epoch a different deterministic shuffle, every rerun of an
+    * epoch identical. Same scalable shape per epoch (range-sort +
+    * zipWithIndex, no global window); the epochs are independent
+    * sorts, so a loader materializes only the epoch it needs.
+    */
+  val qEpochOrders = Q(
+    "q_epoch_orders",
+    (s, d) => {
+      val epochs = (0 until 2).map { e =>
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            Curation.epochHash(col("doc_id"), e, 1000000L).as("h"))
+        KeyOps.scalableSurrogateKey(hashed, "position", "h", "doc_id")
+          .select(col("doc_id"), lit(e).as("epoch"), col("position"))
+      }
+      epochs.reduce(_.unionByName(_)).orderBy(col("epoch"), col("position"))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT doc_id, 0 AS epoch,
+               row_number() OVER (ORDER BY ((doc_id % 999999937) * 2654435761) % 1000000, doc_id) AS position
+        FROM documents),
+      e1 AS (
+        SELECT doc_id, 1 AS epoch,
+               row_number() OVER (ORDER BY (((doc_id + 1000003) % 999999937) * 2654435761) % 1000000, doc_id) AS position
+        FROM documents)
+      SELECT * FROM e0 UNION ALL SELECT * FROM e1 ORDER BY epoch, position"""))
+
   /** Shard manifest over the deterministic training order: 64-row
     * shards, each row the shard's row count and inclusive position
     * range — the index a sequential training reader uses to address
@@ -436,5 +466,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
-    qInferBatches)
+    qInferBatches, qEpochOrders)
 }

@@ -34,6 +34,19 @@ object Curation {
   def bucketHash(id: Column, buckets: Long): Column =
     pmod(pmod(id, lit(PreMod)) * lit(Knuth), lit(buckets))
 
+  /** Epoch-salted [[bucketHash]]: a DIFFERENT reproducible scramble per
+    * training epoch — the loader property that every epoch reshuffles
+    * the corpus while any rerun of an epoch replays its order exactly.
+    * The salt shifts the id by a prime multiple of the epoch before
+    * the Knuth scramble; ids stay nonnegative, so the SQL mirror's `%`
+    * agrees.
+    */
+  def epochHash(id: Column, epoch: Int, buckets: Long): Column = {
+    require(epoch >= 0, s"epochHash: epoch must be nonnegative: $epoch")
+    bucketHash(id + lit(EpochSalt * epoch), buckets)
+  }
+  private[text] val EpochSalt = 1000003L // prime
+
   /** Train/val/test assignment from per-mille cut points:
     * bucket < trainPerMille → "train", < trainPerMille+valPerMille →
     * "val", else "test". Membership is a pure function of the id, so

@@ -175,6 +175,21 @@ class CurationSpec extends SparkSpec {
     assert(sel(60L) == Seq(1L, 2L, 3L), "tie broken by id: 3 before 4")
   }
 
+  test("epoch orders: each epoch a dense permutation, epochs differ, reruns identical") {
+    def order(epoch: Int): Seq[Long] = {
+      val hashed = docs.select(col("doc_id"),
+        Curation.epochHash(col("doc_id"), epoch, 1000000L).as("h"))
+      graft.ops.KeyOps.scalableSurrogateKey(hashed, "position", "h", "doc_id")
+        .orderBy(col("position")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val e0 = order(0); val e1 = order(1)
+    assert(e0.sorted == (0L until 2000L) && e1.sorted == (0L until 2000L),
+      "each epoch must be a permutation of the corpus")
+    assert(e0 != e1, "different epochs must shuffle differently")
+    assert(order(0) == e0, "rerunning an epoch must replay its order")
+  }
+
   test("batchManifest: skewed band batches in id order, quantum padding, " +
        "zero/NULL-token docs drop") {
     // 17 docs in the dominant 1-16-token band (skew), 2 in band 2, plus
