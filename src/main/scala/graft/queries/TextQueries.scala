@@ -725,6 +725,86 @@ object TextQueries {
              ${graft.functions.DetMath.ratio6Sql("nh", "n_bigrams")} AS novelty_rate
       FROM a ORDER BY doc_id"""))
 
+  /** Gopher-style quality-rule filtering (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1 MassiveText rules — public literature),
+    * adapted to the columns this corpus carries: per document the rule
+    * diagnostics AND each rule's boolean outcome, so a curation run can
+    * report WHY a document fell, not just that it fell. Rules:
+    *
+    *   r_len        — 4 ≤ n_tokens ≤ 100000
+    *   r_mean_len   — mean token length in [1, 12] (6-dp rational)
+    *   r_alpha      — ≥ 60% of tokens contain an alphabetic character
+    *   r_symbol     — punctuation ≤ 25% of characters
+    *   r_stop       — ≥ 2 stopword hits
+    *   keep         — the conjunction
+    *
+    * Pure map work in ONE tokenize pass (the docMetrics discipline);
+    * every ratio is an exact integer-micro rational, so the oracle
+    * hash-matches.
+    */
+  val qGopherRules = Q(
+    "q_gopher_rules",
+    (s, d) => {
+      import graft.functions.DetMath.ratio6
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          punctCount(col("text")).cast("long").as("n_punct"),
+          stopwordHits(col("text"), "en").cast("long").as("stop_hits"),
+          tokens(lower(col("text"))).as("t"))
+        .select(col("doc_id"), col("n_chars"), col("n_punct"), col("stop_hits"),
+          size(col("t")).cast("long").as("n_tokens"),
+          expr("aggregate(t, 0L, (a, w) -> a + length(w))").as("tok_chars"),
+          size(expr("filter(t, w -> w rlike '[a-z]')")).cast("long").as("n_alpha"))
+        .filter(col("n_tokens") > 0)
+      m.select(col("doc_id"), col("n_tokens"),
+          ratio6(col("tok_chars"), col("n_tokens")).as("mean_tok_len"),
+          ratio6(col("n_alpha"), col("n_tokens")).as("alpha_frac"),
+          ratio6(col("n_punct"), greatest(col("n_chars"), lit(1L))).as("symbol_ratio"),
+          col("stop_hits"))
+        .withColumn("r_len", col("n_tokens") >= 4 && col("n_tokens") <= 100000)
+        .withColumn("r_mean_len",
+          col("mean_tok_len") >= 1.0 && col("mean_tok_len") <= 12.0)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.6)
+        .withColumn("r_symbol", col("symbol_ratio") <= 0.25)
+        .withColumn("r_stop", col("stop_hits") >= 2)
+        .withColumn("keep", col("r_len") && col("r_mean_len") && col("r_alpha")
+          && col("r_symbol") && col("r_stop"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS BIGINT) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS BIGINT) AS stop_hits,
+               list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      f AS (
+        SELECT doc_id, n_chars, n_punct, stop_hits,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT) AS tok_chars,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+        FROM m WHERE len(t) > 0),
+      r AS (
+        SELECT doc_id, n_tokens,
+               ${graft.functions.DetMath.ratio6Sql("tok_chars", "n_tokens")} AS mean_tok_len,
+               ${graft.functions.DetMath.ratio6Sql("n_alpha", "n_tokens")} AS alpha_frac,
+               ${graft.functions.DetMath.ratio6Sql("n_punct", "greatest(n_chars, 1)")} AS symbol_ratio,
+               stop_hits
+        FROM f)
+      SELECT doc_id, n_tokens, mean_tok_len, alpha_frac, symbol_ratio, stop_hits,
+             n_tokens >= 4 AND n_tokens <= 100000 AS r_len,
+             mean_tok_len >= 1.0 AND mean_tok_len <= 12.0 AS r_mean_len,
+             alpha_frac >= 0.6 AS r_alpha,
+             symbol_ratio <= 0.25 AS r_symbol,
+             stop_hits >= 2 AS r_stop,
+             (n_tokens >= 4 AND n_tokens <= 100000)
+               AND (mean_tok_len >= 1.0 AND mean_tok_len <= 12.0)
+               AND alpha_frac >= 0.6 AND symbol_ratio <= 0.25
+               AND stop_hits >= 2 AS keep
+      FROM r ORDER BY doc_id"""))
+
   /** BPE merge-table learning (10 merges) over the corpus — see
     * [[graft.text.Bpe.learnMerges]] for the vocab-relation + per-round
     * aggregation scale shape. The merge loop is inherently iterative
@@ -1003,5 +1083,6 @@ object TextQueries {
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
-    qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn)
+    qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn,
+    qGopherRules)
 }
