@@ -723,7 +723,8 @@ object TextQueries {
       SELECT doc_id, n_bigrams,
              ${graft.functions.DetMath.ratio6Sql("sp", "n_bigrams * 1000000")} AS lm_fluency,
              ${graft.functions.DetMath.ratio6Sql("nh", "n_bigrams")} AS novelty_rate
-      FROM a ORDER BY doc_id"""))
+      FROM a ORDER BY doc_id"""),
+    headline = true)
 
   /** Gopher-style quality-rule filtering (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
