@@ -258,7 +258,53 @@ object SimilarityQueries {
         FROM scored)
       WHERE rn <= 10 ORDER BY probe_id, rank"""))
 
+  /** Nearest-centroid classification of every embedding against the
+    * per-label centroids — see [[Similarity.classifyByCentroid]] for
+    * the exact-BIGINT determinism contract and the
+    * model-as-literal/no-shuffle scale shape. The oracle replays the
+    * identical integer pipeline in DuckDB: decimal-exact centroid
+    * micros (the q_label_centroids CTE), micro-quantized points, BIGINT
+    * squared distances, argmin via the (d2, label) ordering.
+    */
+  val qCentroidClassify = Q(
+    "q_centroid_classify",
+    (s, d) => Similarity
+      .classifyByCentroid(Tables.embeddings(s, d), "vec_id", "label", "embedding")
+      .orderBy(col("vec_id")),
+    Some("""
+      WITH e AS (
+        SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings),
+      a AS (
+        SELECT label, dim, count(*) AS n,
+               CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS si
+        FROM e GROUP BY label, dim),
+      c AS (
+        SELECT label AS clabel, dim,
+               CAST((CASE WHEN si < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(si) + n) // (2 * n)) AS BIGINT) AS cm
+        FROM a),
+      p AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+        FROM embeddings),
+      dist AS (
+        SELECT p.vec_id, p.label, c.clabel,
+               CAST(sum((p.xm - c.cm) * (p.xm - c.cm)) AS BIGINT) AS d2
+        FROM p JOIN c USING (dim) GROUP BY 1, 2, 3),
+      r AS (
+        SELECT vec_id, label, clabel, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM dist)
+      SELECT vec_id, label, CAST(clabel AS INTEGER) AS pred_label, d2,
+             label = clabel AS correct
+      FROM r WHERE rn = 1 ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
-    qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives)
+    qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives,
+    qCentroidClassify)
 }

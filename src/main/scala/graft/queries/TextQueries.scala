@@ -1080,10 +1080,89 @@ object TextQueries {
       WHERE CAST(((doc_id % 999999937) * 2654435761) % 1000000 AS DOUBLE) < q * 1000000.0
       ORDER BY doc_id"""))
 
+  /** Distributed Naive-Bayes-style quality classifier, trained and
+    * applied in one pipeline — the CCNet/fastText distillation move
+    * (Wenzek et al., arXiv:1911.00359): cheap rule labels (length ≥ 40
+    * tokens AND ≥ 2 stopword hits — a Gopher-lite keep) become
+    * class-conditional token weights, which then score every document.
+    * On this synthetic same-vocab corpus the token signal is bounded
+    * (~63% train accuracy, the honest ceiling — tokens are drawn from
+    * one shared vocabulary regardless of label), but the MECHANISM is
+    * the deliverable: weights are Laplace-smoothed occurrence rates
+    * per class, the score is Σ_occurrences (rate₊ − rate₋), and the
+    * whole thing is exact in integer micro units — `div`-rounded
+    * rationals, BIGINT sums, no ln(), no float accumulation order.
+    *
+    * Scale shape: one token-keyed count aggregation (map-side combine)
+    * trains the model; the totals row is a broadcast; scoring is the
+    * qTokenRarity dimension join (vocabulary is Heaps-bounded, hot
+    * tokens fan out linearly) plus one doc-keyed reduce. Nothing
+    * collects to the driver.
+    */
+  val qNbClassifier = Q(
+    "q_nb_classifier",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("t"),
+          stopwordHits(col("text"), "en").cast("long").as("stop_hits"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          (size(col("t")) >= 40 && col("stop_hits") >= 2).as("label"))
+      val tok = base.select(col("doc_id"), col("label"), explode(col("t")).as("w"))
+      val counts = tok.groupBy(col("w")).agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+      val totals = counts.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"),
+        count(lit(1)).as("v"))
+      // round(rate·10⁶) half-up via (2a+d) div 2d — pure BIGINT on both
+      // engines (Spark `div` / DuckDB `//`), no double in sight
+      val weights = counts.crossJoin(broadcast(totals)).select(col("w"),
+        (expr("(2 * (pos + 1) * 1000000 + (tp + v)) div (2 * (tp + v))")
+          - expr("(2 * (neg + 1) * 1000000 + (tn + v)) div (2 * (tn + v))"))
+          .as("w_micros"))
+      tok.join(weights, "w")
+        .groupBy(col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w_micros")).as("s"))
+        .select(col("doc_id"), col("label"), col("n_tok"),
+          col("s").as("score_micros"), (col("s") > 0).as("pred"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t,
+               CAST(${hitsSql(stopwordsSql)} AS BIGINT) AS stop_hits
+        FROM documents),
+      b AS (
+        SELECT doc_id, t, (len(t) >= 40 AND stop_hits >= 2) AS label
+        FROM m WHERE len(t) > 0),
+      tok AS (SELECT doc_id, label, unnest(t) AS w FROM b),
+      c AS (
+        SELECT w,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        FROM tok GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn,
+               count(*) AS v
+        FROM c),
+      wt AS (
+        SELECT w,
+               CAST((2 * (pos + 1) * 1000000 + (tp + v)) // (2 * (tp + v))
+                  - (2 * (neg + 1) * 1000000 + (tn + v)) // (2 * (tn + v))
+                    AS BIGINT) AS w_micros
+        FROM c, tot),
+      sc AS (
+        SELECT tok.doc_id, tok.label, count(*) AS n_tok,
+               CAST(sum(wt.w_micros) AS BIGINT) AS s
+        FROM tok JOIN wt USING (w) GROUP BY 1, 2)
+      SELECT doc_id, label, n_tok, s AS score_micros, s > 0 AS pred
+      FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn,
-    qGopherRules)
+    qGopherRules, qNbClassifier)
 }

@@ -196,6 +196,76 @@ object Similarity {
       .select(col(labelCol), col("dim"), col("n"),
         (col("__q").cast(DoubleType) / lit(1000000.0)).as("centroid"))
 
+  /** Per-label centroid components in exact integer MICRO units —
+    * [[labelCentroidComponents]] stopped one step earlier: (label, dim,
+    * cm) where cm = round(mean·10⁶) computed entirely in exact decimal /
+    * integer arithmetic. The integer rendition exists so downstream
+    * distance math (nearest-centroid classification) can stay in BIGINT,
+    * where cross-engine equality is exact rather than probabilistic.
+    */
+  def labelCentroidMicros(df: DataFrame, labelCol: String,
+                          vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v").cast(DoubleType), 6).cast("decimal(18,6)")).as("__s"))
+      .withColumn("__si", (col("__s") * 1000000).cast("long"))
+      .select(col(labelCol), col("dim"),
+        (expr("(2 * abs(__si) + n) div (2 * n)")
+          * when(col("__s") < 0, -1L).otherwise(1L)).as("cm"))
+
+  /** Nearest-centroid classification: assign every vector to the label
+    * whose centroid is closest in squared L2 over micro-quantized
+    * components — the cheap corpus-labeling / cluster-quality move
+    * (given per-class centroids, which class does each point actually
+    * sit in?).
+    *
+    * Determinism contract: points quantize to integer micros
+    * (round(v·10⁶) — organic doubles never sit on the .5 boundary),
+    * centroids come from [[labelCentroidMicros]]'s exact decimal path,
+    * and d² = Σ(xᵢ−cᵢ)² stays in BIGINT throughout — bit-exact in any
+    * engine, no float accumulation order anywhere. Ties break toward
+    * the lower label via lexicographic struct min.
+    *
+    * Scale shape: the model is labels·dims integers — parameters, not
+    * data — so the fit is ONE narrow (label, dim)-keyed aggregation and
+    * a bounded driver collect (the kmeansFit contract), and scoring is
+    * pure map work against the literal model: no join, no shuffle, no
+    * per-row window.
+    */
+  def classifyByCentroid(df: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val cents: Seq[(Int, Seq[Long])] =
+      labelCentroidMicros(df, labelCol, vecCol)
+        .groupBy(col(labelCol))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("pairs"))
+        .select(col(labelCol).cast(IntegerType),
+          expr("transform(pairs, p -> p.cm)"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    val modelType = "array<struct<lab:int,cm:array<bigint>>>"
+    val model: Column =
+      if (cents.isEmpty) array().cast(modelType)
+      else array(cents.map { case (lab, cm) =>
+        struct(lit(lab).as("lab"), typedlit(cm).as("cm"))
+      }: _*).cast(modelType)
+    df.select(col(idCol), col(labelCol),
+        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("__xm"))
+      .withColumn("__model", model)
+      // per-centroid (d², label) structs; array_min's lexicographic
+      // struct order IS the argmin with the low-label tie-break
+      .withColumn("__best", array_min(expr(
+        """transform(__model, c -> struct(
+             aggregate(zip_with(__xm, c.cm, (a, b) -> (a - b) * (a - b)),
+                       CAST(0 AS BIGINT), (s, x) -> s + x) AS d2,
+             c.lab AS lab))""")))
+      .select(col(idCol), col(labelCol),
+        col("__best.lab").as("pred_label"),
+        col("__best.d2").as("d2"),
+        (col(labelCol) === col("__best.lab")).as("correct"))
+  }
+
   /** Symmetric int8 quantization of a vector column — the standard
     * embedding-compression move (4× smaller than float32, dot products
     * stay sign-correct): struct(scale, q) with
