@@ -987,6 +987,49 @@ object Dedup {
   }
 
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — public literature): hash every word `k`-gram, slide
+    * a window of `w` consecutive gram hashes, and select each window's
+    * minimum — the classic guarantee that any shared run of
+    * `k + w − 1` tokens between two documents yields at least one
+    * shared fingerprint, at ~2/(w+1) the density of full gram hashing.
+    *
+    * Portability: the "hash" is md5 of the gram string — identical hex
+    * in every engine — and the window minimum is the lexicographic
+    * (md5, position) pair, so selection is deterministic across
+    * engines AND across equal-hash ties (repeated grams inside one
+    * window). Output: one row per distinct selected (pos, fp).
+    *
+    * Scale shape: pure map work per document (HOF transforms over the
+    * token array — grams, hashes, window minima all inside one
+    * projection), then a single explode; no shuffle at all until the
+    * caller aggregates fingerprints. Documents shorter than
+    * `k + w − 1` tokens have no complete window and are skipped —
+    * match them by exact/minhash tiers instead.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    docs.select(col(idCol),
+        graft.text.TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= k + w - 1)
+      // the gram-hash array is bound as a LAMBDA VARIABLE (the
+      // int8Quantize discipline): referencing a withColumn alias from
+      // inside the window lambda would re-inline — and re-execute —
+      // the whole md5-per-gram transform at every (window, slot)
+      // reference, turning O(grams) hashing into O(windows·w·grams)
+      .withColumn("__sel", expr(
+        s"""element_at(transform(array(
+              transform(sequence(0, size(__t) - $k),
+                        i -> md5(array_join(slice(__t, i + 1, $k), ' ')))),
+              hs -> array_distinct(transform(sequence(0, size(hs) - $w),
+                s -> array_min(transform(sequence(s, s + ${w - 1}),
+                       j -> struct(element_at(hs, j + 1) AS fp,
+                                   CAST(j AS BIGINT) AS pos)))))), 1)"""))
+      .select(col(idCol), explode(col("__sel")).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+  }
+
   /** Cross-batch [[repeatedSpans]] — the ingest posture: spans of the
     * INCOMING batch whose every `gramLen`-window occurs at least
     * `minCount` times across corpus ∪ batch. The corpus side reduces

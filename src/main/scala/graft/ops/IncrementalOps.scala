@@ -95,4 +95,43 @@ object IncrementalOps {
       .select(keys.map(col) ++ nonKeys.map(c =>
         when(col("__upd").isNotNull, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** CDC-style snapshot diff: classify every key as added / removed /
+    * changed / unchanged between `current` and `snapshot`. The change
+    * test is ONE md5 over the null-sentineled concatenation of the
+    * non-key columns — per-row constant work however wide the table,
+    * the generic change-data-capture shape (compare digests, not N
+    * columns). Output carries the key, `status`, and `old_<c>` /
+    * `new_<c>` for every non-key column.
+    *
+    * Scale shape: a single full-outer equi-join on the key — the one
+    * unavoidable shuffle; with both sides bucketed on the key it plans
+    * co-located. Presence is tracked by literal marker columns, never
+    * by key nullness (a NULL business key must not read as "absent").
+    */
+  def snapshotDiff(current: DataFrame, snapshot: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, lit, md5, when}
+    def sig(df: DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(sig(current) == sig(snapshot),
+      s"snapshotDiff schemas differ: current ${sig(current).mkString(",")} " +
+        s"vs snapshot ${sig(snapshot).mkString(",")}")
+    val nonKeys = current.columns.filterNot(keys.contains).toSeq
+    def digest(df: DataFrame, pfx: String) =
+      df.select(keys.map(col) ++ Seq(
+        // control-char separator + null sentinel: without them
+        // ("ab","c")/("a","bc") and NULL/"" digest identically
+        md5(concat_ws("\u0001", nonKeys.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(s"__${pfx}_h"),
+        lit(1).as(s"__${pfx}_present")) ++
+        nonKeys.map(c => col(c).as(s"${pfx}_$c")): _*)
+    digest(current, "old").join(digest(snapshot, "new"), keys, "full_outer")
+      .withColumn("status",
+        when(col("__old_present").isNull, lit("added"))
+          .when(col("__new_present").isNull, lit("removed"))
+          .when(col("__old_h") =!= col("__new_h"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__old_h", "__new_h", "__old_present", "__new_present")
+  }
 }

@@ -1095,7 +1095,45 @@ object DedupQueries {
              CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) AS jaccard_total
       FROM ps GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Winnowing fingerprints for every document — see
+    * [[Dedup.winnowFingerprints]] for the algorithm, the md5-ordering
+    * portability contract, and the map-only scale shape. The oracle
+    * replays the identical selection in DuckDB: md5 gram hashes, each
+    * window's minimum taken over the fixed-width (md5 ‖ zero-padded
+    * pos) string — lexicographically equal to the (fp, pos) struct
+    * ordering because md5 hex is constant-length.
+    */
+  val qWinnowFingerprint = Q(
+    "q_winnow_fingerprint",
+    (s, d) => Dedup.winnowFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 4, w = 4)
+      .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               md5(array_to_string(t[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)], ' ')) AS h
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 7)),
+      starts AS (
+        SELECT doc_id, CAST(s - 1 AS BIGINT) AS s
+        FROM (SELECT doc_id, unnest(range(1, len(t) - 5)) AS s
+              FROM toks WHERE len(t) >= 7)),
+      wins AS (
+        SELECT st.doc_id, st.s,
+               min(g.h || lpad(CAST(g.pos AS VARCHAR), 9, '0')) AS sel
+        FROM starts st
+        JOIN g ON g.doc_id = st.doc_id AND g.pos BETWEEN st.s AND st.s + 3
+        GROUP BY 1, 2)
+      SELECT DISTINCT doc_id, CAST(substr(sel, 33) AS BIGINT) AS pos,
+             substr(sel, 1, 32) AS fp
+      FROM wins ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] = Seq(
+    qWinnowFingerprint,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,

@@ -625,10 +625,58 @@ object ParityQueries {
        AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
       ORDER BY o_orderkey"""))
 
+  /** CDC snapshot diff over a deterministic "next day" of the customer
+    * dim: every 13th key dropped (removed), every 7th resegmented
+    * (changed), every 17th re-keyed above 10⁹ (added) — see
+    * [[graft.ops.IncrementalOps.snapshotDiff]] for the digest-compare
+    * mechanism and the single-full-outer-join scale shape. The oracle
+    * classifies by direct value comparison, which is equivalent here
+    * (one non-null attribute column) — the md5 digest is the Spark
+    * side's wide-table generalization, not part of the semantics.
+    */
+  val qTableDiff = Q(
+    "q_table_diff",
+    (s, d) => {
+      val cur = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val snap = cur.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .union(cur.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment")))
+      graft.ops.IncrementalOps.snapshotDiff(cur, snap, Seq("c_custkey"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("c_custkey"), col("status"),
+          col("old_c_mktsegment"), col("new_c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+      snap AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+                 AS c_mktsegment
+        FROM cur WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000000, 'NEW' FROM cur WHERE c_custkey % 17 = 0),
+      j AS (
+        SELECT coalesce(cur.c_custkey, snap.c_custkey) AS c_custkey,
+               cur.c_mktsegment AS old_c_mktsegment,
+               snap.c_mktsegment AS new_c_mktsegment,
+               CASE WHEN cur.c_custkey IS NULL THEN 'added'
+                    WHEN snap.c_custkey IS NULL THEN 'removed'
+                    WHEN cur.c_mktsegment <> snap.c_mktsegment THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM cur FULL JOIN snap ON cur.c_custkey = snap.c_custkey)
+      SELECT c_custkey, status, old_c_mktsegment, new_c_mktsegment
+      FROM j WHERE status <> 'unchanged' ORDER BY c_custkey"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
-    qPitJoin)
+    qPitJoin, qTableDiff)
 }

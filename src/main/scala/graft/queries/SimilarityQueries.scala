@@ -301,7 +301,8 @@ object SimilarityQueries {
         FROM dist)
       SELECT vec_id, label, CAST(clabel AS INTEGER) AS pred_label, d2,
              label = clabel AS correct
-      FROM r WHERE rn = 1 ORDER BY vec_id"""))
+      FROM r WHERE rn = 1 ORDER BY vec_id"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,

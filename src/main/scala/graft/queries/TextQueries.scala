@@ -1159,10 +1159,83 @@ object TextQueries {
       SELECT doc_id, label, n_tok, s AS score_micros, s > 0 AS pred
       FROM sc ORDER BY doc_id"""))
 
+  /** BM25-flavored retrieval ranking: top-20 documents for a fixed
+    * query term set, scored with the Robertson tf saturation
+    * (k1 = 1.2, b = 0.75) and a RATIONAL idf surrogate
+    * (N − df + 1)/(df + 1) in place of the usual log — ln() is not
+    * portably rounded (the repo-wide rule), and the surrogate is
+    * monotone in df, which is all a ranking needs. With the constants
+    * cleared of decimals the whole score is exact BIGINT:
+    *
+    *   tf_part = 22·tf·Σdl / (10·Σdl·tf + 3·Σdl + 9·dl·N)   [×10·Σdl]
+    *   score   = Σ_terms idf_micros · tf_micros
+    *
+    * Scale shape: the corpus narrows to query-term postings BEFORE any
+    * shuffle (filter on the literal term set pushes to the scan), so
+    * the keyed aggregation carries O(matching docs · |query|) rows, the
+    * df relation is |query| rows (broadcast), corpus stats are one
+    * broadcast row, and the top-20 is TakeOrdered — per-partition
+    * top-k + a 20-row merge, never a global sort or window.
+    */
+  val qBm25Rank = Q(
+    "q_bm25_rank",
+    (s, d) => {
+      val terms = Seq("spark", "window", "merge", "vector")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfRel), "w")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (expr("(2 * (n - df + 1) * 1000000 + (df + 1)) div (2 * (df + 1))")
+            * expr("""(2 * (22 * tf * sum_dl) * 1000000
+                       + (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n))
+                      div (2 * (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n))"""))
+            .as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM b WHERE len(t) > 0),
+      stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      tok AS (
+        SELECT doc_id, dl, unnest(t) AS w FROM base),
+      tf AS (
+        SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE w IN ('spark', 'window', 'merge', 'vector')
+        GROUP BY 1, 2, 3),
+      dfr AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT tf.doc_id,
+               CAST(((2 * (n - df + 1) * 1000000 + (df + 1)) // (2 * (df + 1)))
+                  * ((2 * (22 * tf * sum_dl) * 1000000
+                      + (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n))
+                     // (2 * (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n)))
+                    AS BIGINT) AS c
+        FROM tf JOIN dfr USING (w), stats)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS score
+      FROM contrib GROUP BY 1
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn,
-    qGopherRules, qNbClassifier)
+    qGopherRules, qNbClassifier, qBm25Rank)
 }

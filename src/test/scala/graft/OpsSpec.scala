@@ -283,6 +283,36 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("schemas differ"))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged; NULL attrs diff correctly") {
+    import graft.ops.IncrementalOps
+    val cur = Seq(
+      (1L, Option("a"), Option("x")),  // unchanged
+      (2L, Option("b"), Option("y")),  // changed (one attr)
+      (3L, Option("c"), Option("z")),  // removed
+      (5L, Option.empty[String], Option("q")), // NULL attr, unchanged
+      (6L, Option("e"), Option.empty[String])  // NULL -> value = changed
+    ).toDF("k", "a1", "a2")
+    val snap = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("B"), Option("y")),
+      (4L, Option("d"), Option("w")),  // added
+      (5L, Option.empty[String], Option("q")),
+      (6L, Option("e"), Option("now"))
+    ).toDF("k", "a1", "a2")
+    val got = IncrementalOps.snapshotDiff(cur, snap, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+    // the digest must separate ("ab","c") from ("a","bc") and NULL from ""
+    val x = Seq((1L, Option("ab"), Option("c")), (2L, Option.empty[String], Option("s")))
+      .toDF("k", "a1", "a2")
+    val y = Seq((1L, Option("a"), Option("bc")), (2L, Option(""), Option("s")))
+      .toDF("k", "a1", "a2")
+    val fates = IncrementalOps.snapshotDiff(x, y, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(fates == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("kthSmallestByGroup matches per-group sorted ranks: duplicates, skewed sizes, infinities") {
     import graft.ops.Selection
     // deterministic pseudo-random values: xxhash-free integer mix, three

@@ -92,4 +92,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"),
       s"bounds crossJoin found in plan (expected literal filter):\n$plan")
   }
+
+  test("q_centroid_classify scores map-side: no join and no aggregation in its plan") {
+    // the model is a literal (fit collected at plan construction, a
+    // labels·dims bounded collect) — scoring must therefore plan as a
+    // scan + project + the output sort, never a centroid join or a
+    // per-vector aggregation. A join/aggregate appearing here means the
+    // model stopped being a parameter and became data.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.SimilarityQueries.qCentroidClassify
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(joins.isEmpty, s"join found in scoring plan:\n$plan")
+    assert(aggs.isEmpty, s"aggregation found in scoring plan:\n$plan")
+  }
 }
