@@ -244,11 +244,13 @@ object Similarity {
           expr("transform(pairs, p -> p.cm)"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
     val modelType = "array<struct<lab:int,cm:array<bigint>>>"
+    // the whole model ships as ONE Literal (struct cast renames the
+    // tuple fields positionally): an array(struct(lit...), ...) spelling
+    // is labels·(dims+1) expression nodes for the analyzer/codegen to
+    // chew per query — measurably slower at bench scale
     val model: Column =
       if (cents.isEmpty) array().cast(modelType)
-      else array(cents.map { case (lab, cm) =>
-        struct(lit(lab).as("lab"), typedlit(cm).as("cm"))
-      }: _*).cast(modelType)
+      else typedlit(cents).cast(modelType)
     df.select(col(idCol), col(labelCol),
         expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
           .as("__xm"))
