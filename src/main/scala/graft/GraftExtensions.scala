@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.VectorExpressions.CosineSim
-import graft.functions.Hll
+import graft.functions.{Hll, Kmv}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so clusters enabling
   * `spark.sql.extensions=graft.GraftExtensions` get `cosine_sim(a, b)`,
-  * `hll_sketch/hll_merge/hll_estimate` in plain SQL (and future
+  * `hll_sketch/hll_merge/hll_estimate`, `kmv_sketch/kmv_merge/
+  * kmv_estimate/kmv_intersect` in plain SQL (and future
   * rules/strategies hook in here).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,6 +34,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[Hll.HllEstimate].getName, "hll_estimate"),
       (children: Seq[Expression]) => Hll.HllEstimate(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[Kmv.KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => Kmv.KmvSketchAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[Kmv.KmvMergeAgg].getName, "kmv_merge"),
+      (children: Seq[Expression]) => Kmv.KmvMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[Kmv.KmvEstimate].getName, "kmv_estimate"),
+      (children: Seq[Expression]) => Kmv.KmvEstimate(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_intersect"),
+      new ExpressionInfo(classOf[Kmv.KmvIntersect].getName, "kmv_intersect"),
+      (children: Seq[Expression]) => Kmv.KmvIntersect(children(0), children(1))))
     // Spark ships these two internally (runtime filter injection) but
     // never registers SQL names; surface them for the Bloom
     // decontamination tier

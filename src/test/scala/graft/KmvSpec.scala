@@ -63,6 +63,23 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(ni - 10000L) <= 1500L, s"intersection estimate $ni vs 10000")
   }
 
+  test("SQL surface: kmv functions registered via GraftExtensions-style registry") {
+    // same builders GraftExtensions injects, exercised through SQL
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", exprs => Kmv.KmvSketchAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_estimate", exprs => Kmv.KmvEstimate(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_intersect", exprs => Kmv.KmvIntersect(exprs(0), exprs(1)), "scala_udf")
+    spark.range(0, 5000).select(col("id").as("v")).createOrReplaceTempView("kmv_a")
+    val row = spark.sql("""
+      SELECT kmv_estimate(kmv_sketch(v)) AS n,
+             kmv_intersect(kmv_sketch(v), kmv_sketch(CASE WHEN v < 1000 THEN v END)) AS ni
+      FROM kmv_a""").collect()(0)
+    assert(row.getLong(0) == 5000L)
+    assert(row.getLong(1) == 1000L)
+  }
+
   test("state unit laws: dedup, trim-to-K, unsigned ordering") {
     val s = Kmv.emptyState()
     Kmv.add(s, 5L); Kmv.add(s, 5L); Kmv.add(s, -1L) // -1 = max unsigned
