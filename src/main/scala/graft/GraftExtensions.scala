@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.VectorExpressions.CosineSim
+import graft.functions.StringSimilarity.JaroWinkler
 import graft.functions.{Hll, Kmv}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -20,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     // aggregates: the analyzer wraps a bare AggregateFunction builder
     // result in an AggregateExpression
     ext.injectFunction((

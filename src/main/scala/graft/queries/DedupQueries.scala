@@ -1132,7 +1132,49 @@ object DedupQueries {
              substr(sel, 1, 32) AS fp
       FROM wins ORDER BY doc_id, pos"""))
 
+  /** Entity resolution by blocked pairwise name scoring — the record-
+    * linkage shape (Fellegi-Sunter style): block candidates on a cheap
+    * deterministic key (here the first name token), score each
+    * within-block pair with the native codegen Jaro-Winkler expression
+    * (graft.functions.StringSimilarity — no UDF boxing in the pairwise
+    * hot path), keep pairs above threshold.
+    *
+    * Scale shape: the block join is an equi-join on the blocking key,
+    * so per-key work is |block|² — bounded by blocking-key design, the
+    * standard ER contract — and the distinct-names relation the join
+    * runs on is orders smaller than the row table. No all-pairs join
+    * at any corpus size. Oracle: DuckDB's jaro_winkler_similarity,
+    * whose exact semantics (empty→0, window floor, 0.7 boost
+    * threshold, prefix cap 4) the native expression reproduces;
+    * both sides round to 6 dp before the threshold.
+    */
+  val qEntityResolution = Q(
+    "q_entity_resolution",
+    (s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .where(col("name_a") < col("name_b"))
+        .withColumn("sim",
+          round(graft.functions.StringSimilarity.jaro_winkler(
+            col("name_a"), col("name_b")), 6))
+        .where(col("sim") >= 0.75)
+        .select(col("name_a"), col("name_b"), col("sim"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""
+      WITH names AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+      FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
+      ORDER BY name_a, name_b"""))
+
   val all: Seq[Q] = Seq(
+    qEntityResolution,
     qWinnowFingerprint,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
