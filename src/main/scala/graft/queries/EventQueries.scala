@@ -853,10 +853,96 @@ object EventQueries {
       FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rk = 1
       ORDER BY p.event_id"""))
 
+  /** PageRank over the user–event_type affinity graph — the iterative
+    * distributed-join shape (link analysis, graph centrality) the rest
+    * of the registry lacks. Edges are (user, type) pairs with ≥ 15
+    * events (sparsified so degrees differ), made bidirectional; each
+    * iteration is one equi-join of the edge list with the current rank
+    * vector plus one keyed aggregation — the canonical scalable
+    * PageRank (Pregel-style message passing expressed as joins). No
+    * per-node driver traffic; the only driver scalar is the node count.
+    *
+    * All arithmetic is FIXED-POINT INTEGER (rank mass = 1e12 units,
+    * damping 0.85 as ×85 div 100): integer sums are order-independent,
+    * so partial-aggregation order can't flip bits and the DuckDB
+    * oracle (same recurrence unrolled as CTEs) matches exactly —
+    * a float PageRank could never hash-match across engines.
+    *
+    * At 100 TB the edge list is the big relation: it stays partitioned
+    * by src across iterations (one shuffle each for the join and the
+    * dst aggregation); the rank vector is nodes-sized. Production runs
+    * would checkpoint the rank lineage every ~5 iterations; at 3
+    * iterations the nested plan is fine.
+    */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val unit = 1000000000000L
+      val iters = 3
+      val edges = Tables.events(s, d)
+        .groupBy(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst"))
+        .agg(count(lit(1)).as("n_ev"))
+        .where(col("n_ev") >= 15)
+        .select(col("src"), col("dst"))
+      val bi = graft.ops.Caching.cachedOnce(
+        edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = graft.ops.Caching.cachedOnce(
+        bi.groupBy("src").agg(count(lit(1)).as("outdeg")))
+      // bounded driver scalar: the node COUNT only. Floored at 1 so an
+      // edgeless corpus (empty/sparse input) divides safely — deg is
+      // empty then, so every downstream relation is empty regardless.
+      val n = math.max(deg.count(), 1L)
+      val base = (15L * unit) / (100L * n)
+      var ranks = deg.withColumn("r", lit(unit / n))
+      for (_ <- 1 to iters) {
+        val contrib = bi.join(ranks, "src")
+          .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("contrib"))
+        ranks = deg.alias("g")
+          .join(contrib.alias("c"), col("g.src") === col("c.node"), "left")
+          .select(
+            col("g.src").as("src"), col("g.outdeg").as("outdeg"),
+            (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+      }
+      ranks.select(col("src").as("node"), col("r").as("rank_units"))
+        .orderBy(col("rank_units").desc, col("node")).limit(20)
+    },
+    Some("""
+      WITH edges AS (
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+        FROM events GROUP BY 1, 2 HAVING count(*) >= 15),
+      bi AS (SELECT src, dst FROM edges
+             UNION ALL SELECT dst AS src, src AS dst FROM edges),
+      deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT src, outdeg, 1000000000000 // n AS r FROM deg CROSS JOIN nn),
+      c1 AS (SELECT bi.dst AS node, sum(r0.r // r0.outdeg) AS contrib
+             FROM bi JOIN r0 ON bi.src = r0.src GROUP BY bi.dst),
+      r1 AS (SELECT deg.src, deg.outdeg,
+                    CAST((15 * 1000000000000) // (100 * n)
+                         + (85 * coalesce(c1.contrib, 0)) // 100 AS BIGINT) AS r
+             FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.src = c1.node),
+      c2 AS (SELECT bi.dst AS node, sum(r1.r // r1.outdeg) AS contrib
+             FROM bi JOIN r1 ON bi.src = r1.src GROUP BY bi.dst),
+      r2 AS (SELECT deg.src, deg.outdeg,
+                    CAST((15 * 1000000000000) // (100 * n)
+                         + (85 * coalesce(c2.contrib, 0)) // 100 AS BIGINT) AS r
+             FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.src = c2.node),
+      c3 AS (SELECT bi.dst AS node, sum(r2.r // r2.outdeg) AS contrib
+             FROM bi JOIN r2 ON bi.src = r2.src GROUP BY bi.dst),
+      r3 AS (SELECT deg.src, deg.outdeg,
+                    CAST((15 * 1000000000000) // (100 * n)
+                         + (85 * coalesce(c3.contrib, 0)) // 100 AS BIGINT) AS r
+             FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
+      SELECT src AS node, r AS rank_units FROM r3
+      ORDER BY rank_units DESC, node LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution)
+    qAttribution, qPagerank)
 }
