@@ -1232,7 +1232,62 @@ object TextQueries {
       FROM contrib GROUP BY 1
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Inverted index (term → sorted posting list + document frequency)
+    * for the mid-frequency vocabulary band — the retrieval-index build
+    * step BM25 (q_bm25_rank) presupposes.
+    *
+    * Scale discipline: document frequencies are computed FIRST and the
+    * band filter (5 ≤ df ≤ 50) applied BEFORE any posting list is
+    * collected — a single-phase groupBy + collect_list would buffer a
+    * stopword's corpus-sized posting list on one reducer before the
+    * HAVING could drop it. After the semi-join, every aggregation
+    * buffer is ≤ 50 ids by construction, and the emitted list is
+    * additionally width-capped at 20. (A full-corpus index would shard
+    * postings by (term, id-range) instead of capping — the band filter
+    * IS the stopword-elimination contract of classic IR.)
+    */
+  val qInvertedIndex = Q(
+    "q_inverted_index",
+    (s, d) => {
+      // terms are word BIGRAMS: the corpus's unigram vocabulary is a
+      // few dozen near-ubiquitous words (df ≈ corpus size — all
+      // stopwords by the band's definition), while bigrams spread
+      // across the whole df spectrum. ≥2-token guard BEFORE the
+      // sequence: Spark's sequence(1, 0) counts DOWN, it is not empty.
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""))
+          .as("term"))
+        .distinct()
+      val dfs = pairs.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df").between(5, 50))
+      pairs.join(dfs, "term")
+        .groupBy(col("term"), col("df"))
+        .agg(slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("term"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents),
+      pairs AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS term
+        FROM toks, unnest(range(1, len(ws))) AS t(i))
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             (list_sort(list(doc_id)))[1:20] AS postings
+      FROM pairs
+      GROUP BY term HAVING count(*) BETWEEN 5 AND 50
+      ORDER BY term"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
+    qInvertedIndex,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
