@@ -1286,8 +1286,37 @@ object TextQueries {
       GROUP BY term HAVING count(*) BETWEEN 5 AND 50
       ORDER BY term"""))
 
+  /** Compression-ratio quality signal (CCNet/Gopher-style): deflate
+    * size ÷ raw size per document via the native deflate_len
+    * expression — repetitive machine-generated text compresses far
+    * below natural prose, a language-agnostic repetitiveness score
+    * computed map-side with zero shuffles.
+    *
+    * The codec output is not SQL-recomputable, so the oracle checks the
+    * per-row CONTRACT instead (the q_dedup_simhash pattern): exact
+    * doc_id + byte-length match plus ratio_ok = "0 < z ≤ n_bytes + 64"
+    * (raw deflate's worst-case stored-block overhead), vacuously true
+    * for NULL/empty text. The score's semantics (repetitive ≪ varied,
+    * determinism, doubling behavior) are pinned in CompressionSpec.
+    */
+  val qCompressionRatio = Q(
+    "q_compression_ratio",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        graft.functions.CompressionExpressions.deflate_len(col("text")).as("z"))
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(
+          when(col("n_bytes") === 0, lit(true))
+            .otherwise(col("z") > 0 && col("z") <= col("n_bytes") + 64),
+          lit(true)).as("ratio_ok"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+             TRUE AS ratio_ok
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qInvertedIndex,
+    qInvertedIndex, qCompressionRatio,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
