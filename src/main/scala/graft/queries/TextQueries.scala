@@ -828,6 +828,41 @@ object TextQueries {
     },
     None)
 
+  /** BPE ENCODE — the other half of the tokenizer: learn the merge
+    * table (as q_bpe_learn) and apply it to every token of the corpus
+    * via [[graft.text.Bpe.segment]]. The merge table is a fitted model
+    * parameter riding the plan as literals; encoding is pure map work
+    * (one fold per merge rank), zero shuffles beyond the scan.
+    *
+    * The merge loop is not SQL-expressible, so the oracle pins what IS
+    * recomputable: exact (doc_id, token_idx, w) tokenization parity,
+    * plus two contract bits — subword pieces concatenate back to the
+    * token (lossless round trip) and the piece count never exceeds the
+    * character count. BpeSpec separately pins the merge table and
+    * rank-order application against an independent in-memory reference.
+    */
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 10)
+      graft.text.Bpe.segment(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("token_idx"), col("w"),
+          (concat_ws("", col("pieces")) === col("w")).as("roundtrip_ok"),
+          (size(col("pieces")) <= length(col("w"))).as("pieces_bounded"))
+        .orderBy(col("doc_id"), col("token_idx"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents)
+      SELECT doc_id, CAST(i - 1 AS INT) AS token_idx, ws[i] AS w,
+             TRUE AS roundtrip_ok, TRUE AS pieces_bounded
+      FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+      ORDER BY doc_id, token_idx"""))
+
   /** Tokenizer vocabulary coverage: per document, the fraction of token
     * OCCURRENCES falling outside the corpus's top-256 vocabulary — the
     * out-of-vocabulary rate a tokenizer-budget decision needs (a high
@@ -1320,6 +1355,6 @@ object TextQueries {
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
-    qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn,
+    qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
     qGopherRules, qNbClassifier, qBm25Rank)
 }
