@@ -939,10 +939,93 @@ object EventQueries {
       SELECT src AS node, r AS rank_units FROM r3
       ORDER BY rank_units DESC, node LIMIT 20"""))
 
+  /** INTERVAL×INTERVAL overlap join: which user pairs were active at
+    * the same time, and for how long — concurrency analysis over the
+    * 30-min-gap sessions of q_events_sessionize. This is the interval
+    * join family's missing member (as-of = point×latest, range join =
+    * point×interval; this is interval×interval).
+    *
+    * Scale shape: each session explodes to the HOUR BUCKETS it spans
+    * (gap-bounded sessions span few), pairs meet in an equi-join on
+    * the bucket, and the exact overlap predicate filters inside the
+    * bucket — the classic banded interval join, no nested-loop range
+    * scan at any scale. A pair sharing several buckets is emitted once
+    * WITHOUT a dedup shuffle: only the first overlapped bucket —
+    * max(start bucket of a, of b), always shared when intervals
+    * overlap — keeps the pair. Overlap micros sum exactly (BIGINT).
+    */
+  val qIntervalOverlap = Q(
+    "q_interval_overlap",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .withColumn("prev_s", lag(col("ts").cast(LongType), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts").cast(LongType) - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+      val banded = sessions.select(
+        col("user_id"), col("start_us"), col("end_us"),
+        explode(expr("sequence(start_us div 3600000000, end_us div 3600000000)"))
+          .as("bucket"))
+      val a = banded.select(
+        col("bucket"), col("user_id").as("user_a"),
+        col("start_us").as("sa"), col("end_us").as("ea"))
+      val b = banded.select(
+        col("bucket"), col("user_id").as("user_b"),
+        col("start_us").as("sb"), col("end_us").as("eb"))
+      a.join(b, Seq("bucket"))
+        .where(col("user_a") < col("user_b") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          col("bucket") === greatest(
+            expr("sa div 3600000000"), expr("sb div 3600000000")))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(
+          count(lit(1)).as("n_overlaps"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .where(col("n_overlaps") >= 2)
+        .orderBy(col("user_a"), col("user_b"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+      ), sessions AS (
+        SELECT user_id,
+               epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+               epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us
+        FROM numbered GROUP BY user_id, session_seq
+      )
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS n_overlaps,
+             CAST(sum(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))
+                  AS BIGINT) AS overlap_us
+      FROM sessions a JOIN sessions b
+        ON a.user_id < b.user_id
+       AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY user_a, user_b"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution, qPagerank)
+    qAttribution, qPagerank, qIntervalOverlap)
 }
