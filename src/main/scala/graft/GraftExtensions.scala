@@ -17,6 +17,8 @@ import graft.functions.{Hll, Kmv}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules (operator-optimization fixed-point batch)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

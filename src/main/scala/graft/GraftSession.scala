@@ -13,6 +13,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // engine extensions: custom SQL functions + optimizer rules
+      // (LevenshteinBandRule et al). A cluster not built through this
+      // factory gets the same via spark.sql.extensions=graft.GraftExtensions.
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -463,8 +463,48 @@ object CurationQueries {
              CAST(len_band * 16 - n_tokens AS BIGINT) AS waste
       FROM r ORDER BY doc_id"""))
 
+  /** Curriculum training order: documents sorted easy→hard by a
+    * difficulty band (token-count bucket, width 50, capped at band 5)
+    * with a deterministic salted shuffle WITHIN each band — the
+    * curriculum-learning loader contract (short/simple samples first,
+    * but no systematic ordering inside a difficulty level that the
+    * model could latch onto).
+    *
+    * Scale shape: one composite range-sort (band, salt, doc_id)
+    * through [[graft.ops.KeyOps.scalableSurrogateKey]] — range
+    * partitioning + per-partition zipWithIndex, the same no-global-
+    * window machinery as q_shuffle_order/q_epoch_orders, so the
+    * position assignment is embarrassingly parallel at any corpus
+    * size. Null-text docs are excluded on both engines (a curriculum
+    * over undecodable documents is meaningless).
+    */
+  val qCurriculumOrder = Q(
+    "q_curriculum_order",
+    (s, d) => {
+      val banded = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("nt"))
+        .withColumn("band",
+          least(expr("nt div 50"), lit(5)).cast("int"))
+        .withColumn("h", Curation.bucketHash(col("doc_id"), 1000000L))
+      KeyOps.scalableSurrogateKey(banded, "curriculum_pos", "band", "h", "doc_id")
+        .select(col("doc_id"), col("band"), col("curriculum_pos"))
+        .orderBy(col("curriculum_pos"))
+    },
+    Some(s"""
+      WITH banded AS (
+        SELECT doc_id,
+               CAST(least(len(list_filter(string_split_regex(text, '\\s+'),
+                                          w -> len(w) > 0)) // 50, 5) AS INT) AS band
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, band,
+             row_number() OVER (ORDER BY band, $hashSql % 1000000, doc_id)
+               AS curriculum_pos
+      FROM banded ORDER BY curriculum_pos"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
-    qInferBatches, qEpochOrders)
+    qInferBatches, qEpochOrders, qCurriculumOrder)
 }
