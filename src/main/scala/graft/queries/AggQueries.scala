@@ -552,9 +552,64 @@ object AggQueries {
         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_union
       FROM orders"""))
 
+  /** Join-output-size estimation WITHOUT executing the join — the
+    * cardinality question a planner asks before picking a join
+    * strategy. Per-side key histograms (map-side-combined groupBys)
+    * full-outer-merge into (key, ca, cb); a bottom-k-by-hash sample of
+    * that key universe (TakeOrdered — per-partition top-k then merge,
+    * never a global sort) yields the KMV estimator: universe size
+    * D ≈ (k−1)/u_k from the k-th smallest normalized hash, join size
+    * ≈ (D/k)·Σ_sample ca·cb. Driver traffic is two one-row aggregates.
+    *
+    * Oracle contract (exact-regime discipline of q_distinct_overlap):
+    * n_exact is SQL-recomputable; est_ok pins the estimate within 20%
+    * of exact — at sf0.001 the whole universe fits the sample (m < k)
+    * and the estimate IS exact, at sf0.01+ the bottom-k regime engages
+    * and the deterministic hash makes the bound reproducible.
+    */
+  val qJoinSizeEstimate = Q(
+    "q_join_size_estimate",
+    (s, d) => {
+      val k = 2048
+      val ca = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = Tables.orders(s, d).groupBy(col("o_orderkey").as("key"))
+        .agg(count(lit(1)).as("cb"))
+      val keys = ca.join(cb, Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .withColumn("h", xxhash64(col("key")))
+      val srow = keys.orderBy(col("h"), col("key")).limit(k)
+        .agg(count(lit(1)).as("m"), max(col("h")).as("hmax"),
+          coalesce(sum(col("ca") * col("cb")), lit(0L)).as("s"))
+        .collect()(0)
+      val m = srow.getLong(0)
+      val est =
+        if (m < k) srow.getLong(2).toDouble // universe fully sampled: exact
+        else {
+          // u_k = fraction of the 64-bit hash space at or below hmax
+          val u = (srow.getLong(1).toDouble - Long.MinValue.toDouble) / math.pow(2, 64)
+          val dEst = (k - 1).toDouble / u
+          srow.getLong(2).toDouble * dEst / k
+        }
+      val exactRow = keys.agg(coalesce(sum(col("ca") * col("cb")), lit(0L))).collect()(0)
+      val exact = exactRow.getLong(0)
+      val ok = if (exact == 0L) est == 0.0
+               else math.abs(est - exact) <= 0.2 * exact
+      import s.implicits._
+      Seq((exact, ok)).toDF("n_exact", "est_ok")
+    },
+    Some("""
+      WITH ca AS (SELECT l_orderkey AS key, count(*) AS ca FROM lineitem GROUP BY 1),
+      cb AS (SELECT o_orderkey AS key, count(*) AS cb FROM orders GROUP BY 1)
+      SELECT CAST(coalesce(sum(ca.ca * cb.cb), 0) AS BIGINT) AS n_exact,
+             TRUE AS est_ok
+      FROM ca JOIN cb ON ca.key = cb.key"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
-    qCorrelation, qDistinctOverlap)
+    qCorrelation, qDistinctOverlap, qJoinSizeEstimate)
 }
