@@ -1171,7 +1171,8 @@ object DedupQueries {
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
       FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
       WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
-      ORDER BY name_a, name_b"""))
+      ORDER BY name_a, name_b"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEntityResolution,

@@ -937,7 +937,8 @@ object EventQueries {
                          + (85 * coalesce(c3.contrib, 0)) // 100 AS BIGINT) AS r
              FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.src = c3.node)
       SELECT src AS node, r AS rank_units FROM r3
-      ORDER BY rank_units DESC, node LIMIT 20"""))
+      ORDER BY rank_units DESC, node LIMIT 20"""),
+    headline = true)
 
   /** INTERVAL×INTERVAL overlap join: which user pairs were active at
     * the same time, and for how long — concurrency analysis over the
@@ -1020,7 +1021,8 @@ object EventQueries {
         ON a.user_id < b.user_id
        AND a.start_us <= b.end_us AND b.start_us <= a.end_us
       GROUP BY 1, 2 HAVING count(*) >= 2
-      ORDER BY user_a, user_b"""))
+      ORDER BY user_a, user_b"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,

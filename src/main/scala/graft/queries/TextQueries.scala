@@ -134,9 +134,13 @@ object TextQueries {
       // collectThreshold matches the global kthSmallest default: one
       // state here, so the worst single collect is 65536 (value, count)
       // rows — same driver discipline, one narrowing round fewer
+      // tokenize ONCE for the bounds: every narrowing round re-scans
+      // this relation, and without the persist each round re-splits
+      // the full text column instead of reading a cached integer
       val b = graft.ops.Selection.kthSmallestByGroupMulti(
-        docs.select(tokenCount(col("text")).cast("double").as("nt"))
-          .withColumn("__g", lit("all")),
+        graft.ops.Caching.cachedOnce(
+          docs.select(tokenCount(col("text")).cast("double").as("nt"))
+            .withColumn("__g", lit("all"))),
         "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10),
         collectThreshold = 65536L)
       // empty/all-null corpus → no bounds → empty-set filter (±∞ band)
