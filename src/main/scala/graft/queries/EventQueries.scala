@@ -83,6 +83,39 @@ object EventQueries {
       ORDER BY user_id, session_seq"""),
     headline = true)
 
+  /** SLIDING event-time window (1 h duration, 15 min slide): each event
+    * lands in duration/slide = 4 overlapping windows — the smoothing
+    * rendition of q_events_tumbling. Spark's window() generator emits
+    * the 4 bucket rows map-side; one keyed aggregation after, state
+    * per (window, type) bounded by the hour's traffic. The oracle
+    * reproduces the epoch-aligned bucket set with integer micros
+    * arithmetic (trunc-to-slide minus j·slide, j < 4), and windows
+    * compare as unix-micro starts so timestamp rendering can't skew
+    * the hash.
+    */
+  val qSlidingWindow = Q(
+    "q_sliding_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(dec(col("value")))).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("ws_us"), col("event_type")),
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        FROM events),
+      w AS (
+        SELECT (us // 900000000) * 900000000 - j * 900000000 AS ws_us,
+               event_type, value
+        FROM e, unnest(range(0, 4)) AS t(j))
+      SELECT ws_us, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2 ORDER BY ws_us, event_type"""))
+
   /** Moving aggregate over the last 10 events per user (frame window). */
   val qEventsRunning = Q(
     "q_events_running",
@@ -1029,5 +1062,5 @@ object EventQueries {
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution, qPagerank, qIntervalOverlap)
+    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow)
 }
