@@ -1354,8 +1354,102 @@ object TextQueries {
              TRUE AS ratio_ok
       FROM documents ORDER BY doc_id"""))
 
+  /** PARETO-FRONT corpus selection: documents not dominated on
+    * (quality, mean token rarity) — "no other doc is at least as good
+    * on both axes and strictly better on one". The multi-criteria
+    * keep-set a curation pipeline wants when collapsing two signals to
+    * one scalar would bake in an arbitrary trade-off.
+    *
+    * Scale shape — 2-D skyline WITHOUT the O(n²) dominance join and
+    * WITHOUT a global window: quality-micro BANDS decompose the strict
+    * upper region. A doc is dominated iff (a) some strictly-higher-
+    * quality doc has ≥ its rarity — split into strictly-higher BANDS
+    * (per-band max-rarity relation, ≤ 101 rows, tiny band×band prefix
+    * join) plus strictly-higher q WITHIN the band (keyed range-frame
+    * window) — or (b) a same-quality doc has strictly higher rarity
+    * (peer-group max frame). Everything is keyed by band; the only
+    * non-doc-sized relation is the 101-row band max. Both metrics are
+    * exact integer micros (the q_token_rarity/q_quality_score
+    * formulas), so the oracle's brute-force NOT EXISTS agrees exactly.
+    */
+  val qParetoFront = Q(
+    "q_pareto_front",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).where(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val ct = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+      val n = ct.agg(sum(col("ct")).as("n_total"))
+      val rarity = tf.join(ct, "term").crossJoin(broadcast(n))
+        .withColumn("__micro", expr("(2 * n_total * 1000000 + ct) div (2 * ct)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("__micro")).as("__sum"))
+        .select(col("doc_id"), expr("(2 * __sum + n_tok) div (2 * n_tok)").as("r"))
+      val m = rarity.join(
+        docs.select(col("doc_id"),
+          round(qualityScore(col("text")), 6).as("qd"))
+          .select(col("doc_id"),
+            expr("CAST(round(qd * 1000000) AS BIGINT)").as("q")),
+        "doc_id")
+        .withColumn("band", expr("q div 10000"))
+      val bandMax = m.groupBy(col("band")).agg(max(col("r")).as("bm"))
+      val pref = bandMax.alias("a")
+        .join(bandMax.alias("b"), col("b.band") > col("a.band"), "left")
+        .groupBy(col("a.band").as("band")).agg(max(col("b.bm")).as("prefmax"))
+      val wHigher = Window.partitionBy(col("band")).orderBy(col("q"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wPeer = Window.partitionBy(col("band")).orderBy(col("q"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      m.join(pref, Seq("band"), "left")
+        .withColumn("hb", max(col("r")).over(wHigher))
+        .withColumn("pm", max(col("r")).over(wPeer))
+        .withColumn("dominated",
+          coalesce(greatest(col("prefmax"), col("hb")) >= col("r"), lit(false)) ||
+            col("r") < col("pm"))
+        .where(!col("dominated"))
+        .select(col("doc_id"), col("q"), col("r"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\\s+'),
+                                                w -> len(w)>0)) AS term
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY doc_id, term),
+      ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+      n AS (SELECT sum(ct) AS n_total FROM ct),
+      rar AS (
+        SELECT doc_id,
+               CAST((2 * sum(tf * ((2 * n_total * 1000000 + ct) // (2 * ct))) + sum(tf))
+                 // (2 * sum(tf)) AS BIGINT) AS r
+        FROM tf JOIN ct USING (term) CROSS JOIN n
+        GROUP BY doc_id),
+      qm AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text,'\\s+'), w -> len(w)>0)) AS DOUBLE) AS n_tok,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS DOUBLE) AS n_punct,
+               CAST(${hitsSql(stopwordsSql)} AS DOUBLE) AS stop_h
+        FROM documents WHERE text IS NOT NULL),
+      qual AS (
+        SELECT doc_id,
+               CAST(round(round(least(n_tok / 64.0, 1.0) * 0.5
+                     + (1.0 - n_punct / greatest(n_chars, 1.0)) * 0.25
+                     + least(stop_h / greatest(n_tok, 1.0) * 4.0, 1.0) * 0.25, 6)
+                     * 1000000) AS BIGINT) AS q
+        FROM qm),
+      m AS (SELECT rar.doc_id, q, r FROM rar JOIN qual ON rar.doc_id = qual.doc_id)
+      SELECT a.doc_id, a.q, a.r FROM m a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.q >= a.q AND b.r >= a.r AND (b.q > a.q OR b.r > a.r))
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
-    qInvertedIndex, qCompressionRatio,
+    qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
