@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.VectorExpressions.CosineSim
 import graft.functions.StringSimilarity.JaroWinkler
-import graft.functions.{Hll, Kmv}
+import graft.functions.{Bitmap, Hll, Kmv}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so clusters enabling
@@ -57,6 +57,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_intersect"),
       new ExpressionInfo(classOf[Kmv.KmvIntersect].getName, "kmv_intersect"),
       (children: Seq[Expression]) => Kmv.KmvIntersect(children(0), children(1))))
+    // exact dense-domain set algebra (see graft.functions.Bitmap)
+    ext.injectFunction((
+      FunctionIdentifier("idset_agg"),
+      new ExpressionInfo(classOf[Bitmap.BitmapAgg].getName, "idset_agg"),
+      (children: Seq[Expression]) => Bitmap.BitmapAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("idset_merge"),
+      new ExpressionInfo(classOf[Bitmap.BitmapMergeAgg].getName, "idset_merge"),
+      (children: Seq[Expression]) => Bitmap.BitmapMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("idset_count"),
+      new ExpressionInfo(classOf[Bitmap.BitmapCount].getName, "idset_count"),
+      (children: Seq[Expression]) => Bitmap.BitmapCount(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("idset_and"),
+      new ExpressionInfo(classOf[Bitmap.BitmapAnd].getName, "idset_and"),
+      (children: Seq[Expression]) => Bitmap.BitmapAnd(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("idset_andnot"),
+      new ExpressionInfo(classOf[Bitmap.BitmapAndNot].getName, "idset_andnot"),
+      (children: Seq[Expression]) => Bitmap.BitmapAndNot(children(0), children(1))))
     // Spark ships these two internally (runtime filter injection) but
     // never registers SQL names; surface them for the Bloom
     // decontamination tier

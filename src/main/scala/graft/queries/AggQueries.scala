@@ -607,9 +607,41 @@ object AggQueries {
              TRUE AS est_ok
       FROM ca JOIN cb ON ca.key = cb.key"""))
 
+  /** Exact audience set algebra via bitmap indexes — the set questions
+    * the approximate sketches cannot answer exactly: how many users
+    * purchased AND signed up (∩), purchased but never viewed (\).
+    * One pass over events builds the three per-segment bitmaps with
+    * conditional aggregation (word-wise OR merges, 2 MiB bound under
+    * the dense-id contract); the set expressions evaluate on the
+    * one-row result. See [[graft.functions.Bitmap]] for the triad
+    * positioning (HLL ≈ counts, KMV ≈ intersections, bitmap = exact).
+    */
+  val qBitmapAudience = Q(
+    "q_bitmap_audience",
+    (s, d) => {
+      import graft.functions.Bitmap._
+      Tables.events(s, d).agg(
+        idset_agg(when(col("event_type") === "purchase", col("user_id"))).as("pb"),
+        idset_agg(when(col("event_type") === "signup", col("user_id"))).as("sb"),
+        idset_agg(when(col("event_type") === "view", col("user_id"))).as("vb"))
+        .select(
+          idset_count(col("pb")).as("n_purchase"),
+          idset_count(col("sb")).as("n_signup"),
+          idset_count(idset_and(col("pb"), col("sb"))).as("n_both"),
+          idset_count(idset_andnot(col("pb"), col("vb"))).as("n_purchase_not_view"))
+    },
+    Some("""
+      WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      sg AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+      v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+      SELECT (SELECT count(*) FROM p) AS n_purchase,
+             (SELECT count(*) FROM sg) AS n_signup,
+             (SELECT count(*) FROM p WHERE user_id IN (SELECT user_id FROM sg)) AS n_both,
+             (SELECT count(*) FROM p WHERE user_id NOT IN (SELECT user_id FROM v)) AS n_purchase_not_view"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
-    qCorrelation, qDistinctOverlap, qJoinSizeEstimate)
+    qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience)
 }
