@@ -1057,10 +1057,72 @@ object EventQueries {
       ORDER BY user_a, user_b"""),
     headline = true)
 
+  /** Robust per-group outlier detection via MEDIAN / MAD — the
+    * z-score's (q_anomaly_hours) robust sibling: mean and stddev are
+    * themselves dragged by the outliers they're meant to flag, while
+    * the median and the median absolute deviation have a 50%
+    * breakdown point.
+    *
+    * Both medians are RANK-ANCHORED exact order statistics (the lower
+    * median, k = (n+1) div 2) computed by the histogram-narrowing
+    * selection — never the exact-percentile aggregate (this repo's
+    * canonical scale anti-pattern), never interpolated (interpolation
+    * would put a last-bit float between the engines; rank anchoring
+    * means both pick the same stored value). Group medians re-enter
+    * the plan as a literal CASE chain (groups are the event types — a
+    * fitted-parameter-sized object), so the deviation pass and the
+    * outlier count stay map-side + one keyed aggregation.
+    */
+  val qRobustOutliers = Q(
+    "q_robust_outliers",
+    (s, d) => {
+      import graft.ops.Selection
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val lowerMedian = Seq((n: Long) => (n + 1) / 2)
+      val med = Selection.kthSmallestByGroupMulti(
+        ev, "event_type", col("value"), lowerMedian)
+      def caseChain(m: Map[(String, Int), Double]): org.apache.spark.sql.Column =
+        m.toSeq.sortBy(_._1._1).foldLeft(lit(null).cast("double")) {
+          case (acc, ((g, _), v)) => when(col("event_type") === g, lit(v)).otherwise(acc)
+        }
+      val withDev = ev.withColumn("med", caseChain(med))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = Selection.kthSmallestByGroupMulti(
+        withDev, "event_type", col("dev"), lowerMedian)
+      withDev.withColumn("mad", caseChain(mad))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("med")).as("med"), // constant within group
+          max(col("mad")).as("mad"),
+          count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM ev GROUP BY event_type),
+      dev AS (
+        SELECT ev.event_type, ev.value, med.med,
+               abs(ev.value - med.med) AS dev
+        FROM ev JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT dev.event_type, max(dev.med) AS med, max(mad.mad) AS mad,
+             count(*) FILTER (WHERE dev.dev > 3.0 * mad.mad) AS n_outliers,
+             count(*) AS n
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY dev.event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow)
+    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers)
 }
