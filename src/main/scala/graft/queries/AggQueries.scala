@@ -639,9 +639,78 @@ object AggQueries {
              (SELECT count(*) FROM p WHERE user_id IN (SELECT user_id FROM sg)) AS n_both,
              (SELECT count(*) FROM p WHERE user_id NOT IN (SELECT user_id FROM v)) AS n_purchase_not_view"""))
 
+  /** Gini information-gain report: how well each metadata column
+    * (source, lang) predicts the document's length band — the
+    * decision-tree split criterion (CART; Breiman et al. 1984) as a
+    * corpus diagnostic ("is `source` worth stratifying on?"). Entropy
+    * needs ln(); Gini impurity 1 − Σ pᵢ² is a RATIONAL, so the whole
+    * report is exact integer micros: per group
+    * (n_g² − Σc²)·1e6 div (n·n_g) — div-rounded per group THEN summed,
+    * the identical order in both engines. One explode doubles the scan
+    * rows (both features ride a single (feature, value, class) keyed
+    * aggregation — one shuffle); every relation after that is
+    * feature-cardinality metadata.
+    */
+  val qGiniGain = Q(
+    "q_gini_gain",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("least(n_chars div 200, 4)").as("cls"))
+      val fvc = docs
+        .select(explode(map(
+          lit("source"), col("source"), lit("lang"), col("lang")))
+          .as(Seq("feature", "val")), col("cls"))
+        .groupBy(col("feature"), col("val"), col("cls"))
+        .agg(count(lit(1)).as("c"))
+      val groups = fvc.groupBy(col("feature"), col("val"))
+        .agg(sum(col("c")).as("n_g"), sum(col("c") * col("c")).as("ssq"))
+      val root = docs.groupBy(col("cls")).agg(count(lit(1)).as("cc"))
+        .agg(sum(col("cc")).as("n"), sum(col("cc") * col("cc")).as("cssq"))
+        .select(col("n"),
+          expr("(n * n - cssq) * 1000000 div (n * n)").as("root_gini_micros"))
+      groups.crossJoin(broadcast(root))
+        .select(col("feature"),
+          col("root_gini_micros"),
+          expr("(n_g * n_g - ssq) * 1000000 div (n * n_g)").as("term"))
+        .groupBy(col("feature"), col("root_gini_micros"))
+        .agg(sum(col("term")).as("split_gini_micros"))
+        .select(col("feature"), col("root_gini_micros"), col("split_gini_micros"),
+          (col("root_gini_micros") - col("split_gini_micros")).as("gain_micros"))
+        .orderBy(col("feature"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, lang, least(n_chars // 200, 4) AS cls FROM documents),
+      fv AS (
+        SELECT 'source' AS feature, source AS val, cls FROM docs
+        UNION ALL
+        SELECT 'lang' AS feature, lang AS val, cls FROM docs),
+      fvc AS (SELECT feature, val, cls, count(*) AS c FROM fv GROUP BY 1, 2, 3),
+      g AS (SELECT feature, val, CAST(sum(c) AS BIGINT) AS n_g,
+                   CAST(sum(c * c) AS BIGINT) AS ssq
+            FROM fvc GROUP BY 1, 2),
+      cc AS (SELECT cls, count(*) AS cc FROM docs GROUP BY 1),
+      root AS (SELECT CAST(sum(cc) AS BIGINT) AS n,
+                      (CAST(sum(cc) AS BIGINT) * sum(cc) - sum(cc * cc))
+                        * 1000000 // (CAST(sum(cc) AS BIGINT) * sum(cc))
+                        AS root_gini_micros
+               FROM cc)
+      SELECT feature,
+             CAST(root_gini_micros AS BIGINT) AS root_gini_micros,
+             CAST(split_gini_micros AS BIGINT) AS split_gini_micros,
+             CAST(root_gini_micros - split_gini_micros AS BIGINT) AS gain_micros
+      FROM (
+        SELECT feature, root.root_gini_micros,
+               sum((n_g * n_g - ssq) * 1000000 // (root.n * n_g)) AS split_gini_micros
+        FROM g CROSS JOIN root
+        GROUP BY feature, root.root_gini_micros)
+      ORDER BY feature"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
-    qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience)
+    qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
+    qGiniGain)
 }

@@ -503,8 +503,40 @@ object CurationQueries {
                AS curriculum_pos
       FROM banded ORDER BY curriculum_pos"""))
 
+  /** Weight-proportional EXACT-k corpus sample via priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each doc gets priority
+    * w/u for a uniform u, the k largest priorities are the sample —
+    * inclusion probability ∝ weight (here n_chars: a
+    * proportional-to-size sample for byte-budgeted downstream stages),
+    * yet the pass is a pure map + global top-k. Unlike the per-row
+    * Bernoulli samplers (q_stratified_sample, q_weighted_sample) the
+    * output size is EXACTLY k, not merely k in expectation — the
+    * contract a fixed eval-set builder needs.
+    *
+    * Determinism: u is the Knuth bucket hash in [1, 1e6] (never 0),
+    * priority an exact BIGINT w·1e6 div u — both engines compute the
+    * identical integer, every rerun/repartition picks the identical k
+    * docs. Plan shape: TakeOrderedAndProject — per-partition top-k, a
+    * k-row merge on the driver, NO global sort, no corpus shuffle.
+    */
+  val qPrioritySample = Q(
+    "q_priority_sample",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        Curation.priorityMicros("doc_id", "n_chars").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100),
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id, n_chars,
+               CAST(n_chars * 1000000 // ($hashSql % 1000000 + 1) AS BIGINT) AS priority
+        FROM documents)
+      SELECT doc_id, n_chars, priority FROM p
+      ORDER BY priority DESC, doc_id LIMIT 100"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
-    qInferBatches, qEpochOrders, qCurriculumOrder)
+    qInferBatches, qEpochOrders, qCurriculumOrder, qPrioritySample)
 }

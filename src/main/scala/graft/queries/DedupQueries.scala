@@ -1174,9 +1174,64 @@ object DedupQueries {
       ORDER BY name_a, name_b"""),
     headline = true)
 
+  /** Source-pair content-overlap matrix: exact Jaccard between each
+    * pair of sources over their DISTINCT 3-token shingle sets — the
+    * corpus-composition diagnostic behind "are src3 and src7 the same
+    * crawl?" decisions (pair a mixture weight or a drop with evidence).
+    *
+    * Scale shape: the corpus first collapses to the distinct
+    * (source, shingle) relation — content-bounded (Heaps-law sublinear
+    * in corpus size), one shuffle. The pair join then keys on the
+    * shingle; each shingle contributes at most |sources|² pairs, a
+    * CATALOG-sized constant (sources are a registry, not data), so the
+    * join output is O(distinct-grams · sources²) — linear in content at
+    * any corpus size, never corpus². Per-source set sizes ride in as a
+    * broadcast dimension.
+    */
+  val qSourceSimilarity = Q(
+    "q_source_similarity",
+    (s, d) => {
+      val fex = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+        .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("g"))
+        .distinct())
+      val sz = fex.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = fex.as("a")
+        .join(fex.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("nboth"))
+      inter
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("nboth"),
+          graft.functions.DetMath.ratio6(
+            col("nboth"), col("na") + col("nb") - col("nboth")).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      ex AS (
+        SELECT DISTINCT source,
+               unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS g
+        FROM toks),
+      sz AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+      i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS nboth
+            FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b, i.nboth,
+             floor((2.0 * i.nboth * 1000000 + (sa.n + sb.n - i.nboth))
+                   / (2.0 * (sa.n + sb.n - i.nboth))) / 1000000 AS jaccard
+      FROM i JOIN sz sa ON sa.source = i.src_a
+             JOIN sz sb ON sb.source = i.src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] = Seq(
     qEntityResolution,
     qWinnowFingerprint,
+    qSourceSimilarity,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,

@@ -1448,11 +1448,119 @@ object TextQueries {
         WHERE b.q >= a.q AND b.r >= a.r AND (b.q > a.q OR b.r > a.r))
       ORDER BY doc_id"""))
 
+  /** PMI-ranked collocations — the classic multi-word-expression miner
+    * (Church & Hanks, "Word association norms, mutual information, and
+    * lexicography", CL 1990): pairs whose observed bigram count beats
+    * the independence expectation c1·c2/N. Marginals and N reduce FROM
+    * the bigram-count relation (the textbook bigram-table PMI), so the
+    * whole query is ONE pair-keyed shuffle plus two vocabulary-bounded
+    * reductions; the w1/w2 marginal joins are Heaps-law dimension
+    * joins. The score is the PMI ratio itself in integer micros —
+    * monotone in log-PMI with no cross-libm ln(); numerators stay in
+    * DECIMAL(38,0)/HUGEINT so 100 TB token counts can't overflow. A
+    * min-support floor (c12 ≥ 10) kills the hapax pairs that saturate
+    * raw PMI; output is the global top-50 via TakeOrdered (per-partition
+    * top-k merge, never a full sort).
+    */
+  val qPmiCollocations = Q(
+    "q_pmi_collocations",
+    (s, d) => {
+      val bi = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      val left  = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val right = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val total = bi.agg(sum(col("c12")).as("n_bi"))
+      bi.filter(col("c12") >= 10)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("""CAST((2 * CAST(c12 AS DECIMAL(38,0)) * n_bi * 1000000
+                        + CAST(c1 AS DECIMAL(38,0)) * c2)
+                       div (2 * CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""")
+            .as("pmi_micros"))
+        .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      bi AS (
+        SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i + 1 AS INTEGER)] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+      rm AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+      n AS (SELECT CAST(sum(c12) AS HUGEINT) AS n_bi FROM c)
+      SELECT c.w1, c.w2, c.c12,
+             CAST((2::HUGEINT * c.c12 * n.n_bi * 1000000 + lm.c1::HUGEINT * rm.c2)
+                  // (2::HUGEINT * lm.c1 * rm.c2) AS BIGINT) AS pmi_micros
+      FROM c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+      WHERE c.c12 >= 10
+      ORDER BY pmi_micros DESC, w1, w2 LIMIT 50"""))
+
+  /** Reciprocal-rank fusion of independent document rankings (Cormack
+    * & Clarke's RRF, SIGIR 2009): each signal contributes
+    * 1/(60 + rank), so agreement near the top dominates and no signal
+    * needs calibrated scores — the standard way to combine length,
+    * diversity and cleanliness orderings (or BM25 + dense retrieval)
+    * without learning weights. Each global ranking runs through
+    * [[graft.ops.Ranking.rankByGroup]]'s band decomposition — NO
+    * single-partition global sort at any corpus size; ranks are SQL
+    * `rank()` competition ranks so ties agree across engines, and the
+    * fused score is Σ 1e6 div (60+r) — exact BIGINT, no float fusion.
+    */
+  val qRrfFusion = Q(
+    "q_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val m = Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars"),
+          size(array_distinct(tokens(lower(col("text"))))).as("n_distinct"),
+          punctCount(col("text")).as("n_punct"))
+        .withColumn("__all", lit("all"))
+      val sigs: Seq[(String, Column)] = Seq(
+        ("r_len",   -col("n_chars").cast("double")),
+        ("r_div",   -col("n_distinct").cast("double")),
+        ("r_punct", col("n_punct").cast("double")))
+      val ranked = sigs.foldLeft(m) { case (df, (name, v)) =>
+        graft.ops.Ranking.rankByGroup(df.withColumn("__v", v), "__all", "__v")
+          .withColumnRenamed("__rk", name).drop("__v", "__n")
+      }
+      ranked.select(col("doc_id"), col("r_len"), col("r_div"), col("r_punct"),
+          expr("1000000 div (60 + r_len) + 1000000 div (60 + r_div)" +
+            " + 1000000 div (60 + r_punct)").as("rrf_micros"))
+        .orderBy(col("rrf_micros").desc, col("doc_id")).limit(20)
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, n_chars,
+               len(list_distinct(list_filter(string_split_regex(lower(text),'\s+'),
+                   w -> len(w)>0))) AS n_distinct,
+               len(regexp_extract_all(text, '[.,!?;:''"()-]')) AS n_punct
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               rank() OVER (ORDER BY -n_chars) AS r_len,
+               rank() OVER (ORDER BY -n_distinct) AS r_div,
+               rank() OVER (ORDER BY n_punct) AS r_punct
+        FROM m)
+      SELECT doc_id, r_len, r_div, r_punct,
+             1000000 // (60 + r_len) + 1000000 // (60 + r_div)
+               + 1000000 // (60 + r_punct) AS rrf_micros
+      FROM r ORDER BY rrf_micros DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
-    qGopherRules, qNbClassifier, qBm25Rank)
+    qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion)
 }

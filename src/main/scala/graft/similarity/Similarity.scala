@@ -469,4 +469,77 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         col("score"), col("from_partition"))
   }
+
+  /** Deterministic ±1 sign matrix for a Johnson–Lindenstrauss random
+    * projection (Achlioptas, "Database-friendly random projections",
+    * PODS 2001 — the ±1 variant needs no floats to STORE and preserves
+    * pairwise inner products in expectation). Seeded from a splitmix-
+    * style integer mix of (row, col), so every executor, run and engine
+    * derives the identical matrix from the (inDim, outDim, seed)
+    * triple — nothing random at execution time, nothing to broadcast
+    * beyond a plan literal of outDim×inDim bytes.
+    */
+  private[graft] def signMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      var z = seed + j.toLong * 0x9e3779b97f4a7c15L + i.toLong * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Project `vecCol` (array<float>, length `inDim`) to `outDim`
+    * signed-sum components: p_j = Σ_i s_ji·x_i. Pure map work — the
+    * matrix rides the plan as a literal, each output component is one
+    * codegen'd zip_with/aggregate fold, and no shuffle or state is
+    * involved, so the operator scales embarrassingly at any corpus
+    * size. Output is array<float>: the 4-byte components keep the
+    * projected relation 4× narrower than the input for the downstream
+    * scorer, which is the point of projecting at all.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long = 42L): Column = {
+    val m = typedLit(signMatrix(inDim, outDim, seed).map(_.toSeq).toSeq)
+    // null-in → null-out: without the guard a NULL vector would project
+    // to an array OF nulls (each component's zip_with yields NULL),
+    // which downstream scorers treat as a present-but-poisoned vector
+    when(vec.isNull, lit(null).cast("array<float>"))
+      .otherwise(transform(m, row =>
+        aggregate(
+          zip_with(row, vec, (s, x) => s * x.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v).cast(FloatType)))
+  }
+
+  /** ANN via random projection + exact rerank — the coarse-quantize/
+    * refine pattern: rank ALL candidates cheaply in the projected
+    * space (projDim ≪ inDim floats per comparison), keep the top
+    * `overfetch` per probe, then score ONLY those in full dimension
+    * and return the exact-reranked top k.
+    *
+    * Scale shape: the full-dim pass touches O(probes·overfetch) rows
+    * instead of the corpus — the candidate relation is tiny by
+    * construction, so it BROADCASTS back against the corpus for vector
+    * fetch; both ranking steps are the O(probes·k) top-k aggregation.
+    * Total full-width arithmetic drops from N·Q to Q·overfetch, with
+    * one N·Q pass in the narrow projected space.
+    */
+  def randomProjectionTopK(candidates: DataFrame, idCol: String, vecCol: String,
+                           probes: DataFrame, k: Int,
+                           inDim: Int, projDim: Int = 32,
+                           overfetch: Int = 100): DataFrame = {
+    val proj = candidates.withColumn("__pvec",
+      randomProject(col(vecCol), inDim, projDim))
+    val probesProj = probes.select(col("probe_id"), col("probe_vec"),
+      randomProject(col("probe_vec"), inDim, projDim).as("__ppvec"))
+    val cand = bruteForceTopK(
+      proj, idCol, "__pvec",
+      probesProj.select(col("probe_id"), col("__ppvec").as("probe_vec")),
+      overfetch)
+      .select(col("probe_id"), col("neighbor_id"))
+    val rescored = candidates
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(probesProj.select(col("probe_id"), col("probe_vec"))),
+        Seq("probe_id"))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+    rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
+  }
 }

@@ -477,6 +477,44 @@ object EventsStreaming {
     latestVersioned(spark, out, "sketch")
       .map(p => spark.read.parquet(p).orderBy(col("count").desc, col("token")))
 
+  /** Streaming weight-proportional exact-k sample absorb: the
+    * continuous rendition of q_priority_sample. Priority sampling's
+    * selection is a mergeable top-k — topk(A∪B) = topk(topk(A)∪B) —
+    * and each row's priority is a pure deterministic function of
+    * (id, weight), so absorbing "union the persisted k rows with the
+    * batch, keep the top k" maintains EXACTLY the sample a one-shot
+    * pass over all history would pick, in O(k) state. The per-batch
+    * top-k is computed distributed (TakeOrdered); only k rows ever
+    * reach the sink state. Same versioned replay guard as the other
+    * absorb sinks — a replayed batch absorbs zero.
+    */
+  def prioritySampleAbsorbSink(out: String, k: Int, idCol: String,
+                               weightCol: String)
+                              (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    absorbVersioned(spark, out, "sample", batchId) { latest =>
+      val delta = batch.select(
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("weight"))
+        // priority over the CAST columns: `div` is integral-only, and a
+        // double weight (e.g. Event.value) must truncate identically on
+        // every path for the merge-equals-one-shot law to hold
+        .withColumn("priority", graft.text.Curation.priorityMicros("id", "weight"))
+        .orderBy(col("priority").desc, col("id")).limit(k)
+      latest.fold(delta)(p => spark.read.parquet(p).unionByName(delta))
+        .orderBy(col("priority").desc, col("id")).limit(k)
+        .coalesce(1)
+    }
+  }
+
+  /** The highest committed sample written by
+    * [[prioritySampleAbsorbSink]], heaviest-priority first (None before
+    * the first batch commits).
+    */
+  def currentPrioritySample(spark: SparkSession, out: String): Option[DataFrame] =
+    latestVersioned(spark, out, "sample")
+      .map(p => spark.read.parquet(p).orderBy(col("priority").desc, col("id")))
+
   /** Streaming distinct-count absorb: per micro-batch the per-key HLL
     * registers are built DISTRIBUTED ([[graft.functions.Hll]] — 4 KiB
     * binary per key), merged register-wise with the persisted sketch

@@ -58,6 +58,19 @@ object Curation {
       .when(bucketHash(id, 1000) < trainPerMille + valPerMille, lit("val"))
       .otherwise(lit("test"))
 
+  /** Priority-sampling priority (Duffield, Lund & Thorup, JACM 2007):
+    * w/u for a uniform u, here the Knuth bucket hash in [1, 1e6] so
+    * both engines and every rerun derive the identical exact BIGINT
+    * w·1e6 div u. The k largest priorities are a weight-proportional
+    * exact-k sample; top-k by priority is MERGEABLE
+    * (topk(A∪B) = topk(topk(A)∪B)), which is what lets the streaming
+    * absorb sink maintain the sample incrementally. Takes column NAMES
+    * (not Columns): the integer `div` only exists as a SQL operator.
+    */
+  def priorityMicros(idName: String, weightName: String): Column =
+    expr(s"(($weightName) * 1000000) div " +
+      s"(((($idName) % 999999937) * 2654435761) % 1000000 + 1)")
+
   /** Deterministic Bernoulli keep-decision at `rate` (a fraction of
     * 1e6 buckets — rates with ≤ 6 decimals are exact in double, so the
     * integer threshold compare can never straddle an engine's last

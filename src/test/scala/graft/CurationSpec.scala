@@ -264,4 +264,27 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 0L, 0L), (2L, 1L, 1L, 0L), (3L, 2L, 3L, 0L)),
       s"aligned docs must fill whole sequences: $got")
   }
+
+  test("priority sample: exactly k, partitioning-invariant, weight-biased") {
+    val d = "/root/testdata/sf0.001"
+    val q = graft.queries.CurationQueries.qPrioritySample
+    val a = q.run(spark, d).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a.size == 100, s"exact-k contract: got ${a.size}")
+    // same selection under a different physical layout
+    val repart = graft.Tables.documents(spark, d).repartition(17)
+    repart.createOrReplaceTempView("__prio_docs")
+    val b = repart
+      .select(col("doc_id"), col("n_chars"),
+        (Curation.bucketHash(col("doc_id"), 1000000L) + lit(1L)).as("u"))
+      .select(col("doc_id"), expr("(n_chars * 1000000) div u").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "selection must not depend on partitioning")
+    // proportional-to-size bias: sampled docs are longer than the corpus mean
+    val sampleMean = q.run(spark, d).agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val corpusMean = graft.Tables.documents(spark, d)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"weight-proportional sample must skew long: $sampleMean%.0f !> $corpusMean%.0f")
+  }
 }

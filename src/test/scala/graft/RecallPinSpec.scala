@@ -42,6 +42,17 @@ class RecallPinSpec extends SparkSpec {
     }
   }
 
+  test("random-projection-ANN oracle precondition: mean recall@10 >= 0.5 at both gate sfs") {
+    assume(dirs.nonEmpty, "driver testdata not present")
+    dirs.foreach { d =>
+      val row = queries.SimilarityQueries.qAnnRandomProjection.run(spark, d).collect()(0)
+      assert(row.getAs[Long]("n_probes") > 0,
+        s"$d: probe set empty — the recall contract checks nothing")
+      assert(row.getAs[Boolean]("recall_ok"),
+        s"$d: JL-projection + 200-rerank recall fell below the 0.5 oracle bound")
+    }
+  }
+
   test("quantized-ANN oracle precondition: mean recall@10 >= 0.8 at both gate sfs") {
     assume(dirs.nonEmpty, "driver testdata not present")
     dirs.foreach { d =>

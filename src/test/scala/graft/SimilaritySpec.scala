@@ -150,4 +150,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1, 0)) == (1L, 5.0))
     assert(got((1, 1)) == (1L, -6.5))
   }
+
+  test("signMatrix: deterministic, ±1-valued, roughly balanced") {
+    val a = Similarity.signMatrix(64, 32, 42L)
+    val b = Similarity.signMatrix(64, 32, 42L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "same seed must rebuild the same matrix")
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+    val pos = a.flatten.count(_ == 1.0)
+    assert(pos > 64 * 32 / 4 && pos < 64 * 32 * 3 / 4,
+      s"sign balance degenerate: $pos of ${64 * 32} positive")
+    assert(Similarity.signMatrix(64, 32, 43L).map(_.toSeq).toSeq != a.map(_.toSeq).toSeq,
+      "different seed must change the matrix")
+  }
+
+  test("randomProject: exact signed sums, null-in null-out") {
+    val m = Similarity.signMatrix(3, 2, 7L)
+    val df = Seq(Tuple1(Array(1f, 2f, 3f)), Tuple1(null.asInstanceOf[Array[Float]]))
+      .toDF("v")
+      .select(Similarity.randomProject(col("v"), 3, 2, 7L).as("p"))
+    val rows = df.collect()
+    val got = rows(0).getAs[scala.collection.Seq[Float]]("p")
+    val want = m.map(row => (row(0) * 1 + row(1) * 2 + row(2) * 3).toFloat).toSeq
+    assert(got.toSeq == want, s"projection must equal the literal signed sum: $got vs $want")
+    assert(rows(1).isNullAt(0), "null vector must project to null, not an array of nulls")
+  }
+
+  test("randomProjectionTopK: self-excluded, k rows per probe, rerank scores are exact cosine") {
+    val p = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val got = Similarity.randomProjectionTopK(vecs, "vec_id", "embedding", p, 2,
+      inDim = 3, projDim = 2, overfetch = 4).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSeq
+    assert(got.size == 2)
+    assert(!got.map(_._1).contains(0L), "probe must not retrieve itself")
+    // overfetch covers the whole corpus here, so the rerank must equal
+    // exact brute force: nearest is vec 1 (cos≈0.993), then 2 or 3 (0)
+    assert(got.head._1 == 1L && math.abs(got.head._2 - 0.993884) < 1e-6,
+      s"rerank must surface the exact-cosine nearest neighbor: $got")
+  }
 }

@@ -416,6 +416,36 @@ class StreamingSpec extends SparkSpec {
     assert(cnt >= 8L && cnt - err <= 8L)
   }
 
+  test("prioritySampleAbsorbSink: absorbed sample equals the one-shot top-k, replay absorbs zero") {
+    val out = tmpDir("stream-prio") + "/sample"
+    // weight rides `value`; ids chosen so the top-3 spans all batches
+    val days = Seq(
+      (1 to 6).map(i => Event(i.toLong, ts(i), 1L, "e", i * 100.0)),
+      (7 to 12).map(i => Event(i.toLong, ts(10 + i), 1L, "e", i * 100.0)),
+      (13 to 18).map(i => Event(i.toLong, ts(30 + i), 1L, "e", i * 100.0)))
+    days.zipWithIndex.foreach { case (d, i) =>
+      EventsStreaming.prioritySampleAbsorbSink(out, 3, "event_id", "value")(
+        d.toDS().toDF(), i.toLong)
+    }
+    def sample(): Seq[(Long, Long)] =
+      EventsStreaming.currentPrioritySample(spark, out).get
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("priority"))).toSeq
+    // one-shot over the whole history must pick the identical 3 rows
+    val oneShot = days.flatten.toDS().toDF()
+      .select(col("event_id").cast("long").as("id"),
+        col("value").cast("long").as("weight"))
+      .withColumn("priority", graft.text.Curation.priorityMicros("id", "weight"))
+      .orderBy(col("priority").desc, col("id")).limit(3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("priority"))).toSeq
+    assert(sample() == oneShot,
+      s"absorbed sample must equal the one-shot top-k: ${sample()} vs $oneShot")
+    assert(sample().size == 3)
+    // stale-batch replay absorbs zero
+    EventsStreaming.prioritySampleAbsorbSink(out, 3, "event_id", "value")(
+      days.head.toDS().toDF(), 0L)
+    assert(sample() == oneShot, "replayed batch must not perturb the sample")
+  }
+
   test("distinctAbsorbSink: absorbed registers equal the one-shot sketch, replay absorbs zero") {
     val in = tmpDir("stream-in-hll")
     val out = tmpDir("stream-hll") + "/distinct"
