@@ -131,36 +131,34 @@ object TextQueries {
     "q_corpus_curate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // collectThreshold matches the global kthSmallest default: one
-      // state here, so the worst single collect is 65536 (value, count)
-      // rows — same driver discipline, one narrowing round fewer
-      // tokenize ONCE for the bounds: every narrowing round re-scans
-      // this relation, and without the persist each round re-splits
-      // the full text column instead of reading a cached integer
-      val b = graft.ops.Selection.kthSmallestByGroupMulti(
-        graft.ops.Caching.cachedOnce(
-          docs.select(tokenCount(col("text")).cast("double").as("nt"))
-            .withColumn("__g", lit("all"))),
-        "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10),
-        collectThreshold = 65536L)
-      // empty/all-null corpus → no bounds → empty-set filter (±∞ band)
-      val lo = b.getOrElse(("all", 0), Double.PositiveInfinity)
-      val hi = b.getOrElse(("all", 1), Double.NegativeInfinity)
-      docs
-        // all three metrics from one tokenize pass (docMetrics). The
-        // explode(array(...)) wraps the struct in a Generate: field
-        // extractions and the pushed-down filter then reference the
-        // GENERATED attribute — without the barrier, CollapseProject +
-        // predicate pushdown inline the full metrics expression once
-        // per field reference (~5 evaluations per row, measured 2×
-        // slower than even the per-metric builders)
+      // ONE tokenize pass total: materialize the per-doc metrics
+      // relation (4 narrow columns, corpus-row count but a fraction of
+      // the text bytes) and run BOTH the bounds narrowing and the
+      // final filter off it — the bounds' narrowing rounds then
+      // re-scan cached integers, never the text. The explode(array())
+      // Generate barrier keeps docMetrics evaluated once per row:
+      // without it, CollapseProject + predicate pushdown inline the
+      // full metrics expression once per field reference (~5
+      // evaluations per row, measured 2× slower)
+      val m = graft.ops.Caching.cachedOnce(docs
         .select(col("doc_id"), explode(array(docMetrics(col("text")))).as("m"))
         .select(
           col("doc_id"),
           col("m.n_tokens").as("n_tokens"),
           round(col("m.quality"), 6).as("quality"),
-          col("m.pred_lang").as("pred_lang"))
-        .filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi)
+          col("m.pred_lang").as("pred_lang")))
+      // collectThreshold matches the global kthSmallest default: one
+      // state here, so the worst single collect is 65536 (value, count)
+      // rows — same driver discipline, one narrowing round fewer
+      val b = graft.ops.Selection.kthSmallestByGroupMulti(
+        m.select(col("n_tokens").cast("double").as("nt"))
+          .withColumn("__g", lit("all")),
+        "__g", col("nt"), Seq(n => (n + 9) / 10, n => (9 * n + 9) / 10),
+        collectThreshold = 65536L)
+      // empty/all-null corpus → no bounds → empty-set filter (±∞ band)
+      val lo = b.getOrElse(("all", 0), Double.PositiveInfinity)
+      val hi = b.getOrElse(("all", 1), Double.NegativeInfinity)
+      m.filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi)
           && col("quality") >= 0.5 && col("pred_lang") === "en")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy(col("doc_id"))
