@@ -673,10 +673,76 @@ object ParityQueries {
       FROM j WHERE status <> 'unchanged' ORDER BY c_custkey"""),
     headline = true)
 
+  /** Referential-integrity audit of the whole star schema in one
+    * report: for each of the seven FK edges, the child row count and
+    * the orphan count (child rows whose key finds no parent — a NULL
+    * key counts as an orphan on both engines: left-anti never matches
+    * NULL, NOT EXISTS never satisfies the equality). Each edge is one
+    * left-anti equi-join whose parent side broadcasts when dimension-
+    * sized (AQE picks the strategy per edge); the seven one-row
+    * aggregates union into the report — the generalization of the
+    * single-FK q_join_anti probe into the load-gate a warehouse runs
+    * before publishing a batch.
+    */
+  val qFkAudit = Q(
+    "q_fk_audit",
+    (s, d) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+               parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = child.join(parent, col(ck) === col(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val pa = Tables.part(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      Seq(
+        edge("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.part", li, "l_partkey", pa, "p_partkey"),
+        edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("nation.region", n, "n_regionkey", r, "r_regionkey"),
+        edge("orders.customer", o, "o_custkey", c, "c_custkey"),
+        edge("supplier.nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk"))
+    },
+    Some("""
+      SELECT 'customer.nation' AS fk, (SELECT count(*) FROM customer) AS n_child,
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.orders', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
+      UNION ALL
+      SELECT 'lineitem.part', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
+      UNION ALL
+      SELECT 'lineitem.supplier', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
+      UNION ALL
+      SELECT 'nation.region', (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r WHERE n.n_regionkey = r.r_regionkey))
+      UNION ALL
+      SELECT 'orders.customer', (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
+      UNION ALL
+      SELECT 'supplier.nation', (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey))
+      ORDER BY fk"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
-    qPitJoin, qTableDiff)
+    qPitJoin, qTableDiff, qFkAudit)
 }

@@ -1554,11 +1554,98 @@ object TextQueries {
                + 1000000 // (60 + r_punct) AS rrf_micros
       FROM r ORDER BY rrf_micros DESC, doc_id LIMIT 20"""))
 
+  /** Feature-hashed document vectors — the hashing trick (Weinberger
+    * et al., "Feature Hashing for Large Scale Multitask Learning",
+    * ICML 2009): each token lands in bucket
+    * instr('0123456789abcdef', md5(token)[1]) − 1, the doc becomes its
+    * 16-d bucket-count vector. No vocabulary is ever built or
+    * shuffled — the whole operator is PURE MAP work (the bucket array
+    * binds once per doc as a lambda variable; counts come from 16
+    * in-row filters), so it scales embarrassingly and the output
+    * vectors feed the modality-agnostic embedding operators
+    * (embeddingPairs near-dup, k-means cells) without a training pass.
+    * md5 is the cross-engine hash (the q_fingerprint precedent), so
+    * the vectors are bit-identical in the oracle.
+    */
+  val qFeatureHashing = Q(
+    "q_feature_hashing",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        tokens(lower(col("text"))).as("__t"))
+      .select(col("doc_id"),
+        expr("""element_at(transform(array(
+                  transform(__t, w -> instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1)),
+                bs -> transform(sequence(0, 15),
+                  b -> CAST(size(filter(bs, x -> x = b)) AS BIGINT))), 1)""")
+          .as("fvec"))
+      .select(col("doc_id"), col("fvec"),
+        expr("aggregate(fvec, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_hashed"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               list_transform(t, w -> strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) AS bs
+        FROM t)
+      SELECT doc_id,
+             [CAST(len(list_filter(bs, x -> x = bb)) AS BIGINT)
+              FOR bb IN range(0, 16)] AS fvec,
+             CAST(len(bs) AS BIGINT) AS n_hashed
+      FROM b ORDER BY doc_id"""))
+
+  /** Simpson lexical-diversity index per document: 1 − Σ(cᵢ/n)² over
+    * the doc's token counts — the repetition/diversity signal that,
+    * unlike Shannon entropy, is a RATIONAL (no ln()), so it computes
+    * as exact integer micros: (n² − Σc²)·1e6 div n². Entirely in-row
+    * (counts via filter over the bound token array — O(tokens ·
+    * distinct) per doc on ~30-token docs), zero shuffle at any corpus
+    * size; the corpus-level q_gini_gain applies the same rational
+    * trick across groups.
+    */
+  val qSimpsonDiversity = Q(
+    "q_simpson_diversity",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col("doc_id"),
+        expr("""element_at(transform(array(
+                  transform(array_distinct(__t),
+                            w -> CAST(size(filter(__t, x -> x = w)) AS BIGINT))),
+                cs -> struct(
+                  aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a + x) AS n,
+                  aggregate(cs, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS ssq)), 1)""")
+          .as("z"))
+      .select(col("doc_id"), col("z.n").as("n_tokens"),
+        expr("(z.n * z.n - z.ssq) * 1000000 div (z.n * z.n)").as("simpson_micros"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               list_transform(list_distinct(t),
+                              w -> CAST(len(list_filter(t, x -> x = w)) AS BIGINT)) AS cs
+        FROM t WHERE len(t) >= 1),
+      z AS (
+        SELECT doc_id,
+               CAST(list_sum(cs) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(cs, x -> x * x)) AS BIGINT) AS ssq
+        FROM c)
+      SELECT doc_id, n AS n_tokens,
+             (n * n - ssq) * 1000000 // (n * n) AS simpson_micros
+      FROM z ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
     qPiiScrub, qTfidfTerms, qPackEstimate, qChunkDocs, qTokenRarity, qBigramLm,
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
-    qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion)
+    qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion,
+    qFeatureHashing, qSimpsonDiversity)
 }
