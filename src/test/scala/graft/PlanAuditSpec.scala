@@ -113,4 +113,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.isEmpty, s"join found in scoring plan:\n$plan")
     assert(aggs.isEmpty, s"aggregation found in scoring plan:\n$plan")
   }
+
+  test("q_priority_sample plans a TakeOrdered, never a full global sort") {
+    // the exact-k sample must be a per-partition top-k with a k-row
+    // driver merge; a Sort+Exchange here would materialize a total
+    // order of the corpus for 100 rows of output.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.CurationQueries.qPrioritySample
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }
+    assert(sorts.isEmpty, s"global sort found in sample plan:\n$plan")
+  }
+
+  test("q_feature_hashing shuffles nothing but its output order") {
+    // the hashing trick is pure map work: the only Exchange allowed is
+    // the RangePartitioning behind the deterministic output ORDER BY —
+    // a hash shuffle appearing here means a vocabulary/aggregation
+    // crept back in.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.TextQueries.qFeatureHashing
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val hashShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"non-sort shuffle in feature-hashing plan:\n$plan")
+  }
 }
