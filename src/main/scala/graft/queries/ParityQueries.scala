@@ -739,10 +739,25 @@ object ParityQueries {
                (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey))
       ORDER BY fk"""))
 
+  /** The custom DataSource V2 generator under the oracle gate: read
+    * the whole synthetic table through the connector (planner-visible
+    * column pruning + doc_id-range pushdown — see
+    * [[graft.sources.DocGenSource]] and DocGenSourceSpec for the plan
+    * proofs) and compare it row-for-row against DuckDB generating the
+    * identical table from the shared arithmetic. Ignores sfDir — the
+    * table IS the source.
+    */
+  val qDocgenSource = Q(
+    "q_docgen_source",
+    (s, _) => s.read.format("graft.sources.DocGenSource")
+      .option("rows", "1000").load()
+      .orderBy(col("doc_id")),
+    Some(graft.sources.DocGenSource.oracleSql(1000L)))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
-    qPitJoin, qTableDiff, qFkAudit)
+    qPitJoin, qTableDiff, qFkAudit, qDocgenSource)
 }
