@@ -754,10 +754,50 @@ object ParityQueries {
       .orderBy(col("doc_id")),
     Some(graft.sources.DocGenSource.oracleSql(1000L)))
 
+  /** TPC-H Q3 shape (shipping-priority: the canonical selective
+    * 3-table join → aggregate → top-k) over the harness star schema —
+    * the classic OLAP plan the optimizer should get right end to end:
+    * the segment-filtered customer list BROADCASTS into orders (a
+    * selective semi-reduction before the big join), the date filters
+    * push into both scans, revenue sums through exact DECIMAL, and the
+    * top-10 is a TakeOrdered, not a full sort of the aggregate.
+    */
+  val qTpchQ3 = Q(
+    "q_tpch_q3",
+    (s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
-    qPitJoin, qTableDiff, qFkAudit, qDocgenSource)
+    qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3)
 }

@@ -117,12 +117,38 @@ private class DocGenTable(rows: Long, parts: Int) extends Table with SupportsRea
 
 private class DocGenScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DocGenSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) are pure range arithmetic —
+  // answered from the (already filter-narrowed) [lo, hi) without
+  // generating a single row. Complete pushdown: Spark plans NO
+  // aggregate at all, just this scan's one-row answer.
+  private def pushable(agg: Aggregation): Boolean = {
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.toSeq == Seq("doc_id")
+        case _ => false
+      }
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => isDocId(m.column)
+      case m: Max => isDocId(m.column)
+      case _ => false
+    }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (pushable(agg)) { pushedAgg = Some(agg); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
@@ -149,8 +175,51 @@ private class DocGenScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DocGenScan(math.max(lo, 0L),
-    math.max(hi, math.max(lo, 0L)), parts, required, pushed)
+  override def build(): Scan = {
+    val l = math.max(lo, 0L)
+    val h = math.max(hi, l)
+    pushedAgg match {
+      case Some(agg) => new DocGenAggScan(l, h, agg)
+      case None => new DocGenScan(l, h, parts, required, pushed)
+    }
+  }
+}
+
+/** One-row answer for a completely-pushed COUNT(*)/MIN/MAX(doc_id)
+  * aggregation: the range IS the statistics.
+  */
+private class DocGenAggScan(
+    lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  private val empty = hi <= lo
+  private val answers: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+    case _: CountStar => hi - lo
+    case _: Min => if (empty) null else lo
+    case _: Max => if (empty) null else hi - 1
+    case other => throw new IllegalStateException(s"unpushable agg: $other")
+  }
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String = s"DocGenAggScan [$lo, $hi) $agg"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val row = answers
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(row)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 private class DocGenScan(lo: Long, hi: Long, parts: Int,

@@ -58,6 +58,25 @@ class DocGenSourceSpec extends SparkSpec {
       == r.map(_.toSeq).toSeq)
   }
 
+  test("COUNT/MIN/MAX push completely into the source: no aggregate exec, filters compose") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = read(1000).filter(col("doc_id") >= 200 && col("doc_id") < 700)
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val aggs = df.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggs.isEmpty,
+        s"aggregate exec found — pushdown not complete:\n${df.queryExecution.executedPlan}")
+      assert(df.collect()(0).toSeq == Seq(500L, 200L, 699L),
+        "pushed aggregation must see the filter-narrowed range")
+      // empty range: count 0, null extrema — same as a real aggregation
+      val e = read(1000).filter(col("doc_id") < 0)
+        .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("partitioning splits the id range evenly and respects pushdown bounds") {
     val df = read(1000).filter(col("doc_id") < 500)
     // 8 partitions over [0, 500): every partition generates its slice only
