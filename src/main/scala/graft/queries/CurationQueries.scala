@@ -535,8 +535,74 @@ object CurationQueries {
       SELECT doc_id, n_chars, priority FROM p
       ORDER BY priority DESC, doc_id LIMIT 100"""))
 
+  /** Iterative proportional fitting (raking, Deming & Stephan 1940) of
+    * per-(source, lang) sampling weights so BOTH marginals
+    * simultaneously approach uniform — the two-constraint dataset
+    * balancing q_source_mix (one margin) can't do: scaling sources
+    * alone skews the language mix and vice versa; IPF alternates the
+    * two scalings and converges geometrically. Two unrolled rounds
+    * (source-fit, lang-fit, source-fit, lang-fit), every step exact
+    * integer micros with DECIMAL(38,0)/HUGEINT intermediates and
+    * div-rounded per cell in the same order on both engines.
+    *
+    * Scale shape: ONE corpus-keyed count produces the |S|×|L| cell
+    * relation; every subsequent aggregation/join is catalog-sized
+    * metadata (broadcast), so rounds cost nothing at any corpus size.
+    */
+  val qRakingWeights = Q(
+    "q_raking_weights",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      // one scaling step: weights *= (T / (k · margin_total)) in micros
+      def fit(w: DataFrame, margin: String): DataFrame = {
+        val mt = w.groupBy(col(margin)).agg(
+          sum(expr("n * wm")).as("mtot"))
+        val k = mt.count()
+        val t = w.agg(sum(expr("n * wm")).as("t"))
+        w.join(broadcast(mt), margin).crossJoin(broadcast(t))
+          .withColumn("wm", expr(
+            s"""CAST((CAST(wm AS DECIMAL(38,0)) *
+                      ((CAST(t AS DECIMAL(38,0)) * 1000000) div ($k * CAST(mtot AS DECIMAL(38,0)))))
+                     div 1000000 AS BIGINT)"""))
+          .select(col("source"), col("lang"), col("n"), col("wm"))
+      }
+      val w0 = cells.withColumn("wm", lit(1000000L))
+      val fitted = Seq("source", "lang", "source", "lang").foldLeft(w0)(fit)
+      fitted
+        .select(col("source"), col("lang"), col("n"), col("wm").as("weight_micros"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some {
+      // the same four scalings unrolled; S/L counts are data-derived
+      // subqueries so the SQL needs no literals
+      def round(prev: String, margin: String, out: String): String =
+        s"""$out AS (
+             SELECT p.source, p.lang, p.n,
+                    CAST((CAST(p.wm AS HUGEINT) *
+                          ((CAST(t.t AS HUGEINT) * 1000000)
+                           // ((SELECT count(DISTINCT $margin) FROM $prev) * CAST(m.mtot AS HUGEINT))))
+                         // 1000000 AS BIGINT) AS wm
+             FROM $prev p
+             JOIN (SELECT $margin, sum(n * wm) AS mtot FROM $prev GROUP BY 1) m
+               ON p.$margin = m.$margin
+             CROSS JOIN (SELECT sum(n * wm) AS t FROM $prev) t)"""
+      s"""
+      WITH cells AS (
+        SELECT source, lang, count(*) AS n, CAST(1000000 AS BIGINT) AS wm
+        FROM documents GROUP BY 1, 2),
+      ${round("cells", "source", "r1")},
+      ${round("r1", "lang", "r2")},
+      ${round("r2", "source", "r3")},
+      ${round("r3", "lang", "r4")}
+      SELECT source, lang, n, wm AS weight_micros
+      FROM r4 ORDER BY source, lang"""
+    })
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
-    qInferBatches, qEpochOrders, qCurriculumOrder, qPrioritySample)
+    qInferBatches, qEpochOrders, qCurriculumOrder, qPrioritySample,
+    qRakingWeights)
 }

@@ -1226,12 +1226,60 @@ object DedupQueries {
                    / (2.0 * (sa.n + sb.n - i.nboth))) / 1000000 AS jaccard
       FROM i JOIN sz sa ON sa.source = i.src_a
              JOIN sz sb ON sb.source = i.src_b
-      ORDER BY src_a, src_b"""))
+      ORDER BY src_a, src_b"""),
+    headline = true)
+
+  /** Per-document novelty score: the fraction of the doc's DISTINCT
+    * 3-shingles that appear in no other document (df = 1) — the
+    * inverse boilerplate signal ("how much of this page is new to the
+    * corpus"), the doc-level complement of repeatedSpans' span-level
+    * view. Selecting on high novelty is the classic diversity move in
+    * corpus curation; near-zero novelty flags mirrors and templates
+    * that near-dup TIERS might miss when no single pair crosses tau.
+    *
+    * Scale shape: distinct (doc, gram) explode → one gram-keyed count
+    * (the df relation, content-bounded) → join back on the gram key →
+    * one doc-keyed reduce. Two keyed shuffles, no pair join anywhere —
+    * cost is corpus-linear where the pairwise operators are
+    * collision-bounded. Score is DetMath.ratio6-exact.
+    */
+  val qNoveltyScore = Q(
+    "q_novelty_score",
+    (s, d) => {
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
+      val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      ex.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          graft.functions.DetMath.ratio6(col("n_unique"), col("n_grams"))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      ex AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS g
+        FROM toks),
+      df AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+      SELECT ex.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             floor((2.0 * sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000 + count(*))
+                   / (2.0 * count(*))) / 1000000 AS novelty
+      FROM ex JOIN df USING (g)
+      GROUP BY ex.doc_id ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
     qEntityResolution,
     qWinnowFingerprint,
-    qSourceSimilarity,
+    qSourceSimilarity, qNoveltyScore,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,

@@ -328,7 +328,8 @@ object SimilarityQueries {
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", p, 10)
       Similarity.recallAtK(ann, exact, 10, minMeanRecall = 0.5)
     },
-    Some(annOracle))
+    Some(annOracle),
+    headline = true)
 
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,

@@ -1501,7 +1501,8 @@ object TextQueries {
                   // (2::HUGEINT * lm.c1 * rm.c2) AS BIGINT) AS pmi_micros
       FROM c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
       WHERE c.c12 >= 10
-      ORDER BY pmi_micros DESC, w1, w2 LIMIT 50"""))
+      ORDER BY pmi_micros DESC, w1, w2 LIMIT 50"""),
+    headline = true)
 
   /** Reciprocal-rank fusion of independent document rankings (Cormack
     * & Clarke's RRF, SIGIR 2009): each signal contributes
