@@ -183,6 +183,90 @@ object MultimodalQueries {
             WHERE round(dot / (sqrt(x.nn) * sqrt(y.nn)), 6) >= 0.9999)
       SELECT id_a, id_b, score FROM c ORDER BY id_a, id_b"""))
 
+  /** Perceptual difference-hash (dHash) per media payload — the
+    * standard image near-dup fingerprint (8 "pixel rows" × 7
+    * adjacent-brightness comparisons → 56-bit signature; robust to
+    * uniform brightness/contrast shifts because only ORDER between
+    * neighbors matters). The harness "pixels" are the payload's
+    * leading codepoints (the byte-math stand-in this module uses
+    * everywhere), so the hash is pure in-row arithmetic both engines
+    * compute identically — with a real decoder the same expression
+    * runs over the resized grayscale rows. Payloads shorter than the
+    * 8×8 pixel grid are skipped on both engines.
+    */
+  val qMediaDhash = Q(
+    "q_media_dhash",
+    (s, d) => Tables.documents(s, d)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id").as("media_id"),
+        expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (a, k) ->
+                  a + IF(ascii(substring(text, CAST((k div 7) * 8 + (k % 7) + 1 AS INT), 1))
+                       < ascii(substring(text, CAST((k div 7) * 8 + (k % 7) + 2 AS INT), 1)),
+                      shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)), CAST(0 AS BIGINT)))""")
+          .as("dhash"))
+      .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(list_sum(list_transform(range(0, 56), k ->
+               CASE WHEN ascii(substring(text, CAST((k // 7) * 8 + (k % 7) + 1 AS INTEGER), 1))
+                       < ascii(substring(text, CAST((k // 7) * 8 + (k % 7) + 2 AS INTEGER), 1))
+                    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS dhash
+      FROM documents WHERE length(text) >= 64
+      ORDER BY media_id"""))
+
+  /** dHash near-dup pairs at Hamming ≤ 3 via 4×14-bit banding — the
+    * SimHash banding discipline applied to the perceptual hash, but
+    * with PROVABLY complete recall: ≤ 3 differing bits cannot touch
+    * all 4 bands (pigeonhole), so every qualifying pair shares at
+    * least one exact band and the banded join finds exactly the
+    * brute-force pair set — which is what the oracle recomputes
+    * all-pairs. Shuffle carries (band, value)-keyed ids only; the
+    * exact Hamming verify runs on the collided candidates.
+    */
+  val qMediaDhashPairs = Q(
+    "q_media_dhash_pairs",
+    (s, d) => {
+      val h = Tables.documents(s, d)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"),
+          expr("""aggregate(sequence(0, 55), CAST(0 AS BIGINT), (a, k) ->
+                    a + IF(ascii(substring(text, CAST((k div 7) * 8 + (k % 7) + 1 AS INT), 1))
+                         < ascii(substring(text, CAST((k div 7) * 8 + (k % 7) + 2 AS INT), 1)),
+                        shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)), CAST(0 AS BIGINT)))""")
+            .as("dhash"))
+      val banded = h.select(col("media_id"), col("dhash"),
+        explode(expr(
+          """transform(sequence(0, 3),
+               b -> struct(b AS bi, (dhash div shiftleft(CAST(1 AS BIGINT), CAST(b * 14 AS INT))) % 16384 AS bv))"""))
+          .as("bb"))
+        .select(col("media_id"), col("dhash"), col("bb.bi").as("bi"), col("bb.bv").as("bv"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv")
+            && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id AS media_id,
+               CAST(list_sum(list_transform(range(0, 56), k ->
+                 CASE WHEN ascii(substring(text, CAST((k // 7) * 8 + (k % 7) + 1 AS INTEGER), 1))
+                         < ascii(substring(text, CAST((k // 7) * 8 + (k % 7) + 2 AS INTEGER), 1))
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS dhash
+        FROM documents WHERE length(text) >= 64)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalDecode,
-    qMultimodalFeatures, qMultimodalResize, qMediaNeardup)
+    qMultimodalFeatures, qMultimodalResize, qMediaNeardup, qMediaDhash,
+    qMediaDhashPairs)
 }
