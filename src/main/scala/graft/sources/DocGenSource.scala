@@ -118,7 +118,8 @@ private class DocGenTable(rows: Long, parts: Int) extends Table with SupportsRea
 private class DocGenScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -149,6 +150,17 @@ private class DocGenScanBuilder(rows: Long, parts: Int)
   override def supportCompletePushDown(agg: Aggregation): Boolean = pushable(agg)
   override def pushAggregation(agg: Aggregation): Boolean =
     if (pushable(agg)) { pushedAgg = Some(agg); true } else false
+
+  // LIMIT composes with the filter-narrowed range: rows are generated
+  // in id order, so the first n of [lo, hi) is just [lo, lo+n) — the
+  // generator never produces a row the limit would drop. Fully pushed
+  // (isPartiallyPushed = false): Spark keeps its own Limit node for
+  // plan-shape reasons but it passes everything through.
+  override def pushLimit(n: Int): Boolean = {
+    hi = math.min(hi, math.max(lo, 0L) + n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
@@ -224,9 +236,26 @@ private class DocGenAggScan(
 
 private class DocGenScan(lo: Long, hi: Long, parts: Int,
                          required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Exact statistics — the generator knows its cardinality, so the
+    * optimizer's broadcast/join decisions see the FILTER-NARROWED row
+    * count, not a guess (the capability file sources earn from
+    * footer metadata; here it is free). Bytes ≈ rows × the mean width
+    * of the REQUIRED columns (~8 per long, ~120 for text).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(hi - lo, 0L)
+    private val width = required.fields.map(_.dataType match {
+      case LongType => 8L
+      case _ => 120L
+    }).sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
   override def description(): String =
     s"DocGenScan [$lo, $hi) PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] = {

@@ -77,6 +77,24 @@ class DocGenSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("LIMIT pushes into the generator and composes with filters") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = read(1000).filter(col("doc_id") >= 300).limit(5)
+      assert(batchScan(df).scan.description().contains("[300, 305)"),
+        s"limit not composed with the pushed filter: ${batchScan(df).scan.description()}")
+      assert(df.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(300L, 301L, 302L, 303L, 304L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("scan reports exact filter-narrowed statistics to the optimizer") {
+    val df = read(1000).filter(col("doc_id") < 250)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(250)),
+      s"optimizer must see the narrowed row count: $stats")
+  }
+
   test("partitioning splits the id range evenly and respects pushdown bounds") {
     val df = read(1000).filter(col("doc_id") < 500)
     // 8 partitions over [0, 500): every partition generates its slice only
