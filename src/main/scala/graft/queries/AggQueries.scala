@@ -707,10 +707,83 @@ object AggQueries {
         GROUP BY feature, root.root_gini_micros)
       ORDER BY feature"""))
 
+  /** Hierarchical sketch rollup: per-(day, hour) HLL sketches of
+    * distinct users merge REGISTER-WISE into per-day sketches — the
+    * pre-aggregation algebra a 100 TB metrics store runs (persist the
+    * fine grain once, answer every coarser grain by merging sketches,
+    * never re-scanning events; the batch twin of the streaming
+    * distinctAbsorbSink). The within-5% contract binds the day
+    * estimate to the exact distinct count (the q_hll_distinct
+    * discipline), so a merge bug that double-counts or drops registers
+    * hash-fails.
+    */
+  val qHllWindowRollup = Q(
+    "q_hll_window_rollup",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"), col("user_id"))
+      val hourly = ev.groupBy(col("day"), col("hr"))
+        .agg(graft.functions.Hll.hll_sketch(col("user_id")).as("sk"))
+      val daily = hourly.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_hours"),
+          graft.functions.Hll.hll_estimate(
+            graft.functions.Hll.hll_merge(col("sk"))).as("approx_users"))
+      val exact = ev.select(col("day"), col("user_id")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("exact_users"))
+      daily.join(exact, "day")
+        .select(col("day"), col("n_hours"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("within_5pct"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT date_part('hour', ts)) AS BIGINT) AS n_hours,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS within_5pct
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Period-over-period report: daily event volume per type with the
+    * previous period's volume and the exact per-mille change — the
+    * week-over-week / day-over-day dashboard primitive. One keyed
+    * aggregation; the lag window partitions per event_type (never
+    * global), and the change ratio is div-rounded integer per-mille so
+    * both engines agree at half boundaries.
+    */
+  val qPeriodOverPeriod = Q(
+    "q_period_over_period",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        // sign-decomposed: Spark `div` truncates toward zero while
+        // DuckDB `//` floors, so negative deltas need the same
+        // magnitude math on both engines with the sign applied after
+        .withColumn("delta_permille",
+          expr("""CAST(IF(n >= prev_n, 1, -1)
+                       * ((abs(n - prev_n) * 1000) div prev_n) AS BIGINT)"""))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, day, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        FROM daily)
+      SELECT event_type, day, n, prev_n,
+             CAST((CASE WHEN n >= prev_n THEN 1 ELSE -1 END)
+                  * (abs(n - prev_n) * 1000 // prev_n) AS BIGINT) AS delta_permille
+      FROM l ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
-    qGiniGain)
+    qGiniGain, qHllWindowRollup, qPeriodOverPeriod)
 }
