@@ -51,4 +51,27 @@ object Quality {
         col("n_violations"), (col("n_violations") === 0).as("pass"))
       .orderBy(col("rule"))
   }
+
+  /** In-flight quality counters via `Dataset.observe` — the
+    * ZERO-extra-pass rendition of [[report]]: the violation counts
+    * piggyback on whatever action the caller was already running (the
+    * write, the aggregate), instead of costing a second scan of a
+    * 100 TB relation. The returned Observation yields the metrics map
+    * after the caller's first action completes; rows flow through
+    * unchanged.
+    *
+    * `report` remains the right tool when the REPORT is the product;
+    * this is the production posture where quality is a side-channel of
+    * the load job (observe-gate-then-publish: run the write, check the
+    * observation, roll back/alert on breach).
+    */
+  def observed(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+    val obs = org.apache.spark.sql.Observation()
+    val exprs = count(lit(1)).as("n_rows") +:
+      rules.map(r => count(when(!r.pred, 1)).as(s"violations_${r.name}"))
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
+  }
 }

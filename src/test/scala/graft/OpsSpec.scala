@@ -59,6 +59,22 @@ class OpsSpec extends SparkSpec {
     assert(clean.head.getBoolean(3), "clean relation passes")
   }
 
+  test("Quality.observed: counters piggyback on the caller's action, rows unchanged") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[Double])](
+      (Some(1L), Some(5.0)), (Some(2L), Some(99.0)), (None, Some(3.0))
+    ).toDF("k", "v")
+    val (flow, obs) = Quality.observed(df, Seq(
+      Quality.notNull("k"), Quality.inRange("v", 0, 10)))
+    // the observation rides THIS action — no extra scan anywhere
+    val out = flow.collect()
+    assert(out.length == 3, "rows must flow through unchanged")
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("violations_not_null_k") == 1L)
+    assert(m("violations_range_v") == 1L)
+  }
+
   test("mergeAggregates over partials equals the from-scratch aggregate") {
     import spark.implicits._
     val rows = (1 to 100).map(i => (i % 3, i.toLong, 1L)).toDF("g", "x", "n")
