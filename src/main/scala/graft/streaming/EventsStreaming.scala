@@ -477,6 +477,51 @@ object EventsStreaming {
     latestVersioned(spark, out, "sketch")
       .map(p => spark.read.parquet(p).orderBy(col("count").desc, col("token")))
 
+  final case class WindowTop(window_start: java.sql.Timestamp, rank: Int,
+                             event_type: String, n: Long, err: Long)
+
+  /** Per-window top-k heavy hitters, emitted when the watermark CLOSES
+    * the window — "top event types per hour" as an append-mode stream.
+    * Chained stateful aggregations (window count → per-window rank)
+    * are unsupported in Append mode, so this is one
+    * flatMapGroupsWithState keyed by the window bucket whose state is
+    * a capacity-m SpaceSaving summary: state stays O(m) per LIVE
+    * window even over an unbounded type domain (the q_heavy_hitters
+    * discipline made windowed), exact whenever a window's distinct
+    * types fit in m. Event-time timeout at window end retires the
+    * state — closed windows cost nothing.
+    */
+  def windowedTopKStream(events: Dataset[Event], k: Int = 3,
+                         capacity: Int = 64, windowSeconds: Long = 3600,
+                         watermark: String = "0 seconds"): Dataset[WindowTop] = {
+    import events.sparkSession.implicits._
+    import graft.functions.SpaceSavingAggregator
+    import SpaceSavingAggregator.Item
+    val wMs = windowSeconds * 1000
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => math.floorDiv(e.ts.getTime, wMs))
+      .flatMapGroupsWithState[List[Item], WindowTop](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (win: Long, batch: Iterator[Event], state: GroupState[List[Item]]) =>
+          val sk = new SpaceSavingAggregator.SpaceSaving(capacity)
+          if (state.hasTimedOut) {
+            val top = state.get.sorted(Ordering.by((i: Item) => (-i.count, i.token)))
+              .take(k)
+            state.remove()
+            top.iterator.zipWithIndex.map { case (i, r) =>
+              WindowTop(new java.sql.Timestamp(win * wMs), r + 1,
+                i.token, i.count, i.err)
+            }
+          } else {
+            val delta = batch.foldLeft(List.empty[Item])(
+              (b, e) => sk.reduce(b, e.event_type))
+            state.update(sk.merge(state.getOption.getOrElse(Nil), delta))
+            state.setTimeoutTimestamp((win + 1) * wMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming weight-proportional exact-k sample absorb: the
     * continuous rendition of q_priority_sample. Priority sampling's
     * selection is a mergeable top-k — topk(A∪B) = topk(topk(A)∪B) —

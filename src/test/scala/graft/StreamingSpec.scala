@@ -416,6 +416,49 @@ class StreamingSpec extends SparkSpec {
     assert(cnt >= 8L && cnt - err <= 8L)
   }
 
+  test("windowedTopKStream: watermark-closed window emits its exact top-k, open window holds") {
+    val in = tmpDir("stream-in-wtop")
+    val ckpt = tmpDir("ckpt-wtop")
+    val out = tmpDir("wtop-out") + "/top"
+    def run(): Unit = {
+      val events = EventsStreaming.readEvents(spark, in,
+        implicitly[org.apache.spark.sql.Encoder[Event]].schema).as[Event]
+      val q = EventsStreaming.windowedTopKStream(events, k = 2, capacity = 8)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStreaming.WindowTop], _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def tops(): Seq[(Long, Int, String, Long, Long)] =
+      if (!graft.ops.Fs.exists(out)) Seq.empty
+      else spark.read.parquet(out).as[EventsStreaming.WindowTop].collect()
+        .map(t => (t.window_start.getTime, t.rank, t.event_type, t.n, t.err))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // hour-0 counts split over two micro-batches: aa 3, bb 2, cc 1
+    Seq(Event(1L, ts(0), 1L, "aa", 0), Event(2L, ts(5), 2L, "bb", 0),
+      Event(3L, ts(10), 1L, "aa", 0))
+      .toDS().write.mode("overwrite").parquet(in)
+    run()
+    assert(tops().isEmpty, "open window must emit nothing")
+    Seq(Event(4L, ts(20), 3L, "cc", 0), Event(5L, ts(25), 1L, "aa", 0),
+      Event(6L, ts(40), 2L, "bb", 0))
+      .toDS().write.mode("append").parquet(in)
+    run()
+    assert(tops().isEmpty, "window not yet past watermark")
+    // far-future event advances the watermark beyond hour 0 -> closes it
+    Seq(Event(7L, ts(300), 9L, "zz", 0)).toDS().write.mode("append").parquet(in)
+    run()
+    val got = tops()
+    assert(got.map(t => (t._2, t._3, t._4, t._5)) == Seq(
+      (1, "aa", 3L, 0L), (2, "bb", 2L, 0L)),
+      s"closed hour-0 window must emit the exact merged top-2: $got")
+  }
+
   test("prioritySampleAbsorbSink: absorbed sample equals the one-shot top-k, replay absorbs zero") {
     val out = tmpDir("stream-prio") + "/sample"
     // weight rides `value`; ids chosen so the top-3 spans all batches
