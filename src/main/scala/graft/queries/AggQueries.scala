@@ -780,10 +780,45 @@ object AggQueries {
                   * (abs(n - prev_n) * 1000 // prev_n) AS BIGINT) AS delta_permille
       FROM l ORDER BY event_type, day"""))
 
+  /** Top-3 event types per (day, hour) — the batch twin of
+    * `streaming/EventsStreaming.windowedTopKStream`, and the "grouped
+    * top-k over an AGGREGATED relation" shape: the rank window
+    * partitions the (day, hr, type)-count relation, which is
+    * types×hours metadata — never the raw events — so a skewed hour
+    * costs the window nothing. One keyed count shuffle; ties break on
+    * the type name in both engines.
+    */
+  val qHourlyTopTypes = Q(
+    "q_hourly_top_types",
+    (s, d) => {
+      val w = Window.partitionBy(col("day"), col("hr"))
+        .orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .orderBy(col("day"), col("hr"), col("rank"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(date_part('hour', ts) AS INTEGER) AS hr,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2, 3),
+      r AS (
+        SELECT day, hr, event_type, n,
+               CAST(row_number() OVER (PARTITION BY day, hr
+                 ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        FROM c)
+      SELECT day, hr, event_type, n, rank
+      FROM r WHERE rank <= 3 ORDER BY day, hr, rank"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
-    qGiniGain, qHllWindowRollup, qPeriodOverPeriod)
+    qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes)
 }
