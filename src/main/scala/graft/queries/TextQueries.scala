@@ -1641,6 +1641,86 @@ object TextQueries {
              (n * n - ssq) * 1000000 // (n * n) AS simpson_micros
       FROM z ORDER BY doc_id"""))
 
+  /** Triangle count + global clustering coefficient of the word
+    * co-occurrence graph (bigram pairs with support ≥ 5, canonical
+    * w1<w2 edges) — the graph-density diagnostic distinguishing
+    * template-heavy corpora (dense cliques) from diverse prose.
+    *
+    * Spark runs the DEGREE-ORIENTED node-iterator (the MapReduce
+    * triangle-counting standard): each edge points from its
+    * lower-(degree, name) endpoint, wedges form only at the LOW-degree
+    * center, so per-node wedge work is min-degree-bounded and a
+    * hub of degree d generates d wedges, not d² — the skew weapon
+    * that makes the count feasible on power-law graphs. The oracle
+    * counts the same triangles with the naive 3-way self-join, so the
+    * hash-match doubles as an algorithm-equivalence proof. The
+    * coefficient 3·T/wedges is div-rounded integer per-mille.
+    */
+  val qTriangles = Q(
+    "q_triangles",
+    (s, d) => {
+      val edges = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+        .select(tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(least(element_at(t, i), element_at(t, i + 1)) AS u, " +
+            "greatest(element_at(t, i), element_at(t, i + 1)) AS v))")).as("b"))
+        .filter(col("b.u") =!= col("b.v"))
+        .groupBy(col("b.u").as("u"), col("b.v").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select(col("u"), col("v")))
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // orient: x = endpoint with the smaller (deg, name)
+      val oriented = edges
+        .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("x"), col("v").as("y")))
+            .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+      val wedgesAtCenter = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+        .select(
+          least(col("e1.y"), col("e2.y")).as("u"),
+          greatest(col("e1.y"), col("e2.y")).as("v"))
+      val triangles = wedgesAtCenter.join(edges, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+      stats.crossJoin(broadcast(triangles))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("CAST(IF(n_wedges = 0, 0, (3 * n_triangles * 1000) div n_wedges) AS BIGINT)")
+            .as("closed_permille"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      bi AS (
+        SELECT least(t[CAST(i AS INTEGER)], t[CAST(i + 1 AS INTEGER)]) AS u,
+               greatest(t[CAST(i AS INTEGER)], t[CAST(i + 1 AS INTEGER)]) AS v
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      e AS (SELECT u, v FROM bi WHERE u <> v GROUP BY u, v HAVING count(*) >= 5),
+      nodes AS (SELECT n, count(*) AS deg FROM
+                  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM nodes) AS n_wedges,
+             CAST(n_triangles AS BIGINT) AS n_triangles,
+             CAST(CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM nodes) = 0 THEN 0
+                  ELSE (3 * n_triangles * 1000)
+                       // (SELECT sum(deg * (deg - 1) // 2) FROM nodes) END AS BIGINT)
+               AS closed_permille
+      FROM tri"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
@@ -1648,5 +1728,5 @@ object TextQueries {
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
     qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion,
-    qFeatureHashing, qSimpsonDiversity)
+    qFeatureHashing, qSimpsonDiversity, qTriangles)
 }
