@@ -203,6 +203,38 @@ object AggQueries {
     // synchronized aggregation passes)
     headline = true)
 
+  /** EXACT decile grid of l_extendedprice — all nine order statistics
+    * in ONE [[graft.ops.Selection.kthSmallestByGroupMulti]] call: every
+    * rank narrows through the same per-round histogram aggregation
+    * (the multi-rank machinery q_winsorize_scalable uses for two
+    * ranks, exercised at nine), so the whole grid costs the 2-3 passes
+    * a single exact median costs — not nine narrowings and never a
+    * value buffer. The distribution-report primitive at 100 TB.
+    */
+  val qDeciles = Q(
+    "q_deciles",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val ranks: Seq[Long => Long] =
+        (1 to 9).map(i => (n: Long) => math.max(1L, i.toLong * n / 10))
+      val b = graft.ops.Selection.kthSmallestByGroupMulti(
+        li.filter(col("l_extendedprice").isNotNull).withColumn("__g", lit("all")),
+        "__g", col("l_extendedprice"), ranks)
+      (1 to 9).flatMap(i => b.get(("all", i - 1)).map(v => (i, v)))
+        .toDF("decile", "price")
+        .orderBy(col("decile"))
+    },
+    Some("""
+      SELECT CAST(d AS INTEGER) AS decile, price FROM (
+        SELECT l_extendedprice AS price,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      (SELECT unnest(range(1, 10)) AS d)
+      WHERE rn = greatest(1, d * n // 10)
+      ORDER BY decile"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -820,5 +852,6 @@ object AggQueries {
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
-    qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes)
+    qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes,
+    qDeciles)
 }
