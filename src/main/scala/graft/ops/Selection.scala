@@ -100,6 +100,68 @@ object Selection {
     }
   }
 
+  /** EXACT weighted quantile by the same histogram-narrowing
+    * discipline as [[kthSmallest]], with per-bucket COUNTS replaced by
+    * per-bucket WEIGHT SUMS: the smallest v whose cumulative weight
+    * (value-ascending) reaches `targetWeight` — the "value below which
+    * p% of the TOKENS/BYTES sit" question that row-quantiles get wrong
+    * whenever documents differ in size. Weights must be nonnegative
+    * integers (exact BIGINT accumulation; fractional weights belong in
+    * micro-units). Driver sees only bucket weight sums per round plus
+    * one bounded tail — never a value buffer. NULL/NaN values and
+    * null weights are excluded, SQL-aggregate style.
+    */
+  def weightedKth(df: DataFrame, valueCol: Column, weightCol: Column,
+                  targetWeight: Long, buckets: Int = 1024,
+                  collectThreshold: Long = 65536): Double = {
+    require(targetWeight >= 1, "targetWeight is 1-based cumulative weight")
+    val vals0 = df.select(valueCol.cast("double").as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        !col("v").isin(Double.NegativeInfinity, Double.PositiveInfinity) &&
+        col("w").isNotNull && col("w") > 0)
+    val first = vals0.agg(min(col("v")), max(col("v")),
+      sum(col("w")), count(lit(1))).head()
+    require(!first.isNullAt(2) && first.getLong(2) >= targetWeight,
+      s"targetWeight=$targetWeight exceeds total weight")
+    var lo = first.getDouble(0)
+    var hi = first.getDouble(1)
+    var vals = vals0
+    var tw = targetWeight
+    var n = first.getLong(3)
+    var rounds = 0
+    while (n > collectThreshold && lo < hi && rounds < 64) {
+      val width = hi / buckets - lo / buckets
+      val bucketOf = least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1))
+      val sums = vals.groupBy(bucketOf.cast("int").as("b"))
+        .agg(sum(col("w")).as("ws"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var acc = 0L
+      val (bSel, _, cSel) = sums.find { case (_, ws, _) =>
+        val hit = acc + ws >= tw; if (!hit) acc += ws; hit
+      }.get
+      tw -= acc
+      n = cSel
+      def edge(b: Int): Double =
+        (lo / buckets) * (buckets - b) + (hi / buckets) * b
+      val newLo = edge(bSel)
+      val newHi = if (bSel == buckets - 1) hi else edge(bSel + 1)
+      vals = vals.filter(least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1)) === bSel)
+      lo = newLo
+      hi = newHi
+      rounds += 1
+    }
+    if (lo == hi) lo
+    else {
+      // bounded tail: (value, weight-sum) per DISTINCT value, walked in
+      // order until the remaining target is covered
+      val tail = vals.groupBy(col("v")).agg(sum(col("w")).as("ws"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      tail.find { case (_, ws) => acc += ws; acc >= tw }.get._1
+    }
+  }
+
   /** Exact lower median: the ⌈n/2⌉-th smallest value. */
   def exactMedian(df: DataFrame, valueCol: Column): Double = {
     val n = df.select(valueCol.cast("double").as("v"))

@@ -235,6 +235,39 @@ object AggQueries {
       WHERE rn = greatest(1, d * n // 10)
       ORDER BY decile"""))
 
+  /** Weight-EXACT median: the document length below which half the
+    * corpus VOLUME (bytes) sits — a row-median reports the typical
+    * DOCUMENT, this reports the typical BYTE, and the two diverge
+    * wildly on long-tailed corpora (the statistic that decides chunking
+    * and packing defaults). Computed by
+    * [[graft.ops.Selection.weightedKth]]'s weighted histogram
+    * narrowing — per-bucket weight sums to the driver, never a value
+    * buffer.
+    */
+  val qWeightedMedian = Q(
+    "q_weighted_median",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val w = docs.agg(sum(col("n_chars"))).head()
+      if (w.isNullAt(0)) Seq.empty[(Long, Double)].toDF("total_bytes", "median_by_volume")
+      else {
+        val total = w.getLong(0)
+        val m = graft.ops.Selection.weightedKth(
+          docs, col("n_chars"), col("n_chars"), (total + 1) / 2)
+        Seq((total, m)).toDF("total_bytes", "median_by_volume")
+      }
+    },
+    Some("""
+      SELECT CAST(total_bytes AS BIGINT) AS total_bytes, median_by_volume FROM (
+        SELECT CAST(n_chars AS DOUBLE) AS median_by_volume,
+               sum(n_chars) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n_chars) OVER () AS total_bytes
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      WHERE cum >= (total_bytes + 1) // 2
+      ORDER BY median_by_volume LIMIT 1"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -853,5 +886,5 @@ object AggQueries {
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
     qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes,
-    qDeciles)
+    qDeciles, qWeightedMedian)
 }

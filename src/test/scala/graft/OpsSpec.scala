@@ -75,6 +75,29 @@ class OpsSpec extends SparkSpec {
     assert(m("violations_range_v") == 1L)
   }
 
+  test("Selection.weightedKth: equals the brute-force cumulative walk, narrowing path included") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toDouble, (i % 7 + 1).toLong)).toDF("v", "w")
+    def brute(target: Long): Double = {
+      val sorted = (1 to 500).map(i => (i.toDouble, (i % 7 + 1).toLong)).sortBy(_._1)
+      var acc = 0L
+      sorted.find { case (_, w) => acc += w; acc >= target }.get._1
+    }
+    val total = (1 to 500).map(i => (i % 7 + 1).toLong).sum
+    for (t <- Seq(1L, total / 4, (total + 1) / 2, total)) {
+      // collectThreshold 16 forces several narrowing rounds
+      val got = Selection.weightedKth(rows, col("v"), col("w"), t,
+        buckets = 8, collectThreshold = 16)
+      assert(got == brute(t), s"target $t: $got != ${brute(t)}")
+    }
+    // zero/null weights excluded; ties share the value
+    val ties = Seq((5.0, 3L), (5.0, 2L), (7.0, 0L), (9.0, 4L))
+      .toDF("v", "w")
+    assert(Selection.weightedKth(ties, col("v"), col("w"), 5L) == 5.0)
+    assert(Selection.weightedKth(ties, col("v"), col("w"), 6L) == 9.0,
+      "zero-weight value must never satisfy the target")
+  }
+
   test("mergeAggregates over partials equals the from-scratch aggregate") {
     import spark.implicits._
     val rows = (1 to 100).map(i => (i % 3, i.toLong, 1L)).toDF("g", "x", "n")
