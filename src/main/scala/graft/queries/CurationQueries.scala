@@ -600,9 +600,45 @@ object CurationQueries {
       FROM r4 ORDER BY source, lang"""
     })
 
+  /** k-anonymity audit over quasi-identifiers (Sweeney 2002): how many
+    * documents sit in a (source, lang, length-band) equivalence class
+    * smaller than k — each such row is re-identifiable by its metadata
+    * alone, the release-gate complement to content-level PII scrubbing
+    * (q_pii_scrub removes identifiers IN the text; this catches the
+    * identifying power OF the metadata). One keyed aggregation; the
+    * summary reduces FROM the class relation, so the corpus is scanned
+    * once.
+    */
+  val qKAnonymity = Q(
+    "q_k_anonymity",
+    (s, d) => {
+      val k = 5
+      val classes = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"),
+          expr("n_chars div 100").as("len_band"))
+        .agg(count(lit(1)).as("n"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_at_risk_docs"),
+        min(col("n")).as("min_class_size"))
+        .select(lit(k).cast("int").as("k"), col("n_classes"),
+          col("n_small_classes"), col("n_at_risk_docs"), col("min_class_size"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, lang, n_chars // 100 AS len_band, count(*) AS n
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT CAST(5 AS INTEGER) AS k,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_at_risk_docs,
+             CAST(min(n) AS BIGINT) AS min_class_size
+      FROM c"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
     qInferBatches, qEpochOrders, qCurriculumOrder, qPrioritySample,
-    qRakingWeights)
+    qRakingWeights, qKAnonymity)
 }
