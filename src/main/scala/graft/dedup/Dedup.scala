@@ -560,6 +560,49 @@ object Dedup {
     */
   @volatile var lastClusterRounds: Int = -1
 
+  /** Incremental connected components — absorb a batch of NEW pairs
+    * (an ingest's near-dup edges) into an existing
+    * (doc_id, cluster_id) labeling WITHOUT re-walking the corpus
+    * graph. Each prior component contracts to ONE super-node (its
+    * label); the new edges, endpoint-mapped to super-nodes, form a
+    * graph of size O(batch edges + touched components) on which
+    * [[dedupClusters]] runs; the resulting super-label remap joins
+    * back over the prior labeling. Because prior labels are component
+    * MINIMA, min-of-mins over the contracted graph IS the global
+    * minimum — the output is row-identical to clustering the full
+    * edge set from scratch (spec + oracle-proven), at ingest cost
+    * that never touches unaffected components' edges.
+    */
+  def dedupClustersIncremental(priorLabels: DataFrame, newDocs: DataFrame,
+                               idCol: String, newPairs: DataFrame,
+                               aCol: String = "doc_a",
+                               bCol: String = "doc_b"): DataFrame = {
+    val lbl = priorLabels.select(col("doc_id").cast("long").as("__id"),
+      col("cluster_id").cast("long").as("__lab"))
+    val contracted = newPairs
+      .select(col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .join(lbl.select(col("__id").as("__a"), col("__lab").as("__la")), Seq("__a"), "left")
+      .join(lbl.select(col("__id").as("__b"), col("__lab").as("__lb")), Seq("__b"), "left")
+      .select(coalesce(col("__la"), col("__a")).as("doc_a"),
+        coalesce(col("__lb"), col("__b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val superNodes = contracted.select(col("doc_a").as("n"))
+      .union(contracted.select(col("doc_b"))).distinct()
+    val remap = dedupClusters(superNodes, "n", contracted)
+      .select(col("doc_id").as("__old"), col("cluster_id").as("__new"))
+      .filter(col("__old") =!= col("__new")) // identity remaps are no-ops
+    val updatedPrior = lbl
+      .join(remap.withColumnRenamed("__old", "__lab"), Seq("__lab"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("__new"), col("__lab")).as("cluster_id"))
+    val newRows = newDocs.select(col(idCol).cast("long").as("doc_id"))
+      .join(lbl.select(col("__id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(remap.withColumnRenamed("__old", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("doc_id")).as("cluster_id"))
+    updatedPrior.unionByName(newRows)
+  }
+
   /** The dedup ACTION: filter a corpus to one canonical document per
     * near-dup cluster (the member whose id equals the cluster label,
     * i.e. the minimum id — deterministic). `clusters` is

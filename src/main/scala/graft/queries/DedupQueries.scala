@@ -363,6 +363,62 @@ object DedupQueries {
       FROM reach GROUP BY v ORDER BY doc_id"""),
     headline = true)
 
+  /** Incremental cluster maintenance: the corpus splits into a "prior"
+    * 80% (clustered the normal way) and an "ingest batch" 20%; the
+    * batch's near-dup edges absorb into the prior labeling through
+    * [[Dedup.dedupClustersIncremental]]'s super-node contraction —
+    * cost ∝ batch edges + touched components, never the corpus graph.
+    * The oracle is the FROM-SCRATCH recursive-CTE clustering of the
+    * full edge set, so the hash-match proves incremental ≡ recompute
+    * exactly (labels are component minima in both).
+    */
+  val qDedupClustersIncremental = Q(
+    "q_dedup_clusters_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val allPairs = graft.ops.Caching.cachedOnce(
+        Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          k = 3, tau = 0.3, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
+          .select(col("doc_a"), col("doc_b")))
+      val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val oldPairs = allPairs.filter(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)
+      val newPairs = allPairs.filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      val prior = Dedup.dedupClusters(oldDocs, "doc_id", oldPairs)
+      Dedup.dedupClustersIncremental(prior, newDocs, "doc_id", newPairs)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v)
+      SELECT v AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY v ORDER BY doc_id"""))
+
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the corpus holds — the one-glance duplication summary (a heavy
     * tail of large clusters means mirror/boilerplate trouble; all-1s
@@ -1282,7 +1338,8 @@ object DedupQueries {
     qSourceSimilarity, qNoveltyScore,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
-    qDedupClusters, qClusterSizes, qDecontaminate, qDecontaminateBloom,
+    qDedupClusters, qDedupClustersIncremental, qClusterSizes,
+    qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
     qRepeatedSpans, qContainmentPairs, qScrubSpans, qContaminatedSpans,

@@ -547,4 +547,26 @@ class TextDedupSpec extends SparkSpec {
       .collect()
     assert(jac.isEmpty)
   }
+
+  test("dedupClustersIncremental: batch absorb equals from-scratch, cascades included") {
+    import spark.implicits._
+    // prior graph: components {10,11,12} (label 10) and {20,21} (label 20);
+    // 30 and 40 are isolated; 5 is brand-new with a SMALLER id than any label
+    val oldDocs = Seq(10L, 11L, 12L, 20L, 21L, 30L, 40L).toDF("doc_id")
+    val oldPairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(oldDocs, "doc_id", oldPairs)
+    // batch: new doc 5 bridges BOTH prior components (cascade through
+    // two contracted super-nodes) and new doc 99 arrives isolated
+    val newDocs = Seq(5L, 99L).toDF("doc_id")
+    val newPairs = Seq((5L, 12L), (5L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersIncremental(prior, newDocs, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.dedupClusters(
+      oldDocs.union(newDocs), "doc_id", oldPairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch, s"incremental $got != from-scratch $scratch")
+    // the merged component takes the NEW minimum id as its label
+    assert(got(12L) == 5L && got(21L) == 5L && got(5L) == 5L)
+    assert(got(30L) == 30L && got(99L) == 99L)
+  }
 }
