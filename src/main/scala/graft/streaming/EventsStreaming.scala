@@ -735,6 +735,62 @@ object EventsStreaming {
     } finally delta.unpersist()
   }
 
+  /** Streaming cluster MAINTENANCE — the keep-everything dual of
+    * [[nearDupScreenSink]]: every document is admitted, and the
+    * near-dup component labeling is kept continuously correct by
+    * [[graft.dedup.Dedup.dedupClustersIncremental]] — per batch, the
+    * batch's intra- and cross-corpus near-dup edges contract against
+    * the persisted labels (cost ∝ batch + touched components, never
+    * the corpus graph), so the label store is an incrementally-
+    * maintained materialized view of the full clustering. Labels
+    * commit under the versioned replay guard; the text store appends
+    * behind an id anti-join, so a replayed batch changes nothing. A
+    * crash between the label commit and the text append leaves label
+    * rows whose text lands on the batch's replay — labels never
+    * regress, the text store catches up.
+    */
+  def clusterMaintainSink(idCol: String, textCol: String, out: String,
+                          tau: Double = 0.6)
+                         (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val docsStore = s"$out/docs"
+    val b = batch.dropDuplicates(idCol).persist()
+    try {
+      val priorDocs =
+        if (graft.ops.Fs.exists(docsStore)) Some(spark.read.parquet(docsStore))
+        else None
+      absorbVersioned(spark, s"$out/labels", "labels", batchId) { latest =>
+        val intra = graft.dedup.Dedup
+          .minhashPairs(b, idCol, textCol, tau = tau)
+          .select(col("doc_a"), col("doc_b"))
+        val cross = priorDocs.map { pd =>
+          graft.dedup.Dedup
+            .minhashPairsCross(pd.select(col(idCol), col(textCol)), b,
+              idCol, textCol, tau = tau)
+            .select(col("doc_a"), col("doc_b"))
+        }
+        val pairs = cross.fold(intra)(intra.unionByName(_))
+        val prior = latest.map(spark.read.parquet)
+          .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+        graft.dedup.Dedup
+          .dedupClustersIncremental(prior, b.select(col(idCol)), idCol, pairs)
+          .coalesce(1)
+      }
+      val delta = priorDocs.fold(b)(pd =>
+        b.join(pd.select(col(idCol)), Seq(idCol), "left_anti"))
+      if (!delta.isEmpty)
+        delta.select(col(idCol), col(textCol)).write.mode("append").parquet(docsStore)
+    } finally b.unpersist()
+  }
+
+  /** The highest committed labeling written by [[clusterMaintainSink]]
+    * (None before the first batch commits).
+    */
+  def currentClusters(spark: SparkSession, out: String): Option[DataFrame] =
+    latestVersioned(spark, s"$out/labels", "labels")
+      .map(p => spark.read.parquet(p).orderBy(col("doc_id")))
+
   def nearDupScreenSink(staticCorpus: DataFrame, idCol: String, textCol: String,
                         out: String, tau: Double = 0.6)
                        (batch: DataFrame, batchId: Long): Unit = {

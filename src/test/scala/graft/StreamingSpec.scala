@@ -825,4 +825,40 @@ class StreamingSpec extends SparkSpec {
     sink(b1, 1L)
     assert(spark.read.parquet(out).count() == 3)
   }
+
+  test("clusterMaintainSink: labels track the full clustering across batches, replay is a no-op") {
+    import spark.implicits._
+    val out = tmpDir("cluster-maintain")
+    val sink = EventsStreaming.clusterMaintainSink("doc_id", "text", out, tau = 0.3) _
+    val b0 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "completely different words entirely here now today")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (30L, "the quick brown fox jumps over the lazy cat"), // near-dups 10
+      (40L, "statistics on partitioned analytical workloads matter")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (50L, "completely different words entirely here now tomorrow"), // near-dups 20
+      (5L, "the quick brown fox jumps over the lazy hen")   // near-dups 10/30, smaller id
+    ).toDF("doc_id", "text")
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    def labels(): Map[Long, Long] =
+      EventsStreaming.currentClusters(spark, out).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labels()
+    // from-scratch clustering over the same docs + same pair tier
+    val all = b0.union(b1).union(b2)
+    val scratch = graft.dedup.Dedup.dedupClusters(all, "doc_id",
+        graft.dedup.Dedup.minhashPairs(all, "doc_id", "text", tau = 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch, s"maintained $got != from-scratch $scratch")
+    // the late smaller id relabels the whole fox component
+    assert(got(10L) == 5L && got(30L) == 5L && got(5L) == 5L)
+    assert(got(20L) == got(50L) && got(40L) == 40L)
+    // replay of the last batch: labels and text store unchanged
+    sink(b2, 2L)
+    assert(labels() == got)
+    assert(spark.read.parquet(s"$out/docs").count() == 6)
+  }
 }
