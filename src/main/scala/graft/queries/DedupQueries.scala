@@ -419,6 +419,85 @@ object DedupQueries {
       SELECT v AS doc_id, min(label) AS cluster_id
       FROM reach GROUP BY v ORDER BY doc_id"""))
 
+  /** Near-dup EVIDENCE report — for every verified probe pair, the
+    * three rarest shared shingles (rarity = corpus df): the forensic
+    * answer to "WHY did the pipeline call these two documents
+    * duplicates", which is what a human reviews when a dedup decision
+    * is disputed. Rare shared shingles are the informative ones — a
+    * df-2 shingle shared by exactly this pair is a smoking gun, a
+    * df-50 boilerplate phrase is not.
+    *
+    * Scale shape: the shared-gram relation is the SAME equi-join that
+    * verifies the pairs (one gram-keyed shuffle, df-capped), re-joined
+    * against the qualifying pair list (probe-bounded, broadcast); the
+    * evidence window partitions per pair and each pair's shared grams
+    * are ≤ its shingle count — bounded.
+    */
+  val qDedupEvidence = Q(
+    "q_dedup_evidence",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b")).orderBy(col("df"), col("g"))
+      val ex = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g")))
+      val adm = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ClusterMaxDf)
+      val fex = ex.join(adm, "g")
+      val sz = fex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = graft.ops.Caching.cachedOnce(fex.as("a")
+        .join(fex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+            && col("a.doc_id") % 10 === 0)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.g").as("g"), col("a.df").as("df")))
+      val pairs = shared.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("nboth"))
+        .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .filter(col("nboth").cast("double")
+          / (col("na") + col("nb") - col("nboth")) >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      shared.join(broadcast(pairs), Seq("doc_a", "doc_b"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("rank"), col("g").as("shingle"),
+          col("df"))
+        .orderBy(col("doc_a"), col("doc_b"), col("rank"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g, count(*) AS df FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g, adm.df FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g, a.df
+        FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT doc_a, doc_b, count(*) AS nboth FROM shared GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.3),
+      ranked AS (
+        SELECT s.doc_a, s.doc_b, s.g, s.df,
+               row_number() OVER (PARTITION BY s.doc_a, s.doc_b
+                 ORDER BY s.df, s.g) AS rank
+        FROM shared s JOIN pairs USING (doc_a, doc_b))
+      SELECT doc_a, doc_b, CAST(rank AS INTEGER) AS rank, g AS shingle,
+             CAST(df AS BIGINT) AS df
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_a, doc_b, rank"""))
+
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the corpus holds — the one-glance duplication summary (a heavy
     * tail of large clusters means mirror/boilerplate trouble; all-1s
@@ -1338,7 +1417,7 @@ object DedupQueries {
     qSourceSimilarity, qNoveltyScore,
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
-    qDedupClusters, qDedupClustersIncremental, qClusterSizes,
+    qDedupClusters, qDedupClustersIncremental, qClusterSizes, qDedupEvidence,
     qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
