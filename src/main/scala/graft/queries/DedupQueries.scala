@@ -498,6 +498,65 @@ object DedupQueries {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_a, doc_b, rank"""))
 
+  /** Dedup τ-sweep: how many near-dup pairs (and how many documents
+    * touched) each candidate threshold would act on — the tuning curve
+    * read BEFORE committing a dedup pass, computed from ONE exact pair
+    * relation (the τ ≥ 0.1 graph) rather than one pipeline run per
+    * candidate. Pair counts are monotone in τ by construction, so an
+    * inversion in this report is a pipeline bug, not a data property.
+    */
+  val qDedupTauCurve = Q(
+    "q_dedup_tau_curve",
+    (s, d) => {
+      val pairs = graft.ops.Caching.cachedOnce(
+        Dedup.jaccardPairsExact(Tables.documents(s, d), "doc_id", "text",
+          k = 3, tau = 0.1, probePred = _ => lit(true), maxDf = Some(ClusterMaxDf))
+          .select(col("doc_a"), col("doc_b"), col("jaccard")))
+      val grid = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      grid.map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        val docsTouched = p.select(col("doc_a").as("id"))
+          .union(p.select(col("doc_b"))).distinct()
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(docsTouched.agg(count(lit(1)).as("n_docs_touched")))
+          .select(lit(t).as("tau"), col("n_pairs"), col("n_docs_touched"))
+      }.reduce(_ unionByName _).orderBy(col("tau"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      adm AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $ClusterMaxDf),
+      fex AS (SELECT ex.doc_id, ex.g FROM ex JOIN adm USING (g)),
+      sz AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
+      pr AS (
+        -- j mirrors the engine's micro-rounded jaccard (ratio6), while
+        -- the admission filter uses the RAW ratio like the pair tier
+        SELECT i.doc_a, i.doc_b,
+               floor((2.0 * i.nboth * 1000000 + (sa.n + sb.n - i.nboth))
+                     / (2.0 * (sa.n + sb.n - i.nboth))) / 1000000 AS j
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+              FROM fex a JOIN fex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.1),
+      g AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS tau),
+      pc AS (SELECT g.tau, count(pr.doc_a) AS n_pairs
+             FROM g LEFT JOIN pr ON pr.j >= g.tau GROUP BY g.tau),
+      u AS (SELECT doc_a AS id, j FROM pr UNION ALL SELECT doc_b, j FROM pr),
+      tc AS (SELECT g.tau, count(DISTINCT u.id) AS n_docs_touched
+             FROM g LEFT JOIN u ON u.j >= g.tau GROUP BY g.tau)
+      SELECT pc.tau, CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+             CAST(tc.n_docs_touched AS BIGINT) AS n_docs_touched
+      FROM pc JOIN tc USING (tau) ORDER BY tau"""))
+
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the corpus holds — the one-glance duplication summary (a heavy
     * tail of large clusters means mirror/boilerplate trouble; all-1s
@@ -1418,6 +1477,7 @@ object DedupQueries {
     qDedupExact, qDedupIncremental, qJaccardPairs, qDedupMinhash,
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qDedupClustersIncremental, qClusterSizes, qDedupEvidence,
+    qDedupTauCurve,
     qDecontaminate, qDecontaminateBloom,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
