@@ -1119,10 +1119,64 @@ object EventQueries {
       FROM dev JOIN mad USING (event_type)
       GROUP BY dev.event_type ORDER BY event_type"""))
 
+  /** Automation/bot detection by inter-event-gap regularity: a human's
+    * event gaps are bursty (high variance relative to the mean); a
+    * scheduled client fires on a near-fixed period (variance ≪ mean²).
+    * Report the 10 most-regular users (≥ 20 gaps) by squared
+    * coefficient of variation — entirely in exact integer arithmetic:
+    * gaps in micros via one per-user lag window, and
+    * CV² = (n·Σg² − S²)/S² carried as a div-rounded integer in micros
+    * (DECIMAL(38,0)/HUGEINT keeps century-scale micro sums exact;
+    * Cauchy–Schwarz keeps the numerator nonnegative so floor and
+    * truncation agree). One keyed window + one keyed aggregation +
+    * TakeOrdered.
+    */
+  val qBotScore = Q(
+    "q_bot_score",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("g", unix_micros(col("ts")) - col("prev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g")).as("sg"),
+          sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sg2"))
+        .filter(col("n_gaps") >= 20 && col("sg") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_us"),
+          expr("""CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sg2
+                         - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000)
+                       div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)""")
+            .as("cv2_micros"))
+        .orderBy(col("cv2_micros"), col("user_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+        FROM events),
+      a AS (
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(g) AS HUGEINT) AS sg,
+               CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+        FROM g WHERE g IS NOT NULL GROUP BY user_id)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+             CAST(((n_gaps::HUGEINT * sg2 - sg::HUGEINT * sg) * 1000000)
+                  // (sg::HUGEINT * sg) AS BIGINT) AS cv2_micros
+      FROM a WHERE n_gaps >= 20 AND sg > 0
+      ORDER BY cv2_micros, user_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers)
+    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers,
+    qBotScore)
 }
