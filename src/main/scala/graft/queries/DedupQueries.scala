@@ -640,6 +640,51 @@ object DedupQueries {
                    / (2.0 * greatest(len(sh.s), 1))) / 1000000 AS contamination
       FROM sh, bench ORDER BY doc_id"""))
 
+  /** Per-source contamination scoreboard: which SOURCES carry the
+    * benchmark leakage — the triage view that turns the per-doc
+    * contamination flags into a procurement decision ("drop the feed"
+    * vs "scrub the docs"). Composes [[Dedup.contamination]]'s per-doc
+    * relation (broadcast bench grams, no corpus shuffle) with one
+    * source-keyed reduction; rates are div-rounded integer per-mille.
+    */
+  val qContaminationBySource = Q(
+    "q_contamination_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val flags = Dedup.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", k = 3)
+      docs.select(col("doc_id"), col("source"))
+        .join(flags.select(col("doc_id"), col("n_contaminated")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_contaminated") > 0, 1L).otherwise(0L))
+            .as("n_contaminated_docs"))
+        .select(col("source"), col("n_docs"), col("n_contaminated_docs"),
+          expr("CAST((n_contaminated_docs * 1000) div n_docs AS BIGINT)")
+            .as("rate_permille"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS s
+        FROM toks),
+      bench AS (
+        SELECT list_distinct(flatten(list(s))) AS grams
+        FROM sh WHERE doc_id % 50 = 0)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN len(list_intersect(sh.s, bench.grams)) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+             CAST(sum(CASE WHEN len(list_intersect(sh.s, bench.grams)) > 0
+                           THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+               AS rate_permille
+      FROM sh, bench GROUP BY source ORDER BY source"""))
+
   /** Semantic (embedding-space) dedup end to end: exact rounded-cosine
     * pair graph at tau 0.35 → connected components → keep the
     * minimum-id vector of each cluster. The same pairs→clusters→keep
@@ -1478,7 +1523,7 @@ object DedupQueries {
     qDedupSimhash, qDedupEmbedding, qDedupEmbeddingLsh, qDedupEmbeddingKeep,
     qDedupClusters, qDedupClustersIncremental, qClusterSizes, qDedupEvidence,
     qDedupTauCurve,
-    qDecontaminate, qDecontaminateBloom,
+    qDecontaminate, qDecontaminateBloom, qContaminationBySource,
     qDedupKeep, qSplitLeakproof, qDupRateBySource, qDedupCrossBatch,
     qDedupCrossSimhash, qEditPairs, qEditPairsCorpus, qDedupSemantic,
     qRepeatedSpans, qContainmentPairs, qScrubSpans, qContaminatedSpans,
