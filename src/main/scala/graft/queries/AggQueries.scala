@@ -268,6 +268,38 @@ object AggQueries {
       WHERE cum >= (total_bytes + 1) // 2
       ORDER BY median_by_volume LIMIT 1"""))
 
+  /** Join-key skew diagnosis: the 10 heaviest l_orderkey values with
+    * their share of the relation and the salt factor
+    * [[graft.ops.SkewOps.saltedJoin]] would need to spread each one
+    * evenly over 32 shuffle partitions — the report read BEFORE a big
+    * join ships, answering "will AQE's skew split be enough or do I
+    * pre-salt". Share and salt are div-rounded integers (per-mille and
+    * ceil(count·parts/total)); one keyed count + TakeOrdered.
+    */
+  val qSkewReport = Q(
+    "q_skew_report",
+    (s, d) => {
+      val parts = 32
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(
+          Tables.lineitem(s, d).agg(count(lit(1)).as("total"))))
+        .select(col("l_orderkey"), col("cnt"),
+          expr("CAST((cnt * 1000) div total AS BIGINT)").as("share_permille"),
+          expr(s"CAST(greatest(1, (cnt * $parts + total - 1) div total) AS BIGINT)")
+            .as("salt_factor"))
+        .orderBy(col("cnt").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+      SELECT l_orderkey, cnt,
+             CAST(cnt * 1000 // total AS BIGINT) AS share_permille,
+             CAST(greatest(1, (cnt * 32 + total - 1) // total) AS BIGINT) AS salt_factor
+      FROM c CROSS JOIN t
+      ORDER BY cnt DESC, l_orderkey LIMIT 10"""))
+
   /** Pivot (wide counts per status); NULL cells canonicalized to 0 so the
     * shape matches the FILTER-count oracle.
     */
@@ -886,5 +918,5 @@ object AggQueries {
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
     qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes,
-    qDeciles, qWeightedMedian)
+    qDeciles, qWeightedMedian, qSkewReport)
 }
