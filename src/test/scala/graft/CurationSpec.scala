@@ -265,6 +265,32 @@ class CurationSpec extends SparkSpec {
       s"aligned docs must fill whole sequences: $got")
   }
 
+  test("raking: both weighted marginals converge near uniform after two rounds") {
+    val d = "/root/testdata/sf0.001"
+    val w = graft.queries.CurationQueries.qRakingWeights.run(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def shares(key: ((String, String, Long, Long)) => String): Seq[Double] = {
+      val tot = w.map(c => c._3 * c._4.toDouble).sum
+      w.groupBy(key).values.map(_.map(c => c._3 * c._4.toDouble).sum / tot).toSeq
+    }
+    val srcShares = shares(_._1)
+    val langShares = shares(_._2)
+    val srcTarget = 1.0 / srcShares.size
+    val langTarget = 1.0 / langShares.size
+    assert(srcShares.forall(s => math.abs(s - srcTarget) < 0.02 * srcTarget),
+      s"source marginals not balanced: $srcShares")
+    assert(langShares.forall(s => math.abs(s - langTarget) < 0.02 * langTarget),
+      s"lang marginals not balanced: $langShares")
+    // sanity: the RAW corpus is NOT balanced on both margins, or the
+    // test proves nothing
+    val raw = w.groupBy(_._1).values.map(_.map(_._3.toDouble).sum).toSeq
+    val rawTot = raw.sum
+    assert(raw.exists(s => math.abs(s / rawTot - srcTarget) > 0.02 * srcTarget)
+      || w.groupBy(_._2).values.map(_.map(_._3.toDouble).sum).toSeq
+           .exists(s => math.abs(s / rawTot - langTarget) > 0.02 * langTarget),
+      "fixture already uniform — the convergence pin is vacuous")
+  }
+
   test("priority sample: exactly k, partitioning-invariant, weight-biased") {
     val d = "/root/testdata/sf0.001"
     val q = graft.queries.CurationQueries.qPrioritySample
