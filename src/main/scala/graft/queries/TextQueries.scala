@@ -1721,6 +1721,37 @@ object TextQueries {
                AS closed_permille
       FROM tri"""))
 
+  /** Shingle document-frequency histogram (df 1..10, 11+ capped) — the
+    * corpus-redundancy fingerprint behind every df-capped operator in
+    * the repo: a healthy crawl is dominated by df-1 shingles; mass in
+    * the high-df buckets is boilerplate and predicts both near-dup
+    * yield and how much the ClusterMaxDf cap will drop. One distinct
+    * (doc, gram) explode, one gram-keyed count, one 11-bucket reduce.
+    */
+  val qShingleDfHistogram = Q(
+    "q_shingle_df_histogram",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .groupBy(least(col("df"), lit(11L)).as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+      .orderBy(col("df_bucket")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      ex AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS g
+        FROM toks),
+      dfr AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+      SELECT least(df, 11) AS df_bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(df) AS BIGINT) AS n_postings
+      FROM dfr GROUP BY 1 ORDER BY df_bucket"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
@@ -1728,5 +1759,5 @@ object TextQueries {
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
     qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion,
-    qFeatureHashing, qSimpsonDiversity, qTriangles)
+    qFeatureHashing, qSimpsonDiversity, qTriangles, qShingleDfHistogram)
 }
