@@ -794,10 +794,103 @@ object ParityQueries {
       ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
     headline = true)
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join with the
+    * region→nation dimension chain and the correlation predicate
+    * `c_nationkey = s_nationkey` that forces the optimizer to carry
+    * BOTH nation keys through the big join. Scale shape: region+nation
+    * and supplier broadcast (the chain collapses to a 2-col broadcast
+    * list before touching lineitem); lineitem⋈orders and the customer
+    * probe are the only shuffles, each on its natural key. The nation
+    * filter semi-reduces supplier BEFORE the fact join, so the
+    * lineitem rows that survive the broadcast probe already satisfy
+    * the region clause — no post-join filter over fact-scale rows.
+    */
+  val qTpchQ5 = Q(
+    "q_tpch_q5",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast(TimestampType)
+      val hi = lit("1997-01-01").cast(TimestampType)
+      val n = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    headline = true)
+
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregate feeding a join. Scale shape: aggregate lineitem FIRST —
+    * one map-side-combined shuffle on l_orderkey shrinks the fact to
+    * the ~1.5% of orders over the quantity threshold — then join
+    * orders/customer against that small survivor set, instead of the
+    * naive join-everything-then-aggregate which would shuffle the full
+    * denormalized width. The final top-100 is a TakeOrdered.
+    */
+  val qTpchQ18 = Q(
+    "q_tpch_q18",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum_qty > 250.0)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM big
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
-    qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3)
+    qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
+    qTpchQ18)
 }
