@@ -886,11 +886,69 @@ object ParityQueries {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
+  /** TPC-H Q21 shape (waiting supplier): the correlated EXISTS /
+    * NOT EXISTS pair over the fact table — which the naive rendition
+    * runs as TWO shuffle self-joins on l_orderkey — decorrelated into
+    * ONE grouped pass: per order, count distinct suppliers and
+    * distinct LATE suppliers; a late (order, supplier) pair qualifies
+    * iff the order has ≥2 suppliers and exactly 1 late one (the pair's
+    * own supplier — so "no OTHER supplier was late"). "Late" is
+    * shipped >90 days after the order date (this schema carries no
+    * commit/receipt dates). Scale shape: one lineitem⋈orders join and
+    * one l_orderkey aggregation — both on the same key, so AQE can
+    * reuse the partitioning — then dim-broadcast and TakeOrdered.
+    */
+  val qTpchQ21 = Q(
+    "q_tpch_q21",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+            .as("late"))
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .select(col("l_orderkey").as("ok"))
+      val late = l.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      late.join(perOrder, col("l_orderkey") === col("ok"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      per_order AS (
+        SELECT l_orderkey
+        FROM l GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) >= 2
+           AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+      late1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+      SELECT s_name, count(*) AS numwait
+      FROM late1
+      JOIN per_order USING (l_orderkey)
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18)
+    qTpchQ18, qTpchQ21)
 }
