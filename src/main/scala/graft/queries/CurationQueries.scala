@@ -636,9 +636,66 @@ object CurationQueries {
              CAST(min(n) AS BIGINT) AS min_class_size
       FROM c"""))
 
+  /** Per-source distribution drift vs the corpus: total-variation
+    * distance between each source's doc-length histogram (256-char
+    * bands, capped at 20) and the corpus-wide one — the batch-QA gate
+    * that flags a crawl source whose length profile shifted before it
+    * contaminates a training mix. TVD over fixed bands is the
+    * scale-safe, transcendental-free drift statistic (PSI/KL need
+    * ln(), which is not correctly-rounded-portable across engines —
+    * see [[graft.functions.DetMath]]); per-band shares are exact
+    * integer micros, so the per-source sum is an exact integer and
+    * the single final division is deterministic.
+    *
+    * Scale shape: ONE corpus-keyed shuffle (the (source, band) count);
+    * everything after is catalog-sized (sources × 21 bands), with the
+    * band marginals re-aggregated from the tiny cell relation and the
+    * grand total entering as a 1-row broadcast.
+    */
+  val qDistDrift = Q(
+    "q_dist_drift",
+    (s, d) => {
+      def micros(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        floor((lit(2.0) * num.cast("double") * lit(1000000.0) + den.cast("double"))
+          / (lit(2.0) * den.cast("double"))).cast("long")
+      val cell = Tables.documents(s, d)
+        .select(col("source"),
+          least(floor(col("n_chars") / lit(256)).cast(LongType), lit(20L)).as("band"))
+        .groupBy(col("source"), col("band")).agg(count(lit(1)).as("n_sb"))
+      val srcTot = cell.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      val bandTot = cell.groupBy(col("band")).agg(sum(col("n_sb")).as("n_b"))
+      val grand = cell.agg(sum(col("n_sb")).as("n"))
+      srcTot.crossJoin(broadcast(bandTot))
+        .join(cell, Seq("source", "band"), "left")
+        .na.fill(0L, Seq("n_sb"))
+        .crossJoin(broadcast(grand))
+        .groupBy(col("source"))
+        .agg((sum(abs(micros(col("n_sb"), col("n_s"))
+          - micros(col("n_b"), col("n")))).cast("double") / lit(2000000.0))
+          .as("tvd"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH cell AS (
+        SELECT source, least(CAST(floor(n_chars / 256) AS BIGINT), 20) AS band,
+               count(*) AS n_sb
+        FROM documents GROUP BY 1, 2),
+      src AS (SELECT source, sum(n_sb) AS n_s FROM cell GROUP BY 1),
+      band AS (SELECT band, sum(n_sb) AS n_b FROM cell GROUP BY 1),
+      grand AS (SELECT sum(n_sb) AS n FROM cell)
+      SELECT source,
+             CAST(sum(abs(
+               CAST(floor((2.0 * coalesce(n_sb, 0) * 1000000 + n_s) / (2.0 * n_s)) AS BIGINT)
+               - CAST(floor((2.0 * n_b * 1000000 + n) / (2.0 * n)) AS BIGINT)
+             )) AS DOUBLE) / 2000000.0 AS tvd
+      FROM (SELECT source, n_s, band, n_b FROM src CROSS JOIN band) combos
+      LEFT JOIN cell USING (source, band)
+      CROSS JOIN grand
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qSplitAssign, qStratifiedSample, qNgramRepetition,
     qSourceMix, qSourceMixTemperature, qQuotaSample, qShuffleOrder,
     qShardManifest, qBudgetSelect, qPipelineE2e, qPackSequences,
     qInferBatches, qEpochOrders, qCurriculumOrder, qPrioritySample,
-    qRakingWeights, qKAnonymity)
+    qRakingWeights, qKAnonymity, qDistDrift)
 }
