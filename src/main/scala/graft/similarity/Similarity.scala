@@ -542,4 +542,123 @@ object Similarity {
       .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
     rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** One subspace codebook as a literal array<struct<cid,cv,half>>:
+    * like [[centroidLit]] but carrying |c|²/2 so squared-L2 assignment
+    * and the ADC norm term stay one fold, no recomputed norms. */
+  private def codebookLit(book: Seq[Array[Double]]): Column =
+    array(book.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedlit(c.map(_.toFloat).toSeq).as("cv"),
+        lit(c.map(x => x * x).sum / 2.0).as("half"))
+    }: _*)
+
+  /** Squared-L2 nearest codeword id, map-side: argmin |x−c|² over the
+    * literal codebook as argmax (x·c − |c|²/2) — true Lloyd's geometry,
+    * NOT the spherical cosine of [[nearestCentroid]]: PQ codeword
+    * magnitudes carry signal the ADC dot sum needs. Ties break toward
+    * the lower cid (strict >). */
+  private def nearestCodeword(vec: Column, book: Seq[Array[Double]]): Column = {
+    val accType = "struct<cid:int,score:double>"
+    aggregate(codebookLit(book),
+      struct(lit(-1).as("cid"), lit(Double.MinValue).as("score")).cast(accType),
+      (acc, ce) => {
+        val s = dot(vec, ce.getField("cv")) - ce.getField("half")
+        when(s > acc.getField("score"),
+          struct(ce.getField("cid"), s).cast(accType)).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Product-quantization fit (Jégou, Douze & Schmid, TPAMI 2011):
+    * split the vector into `m` contiguous subspaces and run plain-L2
+    * Lloyd's independently in each — but all `m` sub-fits share ONE
+    * scan-and-aggregate job per iteration (assignment codes for every
+    * subspace are computed in the same projection; per-(subspace,
+    * codeword, dim) means come back from a single exact-DECIMAL
+    * aggregation of m·kw·(dim/m) rows). Seeds are the kw lowest-id
+    * vectors' slices; an emptied codeword keeps its previous value.
+    * Like [[kmeansFit]], fit on a sample at 100 TB and encode the full
+    * corpus with the returned model. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+            m: Int, kw: Int, iters: Int = 4): Seq[Seq[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds = df.orderBy(col(idCol)).limit(kw)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: Seq[Seq[Array[Double]]] =
+      (0 until m).map(j => seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 0 until iters) {
+      val codeCols = (0 until m).map(j =>
+        nearestCodeword(slice(col(vecCol), j * sub + 1, sub), books(j)).as(s"__c$j"))
+      val means = df.select((col(vecCol) +: codeCols): _*)
+        .select(array((0 until m).map(j => col(s"__c$j")): _*).as("cids"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+        .select(floor(col("d") / sub).cast(IntegerType).as("j"),
+          (col("d") % sub).cast(IntegerType).as("ld"),
+          element_at(col("cids"), floor(col("d") / sub).cast(IntegerType) + 1).as("cid"),
+          col("x"))
+        .groupBy(col("j"), col("cid"), col("ld"))
+        .agg((sum(col("x").cast(DecimalType(28, 10))) / count(lit(1)))
+          .cast(DoubleType).as("mn"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      books = (0 until m).map { j =>
+        books(j).zipWithIndex.map { case (old, c) =>
+          (0 until sub).map(ld => means.getOrElse((j, c, ld), old(ld))).toArray
+        }
+      }
+    }
+    books
+  }
+
+  /** Top-k search over PQ-ENCODED vectors with asymmetric distance
+    * computation: candidates carry only (id, m byte-sized codes) — the
+    * corpus relation shrinks ~dim·4/m× (64-dim float → 8 codes is 32×)
+    * — while each probe stays float and scores a candidate by folding
+    * its codes over the m literal codebooks: cos ≈ Σⱼ probeⱼ·cⱼ /
+    * √(Σⱼ|cⱼ|²) (probe norm is constant per probe and cannot change
+    * that probe's ranking). This is the flat-scan compression tier;
+    * compose the same codes with [[kmeansIvfTopK]] cells for IVFPQ.
+    * Quality is contract-checked via [[recallAtK]] like every other
+    * approximate path here. */
+  def pqTopK(candidates: DataFrame, idCol: String, vecCol: String,
+             probes: DataFrame, k: Int, m: Int = 8, kw: Int = 16,
+             iters: Int = 4, shortlist: Int = 0): DataFrame = {
+    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
+    val sub = dim / m
+    val books = pqFit(candidates, idCol, vecCol, m, kw, iters)
+    val codes = candidates.select(col(idCol),
+      array((0 until m).map(j =>
+        nearestCodeword(slice(col(vecCol), j * sub + 1, sub), books(j))): _*)
+        .as("__codes"))
+    val cw = (j: Int) => element_at(codebookLit(books(j)),
+      col("__codes").getItem(j) + 1)
+    val adc = (0 until m).map(j =>
+      dot(slice(col("probe_vec"), j * sub + 1, sub), cw(j).getField("cv")))
+      .reduce(_ + _)
+    val sqNorm = (0 until m).map(j => cw(j).getField("half") * lit(2.0))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(probes), col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(adc / sqrt(greatest(sqNorm, lit(1e-12))), 6))
+    if (shortlist <= 0) rankTopK(scored, idCol, k)
+    else {
+      // Exact re-rank of the ADC shortlist — the standard PQ serving
+      // shape: the COMPRESSED relation absorbs the corpus-sized scan,
+      // and only O(probes·shortlist) float vectors are ever touched,
+      // via a broadcast of the tiny shortlist against an (id, vec)
+      // projection. Recall is then bounded by shortlist containment,
+      // not raw code distortion.
+      val cand = rankTopK(scored, idCol, shortlist)
+        .select(col("probe_id").as("__pid"), col("neighbor_id"))
+      val rescored = candidates
+        .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(probes), col("__pid") === col("probe_id"))
+        .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+      rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
+    }
+  }
 }

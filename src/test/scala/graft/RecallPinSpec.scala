@@ -63,4 +63,15 @@ class RecallPinSpec extends SparkSpec {
         s"$d: int8-quantized search recall fell below the 0.8 oracle bound")
     }
   }
+
+  test("PQ-ANN oracle precondition: mean recall@10 >= 0.9 at both gate sfs") {
+    assume(dirs.nonEmpty, "driver testdata not present")
+    dirs.foreach { d =>
+      val row = queries.SimilarityQueries.qAnnPq.run(spark, d).collect()(0)
+      assert(row.getAs[Long]("n_probes") > 0,
+        s"$d: probe set empty — the recall contract checks nothing")
+      assert(row.getAs[Boolean]("recall_ok"),
+        s"$d: PQ m=16 kw=32 + 150-rerank recall fell below the 0.9 oracle bound")
+    }
+  }
 }
