@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -821,4 +821,83 @@ object EventsStreaming {
         delta.write.mode("append").parquet(out)
     } finally delta.unpersist()
   }
+
+  /** Exact total-variation distance in integer micros between two
+    * count histograms — the same integer-micros discipline as
+    * `q_dist_drift` / [[graft.functions.DetMath]]: each share rounds
+    * to micros exactly (floor((2·n·10⁶ + tot) / (2·tot)) in Long),
+    * absolute differences sum exactly, and the single final /2 floors.
+    * An empty histogram has all-zero shares (TVD vs anything = that
+    * side's mass/2).
+    */
+  private[graft] def tvdMicros(a: Map[Long, Long], b: Map[Long, Long]): Long = {
+    def share(n: Long, tot: Long): Long =
+      if (tot == 0L) 0L else (2L * n * 1000000L + tot) / (2L * tot)
+    val (ta, tb) = (a.values.sum, b.values.sum)
+    (a.keySet ++ b.keySet).toSeq
+      .map(k => math.abs(share(a.getOrElse(k, 0L), ta)
+        - share(b.getOrElse(k, 0L), tb))).sum / 2
+  }
+
+  /** Streaming distribution-drift monitor — the continuous rendition
+    * of `q_dist_drift`: each micro-batch's banded histogram is
+    * absorbed into a persisted cumulative histogram (same versioned
+    * `hist-<batchId>` replay guard as [[rollupAbsorbSink]] — a
+    * replayed batch absorbs zero), and a per-batch drift record
+    * (batch_id, n_rows, tvd_batch_micros, tvd_cum_micros — both TVDs
+    * against the pinned REFERENCE profile) is written to its own
+    * `drift-<batchId>` dir, overwrite-idempotent under replay. The
+    * batch TVD flags a poisoned ingest batch the moment it lands; the
+    * cumulative TVD shows whether the whole stream is wandering off
+    * the vetted profile. Driver traffic is bounded by the band count,
+    * never the batch size — `bandOf` must clamp to a finite band
+    * domain (the [[tvdMicros]] shares stay overflow-safe to ~4.6e12
+    * rows per histogram).
+    *
+    * @param reference pinned (band → count) profile, e.g. a vetted
+    *   corpus batch's histogram
+    * @param bandOf    row → band expression, clamped to a small domain
+    */
+  def driftMonitorSink(out: String, reference: Map[Long, Long], bandOf: Column)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    absorbVersioned(spark, out, "hist", batchId) { latest =>
+      val delta: Map[Long, Long] = batch.select(bandOf.cast("long").as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prior: Map[Long, Long] = latest
+        .map(p => spark.read.parquet(p).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
+      val cum = (prior.keySet ++ delta.keySet)
+        .map(b => b -> (prior.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+      Seq((batchId, delta.values.sum, tvdMicros(delta, reference),
+        tvdMicros(cum, reference)))
+        .toDF("batch_id", "n_rows", "tvd_batch_micros", "tvd_cum_micros")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/drift-$batchId")
+      cum.toSeq.sortBy(_._1).toDF("band", "n").coalesce(1)
+    }
+  }
+
+  /** All drift records written by [[driftMonitorSink]], batch order. */
+  def currentDriftLog(spark: SparkSession, out: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else {
+      val dirs = fs.listStatus(base).toSeq.filter(_.isDirectory)
+        .filter(st => st.getPath.getName.startsWith("drift-") &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*).orderBy(col("batch_id")))
+    }
+  }
+
+  /** The cumulative band histogram absorbed by [[driftMonitorSink]]. */
+  def currentDriftHistogram(spark: SparkSession, out: String): Option[DataFrame] =
+    latestVersioned(spark, out, "hist")
+      .map(p => spark.read.parquet(p).orderBy(col("band")))
 }

@@ -861,4 +861,51 @@ class StreamingSpec extends SparkSpec {
     assert(labels() == got)
     assert(spark.read.parquet(s"$out/docs").count() == 6)
   }
+
+  test("driftMonitorSink: per-batch and cumulative TVD vs the reference, replay absorbs zero") {
+    val in = tmpDir("stream-in-drift")
+    val out = tmpDir("stream-drift") + "/mon"
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    // band = clamp(floor(value), 0..4); reference = {0 -> 1, 1 -> 1}
+    val reference = Map(0L -> 1L, 1L -> 1L)
+    val bandOf = least(greatest(floor(col("value")), lit(0L)), lit(4L))
+    // b1 matches the reference exactly; b2 is all band-1 (TVD 0.5);
+    // b3 is all band-0, restoring the cumulative to the reference
+    val days = Seq(
+      Seq(Event(1L, ts(0), 7L, "click", 0.5), Event(2L, ts(1), 7L, "view", 1.5)),
+      Seq(Event(3L, ts(2), 8L, "click", 1.5), Event(4L, ts(3), 8L, "view", 1.7)),
+      Seq(Event(5L, ts(4), 9L, "click", 0.2), Event(6L, ts(5), 9L, "view", 0.3)))
+    days.foreach(d => d.toDS().coalesce(1).write.mode("append").parquet(in))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(EventsStreaming.driftMonitorSink(out, reference, bandOf) _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-drift-1"))
+    def log(): Seq[(Long, Long, Long, Long)] =
+      EventsStreaming.currentDriftLog(spark, out).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch TVDs: 0, 0.5, 0.5; cumulative: 0, 0.25, 0
+    val expected = Seq(
+      (0L, 2L, 0L, 0L),
+      (1L, 2L, 500000L, 250000L),
+      (2L, 2L, 500000L, 0L))
+    assert(log() == expected)
+    assert(EventsStreaming.currentDriftHistogram(spark, out).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 3L, 1L -> 3L))
+    // fresh checkpoint -> full replay under the same ids: nothing
+    // double-counts, the drift log is rewritten identically
+    run(tmpDir("ckpt-drift-2"))
+    assert(log() == expected)
+    // direct stale-batch replay (crash recovery) is also a no-op
+    EventsStreaming.driftMonitorSink(out, reference, bandOf)(
+      days.head.toDS().toDF(), 0L)
+    assert(log() == expected)
+  }
 }
