@@ -944,11 +944,44 @@ object ParityQueries {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name LIMIT 20"""))
 
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated SCALAR
+    * subquery — "lines below 1/5 of their part's average quantity" —
+    * decorrelated into a per-part aggregate joined back on the group
+    * key. The average never materializes as a float: the predicate
+    * `qty < sum/(5·n)` is cross-multiplied to `qty·5·n < sum` in exact
+    * DECIMAL, so both engines evaluate the identical integer-exact
+    * comparison (an avg() would differ in the last ulp with partial-
+    * aggregation order). Scale shape: one map-side-combined aggregate
+    * and one equi-join, both hash-partitioned on l_partkey.
+    */
+  val qTpchQ17 = Q(
+    "q_tpch_q17",
+    (s, d) => {
+      val li2 = li(s, d)
+      val pa = li2.groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("nq"))
+      li2.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(pa, "l_partkey")
+        .filter(dec(col("l_quantity")) * lit(5) * col("nq") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          asDouble(sum(dec(col("l_extendedprice")))).as("total_price"))
+    },
+    Some("""
+      WITH pa AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+               count(*) AS nq
+        FROM lineitem GROUP BY l_partkey)
+      SELECT count(*) AS n_small,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM lineitem JOIN pa USING (l_partkey)
+      WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * nq < sq"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21)
+    qTpchQ18, qTpchQ21, qTpchQ17)
 }
