@@ -356,8 +356,29 @@ object SimilarityQueries {
     },
     Some(annOracle))
 
+  /** IVFPQ — the k-means cells composed with the PQ codes, the full
+    * production serving shape: a probe visits 6 of 16 cells (37.5% of
+    * the corpus) and each visited row is the (id, cell, 16 codes)
+    * index entry, so the two reductions multiply. Recall is capped by
+    * cell containment on this near-random corpus, exactly like the
+    * other coarse tiers (q_ann_kmeans pins 0.40 at nProbe=4): measured
+    * 0.76 (sf0.01) / 0.685 (sf0.1); bound 0.5 with margin at both gate
+    * sfs — the deliberate recall↔traffic tradeoff the flat q_ann_pq
+    * (recall ≥ 0.9, full scan) sits on the other side of.
+    */
+  val qAnnIvfPq = Q(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val p = probes(s, d)
+      val ann = Similarity.ivfPqTopK(emb, "vec_id", "embedding", p, 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", p, 10)
+      Similarity.recallAtK(ann, exact, 10, minMeanRecall = 0.5)
+    },
+    Some(annOracle))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
     qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives,
-    qCentroidClassify, qAnnRandomProjection, qAnnPq)
+    qCentroidClassify, qAnnRandomProjection, qAnnPq, qAnnIvfPq)
 }

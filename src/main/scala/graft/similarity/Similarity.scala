@@ -614,6 +614,22 @@ object Similarity {
     books
   }
 
+  /** The ADC approximate cosine of a (__codes, probe_vec) row: fold
+    * the m codes over the literal codebooks — Σⱼ probeⱼ·cⱼ /
+    * √(Σⱼ|cⱼ|²), rounded to 6dp like every scorer here. Probe norm is
+    * constant per probe and cannot change that probe's ranking. */
+  private def adcCosine(books: Seq[Seq[Array[Double]]], sub: Int): Column = {
+    val m = books.size
+    val cw = (j: Int) => element_at(codebookLit(books(j)),
+      col("__codes").getItem(j) + 1)
+    val adc = (0 until m).map(j =>
+      dot(slice(col("probe_vec"), j * sub + 1, sub), cw(j).getField("cv")))
+      .reduce(_ + _)
+    val sqNorm = (0 until m).map(j => cw(j).getField("half") * lit(2.0))
+      .reduce(_ + _)
+    round(adc / sqrt(greatest(sqNorm, lit(1e-12))), 6)
+  }
+
   /** Top-k search over PQ-ENCODED vectors with asymmetric distance
     * computation: candidates carry only (id, m byte-sized codes) — the
     * corpus relation shrinks ~dim·4/m× (64-dim float → 8 codes is 32×)
@@ -634,31 +650,61 @@ object Similarity {
       array((0 until m).map(j =>
         nearestCodeword(slice(col(vecCol), j * sub + 1, sub), books(j))): _*)
         .as("__codes"))
-    val cw = (j: Int) => element_at(codebookLit(books(j)),
-      col("__codes").getItem(j) + 1)
-    val adc = (0 until m).map(j =>
-      dot(slice(col("probe_vec"), j * sub + 1, sub), cw(j).getField("cv")))
-      .reduce(_ + _)
-    val sqNorm = (0 until m).map(j => cw(j).getField("half") * lit(2.0))
-      .reduce(_ + _)
     val scored = codes.join(broadcast(probes), col(idCol) =!= col("probe_id"))
-      .withColumn("score", round(adc / sqrt(greatest(sqNorm, lit(1e-12))), 6))
+      .withColumn("score", adcCosine(books, sub))
     if (shortlist <= 0) rankTopK(scored, idCol, k)
-    else {
-      // Exact re-rank of the ADC shortlist — the standard PQ serving
-      // shape: the COMPRESSED relation absorbs the corpus-sized scan,
-      // and only O(probes·shortlist) float vectors are ever touched,
-      // via a broadcast of the tiny shortlist against an (id, vec)
-      // projection. Recall is then bounded by shortlist containment,
-      // not raw code distortion.
-      val cand = rankTopK(scored, idCol, shortlist)
-        .select(col("probe_id").as("__pid"), col("neighbor_id"))
-      val rescored = candidates
-        .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol))
-        .join(broadcast(cand), Seq("neighbor_id"))
-        .join(broadcast(probes), col("__pid") === col("probe_id"))
-        .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
-      rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
-    }
+    else rerankShortlist(candidates, idCol, vecCol, probes, scored, k, shortlist)
+  }
+
+  /** Exact re-rank of an approximate shortlist — the standard serving
+    * shape for every compressed scan here: the approximate relation
+    * absorbs the corpus-sized work, and only O(probes·shortlist) float
+    * vectors are ever re-touched, via a broadcast of the tiny
+    * shortlist against an (id, vec) projection. Recall is then bounded
+    * by shortlist containment, not raw score distortion. */
+  private def rerankShortlist(candidates: DataFrame, idCol: String,
+                              vecCol: String, probes: DataFrame,
+                              scored: DataFrame, k: Int,
+                              shortlist: Int): DataFrame = {
+    val cand = rankTopK(scored, idCol, shortlist)
+      .select(col("probe_id").as("__pid"), col("neighbor_id"))
+    val rescored = candidates
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(probes), col("__pid") === col("probe_id"))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+    rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
+  }
+
+  /** IVFPQ (Jégou et al. 2011, §V): the k-means cells of
+    * [[kmeansIvfTopK]] composed with the PQ codes of [[pqTopK]] — the
+    * full production serving shape at 100 TB. The index relation is
+    * (id, cell, m codes); a probe visits only its nProbe nearest
+    * cells (≈ nProbe/kClusters of the corpus), scores those rows by
+    * the ADC fold over the literal codebooks, and exact-rescoring
+    * touches only the broadcast shortlist. Candidate traffic is
+    * nProbe/K of the corpus per probe AND each visited row is ~m bytes
+    * — the two reductions multiply.
+    */
+  def ivfPqTopK(candidates: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, k: Int,
+                kClusters: Int = 16, nProbe: Int = 6,
+                m: Int = 16, kw: Int = 32, iters: Int = 4,
+                shortlist: Int = 150): DataFrame = {
+    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
+    val sub = dim / m
+    val cents = kmeansFit(candidates, idCol, vecCol, kClusters, iters)
+    val books = pqFit(candidates, idCol, vecCol, m, kw, iters)
+    val index = candidates.select(col(idCol),
+      nearestCentroid(col(vecCol), cents).as("__cid"),
+      array((0 until m).map(j =>
+        nearestCodeword(slice(col(vecCol), j * sub + 1, sub), books(j))): _*)
+        .as("__codes"))
+    val probeCells = probes.select(col("probe_id"), col("probe_vec"),
+      explode(nearestCells(col("probe_vec"), cents, nProbe)).as("__cid"))
+    val scored = index.join(broadcast(probeCells), Seq("__cid"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("score", adcCosine(books, sub))
+    rerankShortlist(candidates, idCol, vecCol, probes, scored, k, shortlist)
   }
 }

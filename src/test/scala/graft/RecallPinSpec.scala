@@ -74,4 +74,15 @@ class RecallPinSpec extends SparkSpec {
         s"$d: PQ m=16 kw=32 + 150-rerank recall fell below the 0.9 oracle bound")
     }
   }
+
+  test("IVFPQ oracle precondition: mean recall@10 >= 0.5 at both gate sfs") {
+    assume(dirs.nonEmpty, "driver testdata not present")
+    dirs.foreach { d =>
+      val row = queries.SimilarityQueries.qAnnIvfPq.run(spark, d).collect()(0)
+      assert(row.getAs[Long]("n_probes") > 0,
+        s"$d: probe set empty — the recall contract checks nothing")
+      assert(row.getAs[Boolean]("recall_ok"),
+        s"$d: IVFPQ 16-cell/6-probe recall fell below the 0.5 oracle bound")
+    }
+  }
 }
