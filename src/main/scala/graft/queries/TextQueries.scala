@@ -1752,6 +1752,63 @@ object TextQueries {
              CAST(sum(df) AS BIGINT) AS n_postings
       FROM dfr GROUP BY 1 ORDER BY df_bucket"""))
 
+  /** Phrase-vocabulary coverage curve — the vocab-sizing question
+    * ("how much of the corpus does a top-N vocabulary cover?") as
+    * exact order statistics, NOT a global window: coverage(N) = sum of
+    * the N largest phrase frequencies, computed from the N-th-largest
+    * frequency via [[graft.ops.Selection.kthSmallest]] histogram
+    * narrowing (bounded driver state) plus one threshold aggregate —
+    * ties contribute `(N − |{n > t}|)·t`, which is rank-choice-
+    * independent because tied phrases have equal frequency. The
+    * frequency relation is built once and cached; every subsequent
+    * pass is over the vocabulary-sized relation, never the corpus.
+    */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, d) => {
+      import graft.ops.Selection
+      val tf = graft.ops.Caching.cachedOnce(
+        Tables.documents(s, d)
+          .select(explode(shingles(col("text"), 3)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("n")))
+      val head = tf.agg(count(lit(1)).as("v"),
+        coalesce(sum(col("n")), lit(0L)).as("t")).head()
+      val vocab = head.getLong(0)
+      val total = head.getLong(1)
+      val rows = Seq(100L, 1000L, 10000L).filter(_ <= vocab).map { nTop =>
+        val t = Selection.kthSmallest(tf, col("n"), vocab - nTop + 1)
+        val h = tf.filter(col("n") > t)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("sg"),
+            count(lit(1)).as("cg")).head()
+        val covered = h.getLong(0) + (nTop - h.getLong(1)) * t.toLong
+        (nTop, vocab, total, covered)
+      }
+      import s.implicits._
+      rows.toDF("top_n", "vocab", "total", "covered")
+        .withColumn("coverage",
+          graft.functions.DetMath.ratio6(col("covered"), col("total")))
+        .orderBy(col("top_n"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),'\\s+'), w -> len(w)>0) AS t
+        FROM documents),
+      ex AS (
+        SELECT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END) AS g
+        FROM toks),
+      tf AS (SELECT g, count(*) AS n FROM ex GROUP BY g),
+      r AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rk FROM tf),
+      tot AS (SELECT count(*) AS vocab, CAST(sum(n) AS BIGINT) AS total FROM tf),
+      grid AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS top_n)
+      SELECT top_n, vocab, total,
+             (SELECT CAST(sum(n) AS BIGINT) FROM r WHERE rk <= top_n) AS covered,
+             ${graft.functions.DetMath.ratio6Sql(
+               "(SELECT sum(n) FROM r WHERE rk <= top_n)", "total")} AS coverage
+      FROM grid CROSS JOIN tot
+      WHERE top_n <= vocab
+      ORDER BY top_n"""))
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qFingerprint,
     qInvertedIndex, qCompressionRatio, qParetoFront,
     qTokenFreq, qBpePairs, qHeavyHitters, qCmsFreq, qCorpusCurate, qTopGrams,
@@ -1759,5 +1816,6 @@ object TextQueries {
     qOovRate, qQualityPctRank, qCrosstab, qLangConfusion, qCorpusCard,
     qHeavyHittersBySource, qWeightedSample, qLmDocScore, qBpeLearn, qBpeEncode,
     qGopherRules, qNbClassifier, qBm25Rank, qPmiCollocations, qRrfFusion,
-    qFeatureHashing, qSimpsonDiversity, qTriangles, qShingleDfHistogram)
+    qFeatureHashing, qSimpsonDiversity, qTriangles, qShingleDfHistogram,
+    qVocabCoverage)
 }

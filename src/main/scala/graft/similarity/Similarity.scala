@@ -580,8 +580,9 @@ object Similarity {
     * vectors' slices; an emptied codeword keeps its previous value.
     * Like [[kmeansFit]], fit on a sample at 100 TB and encode the full
     * corpus with the returned model. */
-  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+  def pqFit(df0: DataFrame, idCol: String, vecCol: String,
             m: Int, kw: Int, iters: Int = 4): Seq[Seq[Array[Double]]] = {
+    val df = df0.filter(col(vecCol).isNotNull)
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -614,6 +615,21 @@ object Similarity {
     books
   }
 
+  /** An empty (probe_id, rank, neighbor_id, score) result — the
+    * cold-start/filtered-out-corpus shape every top-k entry point
+    * returns instead of throwing on an empty or all-NULL vector
+    * relation. */
+  private def emptyTopK(like: DataFrame): DataFrame = {
+    val spark = like.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank", IntegerType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", DoubleType))))
+  }
+
   /** The ADC approximate cosine of a (__codes, probe_vec) row: fold
     * the m codes over the literal codebooks — Σⱼ probeⱼ·cⱼ /
     * √(Σⱼ|cⱼ|²), rounded to 6dp like every scorer here. Probe norm is
@@ -640,10 +656,13 @@ object Similarity {
     * compose the same codes with [[kmeansIvfTopK]] cells for IVFPQ.
     * Quality is contract-checked via [[recallAtK]] like every other
     * approximate path here. */
-  def pqTopK(candidates: DataFrame, idCol: String, vecCol: String,
+  def pqTopK(candidates0: DataFrame, idCol: String, vecCol: String,
              probes: DataFrame, k: Int, m: Int = 8, kw: Int = 16,
              iters: Int = 4, shortlist: Int = 0): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
+    val candidates = candidates0.filter(col(vecCol).isNotNull)
+    val dimRow = candidates.select(size(col(vecCol))).take(1)
+    if (dimRow.isEmpty) return emptyTopK(candidates0)
+    val dim = dimRow(0).getInt(0)
     val sub = dim / m
     val books = pqFit(candidates, idCol, vecCol, m, kw, iters)
     val codes = candidates.select(col(idCol),
@@ -686,12 +705,15 @@ object Similarity {
     * nProbe/K of the corpus per probe AND each visited row is ~m bytes
     * — the two reductions multiply.
     */
-  def ivfPqTopK(candidates: DataFrame, idCol: String, vecCol: String,
+  def ivfPqTopK(candidates0: DataFrame, idCol: String, vecCol: String,
                 probes: DataFrame, k: Int,
                 kClusters: Int = 16, nProbe: Int = 6,
                 m: Int = 16, kw: Int = 32, iters: Int = 4,
                 shortlist: Int = 150): DataFrame = {
-    val dim = candidates.select(size(col(vecCol))).first().getInt(0)
+    val candidates = candidates0.filter(col(vecCol).isNotNull)
+    val dimRow = candidates.select(size(col(vecCol))).take(1)
+    if (dimRow.isEmpty) return emptyTopK(candidates0)
+    val dim = dimRow(0).getInt(0)
     val sub = dim / m
     val cents = kmeansFit(candidates, idCol, vecCol, kClusters, iters)
     val books = pqFit(candidates, idCol, vecCol, m, kw, iters)
