@@ -695,6 +695,60 @@ object Similarity {
     rankTopK(rescored.withColumnRenamed("neighbor_id", "__nid"), "__nid", k)
   }
 
+  /** Encode vectors against an already-fitted PQ model: (id, m codes),
+    * all map-side — the separation that lets one fitted model encode a
+    * stream of arriving batches (see EventsStreaming's ANN-index
+    * maintenance sink) or a 100 TB corpus the model was fit on a
+    * sample of. NULL vectors are dropped (they have no codes). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val sub = books.head.head.length
+    df.filter(col(vecCol).isNotNull).select(col(idCol),
+      array(books.indices.map(j =>
+        nearestCodeword(slice(col(vecCol), j * sub + 1, sub), books(j))): _*)
+        .as("__codes"))
+  }
+
+  /** Top-k over an ALREADY-ENCODED index relation (id, __codes): ADC
+    * against the literal codebooks, optionally exact-reranked against
+    * a supplied float vector store. Unlike [[pqTopK]] this does not
+    * exclude probe==candidate — serving an index answers "nearest
+    * stored items", and a stored probe finding itself at rank 1 is the
+    * correct answer. */
+  def pqSearchEncoded(index: DataFrame, idCol: String, probes: DataFrame,
+                      books: Seq[Seq[Array[Double]]], k: Int,
+                      rerank: Option[(DataFrame, String)] = None,
+                      shortlist: Int = 150): DataFrame = {
+    val sub = books.head.head.length
+    val scored = index.crossJoin(broadcast(probes))
+      .withColumn("score", adcCosine(books, sub))
+    rerank match {
+      case None => rankTopK(scored, idCol, k)
+      case Some((vectors, vecCol)) =>
+        rerankShortlist(vectors, idCol, vecCol, probes, scored, k, shortlist)
+    }
+  }
+
+  /** Persist a PQ model as (j, cid, cv) rows — m·kw rows of fitted
+    * parameters, the driver-bounded model-object discipline. The write
+    * is atomic at the directory level (_SUCCESS), so a crashed fit
+    * never leaves a readable half-model. */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                  books: Seq[Seq[Array[Double]]]): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cv, cid) => (j, cid, cv.toSeq) }
+    }.toDF("j", "cid", "cv").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a PQ model written by [[savePqModel]]. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[Seq[Array[Double]]] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+
   /** IVFPQ (Jégou et al. 2011, §V): the k-means cells of
     * [[kmeansIvfTopK]] composed with the PQ codes of [[pqTopK]] — the
     * full production serving shape at 100 TB. The index relation is

@@ -880,6 +880,65 @@ object EventsStreaming {
     }
   }
 
+  /** Streaming ANN-index maintenance: the PQ model is FIT ONCE on the
+    * first non-empty batch and persisted as fitted parameters
+    * (m·kw rows, driver-bounded); every batch after that is encoded
+    * MAP-SIDE against the stored model and committed as its own
+    * `index-<batchId>` segment — so the corpus-sized work per batch is
+    * one narrow projection, never a refit or an index rewrite. A
+    * replayed batch finds its segment committed (`_SUCCESS`) and
+    * absorbs zero; a crash between model save and segment write
+    * re-encodes with the SAME stored model, so the segment is
+    * byte-stable under replay. An empty batch still commits an (empty)
+    * segment so the replay guard stays monotone. Segment compaction is
+    * the same small-files story as every append sink here
+    * (ops/Layout); search = [[graft.similarity.Similarity.pqSearchEncoded]]
+    * over the segment union, exact-reranked against the caller's
+    * vector store.
+    */
+  def annIndexMaintainSink(out: String, idCol: String, vecCol: String,
+                           m: Int = 16, kw: Int = 32)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.similarity.Similarity
+    val spark = batch.sparkSession
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$out/index-$batchId/_SUCCESS"))) return
+    val vecs = batch.filter(col(vecCol).isNotNull)
+    val modelPath = s"$out/model"
+    val books: Option[Seq[Seq[Array[Double]]]] =
+      if (fs.exists(new Path(s"$modelPath/_SUCCESS")))
+        Some(Similarity.loadPqModel(spark, modelPath))
+      else if (vecs.isEmpty) None // nothing to fit on yet; no segment —
+                                  // the first non-empty batch fits
+      else {
+        val b = Similarity.pqFit(vecs, idCol, vecCol, m, kw)
+        Similarity.savePqModel(spark, modelPath, b)
+        Some(b)
+      }
+    books.foreach { b =>
+      Similarity.pqEncode(vecs, idCol, vecCol, b)
+        .write.mode("overwrite").parquet(s"$out/index-$batchId")
+    }
+  }
+
+  /** The committed (id, codes) segment union written by
+    * [[annIndexMaintainSink]], plus the stored model. */
+  def currentAnnIndex(spark: SparkSession, out: String)
+      : Option[(DataFrame, Seq[Seq[Array[Double]]])] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$out/model/_SUCCESS"))) return None
+    val segs = fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith("index-") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    if (segs.isEmpty) None
+    else Some((spark.read.parquet(segs: _*),
+      graft.similarity.Similarity.loadPqModel(spark, s"$out/model")))
+  }
+
   /** All drift records written by [[driftMonitorSink]], batch order. */
   def currentDriftLog(spark: SparkSession, out: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path

@@ -908,4 +908,51 @@ class StreamingSpec extends SparkSpec {
       days.head.toDS().toDF(), 0L)
     assert(log() == expected)
   }
+
+  test("annIndexMaintainSink: fit-once model, per-batch encode, replay-zero, self-probe at rank 1") {
+    import graft.similarity.Similarity
+    val in = tmpDir("stream-in-ann")
+    val out = tmpDir("stream-ann") + "/idx"
+    // deterministic 32-dim vectors, three batches of 40 — the model is
+    // fit on batch 0 only; batches 1-2 must encode against it
+    def vec(id: Long): Seq[Float] =
+      (0 until 32).map(d =>
+        (((id * 2654435761L + d * 40503L) % 9973L) / 9973.0f - 0.5f))
+    val batches = (0 until 3).map(b =>
+      (0 until 40).map(i => (b * 40L + i, vec(b * 40L + i))))
+    val schema = spark.createDataFrame(
+      Seq((0L, Seq(0.0f))).toDF("vec_id", "embedding").rdd,
+      Seq((0L, Seq(0.0f))).toDF("vec_id", "embedding").schema).schema
+    batches.foreach(rows =>
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(in))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(
+          EventsStreaming.annIndexMaintainSink(out, "vec_id", "embedding", m = 8, kw = 16) _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-ann-1"))
+    val (index, books) = EventsStreaming.currentAnnIndex(spark, out).get
+    assert(index.count() == 120, "every non-null vector indexed exactly once")
+    assert(books.size == 8 && books.forall(_.size == 16), "stored model shape")
+    // replay under a fresh checkpoint: segments already committed
+    run(tmpDir("ckpt-ann-2"))
+    assert(EventsStreaming.currentAnnIndex(spark, out).get._1.count() == 120)
+    // a batch-2 vector (encoded with the batch-0-fit model) probing the
+    // index finds ITSELF at rank 1 once the ADC shortlist is exactly
+    // reranked against the vector store
+    val store = batches.flatten.toDF("vec_id", "embedding")
+    val probe = Seq((100L, vec(100L))).toDF("probe_id", "probe_vec")
+    val top = Similarity.pqSearchEncoded(index, "vec_id", probe, books, 3,
+      rerank = Some((store, "embedding"))).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 100L)
+    assert(top.head.getAs[Double]("score") == 1.0)
+  }
 }
