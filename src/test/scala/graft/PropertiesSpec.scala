@@ -192,4 +192,49 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  private val histGen: Gen[Map[Long, Long]] =
+    Gen.mapOfN(6, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 1000L)))
+      .map(_.filter(_._2 > 0))
+
+  test("law: tvdMicros is a pseudometric — identity, symmetry, [0, 1e6] bounds, zero-key invariance") {
+    import graft.streaming.EventsStreaming.tvdMicros
+    samples(Gen.zip(histGen, histGen), 60).foreach { case (a, b) =>
+      assert(tvdMicros(a, a) == 0L, s"identity: $a")
+      assert(tvdMicros(a, b) == tvdMicros(b, a), s"symmetry: $a $b")
+      val t = tvdMicros(a, b)
+      // each share rounds half-away to micros, so the sum can sit up
+      // to 0.5 micro per key off the exact value — the bound carries
+      // that slack, it is not a defect in the statistic
+      val slack = (a.size + b.size + 1) / 2 + 1
+      assert(t >= 0L && t <= 1000000L + slack, s"bounds: $t")
+      // a key present with count 0 is the same as absent
+      assert(tvdMicros(a + (99L -> 0L), b) == t, s"zero-key: $a $b")
+      // disjoint non-empty histograms are at maximal distance (up to
+      // the same rounding slack and the documented floor in the /2)
+      if (a.nonEmpty && b.nonEmpty) {
+        val bShift = b.map { case (k, v) => (k + 100L) -> v }
+        assert(tvdMicros(a, bShift) >= 1000000L - slack, "disjoint support ~ 1.0")
+      }
+    }
+  }
+
+  private val pqModelGen: Gen[Seq[Seq[Array[Double]]]] = {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1e6, 1e6)).map(_.toArray)
+    Gen.listOfN(3, Gen.listOfN(5, vecGen).map(_.toSeq)).map(_.toSeq)
+  }
+
+  test("law: PQ model save/load round-trips exactly (doubles are bit-preserved)") {
+    import graft.similarity.Similarity
+    samples(pqModelGen, 5).zipWithIndex.foreach { case (books, i) =>
+      val path = tmpDir(s"pq-model-$i")
+      Similarity.savePqModel(spark, path, books)
+      val back = Similarity.loadPqModel(spark, path)
+      assert(back.size == books.size)
+      books.zip(back).foreach { case (b0, b1) =>
+        assert(b0.size == b1.size)
+        b0.zip(b1).foreach { case (v0, v1) => assert(v0.sameElements(v1)) }
+      }
+    }
+  }
 }
