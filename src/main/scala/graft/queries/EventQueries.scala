@@ -1172,11 +1172,53 @@ object EventQueries {
       FROM a WHERE n_gaps >= 20 AND sg > 0
       ORDER BY cv2_micros, user_id LIMIT 10"""))
 
+  /** Markov transition matrix over per-user event journeys:
+    * P(next event type | current) with exact integer-micros
+    * probabilities (DetMath.ratio6 — no float division disagreement
+    * between engines). Where q_top_paths surfaces the most common
+    * whole sequences, the transition matrix is the model-shaped
+    * summary (next-step prediction, journey simulation, anomaly
+    * scoring of improbable hops). Scale shape: one window partitioned
+    * by user_id (per-user state, never a global sort; ties broken by
+    * event_id so both engines see the same successor), one pair-keyed
+    * count, and a type-cardinality-sized marginal join.
+    */
+  val qEventTransitions = Q(
+    "q_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = pairs.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      pairs.join(marg, "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          graft.functions.DetMath.ratio6(col("n"), col("tot")).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some(s"""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      marg AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
+      SELECT event_type, next_type, n,
+             ${graft.functions.DetMath.ratio6Sql("n", "tot")} AS p
+      FROM pairs JOIN marg USING (event_type)
+      ORDER BY event_type, next_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers,
-    qBotScore)
+    qBotScore, qEventTransitions)
 }
