@@ -977,11 +977,78 @@ object ParityQueries {
       FROM lineitem JOIN pa USING (l_partkey)
       WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * nq < sq"""))
 
+  /** TPC-H Q8 shape (national market share): conditional share of a
+    * measure within a filtered market, per year. The share is NEVER a
+    * float division: line revenue casts to exact integer
+    * ten-thousandths (DECIMAL(38,0)), the conditional and total sums
+    * stay integer, and the share rounds to micros with the same
+    * `(2a·10⁶+b) div (2b)` integer formula on both engines
+    * (DECIMAL(38,0) div in Spark ≡ HUGEINT // in DuckDB — the raking
+    * precedent). Scale shape: nation/region collapse to a broadcast
+    * customer filter and a broadcast supplier→nation map; lineitem
+    * shuffles once to meet orders and once to meet the filtered
+    * customers; the share math runs on a years-sized relation.
+    */
+  val qTpchQ8 = Q(
+    "q_tpch_q8",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val amer = n.join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(amer), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))")
+            .as("u4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", col("u4"))
+            .otherwise(lit(0))).as("sn"),
+          sum(col("u4")).as("tot"))
+        .select(col("o_year"),
+          expr("""CAST((2 * CAST(sn AS DECIMAL(38,0)) * 1000000 + tot)
+                       div (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)""")
+            .as("share_micros"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      WITH amer AS (
+        SELECT n_nationkey FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'),
+      li AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sn.n_name AS supp_nation,
+               CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0)) AS u4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN amer ON c_nationkey = amer.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey)
+      SELECT o_year,
+             CAST((2 * CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN u4 ELSE 0 END) AS HUGEINT) * 1000000
+                   + CAST(sum(u4) AS HUGEINT))
+                  // (2 * CAST(sum(u4) AS HUGEINT)) AS BIGINT) AS share_micros
+      FROM li GROUP BY o_year ORDER BY o_year"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8)
 }
