@@ -188,4 +188,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._1 == 1L && math.abs(got.head._2 - 0.993884) < 1e-6,
       s"rerank must surface the exact-cosine nearest neighbor: $got")
   }
+
+  test("pqFit is deterministic; pqEncode codes are in [0, kw) with one code per subspace") {
+    val larger = spark.range(0, 60).selectExpr("id AS vec_id",
+      "transform(sequence(0, 5), d -> CAST(pmod(id * 37 + d * 11, 23) / 23.0 - 0.5 AS FLOAT)) AS embedding")
+    val fit1 = Similarity.pqFit(larger, "vec_id", "embedding", m = 2, kw = 4)
+    val fit2 = Similarity.pqFit(larger, "vec_id", "embedding", m = 2, kw = 4)
+    assert(fit1.size == 2 && fit1.forall(_.size == 4))
+    fit1.zip(fit2).foreach { case (b1, b2) =>
+      b1.zip(b2).foreach { case (v1, v2) =>
+        assert(v1.sameElements(v2), "same data + seeds must refit identically")
+      }
+    }
+    val codes = Similarity.pqEncode(larger, "vec_id", "embedding", fit1)
+      .select(col("__codes")).collect()
+      .map(_.getAs[scala.collection.Seq[Int]](0))
+    assert(codes.length == 60)
+    assert(codes.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 4)))
+  }
+
+  test("pqTopK without rerank still self-ranks a duplicated vector pair together") {
+    // two identical vectors must share codes, hence identical ADC
+    // scores against any probe — the compression cannot split them
+    val dup = spark.range(0, 40).selectExpr("id AS vec_id",
+      """transform(sequence(0, 5),
+         d -> CAST(pmod((id div 2) * 53 + d * 19, 31) / 31.0 - 0.5 AS FLOAT)) AS embedding""")
+    val books = Similarity.pqFit(dup, "vec_id", "embedding", m = 2, kw = 8)
+    val enc = Similarity.pqEncode(dup, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
+    (0 until 40 by 2).foreach { i =>
+      assert(enc(i.toLong) == enc(i.toLong + 1),
+        s"identical vectors $i/${i + 1} must encode identically")
+    }
+  }
 }
