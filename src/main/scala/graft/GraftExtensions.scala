@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rules (operator-optimization fixed-point batch)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctCountRegroupRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
