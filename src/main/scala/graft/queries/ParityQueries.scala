@@ -1051,53 +1051,11 @@ object ParityQueries {
                   // (2 * CAST(sum(u4) AS HUGEINT)) AS BIGINT) AS share_micros
       FROM li GROUP BY o_year ORDER BY o_year"""))
 
-  /** One-pass column profile — the ANALYZE-TABLE primitive: row count,
-    * per-column non-null count and min/max, all from a SINGLE scan
-    * (one wide partial-aggregated fold to one row), then `stack`ed
-    * into the tall (column, stats) report ON the 1-row relation — so
-    * profiling N columns of a 100 TB table costs exactly one pass, not
-    * N. The shape every cost-based decision (broadcast threshold,
-    * partition sizing, skew suspicion) wants as input.
-    */
-  val qColumnProfile = Q(
-    "q_column_profile",
-    (s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        min(col(c)).as(s"mn_$c"),
-        max(col(c)).as(s"mx_$c")))
-      Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n"), aggs: _*)
-        .selectExpr("n", s"stack(${cols.size}, " +
-          cols.map(c => s"'$c', nn_$c, mn_$c, mx_$c").mkString(", ") +
-          ") AS (column_name, n_nonnull, min_v, max_v)")
-        .select(col("column_name"), col("n"), col("n_nonnull"),
-          col("min_v"), col("max_v"))
-        .orderBy(col("column_name"))
-    },
-    Some("""
-      WITH a AS (
-        SELECT count(*) AS n,
-               count(l_quantity) AS nn_1, min(l_quantity) AS mn_1, max(l_quantity) AS mx_1,
-               count(l_extendedprice) AS nn_2, min(l_extendedprice) AS mn_2, max(l_extendedprice) AS mx_2,
-               count(l_discount) AS nn_3, min(l_discount) AS mn_3, max(l_discount) AS mx_3,
-               count(l_tax) AS nn_4, min(l_tax) AS mn_4, max(l_tax) AS mx_4
-        FROM lineitem)
-      SELECT 'l_quantity' AS column_name, n, nn_1 AS n_nonnull, mn_1 AS min_v, mx_1 AS max_v FROM a
-      UNION ALL
-      SELECT 'l_extendedprice', n, nn_2, mn_2, mx_2 FROM a
-      UNION ALL
-      SELECT 'l_discount', n, nn_3, mn_3, mx_3 FROM a
-      UNION ALL
-      SELECT 'l_tax', n, nn_4, mn_4, mx_4 FROM a
-      ORDER BY column_name"""))
-
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qColumnProfile)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8)
 }
