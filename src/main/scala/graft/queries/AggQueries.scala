@@ -912,11 +912,35 @@ object AggQueries {
       SELECT day, hr, event_type, n, rank
       FROM r WHERE rank <= 3 ORDER BY day, hr, rank"""))
 
+  /** Per-type overall vs conditional user reach — the same-base
+    * multi-count(DISTINCT) shape, kept in the registry deliberately so
+    * [[graft.plans.DistinctCountRegroupRule]] runs under the DuckDB
+    * oracle gate every round, not only under its unit spec: the rule
+    * rewrites this into the Expand-free two-phase plan
+    * (DistinctCountRegroupRuleSpec asserts the shape), and this query
+    * hash-checks its RESULTS against an engine that never saw the
+    * rewrite. Where q_bitmap_audience does global exact set algebra,
+    * this is the grouped multi-distinct aggregation plan family.
+    */
+  val qUserReach = Q(
+    "q_user_reach",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("reach"),
+        countDistinct(when(col("value") > 95.0, col("user_id")))
+          .as("reach_high"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS reach,
+             count(DISTINCT CASE WHEN value > 95.0 THEN user_id END) AS reach_high
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
     qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
     qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes,
-    qDeciles, qWeightedMedian, qSkewReport)
+    qDeciles, qWeightedMedian, qSkewReport, qUserReach)
 }

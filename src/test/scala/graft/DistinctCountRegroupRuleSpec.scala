@@ -85,6 +85,17 @@ class DistinctCountRegroupRuleSpec extends SparkSpec {
     assert(diffBase == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 0L, 0L), (4L, 1L, 1L)))
   }
 
+  test("the registry gate query q_user_reach plans through the rule: no Expand") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.AggQueries.qUserReach
+        .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      assert(plan.collect { case e: ExpandExec => e }.isEmpty,
+        s"q_user_reach must take the regrouped plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("global (ungrouped) distinct counts are deliberately out of scope and stay correct") {
     val df = writeFixture(fixture, "dcr-global")
     val r = df.agg(countDistinct(col("x")).as("n_x"),
