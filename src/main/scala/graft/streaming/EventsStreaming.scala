@@ -903,7 +903,14 @@ object EventsStreaming {
     import graft.similarity.Similarity
     val spark = batch.sparkSession
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$out/index-$batchId/_SUCCESS"))) return
+    // Replay guard is a HIGH-WATER MARK, not per-segment existence:
+    // foreachBatch delivers ids in order, so any committed segment id
+    // ≥ batchId proves this batch was already absorbed — and the guard
+    // survives [[compactAnnIndex]] folding old segments away (a
+    // per-directory probe would re-absorb a replayed batch whose
+    // segment was compacted into a higher id).
+    recoverAnnCompaction(fs, out)
+    if (annSegmentIds(fs, out).exists(_ >= batchId)) return
     val vecs = batch.filter(col(vecCol).isNotNull)
     val modelPath = s"$out/model"
     val books: Option[Seq[Seq[Array[Double]]]] =
@@ -922,21 +929,84 @@ object EventsStreaming {
     }
   }
 
+  /** Committed `index-<id>` segment ids under `out`, ascending. */
+  private def annSegmentIds(fs: org.apache.hadoop.fs.FileSystem,
+                            out: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(out)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith("index-") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(_.getPath.getName.stripPrefix("index-").toLongOption)
+      .sorted
+  }
+
   /** The committed (id, codes) segment union written by
     * [[annIndexMaintainSink]], plus the stored model. */
   def currentAnnIndex(spark: SparkSession, out: String)
       : Option[(DataFrame, Seq[Seq[Array[Double]]])] = {
     import org.apache.hadoop.fs.Path
-    val base = new Path(out)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAnnCompaction(fs, out)
     if (!fs.exists(new Path(s"$out/model/_SUCCESS"))) return None
-    val segs = fs.listStatus(base).toSeq.filter(_.isDirectory)
-      .filter(st => st.getPath.getName.startsWith("index-") &&
-        fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
+    val segs = annSegmentIds(fs, out).map(i => s"$out/index-$i")
     if (segs.isEmpty) None
     else Some((spark.read.parquet(segs: _*),
       graft.similarity.Similarity.loadPqModel(spark, s"$out/model")))
+  }
+
+  /** Complete (or roll back) a crashed [[compactAnnIndex]]: the
+    * `_COMPACT_APPLY` marker is the intent record — once it exists
+    * with a committed `compact-tmp`, the swap MUST finish (tmp holds
+    * the full union); without a committed tmp the attempt rolls back
+    * and the original segments are untouched. Idempotent. */
+  private def recoverAnnCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                   out: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$out/_COMPACT_APPLY")
+    if (!fs.exists(marker)) return
+    val tmp = new Path(s"$out/compact-tmp")
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+      val in = fs.open(marker)
+      val hi = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+      annSegmentIds(fs, out)
+        .foreach(i => fs.delete(new Path(s"$out/index-$i"), true))
+      fs.rename(tmp, new Path(s"$out/index-$hi"))
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.delete(marker, false)
+  }
+
+  /** Compact the committed index segments into ONE segment carrying
+    * the highest committed id — the small-files maintenance every
+    * append sink eventually needs. The surviving id IS the high-water
+    * mark the sink's replay guard checks, so compaction never enables
+    * a replayed batch to re-absorb. Crash-safe two-phase swap: the
+    * full union is first committed OUT OF the reader namespace
+    * (`compact-tmp` — not an `index-*` name, so readers ignore it),
+    * then an intent marker makes the swap mandatory, then originals
+    * drop and tmp renames in; [[recoverAnnCompaction]] — run by the
+    * sink, the readers and this method — completes or rolls back any
+    * crash point without losing a row. Run while the maintenance
+    * stream is idle (like any file-level maintenance on an append
+    * sink); no-op below two segments.
+    */
+  def compactAnnIndex(spark: SparkSession, out: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAnnCompaction(fs, out)
+    val ids = annSegmentIds(fs, out)
+    if (ids.size < 2) return
+    val hi = ids.max
+    spark.read.parquet(ids.map(i => s"$out/index-$i"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/compact-tmp")
+    val marker = new Path(s"$out/_COMPACT_APPLY")
+    val os = fs.create(marker, true)
+    try os.write(hi.toString.getBytes("UTF-8")) finally os.close()
+    ids.foreach(i => fs.delete(new Path(s"$out/index-$i"), true))
+    fs.rename(new Path(s"$out/compact-tmp"), new Path(s"$out/index-$hi"))
+    fs.delete(marker, false)
   }
 
   /** All drift records written by [[driftMonitorSink]], batch order. */

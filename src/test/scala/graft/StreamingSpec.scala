@@ -954,5 +954,31 @@ class StreamingSpec extends SparkSpec {
       rerank = Some((store, "embedding"))).collect()
     assert(top.head.getAs[Long]("neighbor_id") == 100L)
     assert(top.head.getAs[Double]("score") == 1.0)
+    // --- compaction: one surviving segment, same rows, replay still zero
+    def segDirs(): Seq[String] = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("index-"))
+      .map(_.getName).sorted.toSeq
+    assert(segDirs().size == 3)
+    EventsStreaming.compactAnnIndex(spark, out)
+    assert(segDirs() == Seq("index-2"), "one segment, highest id survives")
+    val (compacted, _) = EventsStreaming.currentAnnIndex(spark, out).get
+    assert(compacted.count() == 120, "compaction must not lose or duplicate rows")
+    // a replayed old batch must STILL absorb zero (high-water guard,
+    // not per-segment existence)
+    EventsStreaming.annIndexMaintainSink(out, "vec_id", "embedding", m = 8, kw = 16)(
+      batches(0).toDF("vec_id", "embedding"), 0L)
+    assert(EventsStreaming.currentAnnIndex(spark, out).get._1.count() == 120)
+    // --- crash recovery: a committed compact-tmp + intent marker left
+    // behind by a crash mid-swap must complete to the same state
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$out/index-2").write.mode("overwrite")
+      .parquet(s"$out/compact-tmp")
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$out/_COMPACT_APPLY"), true)
+    os.write("2".getBytes("UTF-8")); os.close()
+    val (recovered, _) = EventsStreaming.currentAnnIndex(spark, out).get
+    assert(recovered.count() == 120, "marker + committed tmp must finish the swap")
+    assert(!new java.io.File(s"$out/_COMPACT_APPLY").exists())
+    assert(segDirs() == Seq("index-2"))
   }
 }
