@@ -1214,11 +1214,79 @@ object EventQueries {
       FROM pairs JOIN marg USING (event_type)
       ORDER BY event_type, next_type"""))
 
+  /** Lag-24h autocorrelation of hourly event volume per type — the
+    * periodicity detector (a diurnal workload shows a strong positive
+    * acf at lag 24; its absence on a "user" source is itself a bot
+    * signal complementary to q_bot_score's per-user gap regularity).
+    * The series is densified with zeros over the observed hour span
+    * (missing hours are real zeros, not absent observations — an
+    * inner-join-only acf would silently condition on activity), the
+    * lag pairing is an equi-join on (type, hour+24) — never a window
+    * — and the correlation runs on exact integer sums cast once at
+    * the end, the q_correlation portability recipe.
+    */
+  val qAutocorrelation = Q(
+    "q_autocorrelation",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      val bounds = hourly.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+      val lagged = dense.select(col("event_type"),
+        (col("hr") - 24).as("hr"), col("n").as("y"))
+      dense.join(lagged, Seq("event_type", "hr"))
+        .select(col("event_type"), col("n").as("x"), col("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("np"),
+          asDouble(sum(col("x"))).as("sx"), asDouble(sum(col("y"))).as("sy"),
+          asDouble(sum(col("x") * col("y"))).as("sxy"),
+          asDouble(sum(col("x") * col("x"))).as("sxx"),
+          asDouble(sum(col("y") * col("y"))).as("syy"))
+        .select(col("event_type"),
+          round((col("np") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("np") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("acf24"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+      grid AS (
+        SELECT event_type, unnest(range(h0, h1 + 1)) AS hr
+        FROM (SELECT DISTINCT event_type FROM hourly) CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, g.hr, coalesce(n, 0) AS n
+        FROM grid g LEFT JOIN hourly USING (event_type, hr)),
+      pairs AS (
+        SELECT d.event_type, d.n AS x, l.n AS y
+        FROM dense d JOIN dense l
+          ON d.event_type = l.event_type AND l.hr = d.hr + 24),
+      agg AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS np,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x*y) AS DOUBLE) AS sxy,
+               CAST(sum(x*x) AS DOUBLE) AS sxx,
+               CAST(sum(y*y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT event_type,
+             round((np*sxy - sx*sy) /
+                   (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6) AS acf24
+      FROM agg ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers,
-    qBotScore, qEventTransitions)
+    qBotScore, qEventTransitions, qAutocorrelation)
 }
