@@ -41,7 +41,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Scope guards (rewrite only when provably safe AND profitable):
   * batch plans only (aggregate-over-aggregate is restricted in
-  * streaming), all grouping expressions are deterministic attributes,
+  * streaming), all grouping expressions are deterministic attributes
+  * (possibly none — a GLOBAL multi-distinct rewrites too: the inner
+  * pass groups by the base alone, and the outer global aggregate
+  * still emits its one row on empty input),
   * every non-grouping output is a top-level aliased distinct count
   * over the shared base, all predicates/base deterministic, no
   * FILTER clauses, and at least two DIFFERENT distinct argument
@@ -66,7 +69,7 @@ object DistinctCountRegroupRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(grouping, aggExprs, child, _)
-        if !agg.isStreaming && grouping.nonEmpty &&
+        if !agg.isStreaming &&
           grouping.forall(g => g.isInstanceOf[Attribute] && g.deterministic) =>
       val dcs = aggExprs.flatMap(asDistinctCount(_))
       val nonDc = aggExprs.filter(asDistinctCount(_).isEmpty)

@@ -1249,10 +1249,13 @@ object EventQueries {
           asDouble(sum(col("x") * col("x"))).as("sxx"),
           asDouble(sum(col("y") * col("y"))).as("syy"))
         .select(col("event_type"),
-          round((col("np") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("np") * col("syy") - col("sy") * col("sy"))), 6)
-            .as("acf24"))
+          // zero variance (degenerate/constant series) has no defined
+          // correlation — NULL, not a DIVIDE_BY_ZERO under ANSI mode
+          (sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("np") * col("syy") - col("sy") * col("sy"))).as("den"),
+          (col("np") * col("sxy") - col("sx") * col("sy")).as("num"))
+        .select(col("event_type"),
+          when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf24"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -1278,8 +1281,10 @@ object EventQueries {
                CAST(sum(y*y) AS DOUBLE) AS syy
         FROM pairs GROUP BY 1)
       SELECT event_type,
-             round((np*sxy - sx*sy) /
-                   (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6) AS acf24
+             CASE WHEN sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy) > 0
+                  THEN round((np*sxy - sx*sy) /
+                             (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6)
+             END AS acf24
       FROM agg ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(

@@ -96,10 +96,23 @@ class DistinctCountRegroupRuleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("global (ungrouped) distinct counts are deliberately out of scope and stay correct") {
+  test("global (ungrouped) distinct counts rewrite too — no Expand, exact, one row on empty input") {
     val df = writeFixture(fixture, "dcr-global")
-    val r = df.agg(countDistinct(col("x")).as("n_x"),
-      countDistinct(when(col("p"), col("x"))).as("n_px")).collect()(0)
+    def global(d: org.apache.spark.sql.DataFrame) =
+      d.agg(countDistinct(col("x")).as("n_x"),
+        countDistinct(when(col("p"), col("x"))).as("n_px"))
+    val r = global(df).collect()(0)
     assert((r.getLong(0), r.getLong(1)) == (4L, 2L))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = global(df).queryExecution.executedPlan
+      assert(plan.collect { case e: ExpandExec => e }.isEmpty,
+        s"global rewrite must remove the Expand:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val empty = global(df.filter(col("g") < 0)).collect()
+    assert(empty.length == 1 &&
+      (empty(0).getLong(0), empty(0).getLong(1)) == (0L, 0L),
+      "global aggregate over empty input must still emit its one zero row")
   }
 }
