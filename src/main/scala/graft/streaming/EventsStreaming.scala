@@ -910,7 +910,22 @@ object EventsStreaming {
     // per-directory probe would re-absorb a replayed batch whose
     // segment was compacted into a higher id).
     recoverAnnCompaction(fs, out)
-    if (annSegmentIds(fs, out).exists(_ >= batchId)) return
+    val committed = annSegmentIds(fs, out)
+    if (committed.exists(_ >= batchId)) {
+      // same id-regression discipline as absorbVersioned: an id
+      // STRICTLY below the high-water mark cannot come from an intact
+      // checkpoint — shout, because a reset checkpoint against a live
+      // index silently drops whatever the re-read batches contain
+      if (committed.exists(_ > batchId)) {
+        absorbIdRegressions += 1
+        System.err.println(
+          s"[absorb] $out: batch $batchId skipped below committed index " +
+            s"high-water ${committed.max} — a RESET CHECKPOINT against a " +
+            "live ANN index drops re-read input; restore the checkpoint " +
+            "or point the sink at a fresh directory")
+      }
+      return
+    }
     val vecs = batch.filter(col(vecCol).isNotNull)
     val modelPath = s"$out/model"
     val books: Option[Seq[Seq[Array[Double]]]] =

@@ -942,9 +942,13 @@ class StreamingSpec extends SparkSpec {
     val (index, books) = EventsStreaming.currentAnnIndex(spark, out).get
     assert(index.count() == 120, "every non-null vector indexed exactly once")
     assert(books.size == 8 && books.forall(_.size == 16), "stored model shape")
-    // replay under a fresh checkpoint: segments already committed
+    // replay under a fresh checkpoint: segments already committed, and
+    // the below-high-water ids must be counted as an id regression
+    val regressionsBefore = EventsStreaming.absorbIdRegressions
     run(tmpDir("ckpt-ann-2"))
     assert(EventsStreaming.currentAnnIndex(spark, out).get._1.count() == 120)
+    assert(EventsStreaming.absorbIdRegressions > regressionsBefore,
+      "reset-checkpoint replay below the index high-water must be shouted")
     // a batch-2 vector (encoded with the batch-0-fit model) probing the
     // index finds ITSELF at rank 1 once the ADC shortlist is exactly
     // reranked against the vector store
