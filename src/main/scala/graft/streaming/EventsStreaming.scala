@@ -863,7 +863,11 @@ object EventsStreaming {
     val spark = batch.sparkSession
     import spark.implicits._
     absorbVersioned(spark, out, "hist", batchId) { latest =>
+      // a NULL band (bandOf of a NULL value) carries no distribution
+      // information — excluded from the histogram rather than NPE-ing
+      // the driver-side collect
       val delta: Map[Long, Long] = batch.select(bandOf.cast("long").as("band"))
+        .filter(col("band").isNotNull)
         .groupBy(col("band")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val prior: Map[Long, Long] = latest

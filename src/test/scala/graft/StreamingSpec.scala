@@ -907,6 +907,25 @@ class StreamingSpec extends SparkSpec {
     EventsStreaming.driftMonitorSink(out, reference, bandOf)(
       days.head.toDS().toDF(), 0L)
     assert(log() == expected)
+    // a NULL-valued row has no band: excluded from the histogram, the
+    // batch still absorbs (n_rows counts only banded rows). NOTE the
+    // clamped bandOf above maps NULL to band 0 (greatest/least ignore
+    // nulls) — use the raw floor here so the null survives to the band
+    val bandOfRaw = floor(col("value"))
+    val out2 = tmpDir("stream-drift-null") + "/mon"
+    val nullableSchema = org.apache.spark.sql.types.StructType(
+      Seq(Event(0L, ts(0), 0L, "x", 0.0)).toDF().schema
+        .map(_.copy(nullable = true)))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, ts(6), 9L, "click", 0.5),
+        org.apache.spark.sql.Row(8L, ts(7), 9L, "view", null))),
+      nullableSchema)
+    EventsStreaming.driftMonitorSink(out2, reference, bandOfRaw)(withNull, 0L)
+    val rec = EventsStreaming.currentDriftLog(spark, out2).get.collect()(0)
+    assert(rec.getLong(1) == 1L, "only the banded row counts")
+    assert(EventsStreaming.currentDriftHistogram(spark, out2).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 1L))
   }
 
   test("annIndexMaintainSink: fit-once model, per-batch encode, replay-zero, self-probe at rank 1") {
