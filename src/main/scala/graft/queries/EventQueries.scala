@@ -1004,10 +1004,14 @@ object EventQueries {
         .agg(
           unix_micros(min(col("ts"))).as("start_us"),
           unix_micros(max(col("ts"))).as("end_us"))
-      val banded = sessions.select(
+      // persisted: BOTH self-join sides read this relation, and the
+      // session window + explode would otherwise execute twice (the
+      // two sides project different columns, so exchange reuse never
+      // matches their subtrees)
+      val banded = graft.ops.Caching.cachedOnce(sessions.select(
         col("user_id"), col("start_us"), col("end_us"),
         explode(expr("sequence(start_us div 3600000000, end_us div 3600000000)"))
-          .as("bucket"))
+          .as("bucket")))
       val a = banded.select(
         col("bucket"), col("user_id").as("user_a"),
         col("start_us").as("sa"), col("end_us").as("ea"))
