@@ -675,14 +675,18 @@ object TextQueries {
   val qLmDocScore = Q(
     "q_lm_doc_score",
     (s, d) => {
-      def docBigrams = Tables.documents(s, d)
+      // persisted: the bigram relation feeds the LM build AND the
+      // final join-back, and the LM dimension feeds cx AND pm — as
+      // defs the corpus tokenize+explode would execute three times
+      val docBigrams = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
         .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t) - 1), " +
             "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val lm = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val lm = graft.ops.Caching.cachedOnce(
+        docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
       val cx = lm.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       // p(w2|w1) in integer micros: the ratio6 numerator kept as a LONG
       // so per-doc sums stay exact integers
