@@ -152,4 +152,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashShuffles.isEmpty,
       s"non-sort shuffle in feature-hashing plan:\n$plan")
   }
+
+  test("rank<=k per-group filters plan the WindowGroupLimit pre-filter") {
+    // Spark's InferWindowGroupLimit turns `row_number() over (...)
+    // <= k` into a per-partition top-k heap BEFORE the full window
+    // sort — the difference between sorting every group and keeping k
+    // rows per group at 100 TB. Pin that the canonical rank-filtered
+    // query still triggers it (a restructured filter can silently stop
+    // matching and regress to the full sort).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.AggQueries.qHourlyTopTypes
+        .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val hits = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(hits.nonEmpty,
+        s"q_hourly_top_types lost its WindowGroupLimit pre-filter:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
