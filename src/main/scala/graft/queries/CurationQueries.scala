@@ -655,9 +655,13 @@ object CurationQueries {
   val qDistDrift = Q(
     "q_dist_drift",
     (s, d) => {
-      def micros(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        floor((lit(2.0) * num.cast("double") * lit(1000000.0) + den.cast("double"))
-          / (lit(2.0) * den.cast("double"))).cast("long")
+      // pure LONG arithmetic (Spark `div` ≡ DuckDB `//` integer
+      // division): exact to n ≈ 4.6e12 rows per band, the same bound
+      // the streaming tvdMicros documents. A double rendition of this
+      // formula loses exactness three orders of magnitude earlier
+      // (2·n·10⁶ exceeds 2^53 at n ≈ 4.5e9).
+      def micros(num: String, den: String) =
+        expr(s"(2 * $num * 1000000 + $den) div (2 * $den)")
       val cell = Tables.documents(s, d)
         .select(col("source"),
           least(floor(col("n_chars") / lit(256)).cast(LongType), lit(20L)).as("band"))
@@ -670,8 +674,8 @@ object CurationQueries {
         .na.fill(0L, Seq("n_sb"))
         .crossJoin(broadcast(grand))
         .groupBy(col("source"))
-        .agg((sum(abs(micros(col("n_sb"), col("n_s"))
-          - micros(col("n_b"), col("n")))).cast("double") / lit(2000000.0))
+        .agg((sum(abs(micros("n_sb", "n_s")
+          - micros("n_b", "n"))).cast("double") / lit(2000000.0))
           .as("tvd"))
         .orderBy(col("source"))
     },
@@ -685,8 +689,8 @@ object CurationQueries {
       grand AS (SELECT sum(n_sb) AS n FROM cell)
       SELECT source,
              CAST(sum(abs(
-               CAST(floor((2.0 * coalesce(n_sb, 0) * 1000000 + n_s) / (2.0 * n_s)) AS BIGINT)
-               - CAST(floor((2.0 * n_b * 1000000 + n) / (2.0 * n)) AS BIGINT)
+               ((2 * coalesce(n_sb, 0) * 1000000 + n_s) // (2 * n_s))
+               - ((2 * n_b * 1000000 + n) // (2 * n))
              )) AS DOUBLE) / 2000000.0 AS tvd
       FROM (SELECT source, n_s, band, n_b FROM src CROSS JOIN band) combos
       LEFT JOIN cell USING (source, band)

@@ -1254,9 +1254,15 @@ object EventQueries {
           asDouble(sum(col("y") * col("y"))).as("syy"))
         .select(col("event_type"),
           // zero variance (degenerate/constant series) has no defined
-          // correlation — NULL, not a DIVIDE_BY_ZERO under ANSI mode
-          (sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("np") * col("syy") - col("sy") * col("sy"))).as("den"),
+          // correlation — NULL, not a DIVIDE_BY_ZERO under ANSI mode.
+          // The variance terms clamp at 0: beyond 2^53 the
+          // mathematically-nonnegative difference can round to a tiny
+          // negative double, which DuckDB's sqrt hard-errors on while
+          // Spark yields NaN — clamping BOTH sides keeps the engines
+          // in agreement instead of crashing the oracle
+          (sqrt(greatest(col("np") * col("sxx") - col("sx") * col("sx"), lit(0.0))) *
+            sqrt(greatest(col("np") * col("syy") - col("sy") * col("sy"), lit(0.0))))
+            .as("den"),
           (col("np") * col("sxy") - col("sx") * col("sy")).as("num"))
         .select(col("event_type"),
           when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf24"))
@@ -1285,9 +1291,9 @@ object EventQueries {
                CAST(sum(y*y) AS DOUBLE) AS syy
         FROM pairs GROUP BY 1)
       SELECT event_type,
-             CASE WHEN sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy) > 0
+             CASE WHEN sqrt(greatest(np*sxx - sx*sx, 0)) * sqrt(greatest(np*syy - sy*sy, 0)) > 0
                   THEN round((np*sxy - sx*sy) /
-                             (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6)
+                             (sqrt(greatest(np*sxx - sx*sx, 0)) * sqrt(greatest(np*syy - sy*sy, 0))), 6)
              END AS acf24
       FROM agg ORDER BY event_type"""))
 

@@ -659,7 +659,10 @@ object Similarity {
   def pqTopK(candidates0: DataFrame, idCol: String, vecCol: String,
              probes: DataFrame, k: Int, m: Int = 8, kw: Int = 16,
              iters: Int = 4, shortlist: Int = 0): DataFrame = {
-    val candidates = candidates0.filter(col(vecCol).isNotNull)
+    // persisted: the fit iterations, the dim probe, the encode pass
+    // and the rerank's (id, vec) projection all rescan this relation
+    val candidates = graft.ops.Caching.cachedOnce(
+      candidates0.filter(col(vecCol).isNotNull))
     val dimRow = candidates.select(size(col(vecCol))).take(1)
     if (dimRow.isEmpty) return emptyTopK(candidates0)
     val dim = dimRow(0).getInt(0)
@@ -764,7 +767,10 @@ object Similarity {
                 kClusters: Int = 16, nProbe: Int = 6,
                 m: Int = 16, kw: Int = 32, iters: Int = 4,
                 shortlist: Int = 150): DataFrame = {
-    val candidates = candidates0.filter(col(vecCol).isNotNull)
+    // persisted: BOTH model fits iterate over this relation, plus the
+    // dim probe, the index projection and the exact rerank
+    val candidates = graft.ops.Caching.cachedOnce(
+      candidates0.filter(col(vecCol).isNotNull))
     val dimRow = candidates.select(size(col(vecCol))).take(1)
     if (dimRow.isEmpty) return emptyTopK(candidates0)
     val dim = dimRow(0).getInt(0)

@@ -893,8 +893,11 @@ object EventsStreaming {
     * replayed batch finds its segment committed (`_SUCCESS`) and
     * absorbs zero; a crash between model save and segment write
     * re-encodes with the SAME stored model, so the segment is
-    * byte-stable under replay. An empty batch still commits an (empty)
-    * segment so the replay guard stays monotone. Segment compaction is
+    * byte-stable under replay. An empty batch AFTER the model exists
+    * commits an (empty) segment; empty batches BEFORE the first
+    * non-empty one absorb nothing and commit nothing — the replay
+    * guard is the segment-id HIGH-WATER mark, which both cases keep
+    * monotone. Segment compaction is
     * the same small-files story as every append sink here
     * (ops/Layout); search = [[graft.similarity.Similarity.pqSearchEncoded]]
     * over the segment union, exact-reranked against the caller's
@@ -992,8 +995,32 @@ object EventsStreaming {
       finally in.close()
       annSegmentIds(fs, out)
         .foreach(i => fs.delete(new Path(s"$out/index-$i"), true))
-      fs.rename(tmp, new Path(s"$out/index-$hi"))
-    } else if (fs.exists(tmp)) fs.delete(tmp, true)
+      annCompactSwap(fs, out, tmp, hi, marker)
+    } else {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      fs.delete(marker, false)
+    }
+  }
+
+  /** The swap tail shared by compactor and recovery: clear any partial
+    * destination (a crashed delete can leave an UNCOMMITTED index-<hi>
+    * that rename would otherwise collide with or nest into), rename
+    * tmp in, and only then drop the intent marker. Filesystem verbs
+    * report failure by RETURN VALUE, not exception — a swallowed false
+    * here would strand the index unreadable while claiming success, so
+    * both are checked and a failed rename keeps the marker for retry.
+    */
+  private def annCompactSwap(fs: org.apache.hadoop.fs.FileSystem, out: String,
+                             tmp: org.apache.hadoop.fs.Path, hi: Long,
+                             marker: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$out/index-$hi")
+    if (fs.exists(dst) && !fs.delete(dst, true))
+      throw new java.io.IOException(
+        s"ANN compaction: cannot clear partial $dst; marker kept for retry")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"ANN compaction: rename $tmp -> $dst failed; marker kept for retry")
     fs.delete(marker, false)
   }
 
@@ -1024,8 +1051,7 @@ object EventsStreaming {
     val os = fs.create(marker, true)
     try os.write(hi.toString.getBytes("UTF-8")) finally os.close()
     ids.foreach(i => fs.delete(new Path(s"$out/index-$i"), true))
-    fs.rename(new Path(s"$out/compact-tmp"), new Path(s"$out/index-$hi"))
-    fs.delete(marker, false)
+    annCompactSwap(fs, out, new Path(s"$out/compact-tmp"), hi, marker)
   }
 
   /** All drift records written by [[driftMonitorSink]], batch order. */
