@@ -1051,11 +1051,48 @@ object ParityQueries {
                   // (2 * CAST(sum(u4) AS HUGEINT)) AS BIGINT) AS share_micros
       FROM li GROUP BY o_year ORDER BY o_year"""))
 
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    * OR-of-conjunction join condition that stresses predicate
+    * normalization — each branch constrains BOTH sides (brand+size on
+    * part, quantity on lineitem), so a naive planner evaluates the
+    * whole disjunction post-join while a good one extracts the common
+    * l_partkey = p_partkey equi-key AND pushes the per-side residuals
+    * (the brand/size union prunes the part scan; the quantity envelope
+    * prunes lineitem) before the join. Exact-DECIMAL revenue.
+    */
+  val qTpchQ19 = Q(
+    "q_tpch_q19",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          (branch("Brand#11", 5, 1, 11) ||
+            branch("Brand#22", 10, 10, 20) ||
+            branch("Brand#33", 15, 20, 30)))
+        .agg(count(lit(1)).as("n_lines"),
+          asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+            .as("revenue"))
+    },
+    Some("""
+      SELECT count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+         OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19)
 }
