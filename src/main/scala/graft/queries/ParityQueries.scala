@@ -1088,11 +1088,48 @@ object ParityQueries {
          OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
          OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** TPC-H Q22 shape (global-scalar subquery + anti-join): customers
+    * with an above-average positive balance and no 1995 order — the
+    * third member of the decorrelation triad (Q17 = per-group scalar,
+    * Q21 = correlated EXISTS pair, this = GLOBAL scalar + NOT EXISTS).
+    * The global average decorrelates into a 1-row broadcast
+    * crossJoin and — as everywhere here — never materializes as a
+    * float: `bal · n > sum` in exact DECIMAL. The NOT EXISTS is a
+    * left-anti join against the year-filtered orders (filter pushed
+    * into the scan, so the anti build side is one year's keys, not
+    * the fact table).
+    */
+  val qTpchQ22 = Q(
+    "q_tpch_q22",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("n"))
+      val o95 = ord(s, d).filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(stats))
+        .filter(dec(col("c_acctbal")) * col("n") > col("tot"))
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_cust"),
+          asDouble(sum(dec(col("c_acctbal")))).as("total_bal"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS tot, count(*) AS n
+        FROM customer WHERE c_acctbal > 0)
+      SELECT count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer CROSS JOIN s
+      WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > tot
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND year(o_orderdate) = 1995)"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22)
 }
