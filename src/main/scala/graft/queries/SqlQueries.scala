@@ -115,5 +115,46 @@ object SqlQueries {
       FROM sessions GROUP BY user_id, session_seq
       ORDER BY user_id, start_us"""))
 
-  val all: Seq[Q] = Seq(qSqlView, qPercentiles, qEventsSessionWindow)
+  /** NULL-aware NOT IN vs NOT EXISTS — the classic three-valued-logic
+    * trap, pinned cross-engine: one NULL in the NOT IN list makes the
+    * predicate UNKNOWN for every probe row (n_not_in = 0), while the
+    * equivalent-looking NOT EXISTS correlates per row and returns the
+    * real complement. Spark plans the NOT IN as a NULL-AWARE anti
+    * join (a different physical family from the plain left-anti of
+    * q_join_anti); both engines must agree on both counts or the
+    * engine's NOT IN is subtly wrong at any scale.
+    */
+  val qNotInNull = Q(
+    "q_not_in_null",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders)) AS n_not_in,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS
+             (SELECT 1 FROM orders
+              WHERE o_custkey = c.c_custkey
+                AND o_orderkey % 100 <> 0)) AS n_not_exists""")
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                        ELSE o_custkey END
+            FROM orders)) AS n_not_in,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS
+           (SELECT 1 FROM orders
+            WHERE o_custkey = c.c_custkey
+              AND o_orderkey % 100 <> 0)) AS n_not_exists"""))
+
+  val all: Seq[Q] = Seq(qSqlView, qPercentiles, qEventsSessionWindow,
+    qNotInNull)
 }
