@@ -135,11 +135,12 @@ object SqlQueries {
            WHERE c_custkey NOT IN
              (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
                           ELSE o_custkey END
-              FROM orders)) AS n_not_in,
+              FROM orders WHERE year(o_orderdate) = 1995)) AS n_not_in,
           (SELECT count(*) FROM customer c
            WHERE NOT EXISTS
              (SELECT 1 FROM orders
               WHERE o_custkey = c.c_custkey
+                AND year(o_orderdate) = 1995
                 AND o_orderkey % 100 <> 0)) AS n_not_exists""")
     },
     Some("""
@@ -148,11 +149,12 @@ object SqlQueries {
          WHERE c_custkey NOT IN
            (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
                         ELSE o_custkey END
-            FROM orders)) AS n_not_in,
+            FROM orders WHERE year(o_orderdate) = 1995)) AS n_not_in,
         (SELECT count(*) FROM customer c
          WHERE NOT EXISTS
            (SELECT 1 FROM orders
             WHERE o_custkey = c.c_custkey
+              AND year(o_orderdate) = 1995
               AND o_orderkey % 100 <> 0)) AS n_not_exists"""))
 
   val all: Seq[Q] = Seq(qSqlView, qPercentiles, qEventsSessionWindow,
