@@ -10,8 +10,22 @@ object Verify {
     // oracle_sql.json) only those, for a fast local gate on a change
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    def selected(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.local()
+    // exit 0 even on failures: the marker dumps + errors.json carry the
+    // signal; a nonzero rc might make the driver skip the compare and
+    // produce NO artifact, which is the very failure mode being fixed
+    try run(spark, sfDir, outDir, only)
+    finally spark.stop()
+  }
+
+  /** The dump body, separated from main so VerifyErrorSpec can drive
+    * the failure path against the shared test session (main owns the
+    * session lifecycle; run never stops it). Returns the per-query
+    * error messages, empty when everything dumped.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Option[Set[String]] = None): Map[String, String] = {
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     new java.io.File(outDir).mkdirs()
     // A query that throws must STILL surface in the correctness artifact:
     // r8's 13 TIMESTAMP_NTZ failures were swallowed here (stderr only, no
@@ -54,12 +68,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    // exit 0 even on failures: the marker dumps + errors.json carry the
-    // signal; a nonzero rc might make the driver skip the compare and
-    // produce NO artifact, which is the very failure mode being fixed
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
-    spark.stop()
+    errors.toMap
   }
 }
