@@ -1054,6 +1054,62 @@ object EventsStreaming {
     annCompactSwap(fs, out, new Path(s"$out/compact-tmp"), hi, marker)
   }
 
+  /** Streaming EMBEDDING-drift monitor — the vector-modality twin of
+    * [[driftMonitorSink]]: per batch, the centroid of the arriving
+    * embeddings (per-dim sums of round(x·10⁶) — exact integer micros,
+    * the labelCentroidMicros discipline) is compared to a pinned
+    * REFERENCE centroid by SQUARED L2 distance in micros² — an exact
+    * integer, no sqrt, no float drift — and the per-dim sums absorb
+    * into a cumulative state so the whole-stream centroid shift is
+    * tracked too. An embedding pipeline whose upstream encoder was
+    * swapped or whose crawl mix moved shows up as a dist² step the
+    * batch it lands. Driver traffic is dim-sized; replay guard and
+    * drift-record idempotence exactly as the banded monitor.
+    *
+    * @param reference pinned per-dim centroid in integer micros
+    */
+  def embeddingDriftSink(out: String, reference: Array[Long], vecCol: String)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def dist2(sums: Array[Long], n: Long): Long =
+      if (n == 0L) -1L // no vectors yet: no defined centroid
+      else reference.indices.map { d =>
+        // mean in micros, round-half-AWAY-FROM-ZERO — the
+        // labelCentroidMicros convention (plain integer division
+        // truncates toward zero and would round negative sums wrong)
+        val a = math.abs(sums(d))
+        val m0 = (2L * a + n) / (2L * n)
+        val m = if (sums(d) < 0L) -m0 else m0
+        val diff = m - reference(d)
+        diff * diff
+      }.sum
+    absorbVersioned(spark, out, "esum", batchId) { latest =>
+      val rows = batch.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"))
+          .as("sm"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val dim = reference.length
+      val deltaSums = Array.tabulate(dim)(d => rows.get(d).map(_._1).getOrElse(0L))
+      val deltaN = rows.headOption.map(_._2._2).getOrElse(0L)
+      val (priorSums, priorN) = latest.map { p =>
+        val prev = spark.read.parquet(p).collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        (Array.tabulate(dim)(d => prev.get(d).map(_._1).getOrElse(0L)),
+          prev.headOption.map(_._2._2).getOrElse(0L))
+      }.getOrElse((Array.fill(dim)(0L), 0L))
+      val cumSums = Array.tabulate(dim)(d => priorSums(d) + deltaSums(d))
+      val cumN = priorN + deltaN
+      Seq((batchId, deltaN, dist2(deltaSums, deltaN), dist2(cumSums, cumN)))
+        .toDF("batch_id", "n_vecs", "dist2_batch_micros2", "dist2_cum_micros2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/drift-$batchId")
+      cumSums.indices.map(d => (d, cumSums(d), cumN)).toDF("d", "sm", "n")
+        .coalesce(1)
+    }
+  }
+
   /** All drift records written by [[driftMonitorSink]], batch order. */
   def currentDriftLog(spark: SparkSession, out: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path

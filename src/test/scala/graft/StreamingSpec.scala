@@ -928,6 +928,50 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 1L))
   }
 
+  test("embeddingDriftSink: exact micros^2 centroid shift per batch and cumulative, replay-zero") {
+    val in = tmpDir("stream-in-edrift")
+    val out = tmpDir("stream-edrift") + "/mon"
+    // dim 2; reference centroid = (1.0, -1.0) in micros
+    val reference = Array(1000000L, -1000000L)
+    // b1 mean = (1.0, -1.0): dist2 = 0
+    // b2 mean = (2.0, -1.0): dist2 = 1e6^2 = 1e12
+    //   cum over b1+b2 (4 vecs): mean = (1.5, -1.0) -> dist2 = 0.5e6^2
+    val batches = Seq(
+      Seq((1L, Seq(0.5f, -1.0f)), (2L, Seq(1.5f, -1.0f))),
+      Seq((3L, Seq(2.0f, -0.5f)), (4L, Seq(2.0f, -1.5f))))
+    val schema = batches.head.toDF("vec_id", "embedding").schema
+    batches.foreach(rows =>
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(in))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(
+          EventsStreaming.embeddingDriftSink(out, reference, "embedding") _)
+        .start()
+      q.awaitTermination()
+    }
+    run(tmpDir("ckpt-edrift-1"))
+    def log(): Seq[(Long, Long, Long, Long)] =
+      EventsStreaming.currentDriftLog(spark, out).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = Seq(
+      (0L, 2L, 0L, 0L),
+      (1L, 2L, 1000000L * 1000000L, 500000L * 500000L))
+    assert(log() == expected)
+    // fresh checkpoint: replay absorbs zero, log identical
+    run(tmpDir("ckpt-edrift-2"))
+    assert(log() == expected)
+    // direct stale-batch replay is a no-op too
+    EventsStreaming.embeddingDriftSink(out, reference, "embedding")(
+      batches.head.toDF("vec_id", "embedding"), 0L)
+    assert(log() == expected)
+  }
+
   test("annIndexMaintainSink: fit-once model, per-batch encode, replay-zero, self-probe at rank 1") {
     import graft.similarity.Similarity
     val in = tmpDir("stream-in-ann")
