@@ -377,8 +377,61 @@ object SimilarityQueries {
     },
     Some(annOracle))
 
+  /** Per-label embedding-centroid shift vs the corpus centroid —
+    * squared L2 in exact integer micros², the batch twin of the
+    * streaming embeddingDriftSink (which this puts under the DuckDB
+    * oracle gate): which sub-population's vectors sit far from the
+    * corpus mean, the geometric complement of q_label_centroids. All
+    * arithmetic integer-exact: per-dim sums of round(x·10⁶), the
+    * sign-aware half-away mean division both engines share, and an
+    * integer sum of squared diffs. One posexplode shuffle keyed on
+    * (label, dim); the corpus marginal re-aggregates the tiny per-label
+    * relation and broadcasts.
+    */
+  val qEmbeddingDrift = Q(
+    "q_embedding_drift",
+    (s, d) => {
+      val perDim = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"))
+          .as("si"), count(lit(1)).as("n"))
+      val corpus = perDim.groupBy(col("dim"))
+        .agg(sum(col("si")).as("st"), sum(col("n")).as("nt"))
+      def mean(s0: String, n0: String) = expr(
+        s"(CASE WHEN $s0 < 0 THEN -1 ELSE 1 END) * ((2 * abs($s0) + $n0) div (2 * $n0))")
+      perDim.join(broadcast(corpus), Seq("dim"))
+        .select(col("label"),
+          (mean("si", "n") - mean("st", "nt")).as("diff"))
+        .groupBy(col("label"))
+        .agg(sum(col("diff") * col("diff")).as("dist2_micros2"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+        FROM embeddings WHERE embedding IS NOT NULL),
+      per_dim AS (
+        SELECT label, dim, sum(xm) AS si, count(*) AS n
+        FROM e GROUP BY label, dim),
+      corpus AS (
+        SELECT dim, sum(si) AS st, sum(n) AS nt FROM per_dim GROUP BY dim),
+      diffs AS (
+        SELECT label,
+               ((CASE WHEN si < 0 THEN -1 ELSE 1 END) * ((2 * abs(si) + n) // (2 * n)))
+             - ((CASE WHEN st < 0 THEN -1 ELSE 1 END) * ((2 * abs(st) + nt) // (2 * nt)))
+               AS diff
+        FROM per_dim JOIN corpus USING (dim))
+      SELECT label, CAST(sum(diff * diff) AS BIGINT) AS dist2_micros2
+      FROM diffs GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
     qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives,
-    qCentroidClassify, qAnnRandomProjection, qAnnPq, qAnnIvfPq)
+    qCentroidClassify, qAnnRandomProjection, qAnnPq, qAnnIvfPq,
+    qEmbeddingDrift)
 }
