@@ -1093,7 +1093,22 @@ object EventsStreaming {
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       val dim = reference.length
       val deltaSums = Array.tabulate(dim)(d => rows.get(d).map(_._1).getOrElse(0L))
-      val deltaN = rows.headOption.map(_._2._2).getOrElse(0L)
+      // the batch vector count is DIM 0's count — every non-empty
+      // vector contributes there. An arbitrary map entry would be
+      // wrong under ragged dimensionality (short vectors, or extra
+      // dims beyond the reference after an encoder swap) — which is
+      // also a drift signal in its own right, so shout it instead of
+      // silently folding it into a polluted centroid
+      val deltaN = rows.get(0).map(_._2).getOrElse(0L)
+      val ragged = rows.exists { case (d, (_, n)) =>
+        d >= dim || n != deltaN }
+      if (ragged)
+        System.err.println(
+          s"[drift] $out batch $batchId: ragged embedding dimensionality " +
+            s"(reference dim $dim; per-dim counts ${rows.toSeq.sortBy(_._1)
+              .map { case (d, (_, n)) => s"$d:$n" }.mkString(",")}) — " +
+            "upstream encoder change suspected; dims beyond the reference " +
+            "are excluded from the distance")
       val (priorSums, priorN) = latest.map { p =>
         val prev = spark.read.parquet(p).collect()
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

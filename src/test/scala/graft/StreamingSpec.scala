@@ -970,6 +970,20 @@ class StreamingSpec extends SparkSpec {
     EventsStreaming.embeddingDriftSink(out, reference, "embedding")(
       batches.head.toDF("vec_id", "embedding"), 0L)
     assert(log() == expected)
+    // ragged dimensionality (the encoder-swap signal): the count comes
+    // from dim 0, extra dims beyond the reference are excluded from
+    // the distance, and the record stays exact — two dim-2 vectors at
+    // the reference centroid plus one dim-3 vector (first two
+    // components also on-reference) must yield n=3, dist2=0
+    val out3 = tmpDir("stream-edrift-ragged") + "/mon"
+    val ragged = Seq(
+      (1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -1.0f)),
+      (3L, Seq(1.0f, -1.0f, 9.0f)))
+    EventsStreaming.embeddingDriftSink(out3, reference, "embedding")(
+      ragged.toDF("vec_id", "embedding"), 0L)
+    val rec3 = EventsStreaming.currentDriftLog(spark, out3).get.collect()(0)
+    assert(rec3.getLong(1) == 3L, "count must come from dim 0, not an arbitrary dim")
+    assert(rec3.getLong(2) == 0L, "extra dim beyond the reference excluded from the distance")
   }
 
   test("annIndexMaintainSink: fit-once model, per-batch encode, replay-zero, self-probe at rank 1") {
