@@ -596,7 +596,15 @@ object Dedup {
       .join(remap.withColumnRenamed("__old", "__lab"), Seq("__lab"), "left")
       .select(col("__id").as("doc_id"),
         coalesce(col("__new"), col("__lab")).as("cluster_id"))
-    val newRows = newDocs.select(col(idCol).cast("long").as("doc_id"))
+    // new rows come from newDocs ∪ newPairs ENDPOINTS: an endpoint
+    // that is in neither priorLabels nor newDocs still participated in
+    // the contraction above, so it must surface a label row too —
+    // deriving from newDocs alone would silently drop it
+    val newIds = newDocs.select(col(idCol).cast("long").as("doc_id"))
+      .union(newPairs.select(col(aCol).cast("long").as("doc_id")))
+      .union(newPairs.select(col(bCol).cast("long").as("doc_id")))
+      .distinct()
+    val newRows = newIds
       .join(lbl.select(col("__id").as("doc_id")), Seq("doc_id"), "left_anti")
       .join(remap.withColumnRenamed("__old", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__new"), col("doc_id")).as("cluster_id"))

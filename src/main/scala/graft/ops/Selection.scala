@@ -62,10 +62,19 @@ object Selection {
     // each round divides the range by `buckets`; 64 rounds bottoms out
     // double precision long before this guard can trigger
     var rounds = 0
-    while (n > collectThreshold && lo < hi && rounds < 64) {
+    // width underflow: when the live range narrows to a few ulps,
+    // hi/buckets - lo/buckets can round to 0.0 while lo < hi (always
+    // possible for non-power-of-two buckets; for powers of two only in
+    // the subnormal range). Bucketing would then degenerate (NaN/Inf
+    // indices, no narrowing) — break to the exact distinct-value tail,
+    // which is a handful of doubles precisely because the range is
+    // ulp-wide.
+    var widthUnderflow = false
+    while (!widthUnderflow && n > collectThreshold && lo < hi && rounds < 64) {
       // divide-then-subtract keeps the width finite even when hi - lo
       // would overflow (lo near -MAX, hi near +MAX)
       val width = hi / buckets - lo / buckets
+      if (!(width > 0)) { widthUnderflow = true } else {
       // clamp: v == hi would index one past the end
       val bucketOf = least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1))
       val counts = vals.groupBy(bucketOf.cast("int").as("b"))
@@ -90,13 +99,19 @@ object Selection {
       lo = newLo
       hi = newHi
       rounds += 1
+      }
     }
     // a range collapsed to one representable double IS the answer —
     // never collect a (possibly huge) constant column
     if (lo == hi) lo
     else {
-      val tail = vals.select(col("v")).collect().map(_.getDouble(0)).sorted
-      tail((kk - 1).toInt)
+      // bounded tail: (value, count) per DISTINCT value walked in order
+      // — bounded by distinct values, not rows, so the underflow path
+      // (ulp-wide range, possibly millions of equal rows) stays tiny
+      val tail = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      tail.find { case (_, c) => acc += c; acc >= kk }.get._1
     }
   }
 
@@ -130,8 +145,12 @@ object Selection {
     var tw = targetWeight
     var n = first.getLong(3)
     var rounds = 0
-    while (n > collectThreshold && lo < hi && rounds < 64) {
+    // same width-underflow break as kthSmallest: the exact tail below
+    // is distinct-value-bounded, so it IS the right fallback
+    var widthUnderflow = false
+    while (!widthUnderflow && n > collectThreshold && lo < hi && rounds < 64) {
       val width = hi / buckets - lo / buckets
+      if (!(width > 0)) { widthUnderflow = true } else {
       val bucketOf = least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1))
       val sums = vals.groupBy(bucketOf.cast("int").as("b"))
         .agg(sum(col("w")).as("ws"), count(lit(1)).as("c"))
@@ -150,6 +169,7 @@ object Selection {
       lo = newLo
       hi = newHi
       rounds += 1
+      }
     }
     if (lo == hi) lo
     else {
@@ -273,11 +293,17 @@ object Selection {
     // its members, so a million-group call legitimately needs
     // groups/cohort passes on top of the per-state log(range) rounds
     val maxRounds = 64 + 64 * (init.length / narrowCohort)
-    while (state.values.exists(_._4 > collectThreshold) && rounds < maxRounds) {
+    // a state whose bucket width underflows to 0 (ulp-wide [lo, hi])
+    // cannot narrow further — NULL bucket indices would poison the
+    // count walk — but its range holds only a handful of distinct
+    // doubles, so the distinct-value-bounded resolve below is exact
+    def canNarrow(s: ((String, Int), (Double, Double, Long, Long))): Boolean =
+      s._2._4 > collectThreshold && (s._2._2 / buckets - s._2._1 / buckets) > 0
+    while (state.exists(canNarrow) && rounds < maxRounds) {
       // only states still above the collect threshold narrow further;
       // finished/small states wait for the final resolve. Deterministic
       // cohort: the budget bounds how many states one pass may touch
-      val narrowing = state.filter(_._2._4 > collectThreshold).toSeq
+      val narrowing = state.filter(canNarrow).toSeq
         .sortBy(_._1).take(narrowCohort)
       val live = narrowing
         .map { case ((g, i), (lo, hi, _, _)) => (g, i, lo, hi) }

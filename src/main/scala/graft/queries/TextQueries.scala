@@ -1308,7 +1308,12 @@ object TextQueries {
         .where(col("df").between(5, 50))
       pairs.join(dfs, "term")
         .groupBy(col("term"), col("df"))
-        .agg(slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+        // postings serialized to a space-joined string: the driver's
+        // pandas comparator cannot sort/hash raw ARRAY columns (the
+        // q_array_funcs house convention).
+        .agg(expr("""array_join(transform(
+               slice(array_sort(collect_list(doc_id)), 1, 20),
+               x -> CAST(x AS STRING)), ' ')""").as("postings"))
         .select(col("term"), col("df"), col("postings"))
         .orderBy(col("term"))
     },
@@ -1322,7 +1327,9 @@ object TextQueries {
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS term
         FROM toks, unnest(range(1, len(ws))) AS t(i))
       SELECT term, CAST(count(*) AS BIGINT) AS df,
-             (list_sort(list(doc_id)))[1:20] AS postings
+             array_to_string(list_transform(
+               (list_sort(list(doc_id)))[1:20],
+               x -> CAST(x AS VARCHAR)), ' ') AS postings
       FROM pairs
       GROUP BY term HAVING count(*) BETWEEN 5 AND 50
       ORDER BY term"""))
@@ -1582,9 +1589,13 @@ object TextQueries {
                   transform(__t, w -> instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1)),
                 bs -> transform(sequence(0, 15),
                   b -> CAST(size(filter(bs, x -> x = b)) AS BIGINT))), 1)""")
-          .as("fvec"))
-      .select(col("doc_id"), col("fvec"),
-        expr("aggregate(fvec, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_hashed"))
+          .as("__fvec"))
+      // fvec serialized to a space-joined string: the driver's pandas
+      // comparator cannot sort/hash raw ARRAY columns (the
+      // q_array_funcs house convention).
+      .select(col("doc_id"),
+        expr("array_join(transform(__fvec, x -> CAST(x AS STRING)), ' ')").as("fvec"),
+        expr("aggregate(__fvec, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_hashed"))
       .orderBy(col("doc_id")),
     Some("""
       WITH t AS (
@@ -1596,8 +1607,8 @@ object TextQueries {
                list_transform(t, w -> strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) AS bs
         FROM t)
       SELECT doc_id,
-             [CAST(len(list_filter(bs, x -> x = bb)) AS BIGINT)
-              FOR bb IN range(0, 16)] AS fvec,
+             array_to_string([CAST(len(list_filter(bs, x -> x = bb)) AS VARCHAR)
+                              FOR bb IN range(0, 16)], ' ') AS fvec,
              CAST(len(bs) AS BIGINT) AS n_hashed
       FROM b ORDER BY doc_id"""))
 

@@ -66,10 +66,19 @@ object Curation {
     * (topk(A∪B) = topk(topk(A)∪B)), which is what lets the streaming
     * absorb sink maintain the sample incrementally. Takes column NAMES
     * (not Columns): the integer `div` only exists as a SQL operator.
+    *
+    * u is pmod-mixed (as [[bucketHash]] is), so it lands in [1, 1e6]
+    * for ANY id sign — a signed `%` here would make a negative id's
+    * divisor ≤ 0 (NULL or sign-flipped priority, the row silently
+    * vanishing from every sample). A negative weight is a contract
+    * violation and yields an explicit NULL (sorted last under
+    * `priority DESC`, i.e. never sampled) rather than a nonsense rank.
     */
-  def priorityMicros(idName: String, weightName: String): Column =
-    expr(s"(($weightName) * 1000000) div " +
-      s"(((($idName) % 999999937) * 2654435761) % 1000000 + 1)")
+  def priorityMicros(idName: String, weightName: String): Column = {
+    val u = s"(pmod(pmod($idName, ${PreMod}L) * ${Knuth}L, 1000000L) + 1)"
+    expr(s"CASE WHEN ($weightName) >= 0 " +
+      s"THEN (($weightName) * 1000000) div $u END")
+  }
 
   /** Deterministic Bernoulli keep-decision at `rate` (a fraction of
     * 1e6 buckets — rates with ≤ 6 decimals are exact in double, so the

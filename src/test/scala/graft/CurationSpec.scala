@@ -313,4 +313,23 @@ class CurationSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       f"weight-proportional sample must skew long: $sampleMean%.0f !> $corpusMean%.0f")
   }
+
+  test("priorityMicros: negative ids rank normally, negative weights go NULL") {
+    import spark.implicits._
+    // pre-fix a negative id made the divisor ≤ 0 (NULL or sign-flipped
+    // priority) and the row silently vanished from every top-k sample
+    val rows = Seq((-3L, 10L), (-1L, 10L), (4L, 10L), (7L, -5L))
+      .toDF("id", "w")
+      .select(col("id"), col("w"),
+        Curation.priorityMicros("id", "w").as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // u ∈ [1, 1e6] ⇒ priority ∈ [w, w·1e6] for nonnegative weights
+    for (id <- Seq(-3L, -1L, 4L)) {
+      val p = rows(id)
+      assert(p.isDefined && p.get >= 10L && p.get <= 10L * 1000000L,
+        s"id=$id priority=$p out of [w, w*1e6]")
+    }
+    assert(rows(7L).isEmpty, "negative weight must yield explicit NULL")
+  }
 }

@@ -98,6 +98,31 @@ class OpsSpec extends SparkSpec {
       "zero-weight value must never satisfy the target")
   }
 
+  test("Selection: width-underflow range (adjacent doubles) resolves exactly") {
+    import spark.implicits._
+    // lo and hi one ulp apart: with non-power-of-two buckets the
+    // per-bucket width hi/b − lo/b rounds to 0.0 while lo < hi — the
+    // narrowing loop must break to the distinct-value tail instead of
+    // spinning (pre-fix: NULL bucket indices → NPE in the count walk)
+    val lo = 1.0
+    val hi = java.lang.Math.nextUp(1.0)
+    val xs = (Seq.fill(30)(lo) ++ Seq.fill(20)(hi)).toDF("x")
+    assert(Selection.kthSmallest(xs, col("x"), 30L,
+      buckets = 1000, collectThreshold = 4) == lo)
+    assert(Selection.kthSmallest(xs, col("x"), 31L,
+      buckets = 1000, collectThreshold = 4) == hi)
+    val ws = (Seq.fill(30)((lo, 2L)) ++ Seq.fill(20)((hi, 2L))).toDF("v", "w")
+    assert(Selection.weightedKth(ws, col("v"), col("w"), 60L,
+      buckets = 1000, collectThreshold = 4) == lo)
+    assert(Selection.weightedKth(ws, col("v"), col("w"), 61L,
+      buckets = 1000, collectThreshold = 4) == hi)
+    // grouped path: the underflow state skips narrowing and resolves
+    val g = (Seq.fill(30)(("a", lo)) ++ Seq.fill(20)(("a", hi))).toDF("g", "x")
+    val got = Selection.kthSmallestByGroup(g, "g", col("x"), n => n - 19,
+      buckets = 1000, collectThreshold = 4)
+    assert(got("a") == hi)
+  }
+
   test("mergeAggregates over partials equals the from-scratch aggregate") {
     import spark.implicits._
     val rows = (1 to 100).map(i => (i % 3, i.toLong, 1L)).toDF("g", "x", "n")

@@ -569,4 +569,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(12L) == 5L && got(21L) == 5L && got(5L) == 5L)
     assert(got(30L) == 30L && got(99L) == 99L)
   }
+
+  test("dedupClustersIncremental: stray pair endpoints still get label rows") {
+    import spark.implicits._
+    // endpoint 77 is in NEITHER priorLabels NOR newDocs — it must not
+    // silently vanish: it participated in the contraction, so it gets a
+    // label row, identical to the from-scratch clustering over
+    // newDocs ∪ endpoints
+    val oldDocs = Seq(10L, 11L).toDF("doc_id")
+    val oldPairs = Seq((10L, 11L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(oldDocs, "doc_id", oldPairs)
+    val newDocs = Seq(50L).toDF("doc_id")
+    val newPairs = Seq((77L, 11L), (77L, 88L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersIncremental(prior, newDocs, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.dedupClusters(
+      Seq(10L, 11L, 50L, 77L, 88L).toDF("doc_id"), "doc_id",
+      oldPairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch, s"incremental $got != from-scratch $scratch")
+    assert(got(77L) == 10L && got(88L) == 10L && got(50L) == 50L)
+  }
 }
