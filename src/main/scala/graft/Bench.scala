@@ -98,7 +98,7 @@ object Bench {
     // discards it). A crashing query records the -1.0 sentinel, never its
     // time-to-failure — failures must be visible in the JSON line.
     val reps = 3
-    val results = headline.map { q =>
+    val repTimes = headline.map { q =>
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { exec(q, spark, sfDir); (System.nanoTime() - t0) / 1e9 }
@@ -118,12 +118,20 @@ object Bench {
       // intra-query reuse across reps (each rep re-persists cheaply)
       // while making per-query numbers independent of registry size.
       spark.catalog.clearCache()
-      val ok = times.filter(_ >= 0).sorted
-      q.name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision everywhere below: full-precision doubles made the
+    // final line > the driver's 2000-char tail window — ten straight
+    // rounds of parsed:null and 4 truncated wall times. Double.toString
+    // is locale-independent ('.' always), unlike f"%.3f".
+    def ms(v: Double): Double = if (v < 0) -1.0 else math.round(v * 1000) / 1e3
+    val results = repTimes.map { case (k, times) =>
+      val ok = times.filter(_ >= 0).sorted
+      k -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = ms(results.map(_._2).filter(_ >= 0).sum)
     // end-of-run load is kept for continuity but is dominated by this
     // bench's own 32-thread work; load_avg_before is the ambient signal
     // and load_ok the verdict
@@ -142,7 +150,20 @@ object Bench {
       if (invalid) "\"INVALID: load_avg>2\""
       else if (nFailed > 0) "\"FAILED: " + nFailed + " queries\""
       else "\"ok\""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","status":$status,"load_avg_before":$loadBefore,"queries":$qs,"shuffle_read_mb":$sh,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds,"load_avg":$load}""")
+    // Three lines, bulky detail FIRST: the driver records only the last
+    // ~2000 chars of stdout, so per-rep times and shuffle bytes go on
+    // their own earlier lines (no length budget; these are what make
+    // ambient-load vs regression adjudicable from the artifact alone)
+    // and the LAST line is a compact summary — total/status first,
+    // per-query medians at ms precision — that fits the tail window
+    // whole. Detail lines deliberately avoid the "metric" key so tools
+    // grepping for the summary line can't match them.
+    val repsJson = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"detail":"rep_times_sec","reps":$reps,"times":$repsJson}""")
+    println(s"""{"detail":"shuffle_read_mb","queries":$sh,"load_avg_before":$loadBefore,"load_avg":$load}""")
+    println(s"""{"total":$total,"status":$status,"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
     spark.stop()
   }
 }
