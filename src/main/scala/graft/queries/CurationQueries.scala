@@ -21,6 +21,14 @@ import graft.text.{Curation, TextAnalysis}
 object CurationQueries {
 
   private val hashSql = "((doc_id % 999999937) * 2654435761)"
+  /** Sign-safe mirror of [[graft.text.Curation.priorityMicros]]'s pmod
+    * mixing: DuckDB's `%` follows the dividend's sign, so the signed
+    * [[hashSql]] only coincides with the engine for nonnegative ids.
+    * Used where the oracle must express the any-sign contract, not
+    * merely agree with it on the testdata domain.
+    */
+  private val pmodHashSql =
+    "(((doc_id % 999999937 + 999999937) % 999999937) * 2654435761)"
 
   /** Reproducible 90/5/5 train/val/test split, reported as per-split
     * document and character totals.
@@ -530,7 +538,9 @@ object CurationQueries {
     Some(s"""
       WITH p AS (
         SELECT doc_id, n_chars,
-               CAST(n_chars * 1000000 // ($hashSql % 1000000 + 1) AS BIGINT) AS priority
+               CASE WHEN n_chars >= 0 THEN
+                 CAST(n_chars * 1000000 // ($pmodHashSql % 1000000 + 1) AS BIGINT)
+               END AS priority
         FROM documents)
       SELECT doc_id, n_chars, priority FROM p
       ORDER BY priority DESC, doc_id LIMIT 100"""))

@@ -545,6 +545,11 @@ object EventsStreaming {
         // double weight (e.g. Event.value) must truncate identically on
         // every path for the merge-equals-one-shot law to hold
         .withColumn("priority", graft.text.Curation.priorityMicros("id", "weight"))
+        // negative-weight rows carry a NULL priority (contract
+        // violation, see priorityMicros); desc only pushes NULLs last,
+        // so when a batch has fewer than k valid rows they'd enter —
+        // and then persist in — the sample state. Drop them outright.
+        .filter(col("priority").isNotNull)
         .orderBy(col("priority").desc, col("id")).limit(k)
       latest.fold(delta)(p => spark.read.parquet(p).unionByName(delta))
         .orderBy(col("priority").desc, col("id")).limit(k)

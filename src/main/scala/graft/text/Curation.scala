@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
 object Curation {
 
   /** Pre-mod keeps the multiply inside Long range for ANY nonnegative
-    * id: (PreMod-1) * Knuth ≈ 2.65e18 < 2^63-1. Ids are assumed
-    * nonnegative (both engines' `%` follow the dividend's sign).
+    * id: (PreMod-1) * Knuth ≈ 2.65e18 < 2^63-1. [[bucketHash]] and the
+    * SQL oracle mirrors assume nonnegative ids (both engines' `%`
+    * follow the dividend's sign); [[priorityMicros]] is the exception —
+    * it pmod-mixes, so its u lands in [1, 1e6] for ANY id sign.
     */
   private val PreMod = 999999937L // largest prime below 10^9
   private val Knuth = 2654435761L // Knuth's multiplicative constant, ⌊2^32/φ⌋

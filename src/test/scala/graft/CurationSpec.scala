@@ -331,5 +331,14 @@ class CurationSpec extends SparkSpec {
         s"id=$id priority=$p out of [w, w*1e6]")
     }
     assert(rows(7L).isEmpty, "negative weight must yield explicit NULL")
+    // exact-value pin of the pmod mixing the oracle SQL mirrors:
+    // u = ((id % P + P) % P * K) % 1e6 + 1, priority = w*1e6 div u
+    val P = BigInt(999999937L); val K = BigInt(2654435761L)
+    for (id <- Seq(-3L, -1L, 4L)) {
+      val u = ((((BigInt(id) mod P) + P) mod P) * K mod BigInt(1000000)) + 1
+      val want = (BigInt(10L) * 1000000) / u
+      assert(rows(id) == Some(want.toLong),
+        s"id=$id priority=${rows(id)} != pmod-formula $want")
+    }
   }
 }

@@ -489,6 +489,28 @@ class StreamingSpec extends SparkSpec {
     assert(sample() == oneShot, "replayed batch must not perturb the sample")
   }
 
+  test("prioritySampleAbsorbSink: negative-weight rows never enter the state, even under-filled") {
+    val out = tmpDir("stream-prio-neg") + "/sample"
+    // k=3 but only 2 valid-weight rows: desc alone would only push the
+    // NULL-priority rows last, letting them fill the third slot and
+    // then PERSIST across batches
+    val batch = Seq(
+      Event(1L, ts(1), 1L, "e", 100.0), Event(2L, ts(2), 1L, "e", 200.0),
+      Event(3L, ts(3), 1L, "e", -50.0), Event(4L, ts(4), 1L, "e", -1.0))
+    EventsStreaming.prioritySampleAbsorbSink(out, 3, "event_id", "value")(
+      batch.toDS().toDF(), 0L)
+    val got = EventsStreaming.currentPrioritySample(spark, out).get
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got.toSet == Set(1L, 2L),
+      s"under-filled sample must hold only valid-weight rows: $got")
+    // a later batch of valid rows fills the freed slot normally
+    EventsStreaming.prioritySampleAbsorbSink(out, 3, "event_id", "value")(
+      Seq(Event(5L, ts(5), 1L, "e", 300.0)).toDS().toDF(), 1L)
+    val got2 = EventsStreaming.currentPrioritySample(spark, out).get
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got2.toSet == Set(1L, 2L, 5L), s"valid row must fill the slot: $got2")
+  }
+
   test("distinctAbsorbSink: absorbed registers equal the one-shot sketch, replay absorbs zero") {
     val in = tmpDir("stream-in-hll")
     val out = tmpDir("stream-hll") + "/distinct"
