@@ -528,10 +528,16 @@ object EventsStreaming {
     * and each row's priority is a pure deterministic function of
     * (id, weight), so absorbing "union the persisted k rows with the
     * batch, keep the top k" maintains EXACTLY the sample a one-shot
-    * pass over all history would pick, in O(k) state. The per-batch
-    * top-k is computed distributed (TakeOrdered); only k rows ever
-    * reach the sink state. Same versioned replay guard as the other
-    * absorb sinks — a replayed batch absorbs zero.
+    * pass over all history would pick, in O(k) state — scoped to
+    * VALID-weight rows: negative-weight rows carry a NULL priority
+    * (contract violation, see priorityMicros) and are dropped outright
+    * here, whereas a one-shot orderBy-desc/limit-k (and batch
+    * q_priority_sample) would retain them in the tail of an
+    * under-filled sample. The merge-equals-one-shot law therefore
+    * holds over the contract-respecting subset of history. The
+    * per-batch top-k is computed distributed (TakeOrdered); only k
+    * rows ever reach the sink state. Same versioned replay guard as
+    * the other absorb sinks — a replayed batch absorbs zero.
     */
   def prioritySampleAbsorbSink(out: String, k: Int, idCol: String,
                                weightCol: String)
