@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Documentation-drift guard: the judge reads SURVEY §8's coverage map
@@ -29,6 +31,41 @@ class DocsCoverageSpec extends AnyFunSuite {
     assert(m.isDefined, "README no longer states the registry size")
     assert(m.get.group(1).toInt == SparkEntry.registry.size,
       s"README says ${m.get.group(1)} queries; registry has ${SparkEntry.registry.size}")
+  }
+
+  // The SURVEY §8 round-state header is the cross-session state anchor;
+  // it drifted two rounds running (said Round-9/263 tests at 268). Pin
+  // its moving numbers against the live tree: registry size from the
+  // compiled registry, test/suite counts from the test-source tree
+  // (convention: every test is a statement-initial test-with-string-
+  // literal declaration in a file under src/test/scala/graft — holds
+  // for all current suites; a new test style needs this counter
+  // updated in the same commit).
+  private def testTreeCounts(): (Int, Int) = {
+    val dir = Paths.get("src/test/scala/graft")
+    val perFile = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => raw"""(?m)^\s*test\("""".r.findAllIn(read(p.toString)).size)
+      .toList
+    (perFile.sum, perFile.count(_ > 0))
+  }
+
+  test("SURVEY §8 header's registry count matches the registry") {
+    val m = raw"registry (\d+) queries".r.findFirstMatchIn(read("SURVEY.md"))
+    assert(m.isDefined, "SURVEY §8 header no longer states the registry size")
+    assert(m.get.group(1).toInt == SparkEntry.registry.size,
+      s"SURVEY §8 says registry ${m.get.group(1)}; actual ${SparkEntry.registry.size}")
+  }
+
+  test("SURVEY §8 and README test/suite counts match the test tree") {
+    val (nTests, nSuites) = testTreeCounts()
+    for (doc <- Seq("SURVEY.md", "README.md")) {
+      val m = raw"(\d+) tests / (\d+) suites".r.findFirstMatchIn(read(doc))
+      assert(m.isDefined, s"$doc no longer states the test/suite counts")
+      assert(m.get.group(1).toInt == nTests && m.get.group(2).toInt == nSuites,
+        s"$doc says ${m.get.group(1)} tests / ${m.get.group(2)} suites; " +
+          s"test tree has $nTests tests / $nSuites suites")
+    }
   }
 
   test("registry names are unique") {
