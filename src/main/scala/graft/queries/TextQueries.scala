@@ -812,16 +812,45 @@ object TextQueries {
                AND stop_hits >= 2 AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** One unrolled BPE round for the DuckDB oracle: count adjacent
+    * symbol pairs of `v$k` (weighted by word frequency), pick the
+    * (count desc, left asc, right asc) argmax, rewrite. The symbol
+    * array rides as a newline-delimited string — tokens are
+    * whitespace-split so a symbol can never contain LF — with each
+    * symbol wrapped in its own LF pair (`LF s1 LF LF s2 LF … `): the
+    * pattern `LF l LF LF r LF → LF lr LF` then makes plain `replace`
+    * exactly the engine's leftmost non-overlapping merge pass
+    * (adjacent merge sites keep their own boundary LF, and an l==r run
+    * like "aaa" yields ["aa","a"]). MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs, so the 10-round chain re-evaluates
+    * combinatorially without it (11 s → 0.14 s at sf0.01).
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val lf = "chr(10)"
+    s"""
+      p$k AS MATERIALIZED (
+        SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS c
+        FROM (SELECT string_split(trim(s, $lf), $lf||$lf) AS syms, n FROM v$k) t,
+             unnest(range(1, len(syms))) AS u$k(i)
+        GROUP BY 1, 2),
+      b$k AS MATERIALIZED (
+        SELECT l, r, CAST(c AS BIGINT) AS c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+      v${k + 1} AS MATERIALIZED (
+        SELECT replace(s, $lf||l||$lf||$lf||r||$lf, $lf||l||r||$lf) AS s, n
+        FROM v$k, b$k)"""
+  }
+
   /** BPE merge-table learning (10 merges) over the corpus — see
     * [[graft.text.Bpe.learnMerges]] for the vocab-relation + per-round
-    * aggregation scale shape. The merge loop is inherently iterative
-    * (round k's pair counts depend on the k−1 rewrite), which no
-    * single SQL statement expresses — the registry's one deliberately
-    * oracle-less entry: the driver records the weaker rows-only check,
-    * and `BpeSpec` cross-checks the full merge table against an
-    * independent in-memory reference implementation on the same
-    * corpus (the harness documents table), which is a stronger
-    * equivalence than the row-hash compare it replaces.
+    * aggregation scale shape. The merge loop is iterative (round k's
+    * pair counts depend on the k−1 rewrite), so the oracle unrolls the
+    * fixed 10 rounds as CTEs — the `q_pagerank` pattern — with
+    * [[bpeRoundSql]]'s delimited-string `replace` standing in for the
+    * engine's carry-fold merge pass. Early exhaustion agrees by
+    * construction: an empty argmax empties every later round's CTEs on
+    * the oracle side exactly where the engine's loop stops.
+    * `BpeSpec` additionally cross-checks the merge table against an
+    * independent in-memory reference implementation.
     */
   val qBpeLearn = Q(
     "q_bpe_learn",
@@ -832,7 +861,23 @@ object TextQueries {
       merges.toDF("merge_rank", "left", "right", "pair_count")
         .orderBy(col("merge_rank"))
     },
-    None)
+    Some {
+      val lf = "chr(10)"
+      s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT $lf || array_to_string(string_split(w, ''), $lf||$lf) || $lf AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        w -> len(w) > 0)) AS w
+              FROM documents)
+        GROUP BY 1),
+      ${(0 until 10).map(bpeRoundSql).mkString(",")}
+      SELECT * FROM (
+        ${(0 until 10).map(k =>
+          s"""SELECT CAST($k AS INT) AS merge_rank, l AS "left", r AS "right",
+                     c AS pair_count FROM b$k""").mkString(" UNION ALL ")}
+      ) ORDER BY merge_rank"""
+    })
 
   /** BPE ENCODE — the other half of the tokenizer: learn the merge
     * table (as q_bpe_learn) and apply it to every token of the corpus

@@ -6,9 +6,9 @@ import graft.text.Bpe
 /** [[graft.text.Bpe]] — distributed BPE merge learning cross-checked
   * against an INDEPENDENT in-memory reference implementation (plain
   * Scala over collected tokens, no Spark, no shared code with the
-  * operator). q_bpe_learn is the registry's one oracle-less entry —
-  * the merge loop is not SQL-expressible — so this equivalence is its
-  * correctness gate.
+  * operator). q_bpe_learn also carries an unrolled-CTE DuckDB oracle
+  * (10 fixed rounds, delimited-string replace as the merge pass);
+  * this equivalence gate is the stronger check on the loop itself.
   */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
