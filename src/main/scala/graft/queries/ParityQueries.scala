@@ -1125,11 +1125,84 @@ object ParityQueries {
                         WHERE o_custkey = c_custkey
                           AND year(o_orderdate) = 1995)"""))
 
+  /** TPC-H Q20 shape (excess capacity): the doubly-nested membership —
+    * suppliers IN (pairs whose availability beats a correlated scalar
+    * over pairs whose part is IN a name-filtered list) — that
+    * completes the decorrelation quad (Q17 per-group scalar, Q21
+    * correlated EXISTS pair, Q22 global scalar + anti, this one
+    * nested IN + correlated scalar). This schema has no partsupp, so
+    * availability proxies as the pair's 1995 shipped quantity and the
+    * demand year is 1996; the original's `avail > 0.5·demand` cross-
+    * multiplies to `2·q95 > q96` in exact DECIMAL (the Q17 recipe) so
+    * both engines compare identical exact values. Decorrelation shape:
+    * the inner name-filtered part list broadcasts as a semi-join INTO
+    * the fact scan (prunes before any shuffle), both correlated
+    * aggregates collapse into ONE (l_partkey, l_suppkey) grouped pass
+    * of conditional sums — the only shuffle — and the outer IN becomes
+    * a distinct-key semi-join that AQE converts to broadcast when the
+    * qualifying set is small; nation is a broadcast semi-join filter.
+    */
+  val qTpchQ20 = Q(
+    "q_tpch_q20",
+    (s, d) => {
+      val dec0 = dec(lit(0))
+      val redParts = Tables.part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val qualPairs = li(s, d)
+        // the two-year window as a raw shipdate range, not
+        // year(...) IN (...): a range on the scan column reaches the
+        // parquet reader as PushedFilters (min/max row-group pruning —
+        // the difference between reading 2 years and reading all of
+        // them at 100 TB); [1995-01-01, 1997-01-01) ≡ year ∈ {1995,96}
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          year(col("l_shipdate")).as("y"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("y") === 1995, dec(col("l_quantity"))).otherwise(dec0))
+            .as("q95"),
+          sum(when(col("y") === 1996, dec(col("l_quantity"))).otherwise(dec0))
+            .as("q96"))
+        .filter(col("q95") * 2 > col("q96"))
+      val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .join(qualPairs.select(col("l_suppkey")).distinct(),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"), col("s_suppkey"))
+    },
+    Some("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CASE WHEN year(l_shipdate) = 1995
+                        THEN CAST(l_quantity AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS q95,
+               sum(CASE WHEN year(l_shipdate) = 1996
+                        THEN CAST(l_quantity AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS q96
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1995, 1996)
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY l_partkey, l_suppkey)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name = 'NATION_3')
+        AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
+      ORDER BY s_name, s_suppkey"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20)
 }
