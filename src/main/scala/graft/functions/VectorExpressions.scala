@@ -87,10 +87,155 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Spark's `round(x, 0)` on DoubleType is
+    * `BigDecimal.valueOf(x).setScale(0, HALF_UP)` (shortest-decimal
+    * conversion, then decimal rounding) — replicated exactly here so
+    * the fused expression below is bit-identical to the
+    * `CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)` HOF
+    * spelling it replaces (Math.round would differ on negatives and on
+    * pathological near-half doubles).
+    */
+  def roundMicros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Nearest centroid in squared L2 over integer micros, one fused
+    * primitive loop per row: quantize the vector once into a local
+    * long[], then scan the K·D literal model accumulating d² in long,
+    * tracking the (d² asc, label asc) argmin — the codegen rendition
+    * of `array_min(transform(model, c -> struct(aggregate(zip_with(
+    * …)))))`, which is CodegenFallback (higher-order functions carry
+    * no doGenCode) and cost ~600 µs/row interpreted: the whole
+    * q_centroid_classify scoring pass, adjudicated r12.
+    *
+    * Inputs: vec `array<float>` or `array<double>`; model
+    * `array<struct<lab:int, cm:array<bigint>>>` (a fitted-parameter
+    * literal). Returns `struct<d2:bigint, lab:int>`; NULL when the
+    * vector is NULL, the model is empty, any vector element is NULL,
+    * or a centroid's dimensionality differs from the vector's (the
+    * HOF spelling nulled d² on those element/shape edges; this
+    * expression nulls the whole struct — same downstream nulls for
+    * every well-formed input).
+    */
+  case class NearestCentroidMicros(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("d2", LongType, nullable = false),
+      StructField("lab", IntegerType, nullable = false)))
+    override def nullable: Boolean = true
+
+    private lazy val vecIsFloat: Boolean =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType | DoubleType, _),
+              ArrayType(StructType(Array(
+                StructField("lab", IntegerType, _, _),
+                StructField("cm", ArrayType(LongType, _), _, _))), _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "nearest_centroid_micros expects (array<float|double>, " +
+              s"array<struct<lab:int,cm:array<bigint>>>), got ${left.dataType} / ${right.dataType}")
+      }
+    }
+
+    override def nullSafeEval(v: Any, m: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val mod = m.asInstanceOf[ArrayData]
+      val k = mod.numElements()
+      val n = x.numElements()
+      if (k == 0) return null
+      val xm = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        xm(i) = roundMicros(
+          if (vecIsFloat) x.getFloat(i).toDouble else x.getDouble(i))
+        i += 1
+      }
+      var bestD2 = 0L; var bestLab = 0; var found = false
+      var c = 0
+      while (c < k) {
+        val st = mod.getStruct(c, 2)
+        val lab = st.getInt(0)
+        val cm = st.getArray(1)
+        if (cm.numElements() != n) return null
+        var d2 = 0L; var j = 0
+        while (j < n) {
+          val dlt = xm(j) - cm.getLong(j)
+          d2 += dlt * dlt; j += 1
+        }
+        if (!found || d2 < bestD2 || (d2 == bestD2 && lab < bestLab)) {
+          bestD2 = d2; bestLab = lab; found = true
+        }
+        c += 1
+      }
+      InternalRow(bestD2, bestLab)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val k = ctx.freshName("k")
+        val xm = ctx.freshName("xm"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c"); val j = ctx.freshName("j")
+        val st = ctx.freshName("st"); val cm = ctx.freshName("cm")
+        val lab = ctx.freshName("lab"); val d2 = ctx.freshName("d2")
+        val dlt = ctx.freshName("dlt")
+        val bestD2 = ctx.freshName("bestD2"); val bestLab = ctx.freshName("bestLab")
+        val found = ctx.freshName("found")
+        val getElem = if (vecIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val cls = "graft.functions.VectorExpressions"
+        s"""
+        |final int $n = $a.numElements();
+        |final int $k = $b.numElements();
+        |if ($k == 0) { ${ev.isNull} = true; }
+        |else {
+        |  final long[] $xm = new long[$n];
+        |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+        |    if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+        |    else { $xm[$i] = $cls.roundMicros($getElem); }
+        |  }
+        |  long $bestD2 = 0L; int $bestLab = 0; boolean $found = false;
+        |  for (int $c = 0; $c < $k && !${ev.isNull}; $c++) {
+        |    final org.apache.spark.sql.catalyst.InternalRow $st = $b.getStruct($c, 2);
+        |    final int $lab = $st.getInt(0);
+        |    final org.apache.spark.sql.catalyst.util.ArrayData $cm = $st.getArray(1);
+        |    if ($cm.numElements() != $n) { ${ev.isNull} = true; }
+        |    else {
+        |      long $d2 = 0L;
+        |      for (int $j = 0; $j < $n; $j++) {
+        |        final long $dlt = $xm[$j] - $cm.getLong($j);
+        |        $d2 += $dlt * $dlt;
+        |      }
+        |      if (!$found || $d2 < $bestD2 || ($d2 == $bestD2 && $lab < $bestLab)) {
+        |        $bestD2 = $d2; $bestLab = $lab; $found = true;
+        |      }
+        |    }
+        |  }
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |      new Object[]{ java.lang.Long.valueOf($bestD2), java.lang.Integer.valueOf($bestLab) });
+        |  }
+        |}
+        """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Column-level entry point. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnShim.column(
       CosineSim(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Column-level entry point for [[NearestCentroidMicros]]. */
+  def nearest_centroid_micros(vec: Column, model: Column): Column =
+    GraftColumnShim.column(NearestCentroidMicros(
+      GraftColumnShim.expression(vec), GraftColumnShim.expression(model)))
 
   /** SQL registration: SELECT cosine_sim(a.embedding, b.embedding). */
   def register(spark: SparkSession): Unit =

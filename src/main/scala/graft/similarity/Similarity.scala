@@ -251,17 +251,15 @@ object Similarity {
     val model: Column =
       if (cents.isEmpty) array().cast(modelType)
       else typedlit(cents).cast(modelType)
+    // scoring is ONE codegen expression (quantize + K·D argmin loop in
+    // primitive longs) — the equivalent HOF spelling
+    // (array_min(transform(model, c -> struct(aggregate(zip_with(…))))))
+    // is CodegenFallback and was the whole 1.2 s scoring constant at
+    // bench sf (adjudicated r12: ~600 µs/row interpreted vs one fused
+    // loop here)
     df.select(col(idCol), col(labelCol),
-        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
-          .as("__xm"))
-      .withColumn("__model", model)
-      // per-centroid (d², label) structs; array_min's lexicographic
-      // struct order IS the argmin with the low-label tie-break
-      .withColumn("__best", array_min(expr(
-        """transform(__model, c -> struct(
-             aggregate(zip_with(__xm, c.cm, (a, b) -> (a - b) * (a - b)),
-                       CAST(0 AS BIGINT), (s, x) -> s + x) AS d2,
-             c.lab AS lab))""")))
+        graft.functions.VectorExpressions
+          .nearest_centroid_micros(col(vecCol), model).as("__best"))
       .select(col(idCol), col(labelCol),
         col("__best.lab").as("pred_label"),
         col("__best.d2").as("d2"),

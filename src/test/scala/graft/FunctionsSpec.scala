@@ -73,6 +73,62 @@ class FunctionsSpec extends SparkSpec {
     assert(c - e <= 100L, "count minus error lower-bounds the true count")
   }
 
+  test("nearest_centroid_micros equals the HOF spelling, tie-breaks to the lower label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // vectors with negative components and values engineered near the
+    // rounding boundary; model fields via the same positional cast the
+    // operator uses
+    val modelType = "array<struct<lab:int,cm:array<bigint>>>"
+    val model = typedlit(Seq(
+      (2, Seq(500000L, -250000L, 0L)),
+      (0, Seq(500000L, -250000L, 0L)),   // duplicate centroid: tie → lab 0
+      (1, Seq(-1000000L, 750000L, 125L)))).cast(modelType)
+    val vecs = Seq(
+      (1, Seq(0.5f, -0.25f, 0.0f)),      // exact hit on the duplicate pair
+      (2, Seq(-1.0f, 0.75f, 0.000125f)), // exact hit on lab 1
+      (3, Seq(0.1234565f, -0.9999995f, 0.31f)),
+      (4, Seq(-0.0000005f, 0.0000004f, -0.0000006f))).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    val got = vecs.select(col("id"),
+        graft.functions.VectorExpressions
+          .nearest_centroid_micros(col("v"), model).as("best"))
+      .select(col("id"), col("best.d2"), col("best.lab"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(1), r.getInt(2)))
+    val want = vecs
+      .withColumn("__xm",
+        expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"))
+      .withColumn("__model", model)
+      .withColumn("best", array_min(expr(
+        """transform(__model, c -> struct(
+             aggregate(zip_with(__xm, c.cm, (a, b) -> (a - b) * (a - b)),
+                       CAST(0 AS BIGINT), (s, x) -> s + x) AS d2,
+             c.lab AS lab))""")))
+      .select(col("id"), col("best.d2"), col("best.lab"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == want.toSeq,
+      s"codegen expression diverged from the HOF spelling: ${got.toSeq} vs ${want.toSeq}")
+    assert(got(0) == (0L, 0), s"exact-hit tie must break to the lower label: ${got(0)}")
+    assert(got(1)._2 == 1)
+  }
+
+  test("nearest_centroid_micros NULL semantics: null vector, empty model, dim mismatch") {
+    import org.apache.spark.sql.functions._
+    val modelType = "array<struct<lab:int,cm:array<bigint>>>"
+    val model = typedlit(Seq((0, Seq(0L, 0L)))).cast(modelType)
+    val row = spark.range(1).select(
+      graft.functions.VectorExpressions.nearest_centroid_micros(
+        lit(null).cast("array<float>"), model).as("a"),
+      graft.functions.VectorExpressions.nearest_centroid_micros(
+        expr("CAST(array(0.1, 0.2) AS ARRAY<FLOAT>)"),
+        array().cast(modelType)).as("b"),
+      graft.functions.VectorExpressions.nearest_centroid_micros(
+        expr("CAST(array(0.1, 0.2, 0.3) AS ARRAY<FLOAT>)"), model).as("c"))
+      .collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2),
+      s"null vector / empty model / dim mismatch must all yield NULL: $row")
+  }
+
   test("CountMin: exact when collision-free, never underestimates when saturated, merge lossless") {
     import spark.implicits._
     import graft.functions.CountMinSketch
