@@ -704,6 +704,60 @@ object AggQueries {
              TRUE AS est_ok
       FROM ca JOIN cb ON ca.key = cb.key"""))
 
+  /** Broadcast-vs-shuffle decision audit over three join edges — the
+    * [[graft.ops.JoinAdvisor]] loop-closure query. Each edge measures
+    * both sides (one cheap aggregate per side), applies the engine-
+    * independent row-count rule (broadcast the smaller side iff
+    * ≤ 100k rows, ties to the right; else sort-merge), pins the
+    * decision with a join-strategy hint, and audits that the physical
+    * plan actually landed the advised family (`plan_ok`, pinned TRUE
+    * by the oracle — the est_ok contract of q_join_size_estimate).
+    * The decision column is fully SQL-recomputable from exact counts,
+    * so the oracle checks the RULE, not just the row count — and the
+    * lineitem⋈orders edge genuinely flips from broadcast_right at
+    * sf0.01 (15k orders) to shuffle at sf0.1 (150k), proving the
+    * audit isn't vacuous.
+    */
+  val qJoinAdvisor = Q(
+    "q_join_advisor",
+    (s, d) => {
+      import s.implicits._
+      import graft.ops.JoinAdvisor
+      def edge(name: String, l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) = {
+        val (j, dec, nl, nr) = JoinAdvisor.advisedJoin(l, r, Seq("key"))
+        (name, nl, nr, dec, JoinAdvisor.planMatches(j, dec))
+      }
+      Seq(
+        edge("customer_orders",
+          Tables.orders(s, d).select(col("o_custkey").as("key")),
+          Tables.customer(s, d).select(col("c_custkey").as("key"))),
+        edge("lineitem_orders",
+          Tables.lineitem(s, d).select(col("l_orderkey").as("key")),
+          Tables.orders(s, d).select(col("o_orderkey").as("key"))),
+        edge("lineitem_part",
+          Tables.lineitem(s, d).select(col("l_partkey").as("key")),
+          Tables.part(s, d).select(col("p_partkey").as("key"))))
+        .toDF("edge", "n_left", "n_right", "decision", "plan_ok")
+        .orderBy(col("edge"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT (SELECT count(*) FROM orders)   AS n_ord,
+               (SELECT count(*) FROM customer) AS n_cust,
+               (SELECT count(*) FROM lineitem) AS n_li,
+               (SELECT count(*) FROM part)     AS n_part)
+      SELECT edge, n_left, n_right,
+             CASE WHEN least(n_left, n_right) > 100000 THEN 'shuffle'
+                  WHEN n_left < n_right THEN 'broadcast_left'
+                  ELSE 'broadcast_right' END AS decision,
+             TRUE AS plan_ok
+      FROM (
+        SELECT 'customer_orders' AS edge, n_ord AS n_left, n_cust AS n_right FROM n
+        UNION ALL SELECT 'lineitem_orders', n_li, n_ord FROM n
+        UNION ALL SELECT 'lineitem_part', n_li, n_part FROM n)
+      ORDER BY edge"""))
+
   /** Exact audience set algebra via bitmap indexes — the set questions
     * the approximate sketches cannot answer exactly: how many users
     * purchased AND signed up (∩), purchased but never viewed (\).
@@ -940,7 +994,8 @@ object AggQueries {
     qGroupStats, qRollup, qCube, qGroupingSets, qDqReport, qIncrementalAgg,
     qExactMedian, qPivot, qApproxDistinct, qApproxQuantiles,
     qHllDistinct, qWindowFuncs, qDistribution, qTopkAgg, qProfileTable,
-    qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qBitmapAudience,
+    qCorrelation, qDistinctOverlap, qJoinSizeEstimate, qJoinAdvisor,
+    qBitmapAudience,
     qGiniGain, qHllWindowRollup, qPeriodOverPeriod, qHourlyTopTypes,
     qDeciles, qWeightedMedian, qSkewReport, qUserReach)
 }
