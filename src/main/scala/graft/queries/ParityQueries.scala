@@ -1198,11 +1198,46 @@ object ParityQueries {
         AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
       ORDER BY s_name, s_suppkey"""))
 
+  /** TPC-H Q13 shape (customer order-count distribution): the LEFT
+    * OUTER join with a predicate INSIDE the ON clause (filter the
+    * right side, keep every left row — a WHERE would silently turn
+    * the join inner) feeding a double aggregation, zeros included.
+    * Decorrelated aggregate-FIRST: the filtered orders collapse to
+    * per-customer counts BEFORE meeting customer, so the outer join
+    * carries one row per customer per side instead of every order row
+    * (the only shuffles are the o_custkey aggregation and the keyed
+    * join; the distribution aggregation input is customer-sized and
+    * its output is distinct-count-sized). `coalesce(c_count, 0)`
+    * reinstates the zero bucket the outer join preserves.
+    */
+  val qTpchQ13 = Q(
+    "q_tpch_q13",
+    (s, d) => {
+      val oc = ord(s, d)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
     qNullCanon, qCoalesce, qScalarSuite, qTopK, qOffset, qDropNa, qStarJoin,
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
-    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20)
+    qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
+    qTpchQ13)
 }
