@@ -35,6 +35,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  /** The other half of the skew story: [[SkewOps.saltedJoin]] is the
+    * planned-ahead mitigation, AQE's OptimizeSkewedJoin the runtime
+    * one — this pins that the runtime half actually engages. One hot
+    * key carries a fat payload (~12 MB in one shuffle partition against
+    * a tiny median), thresholds are lowered to test scale, broadcast
+    * demotion is disabled so the sort-merge join survives to runtime,
+    * and the executed adaptive plan must carry the skew=true marker
+    * with the join's row set unchanged.
+    */
+  test("AQE splits a skewed sort-merge partition at runtime") {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "100KB")
+      spark.conf.set(keys(1), "50KB")
+      spark.conf.set(keys(2), "2")
+      spark.conf.set(keys(3), "-1")
+      val big = spark.range(300000)
+        .select(lit(0L).as("key"), rpad(col("id").cast("string"), 36, "p").as("payload"))
+        .union(spark.range(5000)
+          .select((col("id") % 50 + 1).as("key"), lit("small").as("payload")))
+      val dim = spark.range(51).select(col("id").as("key"), lit("d").as("dv"))
+      // the payload must SURVIVE into the join output: a key-only
+      // projection lets column pruning strip it before the exchange and
+      // the hot partition compresses below the skew threshold. collect()
+      // (not count()/foreach(), which run different QueryExecutions)
+      // finalizes j's OWN AdaptiveSparkPlanExec; ~14 MB on the driver.
+      val j = big.join(dim.hint("merge"), Seq("key"))
+      val n = j.collect().length
+      assert(n == 305000, s"join row set must be unchanged by skew splitting: $n")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"final adaptive plan must mark the skewed join:\n${plan.take(1200)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("repeatedSpans and scrub are partitioning-invariant") {
     import graft.dedup.Dedup
     val docs = (1 to 60).map { i =>
