@@ -1198,6 +1198,69 @@ object ParityQueries {
         AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
       ORDER BY s_name, s_suppkey"""))
 
+  /** TPC-H Q2 shape (min-cost supplier): the correlated scalar MIN
+    * whose decorrelation is a per-group min JOINED BACK ON EQUALITY,
+    * ties kept — distinct from Q17, where the joined-back aggregate
+    * feeds an inequality predicate. No partsupp in this schema, so the
+    * (part, supplier) cost relation is each pair's min extended price
+    * from lineitem (exact DECIMAL min — order-insensitive, so the
+    * equality join-back compares identical exact values on both
+    * engines; no float ever materializes). Scale shape: the
+    * region→nation→supplier chain collapses to a broadcast key set
+    * semi-joined INTO the lineitem scan before the one grouped
+    * shuffle; the per-part min reuses the l_partkey key; part filter
+    * and supplier enrichment are broadcasts; TakeOrdered top-100.
+    */
+  val qTpchQ2 = Q(
+    "q_tpch_q2",
+    (s, d) => {
+      val euroSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = li(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(euroSupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      val pmin = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+      val parts = Tables.part(s, d).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      ps.join(pmin, Seq("l_partkey"))
+        .filter(col("cost") === col("min_cost"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), asDouble(col("cost")).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+        FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM euro)
+        GROUP BY l_partkey, l_suppkey),
+      pm AS (SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY l_partkey)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             CAST(cost AS DOUBLE) AS cost
+      FROM ps JOIN pm USING (l_partkey)
+      JOIN part ON l_partkey = p_partkey
+      JOIN euro ON l_suppkey = s_suppkey
+      WHERE cost = min_cost AND p_size = 15
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""))
+
   /** TPC-H Q13 shape (customer order-count distribution): the LEFT
     * OUTER join with a predicate INSIDE the ON clause (filter the
     * right side, keep every left row — a WHERE would silently turn
@@ -1239,5 +1302,5 @@ object ParityQueries {
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
-    qTpchQ13)
+    qTpchQ13, qTpchQ2)
 }
