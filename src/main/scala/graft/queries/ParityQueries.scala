@@ -1227,10 +1227,17 @@ object ParityQueries {
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(dec(col("l_extendedprice"))).as("cost"))
-      val pmin = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
       val parts = Tables.part(s, d).filter(col("p_size") === 15)
         .select(col("p_partkey"), col("p_name"))
-      ps.join(pmin, Seq("l_partkey"))
+      // per-part min as a WINDOW over the pair relation, not a second
+      // aggregate joined back: Spark shares no subplan between the two
+      // branches of a self-join, so the aggregate-join spelling scans
+      // and aggregates lineitem TWICE (plan-audited); the window keeps
+      // one scan, and its partitions are suppliers-per-part — bounded,
+      // no skew hazard. min is order-insensitive, so the exact-DECIMAL
+      // equality is unaffected.
+      ps.withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
         .filter(col("cost") === col("min_cost"))
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
