@@ -953,22 +953,27 @@ object ParityQueries {
 
   /** TPC-H Q17 shape (small-quantity revenue): the correlated SCALAR
     * subquery — "lines below 1/5 of their part's average quantity" —
-    * decorrelated into a per-part aggregate joined back on the group
-    * key. The average never materializes as a float: the predicate
+    * decorrelated into a per-part WINDOW aggregate over one lineitem
+    * pass. The average never materializes as a float: the predicate
     * `qty < sum/(5·n)` is cross-multiplied to `qty·5·n < sum` in exact
     * DECIMAL, so both engines evaluate the identical integer-exact
     * comparison (an avg() would differ in the last ulp with partial-
-    * aggregation order). Scale shape: one map-side-combined aggregate
-    * and one equi-join, both hash-partitioned on l_partkey.
+    * aggregation order). Scale shape: ONE scan, ONE l_partkey shuffle,
+    * window, 1-row final aggregate (plan-audited).
     */
   val qTpchQ17 = Q(
     "q_tpch_q17",
     (s, d) => {
-      val li2 = li(s, d)
-      val pa = li2.groupBy(col("l_partkey"))
-        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("nq"))
-      li2.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .join(pa, "l_partkey")
+      // the per-part aggregate as a WINDOW, not a groupBy joined back
+      // to its own source: Spark shares no subplan between self-join
+      // branches, so the join spelling scans lineitem twice and
+      // shuffles it once more for the join — the window is one scan
+      // and one partkey shuffle (the q_tpch_q2 lesson, plan-audited)
+      val w = Window.partitionBy(col("l_partkey"))
+      li(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("sq", sum(dec(col("l_quantity"))).over(w))
+        .withColumn("nq", count(lit(1)).over(w))
         .filter(dec(col("l_quantity")) * lit(5) * col("nq") < col("sq"))
         .agg(count(lit(1)).as("n_small"),
           asDouble(sum(dec(col("l_extendedprice")))).as("total_price"))
