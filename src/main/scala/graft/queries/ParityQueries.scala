@@ -912,17 +912,21 @@ object ParityQueries {
       // per-(order, supplier) first: one composite-key reduction makes
       // both distinct counts plain sums AND yields the late pairs —
       // cheaper than two countDistincts, which plan an expand that
-      // doubles the aggregation input
+      // doubles the aggregation input. The per-order counts are a
+      // WINDOW over the pair relation, not a second aggregate joined
+      // back: the join spelling recomputes the whole perSupp branch —
+      // including the lineitem⋈orders join — on both sides (Spark
+      // shares no subplan across self-join branches; the Q2/Q17
+      // lesson, plan-audited to one scan of each table here)
       val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("supp_late"))
-      val perOrder = perSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"),
-          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .select(col("l_orderkey").as("ok"))
-      val late = perSupp.filter(col("supp_late"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      late.join(perOrder, col("l_orderkey") === col("ok"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("supp_late"), 1L).otherwise(0L)).over(w))
+        .filter(col("supp_late") && col("n_supp") >= 2 &&
+          col("n_late_supp") === 1)
         .join(broadcast(Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
