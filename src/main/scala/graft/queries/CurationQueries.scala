@@ -578,7 +578,15 @@ object CurationQueries {
                      div 1000000 AS BIGINT)"""))
           .select(col("source"), col("lang"), col("n"), col("wm"))
       }
-      val w0 = cells.withColumn("wm", lit(1000000L))
+      // cache the cell relation: it is (sources × langs)-sized — a few
+      // rows — but every raking round runs a driver-side count() whose
+      // lineage otherwise roots in the PARQUET SCAN, so the 4-round
+      // unroll re-read documents ~81 times (plan-audited r12; the
+      // iterative-operator persist discipline of dedupClusters). With
+      // the root cached, each round's arithmetic is bounded by the
+      // cell count regardless of corpus size.
+      val w0 = graft.ops.Caching.cachedOnce(
+        cells.withColumn("wm", lit(1000000L)))
       val fitted = Seq("source", "lang", "source", "lang").foldLeft(w0)(fit)
       fitted
         .select(col("source"), col("lang"), col("n"), col("wm").as("weight_micros"))
@@ -614,8 +622,9 @@ object CurationQueries {
     * documents sit in a (source, lang, length-band) equivalence class
     * smaller than k — each such row is re-identifiable by its metadata
     * alone, the release-gate complement to content-level PII scrubbing
-    * (q_pii_scrub removes identifiers IN the text; this catches the
-    * identifying power OF the metadata). One keyed aggregation; the
+    * (which would remove identifiers IN the text — this corpus carries
+    * none, so that stage has no non-vacuous oracle here; this catches
+    * the identifying power OF the metadata). One keyed aggregation; the
     * summary reduces FROM the class relation, so the corpus is scanned
     * once.
     */

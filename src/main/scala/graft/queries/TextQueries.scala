@@ -1431,9 +1431,13 @@ object TextQueries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).where(col("text").isNotNull)
-      val tf = docs
+      // the tokenize+explode relation feeds BOTH the corpus term counts
+      // and the per-doc rarity join; cache it once (the q_lm_doc_score
+      // bigram-relation discipline) or the self-join recomputes the
+      // explode — and re-reads documents — on every branch
+      val tf = graft.ops.Caching.cachedOnce(docs
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val ct = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
       val n = ct.agg(sum(col("ct")).as("n_total"))
       val rarity = tf.join(ct, "term").crossJoin(broadcast(n))
@@ -1575,11 +1579,18 @@ object TextQueries {
     "q_rrf_fusion",
     (s, d) => {
       import org.apache.spark.sql.Column
-      val m = Tables.documents(s, d).select(col("doc_id"),
-          col("n_chars"),
-          size(array_distinct(tokens(lower(col("text"))))).as("n_distinct"),
-          punctCount(col("text")).as("n_punct"))
-        .withColumn("__all", lit("all"))
+      // cache the doc-level metrics: each rankByGroup fold reuses its
+      // input for the band histogram + join-back, so three chained
+      // rankings compound to 2³ recomputations of the tokenizing
+      // projection (8 document scans, plan-audited r12) unless the
+      // base is cached — after which every branch is integer
+      // arithmetic on doc-sized rows
+      val m = graft.ops.Caching.cachedOnce(
+        Tables.documents(s, d).select(col("doc_id"),
+            col("n_chars"),
+            size(array_distinct(tokens(lower(col("text"))))).as("n_distinct"),
+            punctCount(col("text")).as("n_punct"))
+          .withColumn("__all", lit("all")))
       val sigs: Seq[(String, Column)] = Seq(
         ("r_len",   -col("n_chars").cast("double")),
         ("r_div",   -col("n_distinct").cast("double")),
