@@ -290,7 +290,10 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(tokens(lower(col("text")))).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // tf feeds both the df fit and the score join-back; cached so the
+      // tokenize+explode runs once, not once per branch (r12 scan sweep)
+      val tf = graft.ops.Caching.cachedOnce(
+        toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // score = tf·N/df rounded to 6dp — but rounded in exact integer
@@ -351,9 +354,11 @@ object TextQueries {
     "q_token_rarity",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs
+      // tf feeds both the corpus term counts and the rarity join-back;
+      // cached so the tokenize+explode runs once (r12 scan sweep)
+      val tf = graft.ops.Caching.cachedOnce(docs
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val ct = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
       val n = ct.agg(sum(col("ct")).as("n_total"))
       tf.join(ct, "term").crossJoin(broadcast(n))
@@ -928,15 +933,20 @@ object TextQueries {
   val qOovRate = Q(
     "q_oov_rate",
     (s, d) => {
-      val tf = Tables.documents(s, d)
+      // the token stream reduced ONCE to (doc, word, count) pairs and
+      // cached: the vocabulary fit re-aggregates the pairs and the
+      // per-doc OOV rate weights by them, so the tokenize+explode
+      // doesn't rerun per branch (r12 scan sweep)
+      val pairs = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
-      val vocab = tf.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c")))
+      val vocab = pairs.groupBy(col("w")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("w")).limit(256)
         .select(col("w"), lit(1).as("__v"))
-      tf.join(broadcast(vocab), Seq("w"), "left")
+      pairs.join(broadcast(vocab), Seq("w"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(when(col("__v").isNull, col("c")).otherwise(0L)).as("n_oov"))
         .select(col("doc_id"), col("n_tok"), col("n_oov"),
           graft.functions.DetMath.ratio6(col("n_oov"), col("n_tok")).as("oov_rate"))
         .orderBy(col("doc_id"))
@@ -1194,10 +1204,19 @@ object TextQueries {
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("t"),
           (size(col("t")) >= 40 && col("stop_hits") >= 2).as("label"))
-      val tok = base.select(col("doc_id"), col("label"), explode(col("t")).as("w"))
-      val counts = tok.groupBy(col("w")).agg(
-        sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
-        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+      // reduce the token stream to the (doc, label, word, tf) pair
+      // relation ONCE and cache it: it serves BOTH the per-word-count
+      // fit (label-conditional sums of tf) and the scoring join
+      // (occurrence-weighted by tf), so the tokenize+explode doesn't
+      // rerun per branch (the q_lm_doc_score reduced-relation
+      // discipline; r12 scan sweep)
+      val pairs = graft.ops.Caching.cachedOnce(
+        base.select(col("doc_id"), col("label"), explode(col("t")).as("w"))
+          .groupBy(col("doc_id"), col("label"), col("w"))
+          .agg(count(lit(1)).as("wtf")))
+      val counts = pairs.groupBy(col("w")).agg(
+        sum(when(col("label"), col("wtf")).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), col("wtf")).otherwise(0L)).as("neg"))
       val totals = counts.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"),
         count(lit(1)).as("v"))
       // round(rate·10⁶) half-up via (2a+d) div 2d — pure BIGINT on both
@@ -1206,9 +1225,10 @@ object TextQueries {
         (expr("(2 * (pos + 1) * 1000000 + (tp + v)) div (2 * (tp + v))")
           - expr("(2 * (neg + 1) * 1000000 + (tn + v)) div (2 * (tn + v))"))
           .as("w_micros"))
-      tok.join(weights, "w")
+      pairs.join(weights, "w")
         .groupBy(col("doc_id"), col("label"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("w_micros")).as("s"))
+        .agg(sum(col("wtf")).as("n_tok"),
+          sum(col("wtf") * col("w_micros")).as("s"))
         .select(col("doc_id"), col("label"), col("n_tok"),
           col("s").as("score_micros"), (col("s") > 0).as("pred"))
         .orderBy(col("doc_id"))
@@ -1267,13 +1287,19 @@ object TextQueries {
     "q_bm25_rank",
     (s, d) => {
       val terms = Seq("spark", "window", "merge", "vector")
-      val base = Tables.documents(s, d)
+      // one tokenize pass: project each doc to (dl, query-term-filtered
+      // token array) and cache that NARROW relation (doc id + length +
+      // a few-element array) — it serves both the corpus stats (needs
+      // every doc's length, so the term-filtered tf relation alone
+      // can't) and the tf explode, which now unnests only the filtered
+      // handful instead of the whole document (r12 scan sweep)
+      val base = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
         .select(col("doc_id"), tokens(lower(col("text"))).as("t"))
         .filter(size(col("t")) > 0)
-        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          filter(col("t"), w => w.isin(terms: _*)).as("qt")))
       val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
-        .filter(col("w").isin(terms: _*))
+      val tf = base.select(col("doc_id"), col("dl"), explode(col("qt")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
       val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
