@@ -49,15 +49,32 @@ object ScdOps {
       .reduce(_ || _)
     val inSnap = col("__snap_present").isNotNull
     val inOpen = col("__open_present").isNotNull
-    val keep = j.filter(inOpen && (!inSnap || !changed))
-      .select(col(key) +: attrs.map(col) :+ col("valid_from") :+ col("valid_to"): _*)
-    val close = j.filter(inOpen && inSnap && changed)
-      .select(col(key) +: attrs.map(col) :+ col("valid_from") :+ eff.as("valid_to"): _*)
-    val insert = j.filter(inSnap && (!inOpen || changed))
-      .select(col(key) +: attrs.map(a => col(s"__snap_$a").as(a))
-        :+ eff.as("valid_from") :+ lit(null).cast("date").as("valid_to"): _*)
+    // all three row fates in ONE pass over the join: a per-row
+    // conditional array of output structs, exploded, nulls dropped.
+    // Filtering the join three times re-EXECUTED it three times (no
+    // subplan sharing across branches — six base-table scans for a
+    // dim merge, plan-audited r12); a changed row legitimately emits
+    // two outputs (close + insert), which is exactly the explode.
+    // array(when(...)) keeps everything codegen (no higher-order
+    // filter); the null placeholders drop in a plain post-explode
+    // filter.
+    val keepS = struct((col(key) +: attrs.map(col) :+ col("valid_from") :+
+      col("valid_to")).zip(key +: attrs :+ "valid_from" :+ "valid_to")
+      .map { case (c, n) => c.as(n) }: _*)
+    val closeS = struct((col(key) +: attrs.map(col) :+ col("valid_from") :+
+      eff).zip(key +: attrs :+ "valid_from" :+ "valid_to")
+      .map { case (c, n) => c.as(n) }: _*)
+    val insertS = struct((col(key) +: attrs.map(a => col(s"__snap_$a")) :+
+      eff :+ lit(null).cast("date")).zip(key +: attrs :+ "valid_from" :+ "valid_to")
+      .map { case (c, n) => c.as(n) }: _*)
+    val merged = j.select(explode(array(
+        when(inOpen && (!inSnap || !changed), keepS),
+        when(inOpen && inSnap && changed, closeS),
+        when(inSnap && (!inOpen || changed), insertS))).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("__r.*"))
     closedHist.select(col(key) +: attrs.map(col)
         :+ col("valid_from") :+ col("valid_to"): _*)
-      .unionByName(keep).unionByName(close).unionByName(insert)
+      .unionByName(merged)
   }
 }

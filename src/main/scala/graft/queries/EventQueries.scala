@@ -416,12 +416,19 @@ object EventQueries {
       val us = 3600L * 1000000L // 1-hour step window, micros
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-      val s2 = ev.filter(col("event_type") === "click")
-        .join(s1, "user_id")
-        .filter(col("us") > col("t1") && col("us") <= col("t1") + us)
-        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      // each step relation is a user-level aggregate reused by BOTH the
+      // next step's join and its own count; cached, so each event type
+      // is read once through its pushdown-pruned scan instead of the
+      // step lineage re-running per branch (6 events scans → 3,
+      // r12 scan sweep)
+      val s1 = graft.ops.Caching.cachedOnce(
+        ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1")))
+      val s2 = graft.ops.Caching.cachedOnce(
+        ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("us") > col("t1") && col("us") <= col("t1") + us)
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2")))
       val s3 = ev.filter(col("event_type") === "purchase")
         .join(s2, "user_id")
         .filter(col("us") > col("t2") && col("us") <= col("t2") + us)
@@ -1232,10 +1239,14 @@ object EventQueries {
   val qAutocorrelation = Q(
     "q_autocorrelation",
     (s, d) => {
-      val hourly = Tables.events(s, d)
+      // the hourly relation is (types × hours)-sized — tiny — but
+      // feeds THREE branches (bounds, the type list, the grid join)
+      // and the dense grid self-joins for the lag; cached, the whole
+      // query reads events once (6 scans → 1, r12 scan sweep)
+      val hourly = graft.ops.Caching.cachedOnce(Tables.events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"))
-        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n")))
       val bounds = hourly.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
       val dense = hourly.select(col("event_type")).distinct()
         .crossJoin(broadcast(bounds))
