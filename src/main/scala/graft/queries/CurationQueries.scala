@@ -681,10 +681,13 @@ object CurationQueries {
       // (2·n·10⁶ exceeds 2^53 at n ≈ 4.5e9).
       def micros(num: String, den: String) =
         expr(s"(2 * $num * 1000000 + $den) div (2 * $den)")
-      val cell = Tables.documents(s, d)
+      // the (source × band) cell relation is tiny but feeds three
+      // marginal branches plus the grid join; cached → one corpus scan
+      // (r12 scan sweep)
+      val cell = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
         .select(col("source"),
           least(floor(col("n_chars") / lit(256)).cast(LongType), lit(20L)).as("band"))
-        .groupBy(col("source"), col("band")).agg(count(lit(1)).as("n_sb"))
+        .groupBy(col("source"), col("band")).agg(count(lit(1)).as("n_sb")))
       val srcTot = cell.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
       val bandTot = cell.groupBy(col("band")).agg(sum(col("n_sb")).as("n_b"))
       val grand = cell.agg(sum(col("n_sb")).as("n"))

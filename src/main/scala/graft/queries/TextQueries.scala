@@ -1033,8 +1033,11 @@ object TextQueries {
   val qCrosstab = Q(
     "q_crosstab",
     (s, d) => {
-      val cell = Tables.documents(s, d)
-        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_obs"))
+      // the (source × lang) contingency cell is tiny but feeds three
+      // marginal branches plus the join-back; cached → one corpus scan
+      // (r12 scan sweep)
+      val cell = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_obs")))
       val rowT = cell.groupBy(col("source")).agg(sum(col("n_obs")).as("rt"))
       val colT = cell.groupBy(col("lang")).agg(sum(col("n_obs")).as("ct"))
       val tot = cell.agg(sum(col("n_obs")).as("nn"))
