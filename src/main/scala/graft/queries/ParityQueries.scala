@@ -1207,6 +1207,124 @@ object ParityQueries {
         AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
       ORDER BY s_name, s_suppkey"""))
 
+  /** TPC-H Q14 shape (promo revenue share, one month): conditional
+    * share of an exact-DECIMAL measure — revenue as integer
+    * ten-thousandths, the share rounded to micros with the same
+    * `(2a·10⁶+b) div (2b)` integer formula on both engines (the Q8
+    * raking precedent). Scale shape: the one-month shipdate range is
+    * a raw pushed scan filter, part broadcasts as a (key, promo-flag)
+    * projection, and the whole query is one map-side-combined 1-row
+    * aggregate — no shuffle beyond the final reduce.
+    */
+  val qTpchQ14 = Q(
+    "q_tpch_q14",
+    (s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-10-01")))
+        .select(col("l_partkey"),
+          expr("CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0))")
+            .as("u4"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), (col("p_type") === "PROMO").as("promo"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("promo"), col("u4")).otherwise(lit(0))).as("pr"),
+          sum(col("u4")).as("tot"))
+        .select(expr(
+          """CAST((2 * CAST(pr AS DECIMAL(38,0)) * 1000000 + tot)
+                  div (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("promo_share_micros"))
+    },
+    Some("""
+      SELECT CAST((2 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN u4 ELSE 0 END) AS HUGEINT) * 1000000
+                   + CAST(sum(u4) AS HUGEINT))
+                  // (2 * CAST(sum(u4) AS HUGEINT)) AS BIGINT) AS promo_share_micros
+      FROM (SELECT l_partkey,
+                   CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 10000 AS DECIMAL(38,0)) AS u4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01')
+      JOIN part ON l_partkey = p_partkey"""))
+
+  /** TPC-H Q4 shape (order priority checking): the correlated EXISTS
+    * whose predicate references BOTH sides (a lineitem shipped more
+    * than 30 days after ITS order's date — this schema's rendition of
+    * commit-vs-receipt lateness), decorrelated as a left-semi join
+    * with the mixed condition. Scale shape: the quarter filter is a
+    * raw pushed range on the orders scan; one orderkey-keyed semi
+    * shuffle; the priority aggregation input is the filtered order
+    * set, output 5 rows.
+    */
+  val qTpchQ4 = Q(
+    "q_tpch_q4",
+    (s, d) => {
+      ord(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-10-01")))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .join(li(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1995-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q16 shape (supplier-part relationship counts): grouped
+    * COUNT(DISTINCT) over the (part, supplier) relationship relation
+    * with a NOT-IN supplier exclusion — rendered as a left-anti join
+    * against the NATION_0 supplier list (this schema has no
+    * s_comment; the exclusion list is still a broadcast-sized
+    * dimension, and the relationship relation is the distinct
+    * (l_partkey, l_suppkey) projection standing in for partsupp).
+    * Scale shape: one distinct shuffle on the pair key, broadcast
+    * anti + broadcast part filter, then the grouped distinct (the one
+    * justified Expand in the TPC-H family — distinct suppliers per
+    * cell is the question itself).
+    */
+  val qTpchQ16 = Q(
+    "q_tpch_q16",
+    (s, d) => {
+      val excl = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_0").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#11" &&
+          col("p_size").isin(1, 5, 15, 25, 35, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      li(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      excl AS (SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_0')
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 15, 25, 35, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   /** TPC-H Q2 shape (min-cost supplier): the correlated scalar MIN
     * whose decorrelation is a per-group min JOINED BACK ON EQUALITY,
     * ties kept — distinct from Q17, where the joined-back aggregate
@@ -1318,5 +1436,5 @@ object ParityQueries {
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
-    qTpchQ13, qTpchQ2)
+    qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16)
 }
