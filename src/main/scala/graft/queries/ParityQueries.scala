@@ -1207,6 +1207,96 @@ object ParityQueries {
         AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
       ORDER BY s_name, s_suppkey"""))
 
+  /** TPC-H Q15 shape (top supplier, max-over-aggregate): the view-with-
+    * MAX pattern — quarterly revenue per supplier, keep the suppliers
+    * achieving the maximum (ties kept). The max decorrelates as a
+    * 1-row aggregate broadcast-crossJoined back (the Q22 global-scalar
+    * pattern — the revenue relation is supplier-sized, but a global
+    * window would still funnel it through one partition; the 1-row
+    * aggregate reduces map-side). Revenue in exact DECIMAL so the
+    * equality against the max is engine-identical.
+    */
+  val qTpchQ15 = Q(
+    "q_tpch_q15",
+    (s, d) => {
+      val rev = li(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("m"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          asDouble(col("total_revenue")).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey),
+      mx AS (SELECT max(total_revenue) AS m FROM rev)
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+      WHERE total_revenue = m
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q11 shape (grouped sum vs a global-fraction HAVING): parts
+    * whose nation-filtered value exceeds 1.1× the average part share —
+    * the HAVING-against-a-global-aggregate pattern. The fraction is
+    * DATA-DERIVED (`v·n_parts·10 > tot·11` in exact DECIMAL/BIGINT
+    * cross-multiplication) because the part universe scales with sf —
+    * a fixed fraction is either empty or everything at some scale; the
+    * original's 0.0001/SF knob is the same admission. Scale shape: the
+    * nation supplier list broadcasts as a semi INTO the fact scan, one
+    * partkey aggregation, and the global (total, count) is ONE row
+    * crossJoined back — the part-value relation never funnels through
+    * a single partition.
+    */
+  val qTpchQ11 = Q(
+    "q_tpch_q11",
+    (s, d) => {
+      val nat3 = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pv = li(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(nat3), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("v"))
+      val g = pv.agg(sum(col("v")).as("tot"), count(lit(1)).as("np"))
+      pv.crossJoin(broadcast(g))
+        .filter(col("v") * col("np") * 10 > col("tot") * 11)
+        .select(col("l_partkey"), asDouble(col("v")).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH nat3 AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'),
+      pv AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+        FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nat3)
+        GROUP BY l_partkey),
+      g AS (SELECT sum(v) AS tot, count(*) AS np FROM pv)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS value
+      FROM pv CROSS JOIN g
+      WHERE v * np * 10 > tot * 11
+      ORDER BY value DESC, l_partkey"""))
+
   /** TPC-H Q14 shape (promo revenue share, one month): conditional
     * share of an exact-DECIMAL measure — revenue as integer
     * ten-thousandths, the share rounded to micros with the same
@@ -1436,5 +1526,5 @@ object ParityQueries {
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
-    qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16)
+    qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11)
 }
