@@ -24,8 +24,26 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** o_orderdate/l_shipdate are the same physical-encoding-drift class
+    * as events.ts (r8 incident): a regenerated harness file can ship
+    * NANOS-as-long or tz-less timestamp[us]. Same normalization.
+    */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "lineitem"), "l_shipdate")
+
+  /** Normalize one timestamp column to session-local TimestampType
+    * across the three physical parquet encodings the harness has
+    * shipped (see [[events]] for the per-encoding reasoning). */
+  private def normalizeTs(raw: DataFrame, c: String): DataFrame =
+    raw.schema(c).dataType match {
+      case LongType =>
+        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(c, col(c).cast(TimestampType))
+      case _ => raw
+    }
   /** events.ts has shipped in THREE physical parquet encodings across
     * harness testdata generations, and this loader normalizes all of
     * them to session-local TimestampType (micros, UTC session tz):
@@ -44,16 +62,8 @@ object Tables {
     *     built outside GraftSession.
     *   - timestamp[us] adjusted to UTC: arrives as TimestampType, no-op.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   /** embeddings.embedding is Array[Float] by engine contract; a
     * regenerated harness file could plausibly ship float64 elements

@@ -83,6 +83,36 @@ class TimestampEncodingSpec extends SparkSpec {
     assert(roundTrip(dir) == ref)
   }
 
+  test("lineitem/orders timestamps normalize across all three encodings " +
+       "(the TPC-H scan columns are the same drift class as events.ts)") {
+    for ((table, loader, key, ts) <- Seq(
+        ("lineitem", (dir: String) => Tables.lineitem(spark, dir),
+          "l_orderkey", "l_shipdate"),
+        ("orders", (dir: String) => Tables.orders(spark, dir),
+          "o_orderkey", "o_orderdate"))) {
+      // composite-keyed reference (l_orderkey repeats per line): index
+      // by row position after a deterministic sort
+      val orig = loader("/root/testdata/sf0.001")
+        .select(col(key), col(ts)).orderBy(col(key), col(ts)).limit(200)
+      val want = orig.select(unix_micros(col(ts)))
+        .collect().map(_.getLong(0)).toSeq
+      for ((enc, transform) <- Seq[(String, org.apache.spark.sql.Column)](
+          ("ntz", col(ts).cast("timestamp_ntz")),
+          ("nanos", unix_micros(col(ts)) * lit(1000L)))) {
+        val dir = tmpDir(s"enc-$table-$enc")
+        orig.withColumn(ts, transform)
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+        val got = loader(dir)
+        assert(got.schema(ts).dataType == TimestampType,
+          s"$table.$ts under $enc must normalize to TimestampType, got " +
+            got.schema(ts).dataType)
+        val vals = got.select(col(key), col(ts)).orderBy(col(key), col(ts))
+          .select(unix_micros(col(ts))).collect().map(_.getLong(0)).toSeq
+        assert(vals == want, s"$table.$ts instants drifted under $enc")
+      }
+    }
+  }
+
   test("embeddings: float64 elements normalize to the Array[Float] contract") {
     // same physical-drift class as events.ts: a regenerated harness
     // file could ship double elements; every similarity operator must
