@@ -1219,12 +1219,15 @@ object ParityQueries {
   val qTpchQ15 = Q(
     "q_tpch_q15",
     (s, d) => {
-      val rev = li(s, d)
+      // the supplier-sized revenue relation feeds both the 1-row max
+      // and the equality filter; cached so the quarter's lineitem scan
+      // and aggregation run once, not per branch (r12 scan sweep)
+      val rev = graft.ops.Caching.cachedOnce(li(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1996-04-01")))
         .groupBy(col("l_suppkey"))
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("total_revenue"))
+          .as("total_revenue")))
       val mx = rev.agg(max(col("total_revenue")).as("m"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("m"))
@@ -1270,12 +1273,15 @@ object ParityQueries {
             .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
-      val pv = li(s, d)
+      // the part-value relation feeds both the 1-row global (total,
+      // count) and the HAVING filter; cached so the semi-joined
+      // lineitem scan and aggregation run once (r12 scan sweep)
+      val pv = graft.ops.Caching.cachedOnce(li(s, d)
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
         .join(broadcast(nat3), col("l_suppkey") === col("s_suppkey"),
           "left_semi")
         .groupBy(col("l_partkey"))
-        .agg(sum(dec(col("l_extendedprice"))).as("v"))
+        .agg(sum(dec(col("l_extendedprice"))).as("v")))
       val g = pv.agg(sum(col("v")).as("tot"), count(lit(1)).as("np"))
       pv.crossJoin(broadcast(g))
         .filter(col("v") * col("np") * 10 > col("tot") * 11)
