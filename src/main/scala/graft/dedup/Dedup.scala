@@ -956,6 +956,13 @@ object Dedup {
     * operator so tokenization/hashing can never diverge between the
     * batch, cross-batch, scrub, and streaming renditions.
     */
+  /** The per-window hash expression over a LOWERCASED token-array
+    * column `c` — the one definition every gram producer routes
+    * through, so the hashing can never diverge between callers. */
+  private def windowHashSql(c: String, gramLen: Int): String =
+    s"transform(sequence(0, size($c) - $gramLen), " +
+      s"i -> xxhash64(concat_ws(' ', slice($c, i + 1, $gramLen))))"
+
   private[graft] def tokenGrams(df: DataFrame, idCol: String, textCol: String,
                                 gramLen: Int): DataFrame = {
     require(gramLen >= 1, s"gramLen must be positive: $gramLen")
@@ -963,10 +970,7 @@ object Dedup {
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .filter(size(col("__t")) >= gramLen)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(__t) - $gramLen), " +
-            s"i -> xxhash64(concat_ws(' ', slice(__t, i + 1, $gramLen))))"))
-          .as(Seq("pos", "gh")))
+        posexplode(expr(windowHashSql("__t", gramLen))).as(Seq("pos", "gh")))
   }
 
   /** Gaps-and-islands merge of repeated window positions into maximal
@@ -1182,14 +1186,28 @@ object Dedup {
                              bench: DataFrame, benchIdCol: String,
                              benchTextCol: String, gramLen: Int,
                              minSpanTokens: Long = 8L): DataFrame = {
-    val spans = contaminatedSpans(corpus, idCol, textCol,
-        bench, benchIdCol, benchTextCol, gramLen)
+    // tokenize the corpus ONCE: the cached original-case token base
+    // serves both the gram-hash branch (lowered per token — identical
+    // to tokenize-after-lower, since lowercasing never touches the \s+
+    // split boundaries, and the hash expression is the shared
+    // windowHashSql) and the kept-token scrub, instead of two full
+    // corpus tokenization scans (r12 scan sweep)
+    val base = cachedOnce(corpus.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0))
+    val benchIndex = tokenGrams(bench, benchIdCol, benchTextCol, gramLen)
+      .select(col("gh")).distinct()
+    val corpusGrams = base.filter(size(col("__t")) >= gramLen)
+      .select(col("doc_id"),
+        expr("transform(__t, w -> lower(w))").as("__tl"))
+      .select(col("doc_id"),
+        posexplode(expr(windowHashSql("__tl", gramLen))).as(Seq("pos", "gh")))
+    val spans = islandSpans(corpusGrams.join(benchIndex, Seq("gh"), "left_semi"),
+        gramLen)
       .filter(col("span_tokens") >= minSpanTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    corpus.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) > 0)
+    base
       .join(spans, Seq("doc_id"), "left")
       .withColumn("__kept", keptTokens)
       .select(col("doc_id"),
