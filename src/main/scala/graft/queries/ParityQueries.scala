@@ -1525,6 +1525,244 @@ object ParityQueries {
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""))
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure single-table
+    * scan-aggregate — every predicate (shipdate range, discount band,
+    * quantity cap) is a pushable scan filter and the whole query is
+    * one map-side-combined 1-row aggregate with NO join and NO
+    * grouped shuffle. At 100 TB this is the query whose entire cost
+    * is I/O: the date range prunes row groups via parquet min/max and
+    * the projection reads 4 of 11 columns. Exact-DECIMAL sum.
+    */
+  val qTpchQ6 = Q(
+    "q_tpch_q6",
+    (s, d) => li(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(asDouble(sum(dec(col("l_extendedprice") * col("l_discount"))))
+        .as("revenue")),
+    Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24"""),
+    headline = true)
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * symmetric-pair predicate `(s=A ∧ c=B) ∨ (s=B ∧ c=A)`, decomposed
+    * as its semi-reduction form: BOTH sides pre-filter to the
+    * two-nation universe (so the fact rows of 23/25 nations never
+    * enter the join) and the disjunction collapses to the residual
+    * `supp_nation <> cust_nation` applied post-join. Scale shape: the
+    * two-nation supplier list broadcasts INTO the lineitem scan
+    * before the one lineitem⋈orders shuffle; customer stays a keyed
+    * shuffle join (customer does not broadcast at 100 TB — the
+    * nation filter is carried as a projection, not a collect).
+    */
+  val qTpchQ7 = Q(
+    "q_tpch_q7",
+    (s, d) => {
+      val nats = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nats), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nats), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      li(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(asDouble(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1.0 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01')
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""),
+    headline = true)
+
+  /** TPC-H Q9 shape (product-type profit): the widest join tree in
+    * the family — part (infix-LIKE filtered), supplier→nation,
+    * orders, all hanging off lineitem — grouped by nation × order
+    * year. No partsupp in this schema, so supply cost proxies as
+    * `p_retailprice · 0.1 · l_quantity` (per-unit cost a fixed
+    * fraction of list price; the profit expression keeps the
+    * original's revenue-minus-cost form and stays a per-row double
+    * computed identically on both engines before the exact-DECIMAL
+    * sum). Scale shape: the `%gear%` name filter is pushed to the
+    * part scan (StringContains — plan-audited in PlanAuditSpec), the
+    * filtered part list and the supplier→nation map broadcast INTO
+    * the fact scan, and lineitem⋈orders is the single big shuffle.
+    * The part-side collapses FIRST, so only ~13 % of fact rows reach
+    * the join — the join-order decision the optimizer must get right
+    * when nothing but lineitem is fact-sized.
+    */
+  val qTpchQ9 = Q(
+    "q_tpch_q9",
+    (s, d) => {
+      val gearParts = Tables.part(s, d)
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      li(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(asDouble(sum(dec(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * lit(0.1) * col("l_quantity"))))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      SELECT nation, o_year,
+             CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      FROM (SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1.0 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity AS amount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%')
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC"""),
+    headline = true)
+
+  /** TPC-H Q10 shape (returned-item reporting): filtered join +
+    * customer-grained aggregate + top-20 — the "who cost us money
+    * last quarter" report. Scale shape: both fact filters (quarter on
+    * orders, returnflag on lineitem) are pushed scan predicates, the
+    * aggregate collapses to customer grain BEFORE the enrichment
+    * joins would widen it, nation broadcasts, and the top-20 is a
+    * TakeOrdered — never a full sort of the customer universe.
+    */
+  val qTpchQ10 = Q(
+    "q_tpch_q10",
+    (s, d) => {
+      val o = ord(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = li(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev"))
+      rev
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          asDouble(col("rev")).as("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             c_acctbal, n_name
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""),
+    headline = true)
+
+  /** TPC-H Q12 shape (shipping-mode priority counts): the two-bucket
+    * conditional aggregation over a lateness join. This schema has no
+    * l_shipmode/commitdate/receiptdate, so the mode dimension proxies
+    * as the A/N returnflag classes and "received late" as shipped
+    * ≥ 90 days after the order date (the Q4 lateness rendition, wider
+    * lag). Scale shape: year range + flag both push into the lineitem
+    * scan, one orderkey-keyed shuffle join, and the CASE'd counts are
+    * a 2-row map-side-combined aggregate — the conditional-aggregation
+    * pattern where one pass answers both priority classes (never two
+    * filtered scans).
+    */
+  val qTpchQ12 = Q(
+    "q_tpch_q12",
+    (s, d) => {
+      val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li(s, d)
+        .filter(col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(highPri, lit(1))).as("high_line_count"),
+          count(when(!highPri, lit(1))).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 END) AS high_line_count,
+             count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 END) AS low_line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag IN ('A', 'N')
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q1Agg, qProjFilter, qSmartDateKey, qJoinDimTwice, qJoinLeft, qJoinAnti,
     qExcept, qUnionByName, qDropDup, qSurrogateKey, qDateDim, qUnpivot,
@@ -1532,5 +1770,6 @@ object ParityQueries {
     qSetOpsAll, qSaltedJoin, qScd2Merge, qZorder, qUnionEvolve, qUpsert,
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
-    qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11)
+    qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
+    qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12)
 }

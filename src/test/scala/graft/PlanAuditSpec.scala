@@ -172,4 +172,32 @@ class PlanAuditSpec extends SparkSpec {
         s"q_hourly_top_types lost its WindowGroupLimit pre-filter:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_tpch_q9: infix LIKE pushes to the part scan; part side collapses first") {
+    // Q9's plan lives or dies on two decisions at 100 TB: the
+    // `p_name LIKE '%gear%'` residual must reach the part scan as a
+    // PushedFilter (StringContains — row-group skipping plus no
+    // post-scan filter stage over the full part table), and the
+    // filtered part list + supplier→nation map must BROADCAST into
+    // the lineitem scan so only the ~13 % matching fact rows reach
+    // the lineitem⋈orders join.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.ParityQueries.qTpchQ9
+        .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val partScanPush = plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.metadata.get("Location").exists(_.contains("part.parquet")) =>
+          sc.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(partScanPush.exists(_.contains("StringContains(p_name,gear)")),
+        s"p_name LIKE '%gear%' not pushed to the part scan: $partScanPush\n$plan")
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.size >= 2,
+        s"expected part + supplier→nation broadcasts, found ${bhj.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
