@@ -100,7 +100,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS widens the sample for solo adjudication runs
     // (bimodality diagnosis needs more than 3 draws); the driver never
     // sets it, so recorded rounds stay at 3.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // guarded parse: a malformed value must not crash a full sweep after
+    // session startup — warn and fall back to the recorded-round default
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap { v =>
+        val p = scala.util.Try(v.toInt).toOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_BENCH_REPS='$v'; using 3")
+        p
+      }.getOrElse(3)
     val repTimes = headline.map { q =>
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
@@ -153,9 +161,17 @@ object Bench {
     // a run with ANY -1.0 sentinel must not read as "ok": automation
     // keying on status treated r8's 4 broken queries as a clean bench
     val nFailed = results.count(_._2 < 0)
+    // three ambient tiers so the summary line adjudicates itself (r12:
+    // the driver's official sweep ran under load 0.95→7.31 and its
+    // total read as a regression until the per-rep detail was mined):
+    // >2 at start = INVALID (numbers are noise), >1.5 = degraded
+    // (directionally usable, not comparable round-over-round), else ok.
+    val ambientOk = loadBefore <= 1.5
     val status =
       if (invalid) "\"INVALID: load_avg>2\""
       else if (nFailed > 0) "\"FAILED: " + nFailed + " queries\""
+      else if (!ambientOk) "\"degraded: ambient load " +
+        (math.round(loadBefore * 100) / 100.0) + "\""
       else "\"ok\""
     // Three lines, bulky detail FIRST: the driver records only the last
     // ~2000 chars of stdout, so per-rep times and shuffle bytes go on
@@ -168,9 +184,15 @@ object Bench {
     val repsJson = repTimes.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // origin marks WHO launched the run (r12: a builder artifact and the
+    // driver's run collided on one filename — "which run is this?" was
+    // forensic). Builder-initiated runs export SPARK_GRAFT_BENCH_ORIGIN=
+    // builder and land on a _builder-suffixed artifact; the driver sets
+    // nothing and keeps the canonical name.
+    val origin = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORIGIN", "driver")
     println(s"""{"detail":"rep_times_sec","reps":$reps,"times":$repsJson}""")
     println(s"""{"detail":"shuffle_read_mb","queries":$sh,"load_avg_before":$loadBefore,"load_avg":$load}""")
-    println(s"""{"total":$total,"status":$status,"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
+    println(s"""{"total":$total,"status":$status,"ambient_ok":$ambientOk,"origin":"$origin","metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
     // Durable artifact: the driver records only the last ~2000 chars of
     // stdout, so the per-rep times and shuffle bytes that make
     // ambient-load vs regression adjudicable have been lost every round
@@ -182,20 +204,44 @@ object Bench {
     // diagnostic runs (subset filter or custom reps) go to
     // bench_latest.json so they can never clobber a round artifact.
     val full =
-      s"""{"total":$total,"status":$status,"sf":"$sfDir","reps":$reps,
+      s"""{"total":$total,"status":$status,"ambient_ok":$ambientOk,
+         |"origin":"$origin","sf":"$sfDir","reps":$reps,
          |"load_avg_before":$loadBefore,"load_avg_after":$load,
          |"cc_rounds":$ccRounds,
          |"medians_sec":$qs,
          |"rep_times_sec":$repsJson,
          |"shuffle_read_mb":$sh}""".stripMargin
     val diagnostic = only.isDefined || reps != 3
-    val round = new java.io.File(".").listFiles() match {
-      case null => 0
-      case fs => fs.flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-        .findFirstMatchIn(f.getName).map(_.group(1).toInt)).foldLeft(0)(math.max) + 1
+    // Round inference: max over the recorded BENCH_r*.json (driver-
+    // written, repo root) AND our own bench_out/bench_r*.json — a run
+    // launched from a different cwd used to see neither and silently
+    // clobber bench_r1.json. Resolve both against the repo root when
+    // the cwd isn't it (bench_out's presence marks the root).
+    def roundsIn(dir: java.io.File, re: scala.util.matching.Regex): Seq[Int] =
+      Option(dir.listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    val repoRoot =
+      if (new java.io.File("BENCH_r1.json").exists() ||
+          new java.io.File("bench_out").isDirectory) new java.io.File(".")
+      else new java.io.File("/root/repo")
+    val round = (roundsIn(repoRoot, "^BENCH_r(\\d+)\\.json$".r) ++
+      roundsIn(new java.io.File(repoRoot, "bench_out"),
+        "^bench_r(\\d+)\\w*\\.json$".r).map(_ - 1)).foldLeft(0)(math.max) + 1
+    val base =
+      if (diagnostic) "bench_latest.json"
+      else if (origin == "driver") s"bench_r$round.json"
+      else s"bench_r${round}_$origin.json"
+    // never silently overwrite a round artifact: a re-run within the
+    // same round lands on the first free _N-suffixed sibling
+    val benchDir = new java.io.File(repoRoot, "bench_out")
+    val outPath = {
+      val first = new java.io.File(benchDir, base)
+      if (diagnostic || !first.exists()) first.toPath
+      else Iterator.from(2)
+        .map(i => new java.io.File(benchDir,
+          base.stripSuffix(".json") + s"_$i.json"))
+        .find(!_.exists()).get.toPath
     }
-    val outPath = java.nio.file.Paths.get("bench_out",
-      if (diagnostic) "bench_latest.json" else s"bench_r$round.json")
     try {
       java.nio.file.Files.createDirectories(outPath.getParent)
       java.nio.file.Files.write(outPath,

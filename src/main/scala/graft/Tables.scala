@@ -39,6 +39,17 @@ object Tables {
   private def normalizeTs(raw: DataFrame, c: String): DataFrame =
     raw.schema(c).dataType match {
       case LongType =>
+        // LongType here means the nanosAsLong legacy path (nanos since
+        // epoch ≈ 1e18 for harness-era dates). A generator shipping
+        // epoch-micros (~1e15) or epoch-millis (~1e12) as long would be
+        // silently misread 1000× by the nanos division — fail loudly on
+        // magnitude instead. One 1-row sample; runs once per loader call.
+        val sample = raw.select(col(c)).na.drop().head(1)
+        sample.headOption.map(_.getLong(0)).foreach { v =>
+          require(v == 0L || math.abs(v) >= 1e17,
+            s"$c is LongType but |$v| < 1e17: not nanos-since-epoch — " +
+              "a new physical encoding needs an explicit branch here")
+        }
         raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       case TimestampNTZType =>
         raw.withColumn(c, col(c).cast(TimestampType))

@@ -56,12 +56,29 @@ object JoinAdvisor {
   }
 
   /** True iff `df`'s physical plan contains the join family the
-    * decision advised (BroadcastHashJoin for broadcast_*, SortMergeJoin
-    * for shuffle) — the audit that the hint actually took effect.
+    * decision advised (BroadcastHashJoinExec for broadcast_*,
+    * SortMergeJoinExec for shuffle) — the audit that the hint actually
+    * took effect. Matches typed plan nodes, not the rendered string: a
+    * multi-join plan whose OTHER edges legitimately use the opposite
+    * family must not false-positive this edge's audit. Callers joining
+    * more than one edge in `df` should audit the edge's own DataFrame
+    * (the `advisedJoin` return) before composing further.
     */
   def planMatches(df: DataFrame, decision: String): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString
-    if (decision == "shuffle") plan.contains("SortMergeJoin")
-    else plan.contains("BroadcastHashJoin")
+    // plain collect treats AdaptiveSparkPlanExec/QueryStageExec as
+    // leaves — expand them so the audit sees the real join nodes
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    if (decision == "shuffle")
+      nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    else
+      nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
   }
 }

@@ -991,7 +991,8 @@ object ParityQueries {
       SELECT count(*) AS n_small,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
       FROM lineitem JOIN pa USING (l_partkey)
-      WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * nq < sq"""))
+      WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * nq < sq"""),
+    headline = true)
 
   /** TPC-H Q8 shape (national market share): conditional share of a
     * measure within a filtered market, per year. The share is NEVER a
@@ -1132,7 +1133,8 @@ object ParityQueries {
       WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > tot
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
-                          AND year(o_orderdate) = 1995)"""))
+                          AND year(o_orderdate) = 1995)"""),
+    headline = true)
 
   /** TPC-H Q20 shape (excess capacity): the doubly-nested membership —
     * suppliers IN (pairs whose availability beats a correlated scalar
@@ -1205,7 +1207,8 @@ object ParityQueries {
       WHERE s_nationkey IN (SELECT n_nationkey FROM nation
                             WHERE n_name = 'NATION_3')
         AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE q95 * 2 > q96)
-      ORDER BY s_name, s_suppkey"""))
+      ORDER BY s_name, s_suppkey"""),
+    headline = true)
 
   /** TPC-H Q15 shape (top supplier, max-over-aggregate): the view-with-
     * MAX pattern — quarterly revenue per supplier, keep the suppliers
@@ -1489,7 +1492,8 @@ object ParityQueries {
       JOIN euro ON l_suppkey = s_suppkey
       WHERE cost = min_cost AND p_size = 15
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-      LIMIT 100"""))
+      LIMIT 100"""),
+    headline = true)
 
   /** TPC-H Q13 shape (customer order-count distribution): the LEFT
     * OUTER join with a predicate INSIDE the ON clause (filter the

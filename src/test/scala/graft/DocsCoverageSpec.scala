@@ -43,10 +43,16 @@ class DocsCoverageSpec extends AnyFunSuite {
   // updated in the same commit).
   private def testTreeCounts(): (Int, Int) = {
     val dir = Paths.get("src/test/scala/graft")
-    val perFile = Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .map(p => raw"""(?m)^\s*test\("""".r.findAllIn(read(p.toString)).size)
-      .toList
+    // walk (not list): a future nested-package spec must count, not be
+    // silently excluded; and close the stream — each leaked directory
+    // handle outlives the test JVM's file-descriptor budget eventually
+    val stream = Files.walk(dir)
+    val perFile =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => raw"""(?m)^\s*test\("""".r.findAllIn(read(p.toString)).size)
+        .toList
+      finally stream.close()
     (perFile.sum, perFile.count(_ > 0))
   }
 
@@ -66,6 +72,14 @@ class DocsCoverageSpec extends AnyFunSuite {
         s"$doc says ${m.get.group(1)} tests / ${m.get.group(2)} suites; " +
           s"test tree has $nTests tests / $nSuites suites")
     }
+  }
+
+  test("SURVEY §8 headliner count matches the registry's headline set") {
+    val m = raw"bench now (\d+) headliners".r.findFirstMatchIn(read("SURVEY.md"))
+    assert(m.isDefined, "SURVEY §8 no longer states the headliner count")
+    val actual = SparkEntry.registry.count(_.headline)
+    assert(m.get.group(1).toInt == actual,
+      s"SURVEY §8 says ${m.get.group(1)} headliners; registry has $actual")
   }
 
   test("registry names are unique") {
