@@ -1529,6 +1529,42 @@ object ParityQueries {
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""))
 
+  /** §2.9-ext: the DSv2 WRITE path under the oracle gate — aggregate
+    * lineitem, write it through graft.sources.PartitionedSink (the
+    * stage-then-publish commit protocol, hive-layout partitioned by
+    * returnflag), then READ THE LAYOUT BACK and return that. What the
+    * oracle checks is therefore the full write→publish→read round trip:
+    * a corrupted encoding, a lost partition, a double-published
+    * staging file or a leaked zombie row all flip the hash. Commit/
+    * abort/exactly-once transitions are pinned in PartitionedSinkSpec.
+    */
+  val qDsv2Roundtrip = Q(
+    "q_dsv2_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+      li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .write.format("graft.sources.PartitionedSink")
+        .option("partitionBy", "l_returnflag").mode("append").save(out)
+      graft.sources.PartitionedSink.readBack(s, out,
+        StructType(Seq(
+          StructField("l_linestatus", StringType),
+          StructField("n", LongType),
+          StructField("sum_qty", DoubleType))),
+        "l_returnflag")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -1775,5 +1811,5 @@ object ParityQueries {
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
-    qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12)
+    qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip)
 }

@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Partitioned DataSource V2 SINK — the write half of the engine's
+  * connector surface (the read half, with 4-way pushdown, is
+  * [[DocGenSource]]; the reference's write surface is the
+  * append/overwrite warehouse in reference src/jobs/load_*.py, which
+  * delegates the commit problem to Hive — this connector owns it).
+  *
+  * Layout: hive-style `<root>/<partCol>=<value>/part-*.tsv`, one
+  * directory per partition value, tab-separated columns in dataSchema
+  * order (`\N` = NULL). Readable back through [[PartitionedSink.readBack]]
+  * (plain `spark.read.csv` + partition discovery — nothing about the
+  * layout is private to this connector).
+  *
+  * The part that matters at 100 TB is the COMMIT PROTOCOL — a job
+  * that writes for an hour from 1000 executors must publish all-or-
+  * nothing, under task retry, speculative duplicates, and job abort:
+  *
+  *   - Every task writes only under `_staging/<queryId>/`, one file
+  *     per (task, partition-value), named by (partitionId, taskId) —
+  *     task attempts NEVER touch the published layout.
+  *   - A task's [[DataWriter.commit]] returns a manifest (its staged
+  *     files + row counts) as the WriterCommitMessage. Spark's
+  *     OutputCommitCoordinator (useCommitCoordinator=true) guarantees
+  *     at most ONE attempt per partition commits; a speculative twin
+  *     that loses the race gets abort() and deletes its files.
+  *   - Driver-side [[BatchWrite.commit]] publishes EXACTLY the files
+  *     named in the commit messages — a zombie attempt's orphan
+  *     staging file (its executor died before abort could run) is
+  *     swept with the staging dir, never published. Exactly-once is
+  *     therefore a property of the manifest, not of task scheduling.
+  *   - Overwrite semantics run at publish time, inside the one
+  *     driver-side commit: TRUNCATE/OverwriteByExpression(true)
+  *     clears the whole layout, filter overwrite clears the matching
+  *     partition dirs, dynamic overwrite clears exactly the partition
+  *     values present in the commit manifests. Readers of the old
+  *     data race only with the final rename window, not with the
+  *     whole job.
+  *   - [[BatchWrite.abort]] deletes the staging dir; the published
+  *     layout is untouched (all-or-nothing).
+  *
+  * All FS traffic goes through the Hadoop FileSystem API, so the same
+  * protocol runs on file:/, hdfs:/ or any FS with atomic-enough
+  * rename; S3-class stores would swap the rename publish for a
+  * manifest commit, which is why publish is a single private method.
+  *
+  * Types: atomic columns only (string/boolean/int/long/float/double/
+  * date-less). Partition column must be a non-null atomic. This keeps
+  * the text encoding lossless: Long/Double round-trip through Java's
+  * shortest-repr toString exactly.
+  */
+class PartitionedSink extends TableProvider {
+  // the sink infers nothing; schema comes from the written DataFrame
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil)
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PartitionedSinkTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("PartitionedSink needs a path")),
+      Option(properties.get("partitionBy")).getOrElse(
+        throw new IllegalArgumentException(
+          "PartitionedSink needs option partitionBy=<column>")),
+      schema)
+}
+
+object PartitionedSink {
+  final val NullToken = "\\N"
+
+  /** Read a sink layout back as a DataFrame: partition discovery over
+    * the hive-style dirs plus an explicit data schema (no inference —
+    * deterministic types). An empty layout (no partition dirs — e.g.
+    * the job wrote zero rows) returns a schema-correct empty frame.
+    */
+  def readBack(spark: SparkSession, root: String, dataSchema: StructType,
+               partCol: String, partType: DataType = StringType): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new Path(root)
+    val hasParts = fs.exists(rootPath) && fs.listStatus(rootPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+    val full = StructType(dataSchema.fields :+ StructField(partCol, partType))
+    if (!hasParts) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    } else {
+      import org.apache.spark.sql.functions.col
+      spark.read
+        .schema(dataSchema)
+        .option("sep", "\t")
+        .option("nullValue", NullToken)
+        .option("basePath", root)
+        .csv(s"$root/$partCol=*")
+        .withColumn(partCol, col(partCol).cast(partType))
+    }
+  }
+}
+
+private class PartitionedSinkTable(path: String, partCol: String,
+                                   schema0: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"partitioned_sink($path by $partCol)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PartitionedSinkWriteBuilder(path, partCol, info)
+}
+
+/** Overwrite mode resolved at build time from which mix-in Spark
+  * calls: none = append, truncate()/overwrite(AlwaysTrue) = full
+  * replace, overwrite(partCol = v, ...) = replace those partitions,
+  * overwriteDynamicPartitions() = replace the partitions the job
+  * writes.
+  */
+private class PartitionedSinkWriteBuilder(path: String, partCol: String,
+                                          info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: SinkMode = Append
+  require(info.schema().fieldNames.contains(partCol),
+    s"partition column $partCol not in written schema ${info.schema().sql}")
+
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode =
+      if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+        Truncate
+      else {
+        val values = filters.map {
+          case EqualTo(c, v) if c == partCol => v.toString
+          case f => throw new UnsupportedOperationException(
+            s"PartitionedSink overwrite supports only $partCol = <value> " +
+              s"conjunctions, got $f")
+        }
+        OverwriteValues(values.toSet)
+      }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = Dynamic; this
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new PartitionedSinkBatchWrite(path, partCol, info.schema(),
+        info.queryId(), mode)
+  }
+}
+
+private sealed trait SinkMode extends Serializable
+private case object Append extends SinkMode
+private case object Truncate extends SinkMode
+private case class OverwriteValues(values: Set[String]) extends SinkMode
+private case object Dynamic extends SinkMode
+
+/** One staged file, as named by the task that wrote it. */
+private case class StagedFile(partValue: String, stagedPath: String, rows: Long)
+private case class SinkCommitMessage(files: Seq[StagedFile])
+    extends WriterCommitMessage
+
+private class PartitionedSinkBatchWrite(path: String, partCol: String,
+                                        schema: StructType, queryId: String,
+                                        mode: SinkMode)
+    extends BatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PartitionedSinkWriterFactory(path, partCol, schema, queryId)
+
+  // at most one committed attempt per task partition — the scheduler
+  // half of exactly-once; the manifest publish below is the other half
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val manifests = messages.collect { case m: SinkCommitMessage => m.files }
+    val files = manifests.flatten
+
+    // overwrite semantics, driver-side, before any publish
+    val toClear: Set[String] = mode match {
+      case Append => Set.empty
+      case Truncate =>
+        Option(fs.listStatus(new Path(path))).toSeq.flatten
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+          .map(_.getPath.getName.stripPrefix(partCol + "="))
+          .toSet
+      case OverwriteValues(vs) => vs
+      case Dynamic => files.map(_.partValue).toSet
+    }
+    toClear.foreach { v =>
+      fs.delete(new Path(path, s"$partCol=$v"), true)
+    }
+
+    // publish exactly the manifest-listed files; a zombie attempt's
+    // orphan staging file is NOT in any commit message and is swept
+    // with the staging dir below
+    files.foreach { f =>
+      val dest = new Path(path, s"$partCol=${f.partValue}")
+      fs.mkdirs(dest)
+      val src = new Path(f.stagedPath)
+      if (!fs.rename(src, new Path(dest, src.getName)))
+        throw new java.io.IOException(s"publish rename failed for $src")
+    }
+    sweepStaging(fs)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    // all-or-nothing: staged data vanishes, the published layout is
+    // exactly what it was before the job
+    sweepStaging(fs)
+  }
+
+  /** Remove this query's staging dir, and the `_staging` parent when
+    * this was its last query (a zero-row job never creates either —
+    * both probes are existence-guarded).
+    */
+  private def sweepStaging(fs: FileSystem): Unit = {
+    fs.delete(stagingDir, true)
+    val stagingParent = stagingDir.getParent
+    if (fs.exists(stagingParent) && fs.listStatus(stagingParent).isEmpty)
+      fs.delete(stagingParent, true)
+  }
+}
+
+private class PartitionedSinkWriterFactory(path: String, partCol: String,
+                                           schema: StructType, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PartitionedSinkWriter(path, partCol, schema, queryId, partitionId, taskId)
+}
+
+/** Task-side writer: buffers one open staged file per partition value
+  * seen (the incoming rows need not be clustered by the partition
+  * column), stages under `_staging/<queryId>/`, and reports its files
+  * in the commit message. abort() deletes everything it staged.
+  */
+private class PartitionedSinkWriter(path: String, partCol: String,
+                                    schema: StructType, queryId: String,
+                                    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val fs = FileSystem.get(new java.net.URI(path), conf)
+  private val partIdx = schema.fieldIndex(partCol)
+  private val dataFields = schema.fields.zipWithIndex.filter(_._2 != partIdx)
+
+  private val open = scala.collection.mutable.Map[
+    String, (java.io.BufferedWriter, Path, Long)]()
+
+  private def fieldStr(row: InternalRow, i: Int, dt: DataType): String = {
+    if (row.isNullAt(i)) PartitionedSink.NullToken
+    else dt match {
+      case StringType  => row.getUTF8String(i).toString
+      case LongType    => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType  => row.getDouble(i).toString
+      case FloatType   => row.getFloat(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case ShortType   => row.getShort(i).toString
+      case ByteType    => row.getByte(i).toString
+      case other => throw new UnsupportedOperationException(
+        s"PartitionedSink supports atomic column types only, got $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pv = fieldStr(row, partIdx, schema.fields(partIdx).dataType)
+    require(pv != PartitionedSink.NullToken,
+      s"NULL partition value in $partCol")
+    val (w, p, n) = open.getOrElseUpdate(pv, {
+      val f = new Path(path,
+        s"_staging/$queryId/part-$partitionId-$taskId-$pv.tsv")
+      fs.mkdirs(f.getParent)
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
+      (out, f, 0L)
+    })
+    w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
+      .mkString("\t"))
+    w.write("\n")
+    open(pv) = (w, p, n + 1)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.map { case (pv, (w, p, n)) =>
+      w.close(); StagedFile(pv, p.toString, n)
+    }.toSeq
+    open.clear()
+    SinkCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, p, _) =>
+      try w.close() catch { case _: Throwable => () }
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
+    open.clear()
+  }
+
+  override def close(): Unit =
+    open.values.foreach { case (w, _, _) =>
+      try w.close() catch { case _: Throwable => () }
+    }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.PartitionedSink
+
+/** DSv2 write-path contract: the stage-then-publish commit protocol of
+  * graft.sources.PartitionedSink — append/truncate/dynamic overwrite
+  * end-to-end through Spark's writer, plus the exactly-once and abort
+  * guarantees driven at the connector API level (a losing speculative
+  * attempt and a job abort are scheduled by Spark, but WHAT they must
+  * do to the filesystem is this connector's contract, so the spec
+  * drives those transitions directly and asserts the layout).
+  */
+class PartitionedSinkSpec extends SparkSpec {
+
+  private val dataSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  private def df(rows: (Long, Double, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "v", "s", "p")
+  }
+
+  private def write(d: DataFrame, path: String, mode: String): Unit =
+    d.write.format("graft.sources.PartitionedSink")
+      .option("partitionBy", "p").mode(mode).save(path)
+
+  private def readBack(path: String): Set[(Long, Double, String, String)] =
+    PartitionedSink.readBack(spark, path, dataSchema, "p")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getString(2), r.getString(3))).toSet
+
+  test("append round-trips rows, including NULLs and doubles, exactly") {
+    val path = tmpDir("sink_append")
+    val d = df((1L, 1.5, "a", "A"), (2L, 0.1 + 0.2, "b", "B"),
+      (3L, -7.25, null, "A"))
+    write(d, path, "append")
+    write(df((4L, 4.0, "d", "C")), path, "append")
+    assert(readBack(path) === Set(
+      (1L, 1.5, "a", "A"), (2L, 0.1 + 0.2, "b", "B"),
+      (3L, -7.25, null, "A"), (4L, 4.0, "d", "C")))
+    // layout is hive-style, one dir per value, no staging residue
+    val dirs = new File(path).listFiles().map(_.getName).toSet
+    assert(dirs === Set("p=A", "p=B", "p=C"))
+  }
+
+  test("static overwrite truncates every existing partition first") {
+    val path = tmpDir("sink_trunc")
+    write(df((1L, 1.0, "x", "A"), (2L, 2.0, "y", "B")), path, "append")
+    write(df((9L, 9.0, "z", "C")), path, "overwrite")
+    assert(readBack(path) === Set((9L, 9.0, "z", "C")))
+    assert(!new File(path).listFiles().map(_.getName).contains("p=A"))
+  }
+
+  test("dynamic overwrite replaces only the partitions the job writes") {
+    // the V1 `.mode("overwrite").save()` bridge plans
+    // OverwriteByExpression(true) → truncate() regardless of
+    // partitionOverwriteMode; overwriteDynamicPartitions() is reached
+    // through the catalog `writeTo(...).overwritePartitions()` surface,
+    // so the dynamic path is driven at the connector API level here
+    val path = tmpDir("sink_dyn")
+    write(df((1L, 1.0, "x", "A"), (2L, 2.0, "y", "B")), path, "append")
+    val bw = batchWriteFor(path, "dynamic")
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 300L)
+    w.write(internalRow(8L, 8.0, "w", "B"))
+    w.write(internalRow(9L, 9.0, "z", "C"))
+    bw.commit(Array(w.commit()))
+    assert(readBack(path) === Set(
+      (1L, 1.0, "x", "A"),              // untouched partition survives
+      (8L, 8.0, "w", "B"),              // rewritten partition replaced
+      (9L, 9.0, "z", "C")))             // new partition created
+  }
+
+  test("readBack of an empty layout is a schema-correct empty frame") {
+    val path = tmpDir("sink_empty")
+    // a job that writes zero rows publishes nothing
+    write(df().limit(0), path, "append")
+    val back = PartitionedSink.readBack(spark, path, dataSchema, "p")
+    assert(back.columns.toSeq === Seq("k", "v", "s", "p"))
+    assert(back.count() === 0)
+  }
+
+  // ---- protocol-level pins: the transitions Spark schedules on real
+  // clusters (speculative twin loses the commit race; job aborts) ----
+
+  private def batchWriteFor(path: String, mode: String):
+      org.apache.spark.sql.connector.write.BatchWrite = {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val fullSchema = StructType(dataSchema.fields :+ StructField("p", StringType))
+    val provider = new graft.sources.PartitionedSink
+    val table = provider.getTable(fullSchema, Array.empty,
+      Map("path" -> path, "partitionBy" -> "p").asJava)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = new CaseInsensitiveStringMap(java.util.Map.of())
+      override def queryId(): String = "spec-query-1"
+      override def schema(): StructType = fullSchema
+    }
+    val builder = table.newWriteBuilder(info)
+    val b2 = mode match {
+      case "truncate" => builder
+        .asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+        .truncate()
+      case "dynamic" => builder
+        .asInstanceOf[org.apache.spark.sql.connector.write.SupportsDynamicOverwrite]
+        .overwriteDynamicPartitions()
+      case _ => builder
+    }
+    b2.build().toBatch
+  }
+
+  private def internalRow(k: Long, v: Double, s: String, p: String) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    InternalRow(k, v,
+      if (s == null) null else UTF8String.fromString(s),
+      UTF8String.fromString(p))
+  }
+
+  test("exactly-once: only manifest-listed files publish; the zombie twin's staging is swept") {
+    val path = tmpDir("sink_once")
+    val bw = batchWriteFor(path, "append")
+    val factory = bw.createBatchWriterFactory(null)
+    assert(bw.useCommitCoordinator(),
+      "the coordinator handshake is half of exactly-once; must be on")
+    // partition 0: the winning attempt and a speculative twin BOTH run
+    // to completion and stage files; only the winner's message reaches
+    // the driver (the coordinator denies the twin, which then aborts —
+    // worst case its executor dies first and abort never runs: the
+    // orphan file must still never publish)
+    val winner = factory.createWriter(0, 100L)
+    val zombie = factory.createWriter(0, 101L)
+    winner.write(internalRow(1L, 1.0, "w", "A"))
+    zombie.write(internalRow(1L, 1.0, "w", "A"))
+    zombie.write(internalRow(99L, 9.9, "dup", "B")) // diverged duplicate work
+    val winnerMsg = winner.commit()
+    val _ = zombie.commit() // committed locally, DENIED by coordinator:
+                            // its message never reaches BatchWrite.commit
+    bw.commit(Array(winnerMsg))
+    assert(readBack(path) === Set((1L, 1.0, "w", "A")),
+      "zombie rows must not publish")
+    assert(!new File(path, "_staging").exists(),
+      "staging (including the zombie's orphan) must be swept at commit")
+  }
+
+  test("task abort deletes its staged files; job abort leaves the published layout untouched") {
+    val path = tmpDir("sink_abort")
+    write(df((1L, 1.0, "x", "A")), path, "append") // pre-existing data
+    val bw = batchWriteFor(path, "truncate")
+    val factory = bw.createBatchWriterFactory(null)
+    val w1 = factory.createWriter(0, 200L)
+    val w2 = factory.createWriter(1, 201L)
+    w1.write(internalRow(5L, 5.0, "m", "A"))
+    val m1 = w1.commit()
+    w2.write(internalRow(6L, 6.0, "n", "B"))
+    w2.abort() // this task failed mid-write
+    assert(m1.isInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage])
+    bw.abort(Array(m1)) // then the whole job gave up
+    assert(readBack(path) === Set((1L, 1.0, "x", "A")),
+      "job abort must leave the published layout exactly as before " +
+        "(even though the mode was truncate — truncation happens at " +
+        "commit time, not submit time)")
+    assert(!new File(path, "_staging").exists(), "staging swept on abort")
+  }
+}
