@@ -118,6 +118,7 @@ private class PartitionedSinkTable(path: String, partCol: String,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_WRITE,
+    TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC).asJava
@@ -166,6 +167,10 @@ private class PartitionedSinkWriteBuilder(path: String, partCol: String,
     override def toBatch: BatchWrite =
       new PartitionedSinkBatchWrite(path, partCol, info.schema(),
         info.queryId(), mode)
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new PartitionedSinkStreamingWrite(path, partCol, info.schema(),
+        info.queryId(), mode)
   }
 }
 
@@ -176,9 +181,59 @@ private case class OverwriteValues(values: Set[String]) extends SinkMode
 private case object Dynamic extends SinkMode
 
 /** One staged file, as named by the task that wrote it. */
-private case class StagedFile(partValue: String, stagedPath: String, rows: Long)
+private case class StagedFile(partValue: String, stagedPath: String,
+                              rows: Long, partitionId: Int)
 private case class SinkCommitMessage(files: Seq[StagedFile])
     extends WriterCommitMessage
+
+/** The shared driver-side publish: clear whatever the mode says must
+  * go, then move exactly the manifest-listed staged files to their
+  * destination names. Batch keeps the staged (taskId-unique) name;
+  * streaming passes an (epoch, partition)-deterministic name so an
+  * epoch REPLAY overwrites its own files instead of duplicating them.
+  */
+private object SinkCommit {
+  def fsFor(path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+
+  def publish(fs: FileSystem, path: String, partCol: String, mode: SinkMode,
+              files: Seq[StagedFile], destName: StagedFile => String): Unit = {
+    val toClear: Set[String] = mode match {
+      case Append => Set.empty
+      case Truncate =>
+        Option(fs.listStatus(new Path(path))).toSeq.flatten
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+          .map(_.getPath.getName.stripPrefix(partCol + "="))
+          .toSet
+      case OverwriteValues(vs) => vs
+      case Dynamic => files.map(_.partValue).toSet
+    }
+    toClear.foreach(v => fs.delete(new Path(path, s"$partCol=$v"), true))
+    files.foreach { f =>
+      val dest = new Path(path, s"$partCol=${f.partValue}")
+      fs.mkdirs(dest)
+      val src = new Path(f.stagedPath)
+      val target = new Path(dest, destName(f))
+      fs.delete(target, false) // streaming replay: same target name
+      if (!fs.rename(src, target))
+        throw new java.io.IOException(s"publish rename failed for $src")
+    }
+  }
+
+  /** Delete `dir`, then remove each ancestor up to (and including)
+    * `stopAt` while empty — keeps `_staging` from accumulating empty
+    * query/epoch skeletons over a long-running stream.
+    */
+  def sweep(fs: FileSystem, dir: Path, stopAt: Path): Unit = {
+    fs.delete(dir, true)
+    var p = dir.getParent
+    while (p != null && fs.exists(p) && fs.listStatus(p).isEmpty) {
+      fs.delete(p, true)
+      p = if (p == stopAt) null else p.getParent
+    }
+  }
+}
 
 private class PartitionedSinkBatchWrite(path: String, partCol: String,
                                         schema: StructType, queryId: String,
@@ -195,45 +250,20 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
   override def useCommitCoordinator(): Boolean = true
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
-    val manifests = messages.collect { case m: SinkCommitMessage => m.files }
-    val files = manifests.flatten
-
-    // overwrite semantics, driver-side, before any publish
-    val toClear: Set[String] = mode match {
-      case Append => Set.empty
-      case Truncate =>
-        Option(fs.listStatus(new Path(path))).toSeq.flatten
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-          .map(_.getPath.getName.stripPrefix(partCol + "="))
-          .toSet
-      case OverwriteValues(vs) => vs
-      case Dynamic => files.map(_.partValue).toSet
-    }
-    toClear.foreach { v =>
-      fs.delete(new Path(path, s"$partCol=$v"), true)
-    }
-
+    val fs = SinkCommit.fsFor(path)
+    val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
     // publish exactly the manifest-listed files; a zombie attempt's
     // orphan staging file is NOT in any commit message and is swept
     // with the staging dir below
-    files.foreach { f =>
-      val dest = new Path(path, s"$partCol=${f.partValue}")
-      fs.mkdirs(dest)
-      val src = new Path(f.stagedPath)
-      if (!fs.rename(src, new Path(dest, src.getName)))
-        throw new java.io.IOException(s"publish rename failed for $src")
-    }
+    SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
+      f => new Path(f.stagedPath).getName)
     sweepStaging(fs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
     // all-or-nothing: staged data vanishes, the published layout is
     // exactly what it was before the job
-    sweepStaging(fs)
+    sweepStaging(SinkCommit.fsFor(path))
   }
 
   /** Remove this query's staging dir, and the `_staging` parent when
@@ -257,11 +287,12 @@ private class PartitionedSinkWriterFactory(path: String, partCol: String,
 
 /** Task-side writer: buffers one open staged file per partition value
   * seen (the incoming rows need not be clustered by the partition
-  * column), stages under `_staging/<queryId>/`, and reports its files
-  * in the commit message. abort() deletes everything it staged.
+  * column), stages under `_staging/<stagingSub>/` (query dir for batch,
+  * query/epoch dir for streaming), and reports its files in the commit
+  * message. abort() deletes everything it staged.
   */
 private class PartitionedSinkWriter(path: String, partCol: String,
-                                    schema: StructType, queryId: String,
+                                    schema: StructType, stagingSub: String,
                                     partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
@@ -295,7 +326,7 @@ private class PartitionedSinkWriter(path: String, partCol: String,
       s"NULL partition value in $partCol")
     val (w, p, n) = open.getOrElseUpdate(pv, {
       val f = new Path(path,
-        s"_staging/$queryId/part-$partitionId-$taskId-$pv.tsv")
+        s"_staging/$stagingSub/part-$partitionId-$taskId-$pv.tsv")
       fs.mkdirs(f.getParent)
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
@@ -309,7 +340,7 @@ private class PartitionedSinkWriter(path: String, partCol: String,
 
   override def commit(): WriterCommitMessage = {
     val files = open.map { case (pv, (w, p, n)) =>
-      w.close(); StagedFile(pv, p.toString, n)
+      w.close(); StagedFile(pv, p.toString, n, partitionId)
     }.toSeq
     open.clear()
     SinkCommitMessage(files)
@@ -327,4 +358,67 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     open.values.foreach { case (w, _, _) =>
       try w.close() catch { case _: Throwable => () }
     }
+}
+
+/** Streaming half of the sink: per-epoch exactly-once on top of the
+  * same stage-then-publish protocol. Two mechanisms compose:
+  *
+  *   - DETERMINISTIC TARGET NAMES: epoch e's files publish as
+  *     `part-e<e>-p<partitionId>-<value>.tsv` — a REPLAYED epoch (the
+  *     checkpoint committed the sink write but crashed before the
+  *     offset commit, so Spark re-runs the batch) overwrites its own
+  *     files instead of appending duplicates. This holds because a
+  *     replay recomputes the same rows into the same partition layout
+  *     from the same checkpointed offsets.
+  *   - COMMIT MARKERS: `_commits/epoch-<e>` is written after publish;
+  *     a replay that finds its marker skips the publish entirely
+  *     (cheap, and also protects Truncate/complete-mode replays from
+  *     re-clearing newer data if epochs could ever interleave).
+  *
+  * Modes map to streaming output modes: Append = append,
+  * Truncate = complete (each epoch replaces the whole layout),
+  * Dynamic = per-partition replace (the update-mode rendition for a
+  * partition-grained sink).
+  */
+private class PartitionedSinkStreamingWrite(path: String, partCol: String,
+                                            schema: StructType, queryId: String,
+                                            mode: SinkMode)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def marker(epochId: Long) = new Path(path, s"_commits/epoch-$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new PartitionedSinkStreamingWriterFactory(path, partCol, schema, queryId)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SinkCommit.fsFor(path)
+    val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
+    if (!fs.exists(marker(epochId))) {
+      SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
+        f => s"part-e$epochId-p${f.partitionId}-${f.partValue}.tsv")
+      fs.mkdirs(marker(epochId).getParent)
+      fs.create(marker(epochId), true).close()
+    }
+    SinkCommit.sweep(fs, new Path(path, s"_staging/$queryId/epoch-$epochId"),
+      new Path(path, "_staging"))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SinkCommit.fsFor(path)
+    SinkCommit.sweep(fs, new Path(path, s"_staging/$queryId/epoch-$epochId"),
+      new Path(path, "_staging"))
+  }
+}
+
+private class PartitionedSinkStreamingWriterFactory(
+    path: String, partCol: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new PartitionedSinkWriter(path, partCol, schema,
+      s"$queryId/epoch-$epochId", partitionId, taskId)
 }

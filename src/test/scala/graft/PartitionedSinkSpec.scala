@@ -149,6 +149,94 @@ class PartitionedSinkSpec extends SparkSpec {
       "staging (including the zombie's orphan) must be swept at commit")
   }
 
+  // ---- streaming write path ----
+
+  private def streamingWriteFor(path: String, mode: String) = {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val fullSchema = StructType(dataSchema.fields :+ StructField("p", StringType))
+    val provider = new graft.sources.PartitionedSink
+    val table = provider.getTable(fullSchema, Array.empty,
+      Map("path" -> path, "partitionBy" -> "p").asJava)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = new CaseInsensitiveStringMap(java.util.Map.of())
+      override def queryId(): String = "spec-stream-1"
+      override def schema(): StructType = fullSchema
+    }
+    val builder = table.newWriteBuilder(info)
+    val b2 = mode match {
+      case "truncate" => builder
+        .asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+        .truncate()
+      case _ => builder
+    }
+    b2.build().toStreaming
+  }
+
+  test("streaming append end-to-end: epochs accumulate through the real writer") {
+    import spark.implicits._
+    val srcDir = tmpDir("sink_stream_src")
+    val path = tmpDir("sink_stream")
+    def feed(rows: (Long, Double, String, String)*): Unit =
+      rows.toSeq.toDF("k", "v", "s", "p")
+        .write.mode("append").parquet(srcDir)
+    feed((0L, 0.0, "s0", "P0"), (1L, 0.5, "s1", "P1"), (2L, 1.0, "s2", "P0"))
+    val fullSchema = StructType(dataSchema.fields :+ StructField("p", StringType))
+    val q = spark.readStream.schema(fullSchema).parquet(srcDir)
+      .writeStream.format("graft.sources.PartitionedSink")
+      .option("partitionBy", "p")
+      .option("checkpointLocation", tmpDir("sink_stream_ck"))
+      .start(path)
+    try {
+      q.processAllAvailable()
+      feed((3L, 1.5, "s3", "P1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack(path) === Set(
+      (0L, 0.0, "s0", "P0"), (1L, 0.5, "s1", "P1"),
+      (2L, 1.0, "s2", "P0"), (3L, 1.5, "s3", "P1")))
+    assert(!new File(path, "_staging").exists(), "per-epoch staging swept")
+  }
+
+  test("streaming epoch replay is exactly-once: same epoch re-committed publishes one copy") {
+    val path = tmpDir("sink_replay")
+    val sw = streamingWriteFor(path, "append")
+    val factory = sw.createStreamingWriterFactory(null)
+    // epoch 7, first run: sink commit lands, but the checkpoint's
+    // offset commit doesn't — Spark restarts and REPLAYS epoch 7
+    val w1 = factory.createWriter(0, 500L, 7L)
+    w1.write(internalRow(1L, 1.0, "a", "A"))
+    sw.commit(7L, Array(w1.commit()))
+    assert(readBack(path) === Set((1L, 1.0, "a", "A")))
+    // replay: same rows, same partitionId, fresh taskId
+    val w2 = factory.createWriter(0, 501L, 7L)
+    w2.write(internalRow(1L, 1.0, "a", "A"))
+    sw.commit(7L, Array(w2.commit()))
+    assert(readBack(path) === Set((1L, 1.0, "a", "A")),
+      "replayed epoch must not duplicate rows")
+    // a later epoch still appends
+    val w3 = factory.createWriter(0, 502L, 8L)
+    w3.write(internalRow(2L, 2.0, "b", "A"))
+    sw.commit(8L, Array(w3.commit()))
+    assert(readBack(path) === Set((1L, 1.0, "a", "A"), (2L, 2.0, "b", "A")))
+  }
+
+  test("streaming complete mode: each epoch's commit replaces the whole layout") {
+    val path = tmpDir("sink_complete")
+    val sw = streamingWriteFor(path, "truncate")
+    val factory = sw.createStreamingWriterFactory(null)
+    val w1 = factory.createWriter(0, 600L, 1L)
+    w1.write(internalRow(1L, 1.0, "a", "A"))
+    w1.write(internalRow(2L, 2.0, "b", "B"))
+    sw.commit(1L, Array(w1.commit()))
+    val w2 = factory.createWriter(0, 601L, 2L)
+    w2.write(internalRow(9L, 9.0, "z", "C"))
+    sw.commit(2L, Array(w2.commit()))
+    assert(readBack(path) === Set((9L, 9.0, "z", "C")),
+      "complete-mode epoch must replace all prior partitions")
+  }
+
   test("task abort deletes its staged files; job abort leaves the published layout untouched") {
     val path = tmpDir("sink_abort")
     write(df((1L, 1.0, "x", "A")), path, "append") // pre-existing data
