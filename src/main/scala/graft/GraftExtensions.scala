@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rules (operator-optimization fixed-point batch)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectOptimizerRule(_ => graft.plans.DistinctCountRegroupRule)
+    // whole-operator extension: the native as-of join physical operator
+    // (graft.plans.AsOfJoinPlan → AsOfJoinExec; TemporalOps.asofJoinNative)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

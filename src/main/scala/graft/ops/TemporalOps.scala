@@ -47,6 +47,29 @@ object TemporalOps {
     asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
       forward = true)
 
+  /** As-of join through the NATIVE physical operator
+    * (graft.plans.AsOfJoinExec, planned via the AsOfJoinStrategy that
+    * GraftExtensions injects): same contract as [[asofJoin]] /
+    * [[asofJoinForward]], but each side shuffles once on its own key
+    * and the match is a per-partition two-pointer merge — no unioned
+    * relation, no carry-forward window over the merged width. Prefer
+    * this at scale; the declarative spelling remains the pure-DataFrame
+    * rendition (and this operator's differential oracle).
+    *
+    * NULL-timestamp right rows are dropped up front (they can never be
+    * the match) — same normalization as the declarative core.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, rightPayload: Seq[String],
+                     prefix: String = "asof_", forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    val r2 = right.filter(col(rightTs).isNotNull)
+    GraftColumnShim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan.resolved(
+        GraftColumnShim.planOf(left), GraftColumnShim.planOf(r2),
+        keys, leftTs, rightTs, rightPayload, prefix, forward))
+  }
+
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String, rightPayload: Seq[String],
                        prefix: String, forward: Boolean): DataFrame = {
@@ -58,8 +81,17 @@ object TemporalOps {
     // right row (per-column carries would mix values across right rows).
     // a NULL-timestamp right row can never be "the latest/next match"
     // (the SQL comparison is NULL) — drop it here, or null-ordering
-    // would sort it to one end of the timeline and leak its payload
-    val r2 = right.filter(col(rightTs).isNotNull).select(
+    // would sort it to one end of the timeline and leak its payload.
+    // Same for NULL-KEY right rows: SQL equi-join semantics say NULL
+    // never matches, but Window.partitionBy groups NULLs into one
+    // partition, so without this filter a NULL-key left row would
+    // carry a NULL-key right row's payload (latent until r13, when
+    // the native AsOfJoinExec's differential spec exposed it — the
+    // harness events table has no NULL user_ids, so the oracle gate
+    // never exercised the case)
+    val r2 = right
+      .filter(keys.foldLeft(col(rightTs).isNotNull)(_ && col(_).isNotNull))
+      .select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) :+
         struct(outCols.map { case (c, o) => col(c).as(o) }: _*).as("__pack"): _*)
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))

@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native AS-OF JOIN — the custom whole-operator path of the extension
+  * ladder (expression < logical node + strategy + physical node): a
+  * `LogicalPlan` the planner turns into a dedicated merge-join
+  * `SparkPlan`, injected via `SparkSessionExtensions`
+  * (graft.GraftExtensions).
+  *
+  * Semantics (matches graft.ops.TemporalOps.asofJoin): every left row
+  * gains the payload of the LATEST right row with `rightTs <= leftTs`
+  * on the same key (ties include the right row), or NULLs when no
+  * match exists; `forward = true` flips to the EARLIEST right row with
+  * `rightTs >= leftTs`. NULL keys and NULL timestamps match nothing;
+  * right rows with NULL timestamps are never candidates.
+  *
+  * The join columns are stored BY NAME and resolved against the live
+  * child outputs on every access: when both sides derive from the same
+  * source DataFrame, the analyzer's DeduplicateRelations re-mints the
+  * right subtree's exprIds AFTER this node is constructed — captured
+  * Attribute objects would silently keep the left side's ids (the
+  * r13 bug this replaced: the right child got column-pruned down to
+  * the payload because the stored "right" keys resolved to the left).
+  * Name resolution recomputes from `children` post-rewrite, so the
+  * node stays correct under any analyzer/optimizer re-identification.
+  *
+  * Why a physical operator when the union+carry-forward spelling
+  * (TemporalOps.asofJoin) already avoids the quadratic range join:
+  * the declarative spelling must UNION both sides into one relation
+  * and run a carry-forward WINDOW over the merged timeline — at
+  * 100 TB that is a shuffle of left+right TOGETHER, a sort of the
+  * merged width (left columns padded onto every right row and vice
+  * versa), and window-function execution per row. This operator keeps
+  * the sides separate: each shuffles ONCE on its own key (the
+  * distribution/ordering contract below — Catalyst's EnsureRequirements
+  * plans the exchanges and sorts, and co-partitions the sides), and
+  * the per-partition merge is a single forward pass with one pointer
+  * per side — no merged relation, no window state, no padding. Sorted
+  * inputs stream; memory is O(1) per partition beyond the sort.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keyNames: Seq[String],
+    leftTsName: String,
+    rightTsName: String,
+    payloadNames: Seq[String],
+    outAttrs: Seq[Attribute],
+    forward: Boolean) extends BinaryNode {
+  require(keyNames.nonEmpty)
+  require(outAttrs.size == payloadNames.size + 1,
+    "outAttrs = prefixed payload columns + the matched timestamp")
+
+  private def byName(p: LogicalPlan, n: String): Attribute = {
+    val hits = p.output.filter(_.name == n)
+    require(hits.size == 1,
+      s"as-of column $n must be unique in ${p.output.map(_.name).mkString(", ")}")
+    hits.head
+  }
+  def leftKeyAttrs: Seq[Attribute] = keyNames.map(byName(left, _))
+  def rightKeyAttrs: Seq[Attribute] = keyNames.map(byName(right, _))
+  def leftTsAttr: Attribute = byName(left, leftTsName)
+  def rightTsAttr: Attribute = byName(right, rightTsName)
+  def payloadAttrs: Seq[Attribute] = payloadNames.map(byName(right, _))
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  // outAttrs are minted HERE, not read from the children
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  // name-resolved join inputs — without this, column pruning sees no
+  // references into the children and strips the keys/timestamps
+  override lazy val references: AttributeSet =
+    AttributeSet((leftKeyAttrs :+ leftTsAttr) ++
+      (rightKeyAttrs :+ rightTsAttr) ++ payloadAttrs)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Build the logical node: validates the named columns against the
+    * child outputs and mints the output attributes (nullable — a left
+    * row may have no match).
+    */
+  def resolved(left: LogicalPlan, right: LogicalPlan, keys: Seq[String],
+               leftTs: String, rightTs: String, rightPayload: Seq[String],
+               prefix: String, forward: Boolean): AsOfJoinPlan = {
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    val rp = rightPayload.map(attr(right, _))
+    val rt = attr(right, rightTs)
+    keys.foreach { k => attr(left, k); attr(right, k) }
+    attr(left, leftTs)
+    val out = (rp :+ rt).zip(rightPayload :+ "ts").map { case (a, n) =>
+      AttributeReference(s"$prefix$n", a.dataType, nullable = true)()
+    }
+    AsOfJoinPlan(left, right, keys, leftTs, rightTs, rightPayload, out, forward)
+  }
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec (attributes resolved from
+  * the final child outputs at planning time).
+  */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right), p.leftKeyAttrs,
+        p.rightKeyAttrs, p.leftTsAttr, p.rightTsAttr, p.payloadAttrs,
+        p.outAttrs, p.forward) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Per-partition sorted merge. The scheduling contract does the heavy
+  * lifting: requiredChildDistribution co-partitions both sides on the
+  * join keys (one exchange each, planned by EnsureRequirements) and
+  * requiredChildOrdering sorts each side by (keys, ts) — after which
+  * the as-of match is a linear two-pointer walk per partition.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightPayload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    forward: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // ascending + nulls first on BOTH (keys, ts): null keys / null ts
+  // group at the front of each run where the merge skips them
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val nOut = outAttrs.size
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTs; val rt = rightTs
+    val rp = rightPayload
+    val out = output
+    val fwd = forward
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
+      val packProj = UnsafeProjection.create(rp :+ rt, rOut)
+      val resultProj = UnsafeProjection.create(out, out)
+      val keyOrds = keyTypes.map(TypeUtils.getInterpretedOrdering)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      def cmpKeys(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < keyOrds.length) {
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          val c =
+            if (an && bn) 0 else if (an) -1 else if (bn) 1
+            else keyOrds(i).compare(a.get(i, keyTypes(i)), b.get(i, keyTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      val nulls = new GenericInternalRow(nOut)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // backward state: the latest in-range right row for lastKey
+      var lastMatch: InternalRow = null
+      var lastKey: InternalRow = null
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTsRow = lTsProj(l)
+        val matched: InternalRow =
+          if (lKey.anyNull || lTsRow.isNullAt(0)) null
+          else {
+            val lTsVal = lTsRow.get(0, tsType)
+            // advance the right pointer to this left row's position
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val r = rBuf.head
+              val rKey = rKeyProj(r)
+              val c = cmpKeys(rKey, lKey)
+              if (c < 0) { rBuf.next() }
+              else if (c > 0) done = true
+              else if (rKey.anyNull) { rBuf.next() } // null never matches
+              else {
+                val rTsRow = rTsProj(r)
+                if (rTsRow.isNullAt(0)) { rBuf.next() } // nulls sort first; skip
+                else {
+                  val rTsVal = rTsRow.get(0, tsType)
+                  if (!fwd && tsOrd.compare(rTsVal, lTsVal) <= 0) {
+                    lastMatch = r.copy(); lastKey = rKey.copy(); rBuf.next()
+                  } else if (fwd && tsOrd.compare(rTsVal, lTsVal) < 0) {
+                    rBuf.next()
+                  } else done = true
+                }
+              }
+            }
+            if (fwd) {
+              // candidate = the row the pointer stopped on, if same key
+              // (its ts is >= lTs by the walk above)
+              if (rBuf.hasNext && {
+                val rKey = rKeyProj(rBuf.head)
+                !rKey.anyNull && cmpKeys(rKey, lKey) == 0 &&
+                  !rTsProj(rBuf.head).isNullAt(0)
+              }) rBuf.head else null
+            } else if (lastMatch != null && cmpKeys(lastKey, lKey) == 0)
+              lastMatch
+            else null
+          }
+        resultProj(joined(l, if (matched == null) nulls else packProj(matched)))
+      }
+    }
+  }
+}

@@ -273,6 +273,43 @@ object EventQueries {
       ORDER BY event_id"""),
     headline = true)
 
+  /** The SAME as-of join through the NATIVE physical operator
+    * (graft.plans.AsOfJoinExec via the injected AsOfJoinStrategy —
+    * the whole-operator tier of the extension ladder): identical
+    * contract and identical DuckDB ASOF oracle as q_asof_join, so the
+    * custom SparkPlan's merge sits under the same exactness gate as
+    * the declarative union+carry-forward spelling it replaces at
+    * scale (each side shuffles once on its own key; the match is a
+    * per-partition two-pointer walk — no merged relation, no window).
+    */
+  val qAsofNative = Q(
+    "q_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      graft.ops.TemporalOps
+        .asofJoinNative(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("view_ts_us"),
+          col("asof_view_value").as("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             epoch_us(r.ts) AS view_ts_us, r.view_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id"""),
+    headline = true)
+
   /** Forward as-of join (graft.ops.TemporalOps.asofJoinForward): each
     * view event finds the user's NEXT purchase at or after it — the
     * "time to conversion" lookup. Oracle: DuckDB's native ASOF with the
@@ -1310,7 +1347,8 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
-    qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofForward,
+    qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofNative,
+    qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers,

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalOps
+
+/** The native as-of join operator (graft.plans.AsOfJoinPlan /
+  * AsOfJoinExec, injected via GraftExtensions) against the declarative
+  * union+carry-forward spelling it replaces at scale — differential
+  * equivalence over the edge cases (NULL keys, NULL timestamps on both
+  * sides, tie timestamps, keys with no match, forward direction), plus
+  * the plan-shape contract: the custom exec node is planned, each side
+  * is exchanged once on its own key, and both sides are sorted by
+  * (key, ts) under it.
+  */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private lazy val left = Seq(
+    (1L, java.lang.Long.valueOf(10L), ts(100)),
+    (2L, java.lang.Long.valueOf(10L), ts(50)),
+    (3L, java.lang.Long.valueOf(10L), ts(5)),    // before every right row
+    (4L, java.lang.Long.valueOf(20L), ts(100)),  // key with no right rows
+    (5L, java.lang.Long.valueOf(30L), ts(100)),  // exact-tie timestamp
+    (6L, null.asInstanceOf[java.lang.Long], ts(100)), // NULL key
+    (7L, java.lang.Long.valueOf(10L), null.asInstanceOf[Timestamp]) // NULL ts
+  ).toDF("id", "k", "t")
+
+  private lazy val right = Seq(
+    (java.lang.Long.valueOf(10L), ts(10), "a"),
+    (java.lang.Long.valueOf(10L), ts(60), "b"),
+    (java.lang.Long.valueOf(10L), ts(100), "c"),
+    (java.lang.Long.valueOf(30L), ts(100), "tie"),
+    (java.lang.Long.valueOf(30L), ts(200), "later"),
+    (null.asInstanceOf[java.lang.Long], ts(10), "nullkey"),
+    (java.lang.Long.valueOf(10L), null.asInstanceOf[Timestamp], "nullts")
+  ).toDF("k", "t", "payload")
+
+  private def canon(df: DataFrame): Seq[(Long, Option[Long], Option[String])] =
+    df.select(col("id"), unix_micros(col("asof_ts")).as("mt"), col("asof_payload"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).sortBy(_._1).toSeq
+
+  test("backward: native merge equals the declarative carry-forward on every edge case") {
+    val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+      Seq("payload"))
+    val decl = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("payload"))
+    assert(canon(native) === canon(decl))
+    // and the expected values, spelled out (ties match, null key/ts do not)
+    assert(canon(native) === Seq(
+      (1L, Some(100000000L), Some("c")),
+      (2L, Some(10000000L), Some("a")),
+      (3L, None, None),
+      (4L, None, None),
+      (5L, Some(100000000L), Some("tie")),
+      (6L, None, None),
+      (7L, None, None)))
+  }
+
+  test("forward: native merge equals the declarative spelling") {
+    val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+      Seq("payload"), forward = true)
+    val decl = TemporalOps.asofJoinForward(left, right, Seq("k"), "t", "t",
+      Seq("payload"))
+    assert(canon(native) === canon(decl))
+    assert(canon(native) === Seq(
+      (1L, Some(100000000L), Some("c")),   // tie matches forward too
+      (2L, Some(60000000L), Some("b")),
+      (3L, Some(10000000L), Some("a")),
+      (4L, None, None),
+      (5L, Some(100000000L), Some("tie")),
+      (6L, None, None),
+      (7L, None, None)))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange and one sort per side") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+        Seq("payload")).queryExecution.executedPlan
+      val execs = plan.collect { case e: graft.plans.AsOfJoinExec => e }
+      assert(execs.size === 1, s"expected the native exec node:\n$plan")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size === 2,
+        s"each side shuffles exactly once on its own key:\n$plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.size === 2, s"each side sorted by (key, ts):\n$plan")
+      // the sides are NEVER unioned: no window exec anywhere
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"native path must not fall back to the window plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("differential on generated data: dense keys, repeated timestamps, both directions") {
+    // deterministic generated fixture: 40 keys x dense timeline with
+    // repeated (key, ts) pressure on the left (right stays unique per
+    // (key, ts) — the documented contract)
+    val l = spark.range(2000).select(
+      col("id"),
+      (col("id") % 40).as("k"),
+      expr("timestamp_micros((id * 7919) % 1000 * 1000000)").as("t"))
+    val r = spark.range(700).select(
+      (col("id") % 40).as("k"),
+      expr("timestamp_micros((id * 104729) % 997 * 1000000)").as("t"),
+      concat(lit("p"), col("id")).as("payload"))
+      .groupBy("k", "t").agg(max("payload").as("payload"))
+    for (fwd <- Seq(false, true)) {
+      val native = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "t",
+        Seq("payload"), forward = fwd)
+      val decl =
+        if (fwd) TemporalOps.asofJoinForward(l, r, Seq("k"), "t", "t", Seq("payload"))
+        else TemporalOps.asofJoin(l, r, Seq("k"), "t", "t", Seq("payload"))
+      val n = native.select("id", "asof_ts", "asof_payload")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val e = decl.select("id", "asof_ts", "asof_payload")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(n === e, s"forward=$fwd: native and declarative diverge")
+    }
+  }
+}
