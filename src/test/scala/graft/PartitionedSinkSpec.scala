@@ -199,6 +199,30 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(!new File(path, "_staging").exists(), "per-epoch staging swept")
   }
 
+  test("streaming restart from checkpoint resumes without duplicating published batches") {
+    import spark.implicits._
+    val srcDir = tmpDir("sink_restart_src")
+    val ckDir = tmpDir("sink_restart_ck")
+    val path = tmpDir("sink_restart")
+    def feed(rows: (Long, Double, String, String)*): Unit =
+      rows.toSeq.toDF("k", "v", "s", "p").write.mode("append").parquet(srcDir)
+    val fullSchema = StructType(dataSchema.fields :+ StructField("p", StringType))
+    def start() = spark.readStream.schema(fullSchema).parquet(srcDir)
+      .writeStream.format("graft.sources.PartitionedSink")
+      .option("partitionBy", "p").option("checkpointLocation", ckDir)
+      .start(path)
+    feed((1L, 1.0, "a", "A"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: a NEW run (fresh runId) over the same checkpoint; the
+    // epoch counter continues, earlier epochs' markers stand
+    feed((2L, 2.0, "b", "B"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack(path) === Set((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B")),
+      "restart must resume the epoch sequence, not replay batch 0's rows")
+  }
+
   test("streaming epoch replay is exactly-once: same epoch re-committed publishes one copy") {
     val path = tmpDir("sink_replay")
     val sw = streamingWriteFor(path, "append")
