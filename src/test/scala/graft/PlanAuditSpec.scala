@@ -173,6 +173,32 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_tpch_q6: every predicate reaches the scan; projection reads 4 of 11 columns") {
+    // Q6 is the pure-I/O query: if any of its four predicates falls out
+    // of PushedFilters, or the scan reads columns the aggregate never
+    // touches, the whole query's 100 TB cost model breaks
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.ParityQueries.qTpchQ6
+        .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val scans = plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      assert(scans.size === 1, s"Q6 is one scan:\n$plan")
+      val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+      for (frag <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05", "LessThanOrEqual(l_discount,0.07",
+        "LessThan(l_quantity,24"))
+        assert(pushed.contains(frag), s"missing pushed filter $frag in $pushed")
+      val readCols = scans.head.metadata.getOrElse("ReadSchema", "")
+      for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+        assert(readCols.contains(c), s"ReadSchema lost $c: $readCols")
+      assert(!readCols.contains("l_orderkey") && !readCols.contains("l_tax"),
+        s"Q6 scan reads columns it never uses: $readCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_tpch_q9: infix LIKE pushes to the part scan; part side collapses first") {
     // Q9's plan lives or dies on two decisions at 100 TB: the
     // `p_name LIKE '%gear%'` residual must reach the part scan as a
