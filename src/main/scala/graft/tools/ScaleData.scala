@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   * decorrelation so pair-generating operators scale linearly the way
   * a real 10× corpus would, instead of superlinearly against 10 exact
   * clones of every row:
-  *   - documents.text: letters rotate by `cp` (a substitution cipher —
-  *     length, punctuation, token boundaries, and per-copy shingle
-  *     structure all preserved; shingles across copies disjoint);
-  *   - embeddings.embedding: circular component rotation by `cp`
-  *     (norms exact-preserved; directions decorrelated).
+  *   - documents.text: per-copy AFFINE substitution cipher on letters
+  *     (`i → a(cp)·i + cp mod 26`, a(cp) one of the 12 multipliers
+  *     coprime to 26) — length, punctuation, token boundaries, and
+  *     per-copy shingle structure all preserved; substitutions are
+  *     distinct for every cp < 312, so even a 100× scale-up never
+  *     clones a text (a plain rotation collides at cp = 26);
+  *   - embeddings.embedding: circular component rotation by `cp`,
+  *     with the array REVERSED first on every wrap of the dimension
+  *     (`cp div dim` odd) — norms exact-preserved, directions
+  *     decorrelated, no identical vectors up to 2·dim copies.
   *
   * Facts are written range-partitioned + sorted on their date column
   * so parquet row-group min/max pruning behaves like the (naturally
@@ -38,7 +43,12 @@ object ScaleData {
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
-  private def rot(s: String, k: Int): String = s.drop(k % 26) + s.take(k % 26)
+  private val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  /** Affine substitution alphabet for copy `cp`: identity at cp = 0. */
+  private def affine(s: String, cp: Int): String = {
+    val a = coprimes(cp % coprimes.size)
+    s.indices.map(i => s((a * i + cp) % 26)).mkString
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleData <srcDir> <outDir> [factor]")
@@ -98,14 +108,19 @@ object ScaleData {
     scale("documents", (d, cp) =>
       shifted(d, cp, Map("doc_id" -> strideDoc))
         .withColumn("text",
-          translate(col("text"), lower + upper, rot(lower, cp) + rot(upper, cp))),
+          translate(col("text"), lower + upper, affine(lower, cp) + affine(upper, cp))),
       8)
-    scale("embeddings", (d, cp) =>
-      shifted(d, cp, Map("vec_id" -> strideVec))
-        .withColumn("embedding", expr(
-          s"concat(slice(embedding, ${cp + 1}, size(embedding) - $cp), " +
-            s"slice(embedding, 1, $cp))")),
-      4)
+    scale("embeddings", (d, cp) => {
+      val base = shifted(d, cp, Map("vec_id" -> strideVec))
+      val dim = 64 // harness embedding dimension (TESTDATA contract)
+      val k = cp % dim
+      val oriented =
+        if ((cp / dim) % 2 == 1) base.withColumn("embedding", reverse(col("embedding")))
+        else base
+      oriented.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k))"))
+    }, 4)
 
     System.err.println(s"[scale] done: $outDir at ${factor}x $srcDir")
     spark.stop()
