@@ -1105,6 +1105,106 @@ object EventQueries {
       ORDER BY user_a, user_b"""),
     headline = true)
 
+  /** The CAPPED interval-overlap join — the 100 TB rendition of
+    * q_interval_overlap. The exact pair answer is OUTPUT-BOUND
+    * (measured r13: 10× users sharing one wall-clock span grow the
+    * true pair output ×107), so at scale the ANSWER must be bounded,
+    * not the plan: per hour bucket, only the first `cap` sessions (by
+    * start time — deterministic (start, user, end) tie-break) enter
+    * the pairing, capping the fan-out at cap²/2 pairs per bucket
+    * regardless of density. The cap is a deliberate, documented
+    * approximation — densest-hour concurrency is truncated — and the
+    * oracle replicates the same capped semantics exactly, so the gate
+    * still checks equality, not a recall bound. Everything else
+    * (banding, first-shared-bucket dedup, exact BIGINT overlap
+    * micros) matches the uncapped operator.
+    */
+  val qIntervalOverlapCapped = Q(
+    "q_interval_overlap_capped",
+    (s, d) => {
+      val cap = 20
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .withColumn("prev_s", lag(col("ts").cast(LongType), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts").cast(LongType) - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+      val banded = graft.ops.Caching.cachedOnce(sessions.select(
+          col("user_id"), col("start_us"), col("end_us"),
+          explode(expr("sequence(start_us div 3600000000, end_us div 3600000000)"))
+            .as("bucket"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("start_us"), col("user_id"), col("end_us"))))
+        .filter(col("rnk") <= cap).drop("rnk"))
+      val a = banded.select(
+        col("bucket"), col("user_id").as("user_a"),
+        col("start_us").as("sa"), col("end_us").as("ea"))
+      val b = banded.select(
+        col("bucket"), col("user_id").as("user_b"),
+        col("start_us").as("sb"), col("end_us").as("eb"))
+      a.join(b, Seq("bucket"))
+        .where(col("user_a") < col("user_b") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          col("bucket") === greatest(
+            expr("sa div 3600000000"), expr("sb div 3600000000")))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(
+          count(lit(1)).as("n_overlaps"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .where(col("n_overlaps") >= 2)
+        .orderBy(col("user_a"), col("user_b"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+      ), sessions AS (
+        SELECT user_id,
+               epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+               epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us
+        FROM numbered GROUP BY user_id, session_seq
+      ), banded AS (
+        SELECT user_id, start_us, end_us,
+               unnest(generate_series(start_us // 3600000000,
+                                      end_us // 3600000000)) AS bucket
+        FROM sessions
+      ), capped AS (
+        SELECT user_id, start_us, end_us, bucket FROM (
+          SELECT *, row_number() OVER (PARTITION BY bucket
+                      ORDER BY start_us, user_id, end_us) AS rnk
+          FROM banded)
+        WHERE rnk <= 20
+      )
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS n_overlaps,
+             CAST(sum(least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))
+                  AS BIGINT) AS overlap_us
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket
+       AND a.user_id < b.user_id
+       AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.bucket = greatest(a.start_us // 3600000000, b.start_us // 3600000000)
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY user_a, user_b"""),
+    headline = true)
+
   /** Robust per-group outlier detection via MEDIAN / MAD — the
     * z-score's (q_anomaly_hours) robust sibling: mean and stddev are
     * themselves dragged by the outliers they're meant to flag, while
@@ -1351,6 +1451,7 @@ object EventQueries {
     qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
-    qAttribution, qPagerank, qIntervalOverlap, qSlidingWindow, qRobustOutliers,
+    qAttribution, qPagerank, qIntervalOverlap, qIntervalOverlapCapped,
+    qSlidingWindow, qRobustOutliers,
     qBotScore, qEventTransitions, qAutocorrelation)
 }
