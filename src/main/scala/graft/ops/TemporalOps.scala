@@ -61,13 +61,15 @@ object TemporalOps {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String, rightPayload: Seq[String],
-                     prefix: String = "asof_", forward: Boolean = false): DataFrame = {
+                     prefix: String = "asof_", forward: Boolean = false,
+                     broadcastRight: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnShim
     val r2 = right.filter(col(rightTs).isNotNull)
     GraftColumnShim.ofRows(left.sparkSession,
       graft.plans.AsOfJoinPlan.resolved(
         GraftColumnShim.planOf(left), GraftColumnShim.planOf(r2),
-        keys, leftTs, rightTs, rightPayload, prefix, forward))
+        keys, leftTs, rightTs, rightPayload, prefix, forward,
+        broadcast = broadcastRight))
   }
 
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -53,7 +53,8 @@ case class AsOfJoinPlan(
     rightTsName: String,
     payloadNames: Seq[String],
     outAttrs: Seq[Attribute],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    broadcast: Boolean = false) extends BinaryNode {
   require(keyNames.nonEmpty)
   require(outAttrs.size == payloadNames.size + 1,
     "outAttrs = prefixed payload columns + the matched timestamp")
@@ -90,7 +91,8 @@ object AsOfJoinPlan {
     */
   def resolved(left: LogicalPlan, right: LogicalPlan, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
-               prefix: String, forward: Boolean): AsOfJoinPlan = {
+               prefix: String, forward: Boolean,
+               broadcast: Boolean = false): AsOfJoinPlan = {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
@@ -102,7 +104,8 @@ object AsOfJoinPlan {
     val out = (rp :+ rt).zip(rightPayload :+ "ts").map { case (a, n) =>
       AttributeReference(s"$prefix$n", a.dataType, nullable = true)()
     }
-    AsOfJoinPlan(left, right, keys, leftTs, rightTs, rightPayload, out, forward)
+    AsOfJoinPlan(left, right, keys, leftTs, rightTs, rightPayload, out,
+      forward, broadcast)
   }
 }
 
@@ -111,11 +114,124 @@ object AsOfJoinPlan {
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan if p.broadcast =>
+      AsOfBroadcastJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKeyAttrs, p.rightKeyAttrs, p.leftTsAttr, p.rightTsAttr,
+        p.payloadAttrs, p.outAttrs, p.forward) :: Nil
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right), p.leftKeyAttrs,
         p.rightKeyAttrs, p.leftTsAttr, p.rightTsAttr, p.payloadAttrs,
         p.outAttrs, p.forward) :: Nil
     case _ => Nil
+  }
+}
+
+/** Broadcast as-of: the fact-vs-dimension rendition. When the right
+  * side is dimension-sized (prices, exchange rates, config history),
+  * the sorted-merge plan still shuffles AND sorts the fact side — at
+  * 100 TB that is the whole cost. This exec instead declares
+  * BroadcastDistribution on the right and NOTHING on the left: zero
+  * exchanges and zero sorts on the fact side (pin: the left child
+  * plans straight into the probe). Each task builds a per-key
+  * ts-sorted index from the broadcast rows once, then answers every
+  * left row with a binary search — O(log timeline) per row, fact
+  * order preserved.
+  */
+case class AsOfBroadcastJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightPayload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    forward: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val nOut = outAttrs.size
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTs; val rt = rightTs
+    val rp = rightPayload
+    val out = output
+    val fwd = forward
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // per-key timeline index from the broadcast rows: key → rows
+      // sorted by ts (null keys / null ts dropped — they never match)
+      val index = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
+      locally {
+        val tmp = new java.util.HashMap[
+          InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        bc.value.foreach { r =>
+          val k = rKeyProj(r)
+          val t = rTsProj(r)
+          if (!k.anyNull && !t.isNullAt(0)) {
+            val buf = tmp.computeIfAbsent(k.copy(),
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((t.get(0, tsType), r))
+          }
+        }
+        tmp.forEach { (k, buf) =>
+          index.put(k, buf.sortBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]]).toArray)
+        }
+      }
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val lTsProj = UnsafeProjection.create(Seq(lt), lOut)
+      val packProj = UnsafeProjection.create(rp :+ rt, rOut)
+      val resultProj = UnsafeProjection.create(out, out)
+      val nulls = new GenericInternalRow(nOut)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTsRow = lTsProj(l)
+        val matched: InternalRow =
+          if (lKey.anyNull || lTsRow.isNullAt(0)) null
+          else {
+            val timeline = index.get(lKey)
+            if (timeline == null) null
+            else {
+              val lTsVal = lTsRow.get(0, tsType)
+              // binary search: backward = last ts <= lTs,
+              // forward = first ts >= lTs
+              var lo = 0; var hi = timeline.length - 1; var hit = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                val c = tsOrd.compare(timeline(mid)._1, lTsVal)
+                if (!fwd) {
+                  if (c <= 0) { hit = mid; lo = mid + 1 } else hi = mid - 1
+                } else {
+                  if (c >= 0) { hit = mid; hi = mid - 1 } else lo = mid + 1
+                }
+              }
+              if (hit < 0) null else timeline(hit)._2
+            }
+          }
+        resultProj(joined(l, if (matched == null) nulls else packProj(matched)))
+      }
+    }
   }
 }
 

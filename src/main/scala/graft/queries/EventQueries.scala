@@ -310,6 +310,43 @@ object EventQueries {
       ORDER BY event_id"""),
     headline = true)
 
+  /** The BROADCAST rendition of the native as-of join
+    * (graft.plans.AsOfBroadcastJoinExec): when the right side is
+    * dimension-sized, the fact side is probed IN PLACE — zero
+    * exchanges, zero sorts on fact (plan-pinned in AsOfNativeSpec);
+    * each task binary-searches a broadcast per-key timeline. Same
+    * DuckDB ASOF oracle as q_asof_join, so all three renditions
+    * (declarative window, shuffle merge, broadcast probe) sit under
+    * one exactness gate.
+    */
+  val qAsofBroadcast = Q(
+    "q_asof_broadcast",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      graft.ops.TemporalOps
+        .asofJoinNative(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_value"), broadcastRight = true)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("view_ts_us"),
+          col("asof_view_value").as("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             epoch_us(r.ts) AS view_ts_us, r.view_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id"""),
+    headline = true)
+
   /** Forward as-of join (graft.ops.TemporalOps.asofJoinForward): each
     * view event finds the user's NEXT purchase at or after it — the
     * "time to conversion" lookup. Oracle: DuckDB's native ASOF with the
@@ -1448,7 +1485,7 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofNative,
-    qAsofForward,
+    qAsofBroadcast, qAsofForward,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qIntervalOverlapCapped,

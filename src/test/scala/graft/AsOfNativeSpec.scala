@@ -103,6 +103,35 @@ class AsOfNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("broadcast variant: equals the merge variant on every edge case, both directions") {
+    for (fwd <- Seq(false, true)) {
+      val bcast = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+        Seq("payload"), forward = fwd, broadcastRight = true)
+      val merge = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+        Seq("payload"), forward = fwd)
+      assert(canon(bcast) === canon(merge), s"forward=$fwd")
+    }
+  }
+
+  test("broadcast variant plan: zero exchanges and zero sorts on the fact side") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+        Seq("payload"), broadcastRight = true).queryExecution.executedPlan
+      val execs = plan.collect { case e: graft.plans.AsOfBroadcastJoinExec => e }
+      assert(execs.size === 1, s"expected the broadcast exec:\n$plan")
+      // the fact side feeds the probe untouched: no shuffle, no sort
+      assert(execs.head.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"fact side must not exchange or sort:\n$plan")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size === 1, s"dimension side broadcasts once:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("differential on generated data: dense keys, repeated timestamps, both directions") {
     // deterministic generated fixture: 40 keys x dense timeline with
     // repeated (key, ts) pressure on the left (right stays unique per
