@@ -146,16 +146,19 @@ class AsOfNativeSpec extends SparkSpec {
       concat(lit("p"), col("id")).as("payload"))
       .groupBy("k", "t").agg(max("payload").as("payload"))
     for (fwd <- Seq(false, true)) {
-      val native = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "t",
-        Seq("payload"), forward = fwd)
       val decl =
         if (fwd) TemporalOps.asofJoinForward(l, r, Seq("k"), "t", "t", Seq("payload"))
         else TemporalOps.asofJoin(l, r, Seq("k"), "t", "t", Seq("payload"))
-      val n = native.select("id", "asof_ts", "asof_payload")
-        .collect().map(_.toSeq).sortBy(_.toString)
       val e = decl.select("id", "asof_ts", "asof_payload")
         .collect().map(_.toSeq).sortBy(_.toString)
-      assert(n === e, s"forward=$fwd: native and declarative diverge")
+      for (bcast <- Seq(false, true)) {
+        val native = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "t",
+          Seq("payload"), forward = fwd, broadcastRight = bcast)
+        val n = native.select("id", "asof_ts", "asof_payload")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        assert(n === e,
+          s"forward=$fwd broadcast=$bcast: native and declarative diverge")
+      }
     }
   }
 }
