@@ -23,4 +23,31 @@ object Fs {
     val p = new Path(dir)
     p.getFileSystem(hadoopConf()).exists(p)
   }
+
+  /** A local scratch directory registered for recursive deletion at JVM
+    * exit — for queries that must materialize a layout as part of their
+    * plan (the DSv2 round-trip): repeated plan constructions (bench
+    * reps, correctness runs) must not accumulate orphan layouts under
+    * /tmp across JVMs. Deletion is deferred to exit because the
+    * returned DataFrames read the directory lazily.
+    */
+  def scratchDir(prefix: String): String = scratch.synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratch += p
+    p.toString
+  }
+
+  private lazy val scratch = {
+    val dirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      })))
+    dirs
+  }
 }

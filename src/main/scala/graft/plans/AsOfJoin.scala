@@ -99,8 +99,23 @@ object AsOfJoinPlan {
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
     val rp = rightPayload.map(attr(right, _))
     val rt = attr(right, rightTs)
-    keys.foreach { k => attr(left, k); attr(right, k) }
-    attr(left, leftTs)
+    // the execs compare key bytes / read timestamp values ACROSS sides
+    // (UnsafeRow comparison in the broadcast probe, one shared ordering
+    // in the merge) — a type mismatch would not error, it would silently
+    // match nothing (int-vs-long keys) or mis-order (mixed ts types).
+    // Unlike a DataFrame equi-join there is no analyzer coercion pass
+    // over this node, so demand identical types and tell the caller to
+    // cast explicitly.
+    keys.foreach { k =>
+      val (lk, rk) = (attr(left, k), attr(right, k))
+      require(lk.dataType == rk.dataType,
+        s"as-of key $k type mismatch: left ${lk.dataType.sql} vs " +
+          s"right ${rk.dataType.sql} — cast the sides to a common type")
+    }
+    val lt = attr(left, leftTs)
+    require(lt.dataType == rt.dataType,
+      s"as-of timestamp type mismatch: $leftTs ${lt.dataType.sql} vs " +
+        s"$rightTs ${rt.dataType.sql} — cast the sides to a common type")
     val out = (rp :+ rt).zip(rightPayload :+ "ts").map { case (a, n) =>
       AttributeReference(s"$prefix$n", a.dataType, nullable = true)()
     }

@@ -1541,7 +1541,7 @@ object ParityQueries {
   val qDsv2Roundtrip = Q(
     "q_dsv2_roundtrip",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+      val out = graft.ops.Fs.scratchDir("graft_sink_rt")
       li(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),

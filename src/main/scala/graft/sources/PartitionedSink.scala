@@ -53,16 +53,105 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - [[BatchWrite.abort]] deletes the staging dir; the published
   *     layout is untouched (all-or-nothing).
   *
-  * All FS traffic goes through the Hadoop FileSystem API, so the same
-  * protocol runs on file:/, hdfs:/ or any FS with atomic-enough
-  * rename; S3-class stores would swap the rename publish for a
-  * manifest commit, which is why publish is a single private method.
+  * All FS traffic goes through the Hadoop FileSystem API (task-side
+  * writers get the SESSION's Hadoop configuration, serialized into the
+  * DataWriterFactory — credentials/defaultFS overrides reach the
+  * executors), so the same protocol runs on file:/, hdfs:/ or any FS
+  * with atomic-enough rename; S3-class stores would swap the rename
+  * publish for a manifest commit, which is why publish is a single
+  * private method.
   *
   * Types: atomic columns only (string/boolean/int/long/float/double/
-  * date-less). Partition column must be a non-null atomic. This keeps
-  * the text encoding lossless: Long/Double round-trip through Java's
-  * shortest-repr toString exactly.
+  * date-less). Partition column must be a non-null atomic. The text
+  * encoding is lossless: Long/Double round-trip through Java's
+  * shortest-repr toString exactly, and strings go through
+  * [[TsvCodec]] — backslash escapes for the delimiter characters
+  * (tab/newline/CR), backslash itself, and the empty string, so a
+  * value containing the layout's own syntax (or the literal `\N` NULL
+  * token — its backslash gets escaped) round-trips byte-exactly.
+  * Partition VALUES are hive-escaped in directory names
+  * (`ExternalCatalogUtils.escapePathName` — `/`, `=`, `%`, control
+  * chars), which Spark's partition discovery unescapes on read.
   */
+/** Lossless string codec for the sink's TSV layout. The escape set is
+  * exactly the characters the layout gives meaning to: `\t` (column
+  * separator), `\n`/`\r` (row separator), `\` (the escape itself —
+  * which also neutralizes the `\N` NULL token: a literal "\N" value
+  * writes as `\\N`, never matching the reader's nullValue), plus `\e`
+  * for the wholly-empty string (CSV readers are config-dependent about
+  * empty-vs-null for a zero-length unquoted field; an explicit token
+  * removes the ambiguity). Decode is a single linear scan exposed as a
+  * codegen expression so read-back stays inside whole-stage codegen.
+  */
+object TsvCodec {
+  def escape(s: String): String = {
+    if (s.isEmpty) return "\\e"
+    val sb = new java.lang.StringBuilder(s.length + 4)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Codegen-reachable (static forwarder) decode; inverse of escape. */
+  def unescape(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (str.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '\\' && i + 1 < str.length) {
+        str.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't'  => sb.append('\t')
+          case 'n'  => sb.append('\n')
+          case 'r'  => sb.append('\r')
+          case 'e'  => () // empty-string marker: expands to nothing
+          case o    => sb.append('\\').append(o) // unknown: keep verbatim
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /** tsv_unescape(col): the read-back decode as a native expression. */
+  case class TsvUnescape(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      unescape(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.sources.TsvCodec.unescape($c)")
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): TsvUnescape =
+      copy(child = c)
+  }
+
+  /** Hive-style escaping for partition directory names (`/`, `=`, `%`,
+    * control chars → `%xx`); Spark's partition discovery unescapes.
+    */
+  def escapeDir(value: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+  def unescapeDir(name: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(name)
+}
+
 class PartitionedSink extends TableProvider {
   // the sink infers nothing; schema comes from the written DataFrame
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -100,13 +189,26 @@ object PartitionedSink {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
       import org.apache.spark.sql.functions.col
-      spark.read
+      val raw = spark.read
         .schema(dataSchema)
         .option("sep", "\t")
         .option("nullValue", NullToken)
+        // quote handling OFF: the layout's own [[TsvCodec]] escaping is
+        // the one decode layer — a value starting with '"' must not
+        // trigger CSV quote semantics
+        .option("quote", "")
         .option("basePath", root)
         .csv(s"$root/$partCol=*")
         .withColumn(partCol, col(partCol).cast(partType))
+      // decode the TsvCodec escapes on every string DATA column (the
+      // partition column comes from the dir name, hive-unescaped by
+      // partition discovery, not from the TSV payload)
+      dataSchema.fields.filter(_.dataType == StringType).foldLeft(raw) {
+        (df, f) =>
+          df.withColumn(f.name, org.apache.spark.sql.GraftColumnShim.column(
+            TsvCodec.TsvUnescape(org.apache.spark.sql.GraftColumnShim
+              .expression(col(f.name)))))
+      }
     }
   }
 }
@@ -202,16 +304,19 @@ private object SinkCommit {
     val toClear: Set[String] = mode match {
       case Append => Set.empty
       case Truncate =>
+        // dir names carry ESCAPED values; toClear holds raw values
         Option(fs.listStatus(new Path(path))).toSeq.flatten
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-          .map(_.getPath.getName.stripPrefix(partCol + "="))
+          .map(s => TsvCodec.unescapeDir(
+            s.getPath.getName.stripPrefix(partCol + "=")))
           .toSet
       case OverwriteValues(vs) => vs
       case Dynamic => files.map(_.partValue).toSet
     }
-    toClear.foreach(v => fs.delete(new Path(path, s"$partCol=$v"), true))
+    toClear.foreach(v =>
+      fs.delete(new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}"), true))
     files.foreach { f =>
-      val dest = new Path(path, s"$partCol=${f.partValue}")
+      val dest = new Path(path, s"$partCol=${TsvCodec.escapeDir(f.partValue)}")
       fs.mkdirs(dest)
       val src = new Path(f.stagedPath)
       val target = new Path(dest, destName(f))
@@ -243,7 +348,8 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PartitionedSinkWriterFactory(path, partCol, schema, queryId)
+    new PartitionedSinkWriterFactory(path, partCol, schema, queryId,
+      PartitionedSinkWriterFactory.sessionConf())
 
   // at most one committed attempt per task partition — the scheduler
   // half of exactly-once; the manifest publish below is the other half
@@ -278,11 +384,25 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
   }
 }
 
-private class PartitionedSinkWriterFactory(path: String, partCol: String,
-                                           schema: StructType, queryId: String)
+private object PartitionedSinkWriterFactory {
+  /** The SESSION's Hadoop configuration, serialized for the executors:
+    * a task-side `new Configuration()` would drop per-session FS
+    * settings (s3a credentials, defaultFS overrides) that the
+    * driver-side publish sees — inconsistent on any non-local FS.
+    * Called on the driver at factory-creation time.
+    */
+  def sessionConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+}
+
+private class PartitionedSinkWriterFactory(
+    path: String, partCol: String, schema: StructType, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PartitionedSinkWriter(path, partCol, schema, queryId, partitionId, taskId)
+    new PartitionedSinkWriter(path, partCol, schema, queryId, partitionId,
+      taskId, conf)
 }
 
 /** Task-side writer: buffers one open staged file per partition value
@@ -293,21 +413,26 @@ private class PartitionedSinkWriterFactory(path: String, partCol: String,
   */
 private class PartitionedSinkWriter(path: String, partCol: String,
                                     schema: StructType, stagingSub: String,
-                                    partitionId: Int, taskId: Long)
+                                    partitionId: Int, taskId: Long,
+                                    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val fs = FileSystem.get(new java.net.URI(path), conf)
+  private val fs = FileSystem.get(new java.net.URI(path), conf.value)
   private val partIdx = schema.fieldIndex(partCol)
   private val dataFields = schema.fields.zipWithIndex.filter(_._2 != partIdx)
 
   private val open = scala.collection.mutable.Map[
     String, (java.io.BufferedWriter, Path, Long)]()
 
+  /** Data-cell rendering: strings go through the TsvCodec escape so
+    * delimiter bytes / the NULL token / the empty string round-trip;
+    * the PARTITION value is read with [[rawStr]] instead (the manifest
+    * carries it raw; paths escape it at construction).
+    */
   private def fieldStr(row: InternalRow, i: Int, dt: DataType): String = {
     if (row.isNullAt(i)) PartitionedSink.NullToken
     else dt match {
-      case StringType  => row.getUTF8String(i).toString
+      case StringType  => TsvCodec.escape(row.getUTF8String(i).toString)
       case LongType    => row.getLong(i).toString
       case IntegerType => row.getInt(i).toString
       case DoubleType  => row.getDouble(i).toString
@@ -320,13 +445,18 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     }
   }
 
+  /** Raw (unescaped) rendering for the partition value. */
+  private def rawStr(row: InternalRow, i: Int, dt: DataType): String = dt match {
+    case StringType => row.getUTF8String(i).toString
+    case other      => fieldStr(row, i, other)
+  }
+
   override def write(row: InternalRow): Unit = {
-    val pv = fieldStr(row, partIdx, schema.fields(partIdx).dataType)
-    require(pv != PartitionedSink.NullToken,
-      s"NULL partition value in $partCol")
+    require(!row.isNullAt(partIdx), s"NULL partition value in $partCol")
+    val pv = rawStr(row, partIdx, schema.fields(partIdx).dataType)
     val (w, p, n) = open.getOrElseUpdate(pv, {
       val f = new Path(path,
-        s"_staging/$stagingSub/part-$partitionId-$taskId-$pv.tsv")
+        s"_staging/$stagingSub/part-$partitionId-$taskId-${TsvCodec.escapeDir(pv)}.tsv")
       fs.mkdirs(f.getParent)
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
@@ -390,7 +520,8 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new PartitionedSinkStreamingWriterFactory(path, partCol, schema, queryId)
+    new PartitionedSinkStreamingWriterFactory(path, partCol, schema, queryId,
+      PartitionedSinkWriterFactory.sessionConf())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -398,7 +529,7 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
     val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
     if (!fs.exists(marker(epochId))) {
       SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
-        f => s"part-e$epochId-p${f.partitionId}-${f.partValue}.tsv")
+        f => s"part-e$epochId-p${f.partitionId}-${TsvCodec.escapeDir(f.partValue)}.tsv")
       fs.mkdirs(marker(epochId).getParent)
       fs.create(marker(epochId), true).close()
     }
@@ -415,10 +546,11 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
 }
 
 private class PartitionedSinkStreamingWriterFactory(
-    path: String, partCol: String, schema: StructType, queryId: String)
+    path: String, partCol: String, schema: StructType, queryId: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCol, schema,
-      s"$queryId/epoch-$epochId", partitionId, taskId)
+      s"$queryId/epoch-$epochId", partitionId, taskId, conf)
 }

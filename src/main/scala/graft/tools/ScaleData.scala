@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *     (`i → a(cp)·i + cp mod 26`, a(cp) one of the 12 multipliers
   *     coprime to 26) — length, punctuation, token boundaries, and
   *     per-copy shingle structure all preserved; substitutions are
-  *     distinct for every cp < 312, so even a 100× scale-up never
+  *     distinct for every cp < 156 (the (multiplier, shift) schedule
+  *     has period lcm(12, 26) = 156), so even a 100× scale-up never
   *     clones a text (a plain rotation collides at cp = 26);
   *   - embeddings.embedding: circular component rotation by `cp`,
   *     with the array REVERSED first on every wrap of the dimension

@@ -132,6 +132,25 @@ class AsOfNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
+    // int key vs long key: the broadcast probe compares UnsafeRow bytes
+    // across sides — without validation it would match NOTHING
+    val intKeyLeft = left.withColumn("k", col("k").cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinNative(intKeyLeft, right, Seq("k"), "t", "t",
+        Seq("payload"))
+    }
+    assert(e1.getMessage.contains("type mismatch"))
+    // long ts vs timestamp ts: the merge would read right values with
+    // left types — ClassCastException or garbage ordering
+    val longTsLeft = left.withColumn("t", unix_micros(col("t")))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinNative(longTsLeft, right, Seq("k"), "t", "t",
+        Seq("payload"))
+    }
+    assert(e2.getMessage.contains("timestamp type mismatch"))
+  }
+
   test("differential on generated data: dense keys, repeated timestamps, both directions") {
     // deterministic generated fixture: 40 keys x dense timeline with
     // repeated (key, ts) pressure on the left (right stays unique per

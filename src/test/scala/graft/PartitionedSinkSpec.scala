@@ -261,6 +261,47 @@ class PartitionedSinkSpec extends SparkSpec {
       "complete-mode epoch must replace all prior partitions")
   }
 
+  // ---- encoding robustness: the layout's own syntax inside values ----
+
+  test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
+    val path = tmpDir("sink_esc")
+    val hostile = Seq(
+      "tab\there", "newline\nhere", "cr\rhere", "crlf\r\nboth",
+      "back\\slash", "\\N",         // the literal NULL token as a VALUE
+      "\\\\N", "trailing\\", "\"quoted\"", "\"", "lead\ttab\nand\\more",
+      "", " ", "  padded  ", "\\t", "\\e", "plain")
+    val rows = hostile.zipWithIndex.map { case (s, i) =>
+      (i.toLong, i * 0.5, s, if (i % 2 == 0) "A" else "B") }
+    write(df(rows: _*), path, "append")
+    assert(readBack(path) === rows.toSet,
+      "every delimiter/escape/quote/NULL-token string must round-trip " +
+        "byte-exactly — and NULL (from the append test) stays distinct " +
+        "from the empty string")
+  }
+
+  test("partition VALUES with path metacharacters round-trip via hive escaping") {
+    val path = tmpDir("sink_escdir")
+    val rows = Seq(
+      (1L, 1.0, "a", "plain"),
+      (2L, 2.0, "b", "has space"),
+      (3L, 3.0, "c", "a/b=c%d"),    // '/', '=', '%' all path-hostile
+      (4L, 4.0, "d", "colon:star*"))
+    write(df(rows: _*), path, "append")
+    assert(readBack(path) === rows.toSet)
+    // the dirs on disk are hive-escaped (no raw '/' creating sub-dirs)
+    val dirs = new File(path).listFiles().map(_.getName).toSet
+    assert(dirs.contains("p=plain") && dirs.contains("p=has space"))
+    assert(dirs.exists(d => d.startsWith("p=a") && !d.contains("/")),
+      s"'/' in a partition value must be %%-escaped, got $dirs")
+    // and dynamic overwrite still targets the escaped dir correctly
+    val bw = batchWriteFor(path, "dynamic")
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 700L)
+    w.write(internalRow(9L, 9.0, "z", "a/b=c%d"))
+    bw.commit(Array(w.commit()))
+    assert(readBack(path) === rows.filterNot(_._1 == 3L).toSet + ((9L, 9.0, "z", "a/b=c%d")),
+      "dynamic overwrite must replace exactly the escaped-dir partition")
+  }
+
   test("task abort deletes its staged files; job abort leaves the published layout untouched") {
     val path = tmpDir("sink_abort")
     write(df((1L, 1.0, "x", "A")), path, "append") // pre-existing data
