@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Native AS-OF JOIN — the custom whole-operator path of the extension
   * ladder (expression < logical node + strategy + physical node): a
@@ -152,6 +153,45 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * left row with a binary search — O(log timeline) per row, fact
   * order preserved.
   */
+/** Executor-local cache of built broadcast as-of indexes. Without it,
+  * EVERY task re-hashes and re-sorts the whole broadcast relation
+  * (`bc.value`) inside its own mapPartitions — bounded by the
+  * dimension size, but a 100 TB fact side runs tens of thousands of
+  * tasks per executor lifetime: 10⁴× redundant O(dim·log dim) work.
+  * The cache is keyed on (broadcast id, key/ts ordinal positions) —
+  * the same broadcast exchange can be reused (ReuseExchange) by two
+  * different as-of joins with different join columns, which must not
+  * collide. Access-ordered LRU bounded at [[MaxEntries]] so a
+  * long-lived executor can't accumulate dead indexes; the pattern is
+  * what HashedRelation's broadcast mode gets from the block manager.
+  */
+private[graft] object AsOfIndexCache {
+  private val MaxEntries = 8
+  private val cache =
+    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > MaxEntries
+    }
+
+  /** One entry per ACTUAL build (cache misses) — observable from specs
+    * as "N partitions, 1 build per executor". Process-wide by design.
+    */
+  val builds = new java.util.concurrent.atomic.AtomicLong
+
+  def getOrBuild(key: String, build: () => AnyRef): AnyRef =
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val v = build()
+        builds.incrementAndGet()
+        cache.put(key, v)
+        v
+      }
+    }
+}
+
 case class AsOfBroadcastJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -165,6 +205,16 @@ case class AsOfBroadcastJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched rows"),
+    "indexBuilds" -> SQLMetrics.createMetric(sparkContext,
+      "broadcast index builds (per executor, not per task)"),
+    "buildTime" -> SQLMetrics.createTimingMetric(sparkContext,
+      "time building broadcast index"))
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
     org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
@@ -190,14 +240,26 @@ case class AsOfBroadcastJoinExec(
     val out = output
     val fwd = forward
     val bc = right.executeBroadcast[Array[InternalRow]]()
+    // cache key: same broadcast + same join-column positions = same
+    // index (direction and payload don't shape it — rows are stored
+    // whole and the sorted timeline serves both search directions)
+    val cacheKey = s"${bc.id}:${rk.map(rOut.indexOf).mkString(",")}:" +
+      s"${rOut.indexOf(rt)}"
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val indexBuilds = longMetric("indexBuilds")
+    val buildTime = longMetric("buildTime")
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rk, rOut)
-      val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
       // per-key timeline index from the broadcast rows: key → rows
-      // sorted by ts (null keys / null ts dropped — they never match)
-      val index = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
-      locally {
+      // sorted by ts (null keys / null ts dropped — they never match).
+      // Built AT MOST ONCE PER EXECUTOR via AsOfIndexCache — tasks
+      // after the first reuse it.
+      val index = AsOfIndexCache.getOrBuild(cacheKey, { () =>
+        val t0 = System.nanoTime()
+        val rKeyProj = UnsafeProjection.create(rk, rOut)
+        val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
+        val built = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
         val tmp = new java.util.HashMap[
           InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
         bc.value.foreach { r =>
@@ -210,9 +272,12 @@ case class AsOfBroadcastJoinExec(
           }
         }
         tmp.forEach { (k, buf) =>
-          index.put(k, buf.sortBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]]).toArray)
+          built.put(k, buf.sortBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]]).toArray)
         }
-      }
+        indexBuilds += 1
+        buildTime += (System.nanoTime() - t0) / 1000000
+        built
+      }).asInstanceOf[java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val lTsProj = UnsafeProjection.create(Seq(lt), lOut)
       val packProj = UnsafeProjection.create(rp :+ rt, rOut)
@@ -244,6 +309,8 @@ case class AsOfBroadcastJoinExec(
               if (hit < 0) null else timeline(hit)._2
             }
           }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         resultProj(joined(l, if (matched == null) nulls else packProj(matched)))
       }
     }
@@ -269,6 +336,12 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -298,6 +371,8 @@ case class AsOfJoinExec(
     val rp = rightPayload
     val out = output
     val fwd = forward
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -366,6 +441,8 @@ case class AsOfJoinExec(
               lastMatch
             else null
           }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         resultProj(joined(l, if (matched == null) nulls else packProj(matched)))
       }
     }

@@ -132,6 +132,61 @@ class AsOfNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  // plan.collect treats AdaptiveSparkPlanExec/QueryStageExec as leaves;
+  // expand them so the executed (post-AQE) exec nodes are visible
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allNodes(q.plan)
+    case other => other.children.flatMap(allNodes)
+  })
+
+  test("SQLMetrics: both execs report output/matched rows in the executed plan") {
+    // merge exec
+    val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+      Seq("payload"))
+    native.collect()
+    val mergeExec = allNodes(native.queryExecution.executedPlan).collect {
+      case e: graft.plans.AsOfJoinExec => e }.head
+    assert(mergeExec.metrics.keySet === Set("numOutputRows", "numMatched"))
+    assert(mergeExec.metrics("numOutputRows").value === 7,
+      "every left row is output (left-outer semantics)")
+    assert(mergeExec.metrics("numMatched").value === 3,
+      "ids 1, 2, 5 match backward; NULL key/ts and no-match rows don't")
+    // broadcast exec
+    val bcast = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+      Seq("payload"), broadcastRight = true)
+    bcast.collect()
+    val bcastExec = allNodes(bcast.queryExecution.executedPlan).collect {
+      case e: graft.plans.AsOfBroadcastJoinExec => e }.head
+    assert(bcastExec.metrics.keySet ===
+      Set("numOutputRows", "numMatched", "indexBuilds", "buildTime"))
+    assert(bcastExec.metrics("numOutputRows").value === 7)
+    assert(bcastExec.metrics("numMatched").value ===
+      mergeExec.metrics("numMatched").value,
+      "both renditions agree on the match count")
+  }
+
+  test("broadcast index is built once per executor, not once per task") {
+    // many fact partitions in one executor JVM (local mode = one
+    // executor): without the AsOfIndexCache memoization every task
+    // rebuilds the per-key timeline index from the broadcast rows
+    val manyParts = left.repartition(8)
+    val bcast = TemporalOps.asofJoinNative(manyParts, right, Seq("k"), "t", "t",
+      Seq("payload"), broadcastRight = true)
+    val before = graft.plans.AsOfIndexCache.builds.get()
+    bcast.collect()
+    val built = graft.plans.AsOfIndexCache.builds.get() - before
+    assert(built === 1,
+      s"8 fact partitions must share ONE index build in this JVM, saw $built")
+    val exec = allNodes(bcast.queryExecution.executedPlan).collect {
+      case e: graft.plans.AsOfBroadcastJoinExec => e }.head
+    assert(exec.metrics("indexBuilds").value === 1,
+      "the SQLMetric mirrors the per-executor build count")
+  }
+
   test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
     // int key vs long key: the broadcast probe compares UnsafeRow bytes
     // across sides — without validation it would match NOTHING
