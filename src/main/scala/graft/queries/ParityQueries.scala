@@ -1565,6 +1565,67 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** One warehouse root per JVM for the catalog-driven dynamic
+    * overwrite: the session caches catalog instances by name after
+    * first use, so the root must be stable across plan constructions
+    * (bench reps); the query DROPs and recreates its table each run,
+    * and the root is swept at JVM exit.
+    */
+  private lazy val dynCatalogRoot = graft.ops.Fs.scratchDir("graft_sink_dyncat")
+
+  /** §2.9-ext: DYNAMIC partition overwrite through the PUBLIC catalog
+    * API — the daily-job primitive of a partitioned warehouse
+    * (reference: Hive dynamic partitions, load_fct_flights.py:112-116).
+    * Day 1 materializes the per-(returnflag, linestatus) aggregate as
+    * a catalog table partitioned by returnflag
+    * (`writeTo(...).partitionedBy(...).create()` →
+    * PartitionedSinkCatalog.createTable + the sink's staged commit);
+    * day 2 recomputes ONLY the R partition from a filtered subset and
+    * publishes it with `writeTo(...).overwritePartitions()` — the
+    * OVERWRITE_DYNAMIC capability end-to-end, unreachable from the V1
+    * `.mode("overwrite").save()` bridge (which truncates). The oracle
+    * checks the read-back layout equals untouched day-1 partitions ∪
+    * the day-2 R recompute — a truncate-instead-of-dynamic bug, a
+    * clobbered neighbor partition, or a leaked old R file all flip it.
+    */
+  val qDsv2Dynamic = Q(
+    "q_dsv2_dynamic",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.flags")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      agg(li(s, d))
+        .writeTo("graft_dyn.flags").partitionedBy(col("l_returnflag")).create()
+      agg(li(s, d).filter(col("l_returnflag") === "R" && col("l_quantity") < 25))
+        .writeTo("graft_dyn.flags").overwritePartitions()
+      graft.sources.PartitionedSink.readBack(s, s"$root/flags",
+        StructType(Seq(
+          StructField("l_linestatus", StringType),
+          StructField("n", LongType),
+          StructField("sum_qty", DoubleType))),
+        "l_returnflag")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_returnflag <> 'R'
+      GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -1811,5 +1872,6 @@ object ParityQueries {
     qPitJoin, qTableDiff, qFkAudit, qDocgenSource, qTpchQ3, qTpchQ5,
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
-    qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip)
+    qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
+    qDsv2Dynamic)
 }

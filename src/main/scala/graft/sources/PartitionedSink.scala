@@ -218,6 +218,9 @@ private class PartitionedSinkTable(path: String, partCol: String,
     extends Table with SupportsWrite {
   override def name(): String = s"partitioned_sink($path by $partCol)"
   override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .identity(partCol))
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_WRITE,
     TableCapability.STREAMING_WRITE,

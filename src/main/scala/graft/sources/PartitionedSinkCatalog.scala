@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing [[PartitionedSink]] layouts as V2 tables —
+  * the missing piece that makes DYNAMIC partition overwrite reachable
+  * through the PUBLIC write API: the V1 `.mode("overwrite").save()`
+  * bridge can only plan truncate/filter overwrites, while
+  * `df.writeTo("cat.t").overwritePartitions()` resolves the table
+  * through a catalog and drives `overwriteDynamicPartitions()` — the
+  * daily-job primitive of a partitioned warehouse ("replace exactly
+  * the partitions this batch recomputed, touch nothing else"; the
+  * reference gets the same from Hive dynamic partitioning in
+  * load_fct_flights.py:112-116).
+  *
+  * Register with
+  * {{{
+  *   spark.sql.catalog.<name>      = graft.sources.PartitionedSinkCatalog
+  *   spark.sql.catalog.<name>.root = <warehouse dir>
+  * }}}
+  * after which `CREATE/DROP TABLE <name>.t`, `df.writeTo(...)
+  * .partitionedBy(col).create()`, `.append()`, and
+  * `.overwritePartitions()` all work. Tables live at
+  * `<root>/<namespace...>/<table>`, with the schema and partition
+  * column persisted in a `_table.json` sidecar (written atomically via
+  * the same stage-then-rename discipline as the sink's data commit),
+  * so a table survives session restarts and is shared by any session
+  * pointing a catalog at the same root — the catalog itself keeps NO
+  * in-memory state beyond its conf, which is what makes it safe on a
+  * 1000-executor cluster with many concurrent drivers.
+  */
+class PartitionedSinkCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs: FileSystem =
+    FileSystem.get(new java.net.URI(root),
+      SparkSession.active.sessionState.newHadoopConf())
+
+  // namespace/name segments are hive-escaped; the root is a path/URI
+  // and stays intact
+  private def tableDir(ident: Identifier): Path =
+    new Path((Seq(root) ++ ident.namespace().toSeq.map(TsvCodec.escapeDir)
+      :+ TsvCodec.escapeDir(ident.name())).mkString("/"))
+
+  private def metaFile(ident: Identifier): Path =
+    new Path(tableDir(ident), "_table.json")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((Seq(root) ++ namespace.map(TsvCodec.escapeDir))
+      .mkString("/"))
+    if (!fs.exists(nsDir)) Array.empty
+    else fs.listStatus(nsDir)
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_table.json")))
+      .map(s => Identifier.of(namespace, TsvCodec.unescapeDir(s.getPath.getName)))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val meta = metaFile(ident)
+    if (!fs.exists(meta)) throw new NoSuchTableException(ident)
+    val in = fs.open(meta)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    // sidecar layout: first line = partition column, rest = schema JSON
+    val (partCol, schemaJson) = json.splitAt(json.indexOf('\n'))
+    val schema = DataType.fromJson(schemaJson.trim).asInstanceOf[StructType]
+    new PartitionedSinkTable(tableDir(ident).toString, partCol, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val partCol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"PartitionedSinkCatalog tables take exactly one identity " +
+          s"partition transform, got [${other.mkString(", ")}]")
+    }
+    require(schema.fieldNames.contains(partCol),
+      s"partition column $partCol not in schema ${schema.sql}")
+    if (fs.exists(metaFile(ident))) throw new TableAlreadyExistsException(ident)
+    // atomic publish of the sidecar: concurrent CREATEs race on the
+    // rename, not on a half-written file
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
+    val out = fs.create(staged, true)
+    try out.write((partCol + "\n" + schema.json).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(staged, metaFile(ident))) {
+      fs.delete(staged, false)
+      throw new TableAlreadyExistsException(ident)
+    }
+    new PartitionedSinkTable(dir.toString, partCol, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "PartitionedSinkCatalog tables are append/overwrite-only; " +
+        "recreate to change the schema")
+
+  override def dropTable(ident: Identifier): Boolean =
+    fs.exists(metaFile(ident)) && fs.delete(tableDir(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!fs.exists(metaFile(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(metaFile(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(tableDir(newIdent).getParent)
+    if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+}

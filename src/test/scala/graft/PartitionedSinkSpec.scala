@@ -261,6 +261,49 @@ class PartitionedSinkSpec extends SparkSpec {
       "complete-mode epoch must replace all prior partitions")
   }
 
+  // ---- catalog surface: dynamic overwrite through the PUBLIC API ----
+
+  test("catalog writeTo().overwritePartitions() replaces only the written partitions — untouched files survive byte-identical") {
+    import spark.implicits._
+    val root = tmpDir("sink_cat")
+    spark.conf.set("spark.sql.catalog.graft_cat_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat_spec.root", root)
+    val day1 = Seq((1L, 1.0, "x", "A"), (2L, 2.0, "y", "B"))
+      .toDF("k", "v", "s", "p")
+    day1.writeTo("graft_cat_spec.t").partitionedBy(col("p")).create()
+    assert(readBack(s"$root/t") === Set((1L, 1.0, "x", "A"), (2L, 2.0, "y", "B")))
+    // fingerprint partition A's files: name + mtime + length
+    def filesOf(p: String) = new File(s"$root/t/p=$p").listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val aBefore = filesOf("A")
+    Thread.sleep(5) // mtime resolution guard
+    // day 2 recomputes B and adds C; A is NOT in the batch
+    Seq((8L, 8.0, "w", "B"), (9L, 9.0, "z", "C")).toDF("k", "v", "s", "p")
+      .writeTo("graft_cat_spec.t").overwritePartitions()
+    assert(readBack(s"$root/t") === Set(
+      (1L, 1.0, "x", "A"),   // untouched partition survives
+      (8L, 8.0, "w", "B"),   // rewritten partition replaced
+      (9L, 9.0, "z", "C")))  // new partition created
+    assert(filesOf("A") === aBefore,
+      "dynamic overwrite must not rewrite untouched partitions' files")
+    // append also flows through the catalog
+    Seq((3L, 3.0, "q", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_cat_spec.t").append()
+    assert(readBack(s"$root/t").size === 4)
+    // catalog metadata round-trips: loadTable sees schema + partitioning
+    val loaded = spark.sessionState.catalogManager.catalog("graft_cat_spec")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, "t"))
+    assert(loaded.schema().fieldNames.toSeq === Seq("k", "v", "s", "p"))
+    assert(loaded.partitioning().map(_.toString).toSeq === Seq("identity(p)"))
+    // DROP TABLE removes the layout
+    spark.sql("DROP TABLE graft_cat_spec.t")
+    assert(!new File(s"$root/t/_table.json").exists())
+    assert(spark.sql("SHOW TABLES IN graft_cat_spec").count() === 0)
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
