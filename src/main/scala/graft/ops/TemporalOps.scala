@@ -72,6 +72,69 @@ object TemporalOps {
         broadcast = broadcastRight))
   }
 
+  /** GROUPED as-of (point-in-time feature join) — the feature-store
+    * workload: ONE spine (entity, ts) relation picks up the latest
+    * value from EACH of k feature tables (`featTs <= spineTs` per key,
+    * ties included) in a SINGLE pass. Composing k two-sided as-of
+    * joins would shuffle the spine k times (and the declarative
+    * spelling would union+window k times); here ALL sides union into
+    * one relation and ONE keyed window carries k payload structs down
+    * the merged timeline — one exchange and one sort TOTAL, however
+    * many feature tables join (plan-pinned in AsOfNativeSpec).
+    *
+    * `features` = (name, table, payload columns); each table needs
+    * `keys` and a `featTs` timestamp column, and should be unique per
+    * (keys, featTs) — pre-aggregate otherwise (same contract as
+    * [[asofJoin]]). Output adds `<name>_<payload>` and `<name>_ts`
+    * (the matched feature timestamp), NULLs where a feature has no
+    * row at-or-before the spine instant. NULL keys / NULL timestamps
+    * match nothing on any side.
+    */
+  def asofJoinFeatures(spine: DataFrame,
+                       features: Seq[(String, DataFrame, Seq[String])],
+                       keys: Seq[String], spineTs: String,
+                       featTs: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature table")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be unique")
+    val packCols = features.map { case (n, _, _) => s"__pack_$n" }
+    // each feature table contributes (keys, __ts, __side=0, its pack);
+    // NULL-key / NULL-ts feature rows can never be "the latest match"
+    // — drop them up front (same normalization as asofCore)
+    val featSides = features.map { case (n, df, payload) =>
+      val outCols = payload.map(c => c -> s"${n}_$c") :+ (featTs -> s"${n}_ts")
+      df.filter(keys.foldLeft(col(featTs).isNotNull)(_ && col(_).isNotNull))
+        .select(keys.map(col) :+ col(featTs).as("__ts") :+
+          lit(0).as("__side") :+
+          struct(outCols.map { case (c, o) => col(c).as(o) }: _*)
+            .as(s"__pack_$n"): _*)
+    }
+    val spineSide = spine.withColumn("__ts", col(spineTs))
+      .withColumn("__side", lit(1))
+    val merged = featSides.foldLeft(spineSide)(
+      _.unionByName(_, allowMissingColumns = true))
+    // feature rows sort BEFORE spine rows at the same instant (ties
+    // match); packs in the ordering make equal-(key, ts) duplicates
+    // within one feature table carry deterministically
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc +: col("__side") +:
+        packCols.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ALL k carries in one select over the IDENTICAL window spec — a
+    // withColumn-per-pack chain would order each carry by the PREVIOUS
+    // carry's output and plan k separate WindowExecs (k extra sorts);
+    // a shared spec collapses to ONE WindowExec after the one exchange
+    val carried = merged.select(
+      merged.columns.filterNot(packCols.contains).map(col) ++
+        packCols.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+    val extracted = features.foldLeft(carried) { case (df, (n, _, payload)) =>
+      (payload.map(c => s"${n}_$c") :+ s"${n}_ts").foldLeft(df)((d, o) =>
+        d.withColumn(o, col(s"__pack_$n").getField(o)))
+    }
+    extracted.filter(col("__side") === 1)
+      .drop("__ts" +: "__side" +: packCols: _*)
+  }
+
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String, rightPayload: Seq[String],
                        prefix: String, forward: Boolean): DataFrame = {

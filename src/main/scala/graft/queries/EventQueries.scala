@@ -379,6 +379,58 @@ object EventQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
       ORDER BY event_id"""))
 
+  /** GROUPED as-of at feature-store shape
+    * (graft.ops.TemporalOps.asofJoinFeatures): every purchase reads the
+    * user's latest view, click AND signup state as of the purchase
+    * instant — THREE feature tables joined point-in-time in ONE pass
+    * (one exchange + one sort total, not one per feature table;
+    * plan-pinned in AsOfNativeSpec). Oracle: DuckDB's native ASOF LEFT
+    * JOIN chained three times — the single-window carry must reproduce
+    * the 3-way chain row-for-row.
+    */
+  val qPitFeatures = Q(
+    "q_pit_features",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def feat(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as(s"${t}_value"))
+      graft.ops.TemporalOps.asofJoinFeatures(spine,
+          Seq(("view", feat("view"), Seq("view_value")),
+            ("click", feat("click"), Seq("click_value")),
+            ("signup", feat("signup"), Seq("signup_value"))),
+          Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          col("view_view_value").as("view_value"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          col("click_click_value").as("click_value"),
+          unix_micros(col("signup_ts")).as("signup_ts_us"),
+          col("signup_signup_value").as("signup_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      g AS (SELECT user_id, ts, arg_max(value, event_id) AS signup_value
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             epoch_us(v.ts) AS view_ts_us, v.view_value,
+             epoch_us(c.ts) AS click_ts_us, c.click_value,
+             epoch_us(g.ts) AS signup_ts_us, g.signup_value
+      FROM l
+      ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts >= v.ts
+      ASOF LEFT JOIN c ON l.user_id = c.user_id AND l.ts >= c.ts
+      ASOF LEFT JOIN g ON l.user_id = g.user_id AND l.ts >= g.ts
+      ORDER BY event_id"""),
+    headline = true)
+
   /** Time-series gap fill + resample: the per-type hourly count series
     * over the corpus's full time range INCLUDING empty hours (n = 0),
     * plus the last non-empty hour's value total carried forward — the
@@ -1485,7 +1537,7 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofNative,
-    qAsofBroadcast, qAsofForward,
+    qAsofBroadcast, qAsofForward, qPitFeatures,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qIntervalOverlapCapped,

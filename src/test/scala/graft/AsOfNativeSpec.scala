@@ -187,6 +187,57 @@ class AsOfNativeSpec extends SparkSpec {
       "the SQLMetric mirrors the per-executor build count")
   }
 
+  test("grouped as-of: k feature tables equal k chained two-sided as-ofs") {
+    // three feature tables with overlapping/disjoint timelines
+    val f1 = Seq((10L, ts(10), 1.0), (10L, ts(60), 2.0), (30L, ts(100), 3.0))
+      .toDF("k", "t", "a")
+    val f2 = Seq((10L, ts(50), "x"), (20L, ts(5), "y")).toDF("k", "t", "b")
+    val f3 = Seq((10L, ts(100), 7L)).toDF("k", "t", "c")
+    val grouped = TemporalOps.asofJoinFeatures(left,
+      Seq(("f1", f1, Seq("a")), ("f2", f2, Seq("b")), ("f3", f3, Seq("c"))),
+      Seq("k"), "t", "t")
+    // reference: three independent two-sided as-ofs composed by id
+    val r1 = TemporalOps.asofJoin(left, f1, Seq("k"), "t", "t", Seq("a"), "f1_")
+      .select(col("id"), col("f1_a"), col("f1_ts"))
+    val r2 = TemporalOps.asofJoin(left, f2, Seq("k"), "t", "t", Seq("b"), "f2_")
+      .select(col("id"), col("f2_b"), col("f2_ts"))
+    val r3 = TemporalOps.asofJoin(left, f3, Seq("k"), "t", "t", Seq("c"), "f3_")
+      .select(col("id"), col("f3_c"), col("f3_ts"))
+    val expected = r1.join(r2, "id").join(r3, "id")
+      .select(col("id"), col("f1_a"), col("f1_ts"), col("f2_b"), col("f2_ts"),
+        col("f3_c"), col("f3_ts"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val actual = grouped
+      .select(col("id"), col("f1_a"), col("f1_ts"), col("f2_b"), col("f2_ts"),
+        col("f3_c"), col("f3_ts"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(actual === expected)
+  }
+
+  test("grouped as-of plan: ONE exchange and ONE sort total, not one per feature table") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val f1 = Seq((10L, ts(10), 1.0)).toDF("k", "t", "a")
+      val f2 = Seq((10L, ts(50), "x")).toDF("k", "t", "b")
+      val f3 = Seq((10L, ts(100), 7L)).toDF("k", "t", "c")
+      val plan = TemporalOps.asofJoinFeatures(left,
+        Seq(("f1", f1, Seq("a")), ("f2", f2, Seq("b")), ("f3", f3, Seq("c"))),
+        Seq("k"), "t", "t").queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.size === 1,
+        s"the spine and ALL feature tables must shuffle as one union:\n$plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size === 1, s"one timeline sort total:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.size === 1,
+        s"all k carries run in ONE window exec:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
     // int key vs long key: the broadcast probe compares UnsafeRow bytes
     // across sides — without validation it would match NOTHING
