@@ -4,16 +4,27 @@ import graft.queries.Q
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
-/** Accumulates shuffle-read bytes across all tasks — the per-query
-  * delta is the number that actually predicts 100 TB behavior (wall
-  * time at sf0.1 mostly measures fixed overheads; shuffle volume
-  * scales).
+/** Accumulates shuffle-read bytes, spill bytes, and peak task memory
+  * across all tasks — the per-query deltas are the numbers that
+  * actually predict 100 TB behavior (wall time at sf0.1 mostly
+  * measures fixed overheads; shuffle volume scales, spill marks a
+  * partition-sizing failure, and peak task memory is the executor-
+  * sizing input). Spill in particular closes the r13 adjudication
+  * loop: the sf10 "superlinear" slopes were partition spill at the
+  * 4-partition default, a verdict that had to be established by a
+  * manual rerun because the artifact recorded no spill — now it does.
   */
 private final class ShuffleTally extends SparkListener {
   val read = new AtomicLong
+  val spilled = new AtomicLong
+  val peakMem = new AtomicLong
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
-    if (m != null) read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      peakMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+    }
   }
 }
 
@@ -67,7 +78,10 @@ object Bench {
     if (invalid)
       System.err.println(
         f"[bench] INVALID: load_avg $loadBefore%.2f > 2 at start — numbers are ambient-load noise")
-    val spark = GraftSession.local()
+    // session sized to the DATA: shuffle partitions scale with the sf
+    // dir's bytes (spill prevention at sf1/sf10), AQE coalesces them
+    // back down at small sfs — see GraftSession.localForData
+    val spark = GraftSession.localForData(sfDir)
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — subset filter for local diagnosis
     // runs; the driver never sets it, so recorded rounds are unaffected
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -84,13 +98,19 @@ object Bench {
     // the number). The listener is removed before the timed reps.
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
-    val shuffleMb = headline.map { q =>
+    case class ColdMetrics(shuffleMb: Double, spillMb: Double,
+                           peakMemMb: Double)
+    val coldMetrics = headline.map { q =>
       val r0 = tally.read.get
+      val s0 = tally.spilled.get
+      tally.peakMem.set(0)
       try exec(q, spark, sfDir) catch { case _: Throwable => }
       drainListenerBus(spark.sparkContext)
       spark.catalog.clearCache() // see timed-loop comment
-      q.name -> (tally.read.get - r0) / 1e6
+      q.name -> ColdMetrics((tally.read.get - r0) / 1e6,
+        (tally.spilled.get - s0) / 1e6, tally.peakMem.get / 1e6)
     }.toMap
+    val shuffleMb = coldMetrics.map { case (k, v) => k -> v.shuffleMb }
     spark.sparkContext.removeSparkListener(tally)
     // n timed runs per query, report the MEDIAN: single-shot numbers have
     // twice been re-adjudicated as ambient-load noise (a one-off GC or a
@@ -155,9 +175,13 @@ object Bench {
     val ccRounds = graft.dedup.Dedup.lastClusterRounds
     // locale-independent 2-dp rendering (an f"%.2f" would emit comma
     // decimals — malformed JSON — under a comma-decimal default locale)
-    val sh = results.map { case (k, _) =>
-      "\"" + k + "\":" + math.round(shuffleMb.getOrElse(k, -1.0) * 100) / 100.0 }
+    def mbMap(get: ColdMetrics => Double): String = results.map { case (k, _) =>
+      "\"" + k + "\":" + math.round(
+        coldMetrics.get(k).map(get).getOrElse(-1.0) * 100) / 100.0 }
       .mkString("{", ",", "}")
+    val sh = mbMap(_.shuffleMb)
+    val sp = mbMap(_.spillMb)
+    val pm = mbMap(_.peakMemMb)
     // a run with ANY -1.0 sentinel must not read as "ok": automation
     // keying on status treated r8's 4 broken queries as a clean bench
     val nFailed = results.count(_._2 < 0)
@@ -192,6 +216,8 @@ object Bench {
     val origin = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORIGIN", "driver")
     println(s"""{"detail":"rep_times_sec","reps":$reps,"times":$repsJson}""")
     println(s"""{"detail":"shuffle_read_mb","queries":$sh,"load_avg_before":$loadBefore,"load_avg":$load}""")
+    println(s"""{"detail":"spill_mb","queries":$sp}""")
+    println(s"""{"detail":"peak_task_mem_mb","queries":$pm}""")
     println(s"""{"total":$total,"status":$status,"ambient_ok":$ambientOk,"origin":"$origin","metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
     // Durable artifact: the driver records only the last ~2000 chars of
     // stdout, so the per-rep times and shuffle bytes that make
@@ -210,7 +236,10 @@ object Bench {
          |"cc_rounds":$ccRounds,
          |"medians_sec":$qs,
          |"rep_times_sec":$repsJson,
-         |"shuffle_read_mb":$sh}""".stripMargin
+         |"shuffle_read_mb":$sh,
+         |"spill_mb":$sp,
+         |"peak_task_mem_mb":$pm,
+         |"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}}""".stripMargin
     val diagnostic = only.isDefined || reps != 3
     // Round inference: max over the recorded BENCH_r*.json (driver-
     // written, repo root) AND our own bench_out/bench_r*.json — a run

@@ -53,4 +53,38 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Harness-local session SIZED TO THE DATA it will process: shuffle
+    * parallelism must track input bytes, not the thread count — at
+    * sf10 the 4-partition default put ~300 MB of shuffle per partition
+    * and SPILLED, which read as superlinear scaling until a manual
+    * thread override disproved it (r13 adjudication, SURVEY §8). The
+    * AQE initial partition number scales as totalInputBytes / 64 MB
+    * (the advisory partition size), clamped to [threads, 256];
+    * coalescePartitions then merges small post-shuffle outputs back
+    * down, so small-sf runs keep their low task overheads while big-sf
+    * runs stop spilling — the same conf a 1000-executor cluster wants.
+    */
+  def localForData(dataDir: String, multiplier: Double = 1.0): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val bytes =
+      try {
+        val root = new java.io.File(dataDir)
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(size).sum
+          else f.length()
+        (size(root) * multiplier).toLong
+      } catch { case _: Throwable => 0L }
+    val targetBytes = 64L * 1024 * 1024
+    val parts = math.min(256L, math.max(cpus.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+    val s = builder(s"local[$cpus]", parts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        parts.toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[session] $dataDir: ${bytes / 1000000} MB input" +
+      s" -> $parts shuffle partitions ($cpus threads)")
+    s
+  }
 }

@@ -56,7 +56,9 @@ object ScaleData {
     val (srcDir, outDir) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
 
-    val spark = graft.GraftSession.local()
+    // session sized to the OUTPUT (factor x the source bytes): the
+    // factor-way union shuffles roughly the output volume
+    val spark = graft.GraftSession.localForData(srcDir, factor.toDouble)
     import spark.implicits._
 
     def src(name: String): DataFrame =
