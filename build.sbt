@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap sized to the 128 GiB harness box: at 8g the sf10
+  // bench's execution pool (~4.6 GB shared by all tasks) forced tens
+  // of GB of spill in the iterative CC query regardless of partition
+  // count — the data-scaled shuffle partitioning (GraftSession
+  // .localForData) needs a heap that can actually hold a partition's
+  // working set
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1626,6 +1626,42 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: the catalog READ path — `spark.table` over a
+    * PartitionedSinkCatalog table, with the partition-pruning pushdown
+    * doing the work: the `IN ('A', 'R')` predicate is consumed by the
+    * scan (PartitionedSinkScanBuilder), so the N and R partitions'
+    * files contribute zero input splits — at warehouse scale the
+    * difference between scanning two days and the whole history. The
+    * oracle recomputes the same aggregate from lineitem directly, so a
+    * mis-pruned partition (missing or extra) flips row counts.
+    */
+  val qDsv2CatalogRead = Q(
+    "q_dsv2_catalog_read",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.flags_read")
+      li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .writeTo("graft_dyn.flags_read")
+        .partitionedBy(col("l_returnflag")).create()
+      s.table("graft_dyn.flags_read")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -1873,5 +1909,5 @@ object ParityQueries {
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
-    qDsv2Dynamic)
+    qDsv2Dynamic, qDsv2CatalogRead)
 }

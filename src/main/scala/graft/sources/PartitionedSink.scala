@@ -213,15 +213,17 @@ object PartitionedSink {
   }
 }
 
-private class PartitionedSinkTable(path: String, partCol: String,
-                                   schema0: StructType)
-    extends Table with SupportsWrite {
+private[sources] class PartitionedSinkTable(path: String, partCol: String,
+                                            schema0: StructType)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"partitioned_sink($path by $partCol)"
   override def schema(): StructType = schema0
   override def partitioning(): Array[Transform] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .identity(partCol))
   override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,
@@ -230,6 +232,11 @@ private class PartitionedSinkTable(path: String, partCol: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PartitionedSinkWriteBuilder(path, partCol, info)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new PartitionedSinkScanBuilder(path, partCol, schema0)
 }
 
 /** Overwrite mode resolved at build time from which mix-in Spark

@@ -1,0 +1,179 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** READ half of the partitioned sink's catalog tables: `SELECT ... FROM
+  * cat.t` / `spark.table("cat.t")` scan the hive-style TSV layout
+  * directly, with the two pushdowns that matter for this layout shape:
+  *
+  *   - PARTITION PRUNING ([[SupportsPushDownFilters]]): `partCol = v`,
+  *     `partCol IN (...)` and `IsNotNull(partCol)` are consumed at
+  *     planning time — pruned partitions contribute ZERO input splits,
+  *     which at warehouse scale is the difference between scanning a
+  *     day and scanning a decade. Data-column predicates are declined
+  *     (returned as post-scan filters) — a text layout has no
+  *     row-group statistics to prune with.
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the
+  *     reader still splits every line (a TSV row must be walked to be
+  *     skipped) but only DECODES and materializes requested fields;
+  *     the partition column costs nothing (it comes from the dir
+  *     name, one constant per split).
+  *
+  * One [[InputPartition]] per data FILE — the natural split grain of
+  * the layout (files are per-(task, partition-value) from the write
+  * side, so sizes track write parallelism). Executors get the session
+  * Hadoop conf the same way the writer does.
+  */
+private[sources] class PartitionedSinkScanBuilder(
+    path: String, partCol: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var partitionFilters: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, rest) = filters.partition {
+      case EqualTo(c, _) => c == partCol
+      case In(c, _) => c == partCol
+      case IsNotNull(c) => c == partCol // partition values are never null
+      case _ => false
+    }
+    partitionFilters = pushable
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = partitionFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order (the line decoder walks by ordinal)
+    required = StructType(
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new PartitionedSinkScan(path, partCol, fullSchema, required,
+      partitionFilters)
+}
+
+private class PartitionedSinkScan(
+    path: String, partCol: String, fullSchema: StructType,
+    required: StructType, partitionFilters: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PartitionedSinkScan($path) PushedPartitionFilters: " +
+      partitionFilters.mkString("[", ", ", "]")
+
+  private def keepValue(v: String): Boolean = partitionFilters.forall {
+    case EqualTo(_, want) => v == want.toString
+    case In(_, vs) => vs.exists(w => v == w.toString)
+    case IsNotNull(_) => true
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      SparkSession.active.sessionState.newHadoopConf())
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(s => TsvCodec.unescapeDir(
+        s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
+      .filter { case (v, _) => keepValue(v) } // partition pruning
+      .flatMap { case (v, dir) =>
+        fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_")) // no checksums/markers
+          .map(f => SinkFileSplit(f.getPath.toString, v): InputPartition)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionedSinkReaderFactory(fullSchema, required, partCol,
+      PartitionedSinkWriterFactory.sessionConf())
+}
+
+private case class SinkFileSplit(file: String, partValue: String)
+    extends InputPartition
+
+private class PartitionedSinkReaderFactory(
+    fullSchema: StructType, required: StructType, partCol: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(split: InputPartition): PartitionReader[InternalRow] =
+    new PartitionedSinkReader(split.asInstanceOf[SinkFileSplit],
+      fullSchema, required, partCol, conf)
+}
+
+/** Line reader for one staged-then-published TSV file: split on tab,
+  * decode only the REQUIRED ordinals (TsvCodec unescape for strings,
+  * straight parses for numerics, `\N` → null), fill the partition
+  * column from the split's constant.
+  */
+private class PartitionedSinkReader(
+    split: SinkFileSplit, fullSchema: StructType, required: StructType,
+    partCol: String, conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private val fs = FileSystem.get(new java.net.URI(split.file), conf.value)
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    fs.open(new Path(split.file)), "UTF-8"))
+
+  // the file carries the data fields in fullSchema order MINUS partCol
+  private val dataFields =
+    fullSchema.fields.filter(_.name != partCol)
+  // required ordinal -> (file column index | -1 for the partition col)
+  private val plan: Array[(Int, DataType)] = required.fields.map { f =>
+    if (f.name == partCol) (-1, f.dataType)
+    else (dataFields.indexWhere(_.name == f.name), f.dataType)
+  }
+  private val partValue: Any =
+    cast(split.partValue, fullSchema(partCol).dataType)
+
+  private def cast(s: String, dt: DataType): Any = dt match {
+    case StringType  => UTF8String.fromString(s)
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case BooleanType => s.toBoolean
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case other => throw new UnsupportedOperationException(
+      s"PartitionedSink read supports atomic column types only, got $other")
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null) return false
+    // -1 keeps trailing empty cells (a NULL in the last column)
+    val cells = line.split("\t", -1)
+    val values = plan.map { case (idx, dt) =>
+      if (idx < 0) partValue
+      else {
+        val cell = cells(idx)
+        if (cell == PartitionedSink.NullToken) null
+        else dt match {
+          case StringType => UTF8String.fromString(
+            TsvCodec.unescape(UTF8String.fromString(cell)).toString)
+          case other => cast(cell, other)
+        }
+      }
+    }
+    current = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

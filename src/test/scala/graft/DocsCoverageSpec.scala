@@ -82,6 +82,26 @@ class DocsCoverageSpec extends AnyFunSuite {
       s"SURVEY §8 says ${m.get.group(1)} headliners; registry has $actual")
   }
 
+  // Scaling evidence must not silently go stale as operators change:
+  // the sf1 sweep was a one-off builder artifact in r13, and nothing
+  // forced a refresh. Pin it to the CURRENT round: the round in
+  // progress is max(recorded BENCH_r<N>.json) + 1 (the driver records
+  // its artifact only after the round closes), and a committed
+  // bench_out/bench_sf1_r<current>.json must exist — a round that
+  // ships operator changes without re-measuring the 10x slope fails
+  // here.
+  test("a fresh sf1 bench artifact exists for the round in progress") {
+    val recorded = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => raw"^BENCH_r(\d+)\.json$$".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    val current = (recorded :+ 0).max + 1
+    val expected = s"bench_out/bench_sf1_r$current.json"
+    assert(Files.exists(Paths.get(expected)),
+      s"round $current has no committed sf1 sweep ($expected) — rerun " +
+        "Bench with SPARK_GRAFT_SF_DIR=data/sf1 (see SURVEY §8) so the " +
+        "scaling slope table stays current")
+  }
+
   test("registry names are unique") {
     val dup = SparkEntry.registry.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
