@@ -47,4 +47,52 @@ object Compaction {
     fs.delete(old, true)
     (before, dataFiles(path))
   }
+
+  /** Compact a [[graft.sources.PartitionedSinkCatalog]] table's
+    * fragmented partitions THROUGH THE TABLE'S OWN COMMIT PROTOCOL —
+    * compaction is literally a dynamic partition overwrite of the
+    * partitions being compacted: read the fragmented partitions via
+    * `spark.table`, cluster rows by the partition column (one task per
+    * value ⇒ one file per value), and publish with
+    * `writeTo(...).overwritePartitions()`. Unlike the rename-swap of
+    * [[compactParquet]], readers never race even on object stores —
+    * the publish is the same all-or-nothing manifest commit every sink
+    * write uses, and untouched partitions are untouched files.
+    *
+    * Only partitions with more than `maxFilesPerPartition` data files
+    * are rewritten. Returns (partitionValue → filesBefore) for the
+    * compacted set; empty when nothing was fragmented.
+    */
+  def compactSinkTable(spark: SparkSession, catalog: String, table: String,
+                       maxFilesPerPartition: Int = 1): Map[String, Int] = {
+    import org.apache.spark.sql.functions.col
+    val catalogPlugin = spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, table)
+    val t = catalogPlugin.loadTable(ident)
+    val partCol = t.partitioning().head.references()(0).fieldNames.mkString(".")
+    // table dir = the catalog root + escaped name (mirror the catalog's
+    // layout contract); count data files per partition dir
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map { s =>
+        val files = fs.listStatus(s.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+        graft.sources.TsvCodec.unescapeDir(
+          s.getPath.getName.stripPrefix(partCol + "=")) -> files
+      }
+      .filter(_._2 > maxFilesPerPartition).toMap
+    if (fragmented.nonEmpty) {
+      spark.table(s"$catalog.$table")
+        .filter(col(partCol).isin(fragmented.keys.toSeq: _*))
+        .repartition(col(partCol)) // all rows of a value in one task
+        .writeTo(s"$catalog.$table").overwritePartitions()
+    }
+    fragmented
+  }
 }

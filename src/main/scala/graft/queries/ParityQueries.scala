@@ -1662,6 +1662,48 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: small-file COMPACTION of a catalog table through the
+    * table's own dynamic overwrite
+    * ([[graft.ops.Compaction.compactSinkTable]]) — the standing
+    * maintenance job of a streaming/incremental warehouse: three
+    * appends fragment each partition into three files; compaction
+    * clusters by the partition column and republishes ONE file per
+    * fragmented partition via `overwritePartitions()` (the same
+    * all-or-nothing manifest commit as every sink write — no
+    * rename-swap race). The oracle checks the read-back aggregate
+    * equals 3× the base aggregate: lost rows, duplicated rows, or a
+    * clobbered partition all flip it.
+    */
+  val qDsv2Compact = Q(
+    "q_dsv2_compact",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.flags_cmp")
+      def agg = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      agg.writeTo("graft_dyn.flags_cmp")
+        .partitionedBy(col("l_returnflag")).create()
+      agg.writeTo("graft_dyn.flags_cmp").append()
+      agg.writeTo("graft_dyn.flags_cmp").append()
+      graft.ops.Compaction.compactSinkTable(s, "graft_dyn", "flags_cmp")
+      s.table("graft_dyn.flags_cmp")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n")).as("n3"),
+          asDouble(sum(dec(col("sum_qty")))).as("qty3"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, 3 * count(*) AS n3,
+             CAST(3 * sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty3
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -1909,5 +1951,5 @@ object ParityQueries {
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
-    qDsv2Dynamic, qDsv2CatalogRead)
+    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact)
 }

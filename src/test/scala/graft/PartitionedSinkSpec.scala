@@ -347,6 +347,40 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_read_spec.t")
   }
 
+  test("compactSinkTable rewrites only fragmented partitions, through the table's own dynamic overwrite") {
+    import spark.implicits._
+    val root = tmpDir("sink_compact")
+    spark.conf.set("spark.sql.catalog.graft_cmp_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cmp_spec.root", root)
+    // three appends fragment partition A into 3 files; B gets one
+    Seq((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B")).toDF("k", "v", "s", "p")
+      .coalesce(1).writeTo("graft_cmp_spec.t").partitionedBy(col("p")).create()
+    Seq((3L, 3.0, "c", "A")).toDF("k", "v", "s", "p").coalesce(1)
+      .writeTo("graft_cmp_spec.t").append()
+    Seq((4L, 4.0, "d", "A")).toDF("k", "v", "s", "p").coalesce(1)
+      .writeTo("graft_cmp_spec.t").append()
+    def files(p: String) = new File(s"$root/t/p=$p").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(files("A").length === 3 && files("B").length === 1)
+    val bBefore = files("B").map(f => (f.getName, f.lastModified, f.length)).toSet
+    val expected = spark.table("graft_cmp_spec.t").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val compacted = graft.ops.Compaction.compactSinkTable(
+      spark, "graft_cmp_spec", "t")
+    assert(compacted === Map("A" -> 3), "only A was fragmented")
+    assert(files("A").length === 1, "A's three files merge into one")
+    assert(files("B").map(f => (f.getName, f.lastModified, f.length)).toSet
+      === bBefore, "B (already compact) must be byte-untouched")
+    assert(spark.table("graft_cmp_spec.t").collect()
+      .map(_.toSeq).sortBy(_.toString) === expected,
+      "compaction preserves rows exactly")
+    // idempotent: a second run finds nothing fragmented
+    assert(graft.ops.Compaction.compactSinkTable(
+      spark, "graft_cmp_spec", "t") === Map.empty)
+    spark.sql("DROP TABLE graft_cmp_spec.t")
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
