@@ -297,6 +297,30 @@ object EventsStreaming {
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-static AS-OF enrichment: each streaming event picks the
+    * dimension version valid AT ITS EVENT TIME (latest `dimTs <=`
+    * event time per key) — the point-in-time-correct rendition of
+    * [[enrichStream]] for VERSIONED reference tables (price history,
+    * config history, SCD2 dims). A plain equi-join would stamp every
+    * event with today's row; replays would then enrich differently
+    * than the live run did — the training-serving-skew bug the batch
+    * `q_pit_join` exists to prevent, now closed on the streaming path.
+    *
+    * Mechanics: the native broadcast as-of exec
+    * ([[graft.plans.AsOfBroadcastJoinExec]]) probes each micro-batch
+    * IN PLACE — stateless (no state store), zero stream-side shuffle,
+    * and the per-key timeline index is memoized per executor across
+    * batches of the same broadcast. The dim is re-broadcast per
+    * trigger, so an updated history takes effect on the next batch
+    * without a query restart.
+    */
+  def asofEnrichStream(events: DataFrame, versionedDim: DataFrame,
+                       keys: Seq[String], eventTs: String, dimTs: String,
+                       payload: Seq[String],
+                       prefix: String = "asof_"): DataFrame =
+    graft.ops.TemporalOps.asofJoinNative(events, versionedDim, keys,
+      eventTs, dimTs, payload, prefix, broadcastRight = true)
+
   /** Idempotent streaming sink: every micro-batch is diffed against the
     * target (the U2 EXCEPT-DISTINCT primitive) before appending, so
     * replayed batches append zero rows — exactly the reference's

@@ -39,6 +39,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.find(_.getAs[String]("event_type") == "view").get.getAs[Long]("n") == 1L)
   }
 
+  test("as-of enrichment: each streamed event reads the dim version valid at ITS event time") {
+    val in = tmpDir("stream-asof-in")
+    writeFixture(in)
+    // versioned dim: user 7 changes tier at 10:15; user 8 has one
+    // version from 10:30 (AFTER its only event — must enrich as NULL)
+    val dim = Seq(
+      (7L, ts(0), "bronze"), (7L, ts(15), "gold"), (8L, ts(30), "vip"))
+      .toDF("user_id", "valid_from", "tier")
+    val events = EventsStreaming.readEvents(spark, in,
+      implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+    val enriched = EventsStreaming.asofEnrichStream(events, dim,
+      Seq("user_id"), "ts", "valid_from", Seq("tier"))
+    val q = enriched.writeStream
+      .format("memory").queryName("asofenrich")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-asof"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("asofenrich")
+      .select(col("event_id"), col("asof_tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      1L -> Some("bronze"),  // 10:00 event: pre-change version
+      2L -> Some("bronze"),  // 10:10: still bronze (gold starts 10:15)
+      3L -> None,            // user 8 at 10:20: no version valid yet
+      4L -> Some("gold")),   // 10:59: the 10:15 version
+      "streaming enrichment must be point-in-time, not latest-row")
+    // and it matches the BATCH as-of on the same data exactly
+    val batch = graft.ops.TemporalOps.asofJoinNative(
+      fixture.toDS().toDF(), dim, Seq("user_id"), "ts", "valid_from",
+      Seq("tier"), broadcastRight = true)
+      .select(col("event_id"), col("asof_tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === batch, "stream and batch renditions must agree")
+  }
+
   test("mapGroupsWithState keeps per-user running stats") {
     val in = tmpDir("stream-in2")
     writeFixture(in)
