@@ -173,6 +173,59 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_pit_features: three feature tables, ONE window and ONE hash exchange") {
+    // the grouped as-of contract at gate data: all k carries run in a
+    // single WindowExec over one union shuffle — a per-feature chain
+    // would plan k windows (and k sorts), multiplying the shuffle
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.queries.EventQueries.qPitFeatures
+        .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.size === 1,
+        s"3 feature carries must share ONE WindowExec:\n$plan")
+      // the carry shuffle hashes on the join key ALONE; the three
+      // per-feature (user_id, ts) dedup aggregations are input prep,
+      // not part of the as-of — the as-of itself contributes exactly
+      // one exchange however many feature tables join
+      val carryEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if (e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+              h.expressions.map(_.sql) == Seq("user_id")
+            case _ => false
+          }) => e }
+      assert(carryEx.size === 1,
+        s"spine + 3 feature tables must shuffle as ONE union on the key:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q_dsv2_catalog_read: the IN partition filter is consumed by the scan and prunes splits") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.queries.ParityQueries.qDsv2CatalogRead
+        .run(spark, "/root/testdata/sf0.001")
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      assert(scans.size === 1, "one catalog-table scan")
+      assert(scans.head.scan.description().contains("In(l_returnflag"),
+        s"the partition filter must be PUSHED, not residual: " +
+          scans.head.scan.description())
+      // pruning is real: the filtered table plans fewer splits than
+      // the unfiltered one (A,R of the 3 returnflag partitions)
+      val filteredSplits = spark.table("graft_dyn.flags_read")
+        .filter(org.apache.spark.sql.functions.col("l_returnflag")
+          .isin("A", "R")).rdd.getNumPartitions
+      val allSplits = spark.table("graft_dyn.flags_read").rdd.getNumPartitions
+      assert(filteredSplits < allSplits,
+        s"IN-filter must drop the N partition's splits " +
+          s"($filteredSplits vs $allSplits)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_tpch_q6: every predicate reaches the scan; projection reads 4 of 11 columns") {
     // Q6 is the pure-I/O query: if any of its four predicates falls out
     // of PushedFilters, or the scan reads columns the aggregate never
