@@ -192,6 +192,98 @@ private[graft] object AsOfIndexCache {
     }
 }
 
+/** Executor-side probe state shared by BOTH execution paths of the
+  * broadcast as-of join (the iterator `doExecute` and the whole-stage
+  * codegen `doConsume` call the same object): builds/caches the
+  * per-key ts-sorted timeline index from the broadcast rows (via
+  * [[AsOfIndexCache]] — once per executor), and answers point probes
+  * with a binary search. Serializable so it ships in task closures and
+  * in the codegen references array; the index itself is `@transient
+  * lazy` and rebuilt (or cache-hit) executor-side. Key projections are
+  * built from BOUND ordinals so the probe-side key row (boxed values
+  * in key order) and the build-side key row (projected from the
+  * broadcast rows) share one UnsafeRow binary layout.
+  */
+private[graft] class AsOfProbeHelper(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    val cacheKey: String,
+    keyOrds: Array[Int],
+    keyTypes: Array[org.apache.spark.sql.types.DataType],
+    tsOrdinal: Int,
+    tsType: org.apache.spark.sql.types.DataType,
+    forward: Boolean,
+    indexBuilds: SQLMetric,
+    buildTime: SQLMetric) extends Serializable {
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+
+  @transient private lazy val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+
+  /** Boxed-values → UnsafeRow with the index's key layout. */
+  @transient private lazy val probeKeyProj =
+    UnsafeProjection.create(keyTypes.zipWithIndex.map { case (t, i) =>
+      BoundReference(i, t, nullable = true)
+    }.toIndexedSeq)
+
+  @transient lazy val index
+      : java.util.HashMap[InternalRow, Array[(Any, InternalRow)]] =
+    AsOfIndexCache.getOrBuild(cacheKey, { () =>
+      val t0 = System.nanoTime()
+      val rKeyProj = UnsafeProjection.create(
+        keyOrds.zip(keyTypes).map { case (o, t) =>
+          BoundReference(o, t, nullable = true)
+        }.toIndexedSeq)
+      val rTsProj = UnsafeProjection.create(
+        Seq(BoundReference(tsOrdinal, tsType, nullable = true)))
+      val built = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
+      val tmp = new java.util.HashMap[
+        InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+      bc.value.foreach { r =>
+        val k = rKeyProj(r)
+        val t = rTsProj(r)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          val buf = tmp.computeIfAbsent(k.copy(),
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((t.get(0, tsType), r))
+        }
+      }
+      tmp.forEach { (k, buf) =>
+        built.put(k, buf.sortBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]]).toArray)
+      }
+      indexBuilds += 1
+      buildTime += (System.nanoTime() - t0) / 1000000
+      built
+    }).asInstanceOf[java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
+
+  /** Binary search: backward = last ts <= lTs, forward = first >= lTs. */
+  def search(timeline: Array[(Any, InternalRow)], tsVal: Any): InternalRow = {
+    var lo = 0; var hi = timeline.length - 1; var hit = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = tsOrd.compare(timeline(mid)._1, tsVal)
+      if (!forward) {
+        if (c <= 0) { hit = mid; lo = mid + 1 } else hi = mid - 1
+      } else {
+        if (c >= 0) { hit = mid; hi = mid - 1 } else lo = mid + 1
+      }
+    }
+    if (hit < 0) null else timeline(hit)._2
+  }
+
+  /** Probe with an already-projected key row (iterator path). */
+  def probeKey(key: InternalRow, tsVal: Any): InternalRow = {
+    val timeline = index.get(key)
+    if (timeline == null) null else search(timeline, tsVal)
+  }
+
+  /** Probe with boxed key values + boxed ts (codegen path; nulls are
+    * filtered by the generated guard before this call).
+    */
+  def probe(keys: Array[AnyRef], ts: AnyRef): InternalRow =
+    probeKey(probeKeyProj(new GenericInternalRow(
+      keys.asInstanceOf[Array[Any]])), ts)
+}
+
 case class AsOfBroadcastJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -201,7 +293,8 @@ case class AsOfBroadcastJoinExec(
     rightTs: Attribute,
     rightPayload: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean) extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
@@ -228,56 +321,38 @@ case class AsOfBroadcastJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = leftKeys.map(_.dataType)
-    val tsType = leftTs.dataType
-    val nOut = outAttrs.size
-    val lOut = left.output
+  /** Driver-side: trigger the broadcast and package everything the
+    * executor probe needs. Called from doExecute AND doConsume
+    * (executeBroadcast is idempotent — the exchange caches its future).
+    */
+  private def probeHelper: AsOfProbeHelper = {
     val rOut = right.output
-    val lk = leftKeys; val rk = rightKeys
-    val lt = leftTs; val rt = rightTs
-    val rp = rightPayload
-    val out = output
-    val fwd = forward
     val bc = right.executeBroadcast[Array[InternalRow]]()
     // cache key: same broadcast + same join-column positions = same
     // index (direction and payload don't shape it — rows are stored
     // whole and the sorted timeline serves both search directions)
-    val cacheKey = s"${bc.id}:${rk.map(rOut.indexOf).mkString(",")}:" +
-      s"${rOut.indexOf(rt)}"
+    val cacheKey = s"${bc.id}:${rightKeys.map(rOut.indexOf).mkString(",")}:" +
+      s"${rOut.indexOf(rightTs)}"
+    new AsOfProbeHelper(bc, cacheKey,
+      rightKeys.map(rOut.indexOf).toArray,
+      leftKeys.map(_.dataType).toArray,
+      rOut.indexOf(rightTs), leftTs.dataType, forward,
+      longMetric("indexBuilds"), longMetric("buildTime"))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val tsType = leftTs.dataType
+    val nOut = outAttrs.size
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val lt = leftTs
+    val rp = rightPayload; val rt = rightTs
+    val out = output
+    val helper = probeHelper
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    val indexBuilds = longMetric("indexBuilds")
-    val buildTime = longMetric("buildTime")
     left.execute().mapPartitions { lIter =>
-      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
-      // per-key timeline index from the broadcast rows: key → rows
-      // sorted by ts (null keys / null ts dropped — they never match).
-      // Built AT MOST ONCE PER EXECUTOR via AsOfIndexCache — tasks
-      // after the first reuse it.
-      val index = AsOfIndexCache.getOrBuild(cacheKey, { () =>
-        val t0 = System.nanoTime()
-        val rKeyProj = UnsafeProjection.create(rk, rOut)
-        val rTsProj = UnsafeProjection.create(Seq(rt), rOut)
-        val built = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
-        val tmp = new java.util.HashMap[
-          InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
-        bc.value.foreach { r =>
-          val k = rKeyProj(r)
-          val t = rTsProj(r)
-          if (!k.anyNull && !t.isNullAt(0)) {
-            val buf = tmp.computeIfAbsent(k.copy(),
-              _ => scala.collection.mutable.ArrayBuffer.empty)
-            buf += ((t.get(0, tsType), r))
-          }
-        }
-        tmp.forEach { (k, buf) =>
-          built.put(k, buf.sortBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]]).toArray)
-        }
-        indexBuilds += 1
-        buildTime += (System.nanoTime() - t0) / 1000000
-        built
-      }).asInstanceOf[java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]]
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val lTsProj = UnsafeProjection.create(Seq(lt), lOut)
       val packProj = UnsafeProjection.create(rp :+ rt, rOut)
@@ -289,31 +364,100 @@ case class AsOfBroadcastJoinExec(
         val lTsRow = lTsProj(l)
         val matched: InternalRow =
           if (lKey.anyNull || lTsRow.isNullAt(0)) null
-          else {
-            val timeline = index.get(lKey)
-            if (timeline == null) null
-            else {
-              val lTsVal = lTsRow.get(0, tsType)
-              // binary search: backward = last ts <= lTs,
-              // forward = first ts >= lTs
-              var lo = 0; var hi = timeline.length - 1; var hit = -1
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                val c = tsOrd.compare(timeline(mid)._1, lTsVal)
-                if (!fwd) {
-                  if (c <= 0) { hit = mid; lo = mid + 1 } else hi = mid - 1
-                } else {
-                  if (c >= 0) { hit = mid; hi = mid - 1 } else lo = mid + 1
-                }
-              }
-              if (hit < 0) null else timeline(hit)._2
-            }
-          }
+          else helper.probeKey(lKey, lTsRow.get(0, tsType))
         numOutputRows += 1
         if (matched != null) numMatched += 1
         resultProj(joined(l, if (matched == null) nulls else packProj(matched)))
       }
     }
+  }
+
+  // ---- whole-stage codegen: the probe fuses into the fact-side
+  // pipeline (scan → filter → THIS → parent all in one generated
+  // function — the iterator rendition above remains the fallback
+  // Spark uses when codegen is off or the stage fails to compile) ----
+
+  // exactly one output row per streamed row (left-outer point lookup),
+  // so result-copy semantics are the streamed side's — the binary-node
+  // default refuses to guess for two children
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+      .needCopyResult
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+      .produce(ctx, this)
+
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String = {
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, ExprCode, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatchedM = metricTerm(ctx, "numMatched")
+    val helperRef = ctx.addReferenceObj("asofProbe", probeHelper,
+      classOf[AsOfProbeHelper].getName)
+    // evaluate the probe inputs from the incoming column variables
+    ctx.currentVars = input
+    val keyEvs = leftKeys.map(a =>
+      BindReferences.bindReference(a: org.apache.spark.sql.catalyst.expressions.Expression,
+        left.output).genCode(ctx))
+    val tsEv = BindReferences.bindReference(
+      leftTs: org.apache.spark.sql.catalyst.expressions.Expression,
+      left.output).genCode(ctx)
+    def boxed(dt: org.apache.spark.sql.types.DataType, v: String): String =
+      if (CodeGenerator.isPrimitiveType(dt)) s"${CodeGenerator.boxedType(dt)}.valueOf($v)"
+      else v
+    val anyNull = (keyEvs :+ tsEv).map(_.isNull.toString)
+      .filter(_ != "false") match {
+      case Nil => "false"
+      case xs => xs.mkString(" || ")
+    }
+    val matched = ctx.freshName("asofMatched")
+    val keysArr = ctx.freshName("asofKeys")
+    val fillKeys = leftKeys.zip(keyEvs).zipWithIndex.map {
+      case ((a, ev), i) => s"$keysArr[$i] = ${boxed(a.dataType, ev.value.toString)};"
+    }.mkString("\n")
+    // payload columns read from the matched broadcast row (broadcast
+    // rows are long-lived; object values like UTF8String are safe to
+    // hand to the parent without copy)
+    val rOut = right.output
+    val payloadCodes = (rightPayload :+ rightTs).zip(outAttrs).map {
+      case (src, outA) =>
+        val ord = rOut.indexOf(src)
+        val jt = CodeGenerator.javaType(outA.dataType)
+        val isNullVar = ctx.freshName("asofOutIsNull")
+        val valVar = ctx.freshName("asofOutVal")
+        val c =
+          code"""
+            |boolean $isNullVar = ($matched == null) || $matched.isNullAt($ord);
+            |$jt $valVar = $isNullVar ? ${CodeGenerator.defaultValue(outA.dataType)}
+            |  : (${CodeGenerator.getValue(matched, outA.dataType, ord.toString)});
+          """.stripMargin
+        ExprCode(c, JavaCode.isNullVariable(isNullVar),
+          JavaCode.variable(valVar, outA.dataType))
+    }
+    s"""
+       |${keyEvs.map(_.code.toString).mkString("\n")}
+       |${tsEv.code.toString}
+       |InternalRow $matched = null;
+       |if (!($anyNull)) {
+       |  Object[] $keysArr = new Object[${leftKeys.size}];
+       |  $fillKeys
+       |  $matched = $helperRef.probe($keysArr,
+       |    ${boxed(leftTs.dataType, tsEv.value.toString)});
+       |}
+       |$numOutput.add(1);
+       |if ($matched != null) $numMatchedM.add(1);
+       |${payloadCodes.map(_.code.toString).mkString("\n")}
+       |${consume(ctx, input ++ payloadCodes)}
+     """.stripMargin
   }
 }
 

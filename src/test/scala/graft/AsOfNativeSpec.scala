@@ -238,6 +238,36 @@ class AsOfNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("broadcast probe fuses into whole-stage codegen: the fact pipeline does not break at the join") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = TemporalOps.asofJoinNative(
+        left.filter(col("id") > 0), right, Seq("k"), "t", "t",
+        Seq("payload"), broadcastRight = true)
+      val plan = df.queryExecution.executedPlan
+      val codegenSpans = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+      val fused = codegenSpans.exists(_.collect {
+        case e: graft.plans.AsOfBroadcastJoinExec => e }.nonEmpty)
+      assert(fused,
+        s"the probe must sit INSIDE a WholeStageCodegen span (scan → " +
+          s"filter → probe in one generated function):\n$plan")
+      // and the generated path computes the same rows as the fallback
+      val viaCodegen = df.collect().map(_.toSeq).sortBy(_.toString)
+      val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+      val viaIterator = try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        TemporalOps.asofJoinNative(
+          left.filter(col("id") > 0), right, Seq("k"), "t", "t",
+          Seq("payload"), broadcastRight = true)
+          .collect().map(_.toSeq).sortBy(_.toString)
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      assert(viaCodegen === viaIterator,
+        "generated and iterator renditions must agree row-for-row")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
     // int key vs long key: the broadcast probe compares UnsafeRow bytes
     // across sides — without validation it would match NOTHING
