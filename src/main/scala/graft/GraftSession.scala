@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // recognize DSv2 scans reporting KeyGroupedPartitioning (the
+      // PartitionedSink catalog tables): GROUP BY / joins on the
+      // partition column then plan zero exchanges
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // partitioned INSERT OVERWRITE replaces only the partitions in the
       // batch — never a full-table truncate (CatalogWarehouse relies on it)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -63,7 +63,9 @@ private[sources] class PartitionedSinkScanBuilder(
 private class PartitionedSinkScan(
     path: String, partCol: String, fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -78,12 +80,17 @@ private class PartitionedSinkScan(
     case _ => true
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** (value, files) for every partition SURVIVING the pushed filters —
+    * shared by split planning and statistics, so both see the same
+    * pruned view.
+    */
+  private lazy val prunedFiles
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
     val fs = FileSystem.get(new java.net.URI(path),
       SparkSession.active.sessionState.newHadoopConf())
     val root = new Path(path)
-    if (!fs.exists(root)) return Array.empty
-    fs.listStatus(root).toSeq
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .map(s => TsvCodec.unescapeDir(
         s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
@@ -92,17 +99,59 @@ private class PartitionedSinkScan(
         fs.listStatus(dir)
           .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
             !f.getPath.getName.startsWith("_")) // no checksums/markers
-          .map(f => SinkFileSplit(f.getPath.toString, v): InputPartition)
-      }.toArray
+          .map(v -> _)
+      }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedFiles.map { case (v, f) =>
+      SinkFileSplit(f.getPath.toString, v,
+        fullSchema(partCol).dataType): InputPartition
+    }.toArray
+
+  /** POST-PRUNING size statistics: `partCol = v` reports only v's
+    * bytes, so a query over one partition of a huge table is
+    * auto-broadcastable even though the whole table is not — exactly
+    * the estimate Catalyst's join planning consumes
+    * (V2ScanRelationPushDown folds it into the relation stats).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(prunedFiles.map(_._2.getLen).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty() // text layout: rows unknown
+    }
+
+  /** STORAGE-PARTITIONED execution: the layout IS hash-free clustered
+    * on the partition column, and saying so (KeyGroupedPartitioning +
+    * per-split [[SinkFileSplit.partitionKey]]) lets Catalyst satisfy a
+    * ClusteredDistribution(partCol) straight from the files — a
+    * `GROUP BY partCol` or a storage-partitioned join on it plans ZERO
+    * exchanges (requires `spark.sql.sources.v2.bucketing.enabled`,
+    * on in GraftSession). At warehouse scale that removes the shuffle
+    * from exactly the queries a partitioned table exists to serve.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity(partCol)),
+      prunedFiles.map(_._1).distinct.size)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCol,
       PartitionedSinkWriterFactory.sessionConf())
 }
 
-private case class SinkFileSplit(file: String, partValue: String)
+private case class SinkFileSplit(file: String, partValue: String,
+                                 keyType: DataType)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(PartitionedSinkReader.castValue(partValue, keyType))
+}
 
 private class PartitionedSinkReaderFactory(
     fullSchema: StructType, required: StructType, partCol: String,
@@ -136,20 +185,10 @@ private class PartitionedSinkReader(
     else (dataFields.indexWhere(_.name == f.name), f.dataType)
   }
   private val partValue: Any =
-    cast(split.partValue, fullSchema(partCol).dataType)
+    PartitionedSinkReader.castValue(split.partValue, fullSchema(partCol).dataType)
 
-  private def cast(s: String, dt: DataType): Any = dt match {
-    case StringType  => UTF8String.fromString(s)
-    case LongType    => s.toLong
-    case IntegerType => s.toInt
-    case DoubleType  => s.toDouble
-    case FloatType   => s.toFloat
-    case BooleanType => s.toBoolean
-    case ShortType   => s.toShort
-    case ByteType    => s.toByte
-    case other => throw new UnsupportedOperationException(
-      s"PartitionedSink read supports atomic column types only, got $other")
-  }
+  private def cast(s: String, dt: DataType): Any =
+    PartitionedSinkReader.castValue(s, dt)
 
   private var current: InternalRow = _
 
@@ -176,4 +215,20 @@ private class PartitionedSinkReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+private[sources] object PartitionedSinkReader {
+  /** Text → Catalyst value for the sink's atomic type set. */
+  def castValue(s: String, dt: DataType): Any = dt match {
+    case StringType  => UTF8String.fromString(s)
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case BooleanType => s.toBoolean
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case other => throw new UnsupportedOperationException(
+      s"PartitionedSink read supports atomic column types only, got $other")
+  }
 }

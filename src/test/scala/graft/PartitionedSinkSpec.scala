@@ -322,17 +322,18 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sum(k) AS sk FROM graft_read_spec.t WHERE p = 'A'")
       .head().getLong(0) === 5L)
-    // PARTITION PRUNING: one input split per FILE; p='A' must plan
-    // only A's files (observable through the row-RDD partition count —
-    // narrow ops preserve the split grain)
+    // PARTITION PRUNING under key-grouped execution: the scan reports
+    // KeyGroupedPartitioning, so Spark coalesces each partition
+    // VALUE's files into one task — the row-RDD partition count equals
+    // the selected VALUES (observable because narrow ops preserve it):
+    // p='A' plans exactly one key group; unfiltered plans all three
     val allParts = spark.table("graft_read_spec.t").rdd.getNumPartitions
     val aParts = spark.table("graft_read_spec.t")
       .filter(col("p") === "A").rdd.getNumPartitions
-    val aFiles = new File(s"$root/t/p=A").listFiles()
-      .count(f => f.isFile && !f.getName.startsWith(".")) // skip crc shadows
-    assert(aParts === aFiles,
-      s"p='A' must scan exactly A's $aFiles file(s), planned $aParts splits")
-    assert(allParts > aParts, "pruning must drop the other partitions' splits")
+    assert(aParts === 1,
+      s"p='A' must plan ONE key group (its files coalesced), got $aParts")
+    assert(allParts === 3,
+      s"unfiltered scan plans one group per value (A, B, C), got $allParts")
     // COLUMN PRUNING: the scan's read schema carries only what's asked
     def scanOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.collect {
@@ -379,6 +380,44 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(graft.ops.Compaction.compactSinkTable(
       spark, "graft_cmp_spec", "t") === Map.empty)
     spark.sql("DROP TABLE graft_cmp_spec.t")
+  }
+
+  test("scan statistics are post-pruning, and groupBy(partCol) plans zero exchanges") {
+    import spark.implicits._
+    val root = tmpDir("sink_stats")
+    spark.conf.set("spark.sql.catalog.graft_stat_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stat_spec.root", root)
+    // partition A dwarfs B: pruned stats must see the difference
+    val rows = (1L to 200L).map(i => (i, i * 0.5, "x" * 50, "A")) ++
+      Seq((900L, 9.0, "tiny", "B"))
+    rows.toDF("k", "v", "s", "p")
+      .writeTo("graft_stat_spec.t").partitionedBy(col("p")).create()
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = statsOf(spark.table("graft_stat_spec.t"))
+    val onlyB = statsOf(spark.table("graft_stat_spec.t")
+      .filter(col("p") === "B"))
+    assert(onlyB < full / 10,
+      s"p='B' must report only B's bytes post-pruning ($onlyB vs $full)")
+    // storage-partitioned execution: the layout IS clustered on p, so
+    // a per-partition-value aggregate needs NO shuffle
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val agg = spark.table("graft_stat_spec.t").groupBy("p")
+        .agg(org.apache.spark.sql.functions.sum("k").as("sk"))
+      val exchanges = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"GROUP BY the partition column must ride the reported " +
+          s"KeyGroupedPartitioning — zero exchanges:\n" +
+          agg.queryExecution.executedPlan)
+      // and the numbers are right
+      assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        === Map("A" -> (1L to 200L).sum, "B" -> 900L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql("DROP TABLE graft_stat_spec.t")
   }
 
   // ---- encoding robustness: the layout's own syntax inside values ----
