@@ -420,6 +420,45 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_stat_spec.t")
   }
 
+  test("storage-partitioned join: two sink tables co-clustered on the partition column join with zero exchanges") {
+    import spark.implicits._
+    val root = tmpDir("sink_spj")
+    spark.conf.set("spark.sql.catalog.graft_spj_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_spj_spec.root", root)
+    Seq((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B"), (3L, 3.0, "c", "C"))
+      .toDF("k", "v", "s", "p")
+      .writeTo("graft_spj_spec.l").partitionedBy(col("p")).create()
+    Seq((10L, 1.5, "x", "A"), (20L, 2.5, "y", "B"), (30L, 3.5, "z", "C"))
+      .toDF("k", "v", "s", "p")
+      .writeTo("graft_spj_spec.r").partitionedBy(col("p")).create()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // force a non-broadcast plan so the co-partitioning is what
+      // satisfies the join's distribution, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = spark.table("graft_spj_spec.l").select(col("p"), col("k").as("lk"))
+      val r = spark.table("graft_spj_spec.r").select(col("p"), col("k").as("rk"))
+      val joined = l.join(r, Seq("p"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"both layouts are clustered on p — the join must be " +
+          s"storage-partitioned, zero exchanges:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.collect().map(r0 =>
+        (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSet ===
+        Set(("A", 1L, 10L), ("B", 2L, 20L), ("C", 3L, 30L)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBt)
+    }
+    spark.sql("DROP TABLE graft_spj_spec.l")
+    spark.sql("DROP TABLE graft_spj_spec.r")
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
