@@ -224,6 +224,7 @@ private[sources] class PartitionedSinkTable(path: String, partCol: String,
       .identity(partCol))
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE,

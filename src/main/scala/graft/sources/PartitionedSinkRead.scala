@@ -143,6 +143,101 @@ private class PartitionedSinkScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCol,
       PartitionedSinkWriterFactory.sessionConf())
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PartitionedSinkMicroBatchStream(path, partCol, fullSchema, required,
+      partitionFilters, keepValue)
+}
+
+/** Streaming READ of a sink table — `spark.readStream.table("cat.t")`
+  * tails the layout: an offset is the sorted set of PUBLISHED data
+  * files (the sink's commit protocol makes publication atomic, so a
+  * listing never sees a half-written file), and a micro-batch is the
+  * file-set delta between two offsets. Deterministic under replay: the
+  * same (start, end) offsets always name the same files. Append-only
+  * semantics — files removed by a dynamic overwrite simply leave the
+  * listing (already-emitted rows are NOT retracted; a streaming reader
+  * of a table being rewritten wants a CDC log, not a file tail — out
+  * of scope and documented). Partition pruning applies to the tail:
+  * pushed partition filters drop pruned values' files from every
+  * offset. The offset carries the file list verbatim — right for
+  * table-sized tails; a billion-file warehouse wants the seen-map +
+  * compact-log design of Spark's FileStreamSource (noted, not needed
+  * at this table's scale).
+  */
+private class PartitionedSinkMicroBatchStream(
+    path: String, partCol: String, fullSchema: StructType,
+    required: StructType, partitionFilters: Array[Filter],
+    keepValue: String => Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json(): String =
+      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+  }
+
+  private def listFiles(): Seq[(String, String)] = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      SparkSession.active.sessionState.newHadoopConf())
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(s => TsvCodec.unescapeDir(
+        s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
+      .filter { case (v, _) => keepValue(v) }
+      .flatMap { case (v, dir) =>
+        fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          .map(f => f.getPath.toString -> v)
+      }
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Seq.empty)
+  override def latestOffset(): Offset = FilesOffset(listFiles().map(_._1))
+
+  override def deserializeOffset(json: String): Offset = {
+    // inverse of FilesOffset.json — a flat JSON string array
+    val items = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inStr = false; var i = 0
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) { if (c == '"') inStr = true }
+      else c match {
+        case '\\' => sb.append(json.charAt(i + 1)); i += 1
+        case '"'  => items += sb.toString; sb.clear(); inStr = false
+        case o    => sb.append(o)
+      }
+      i += 1
+    }
+    FilesOffset(items.toSeq)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files.toSet
+    val endSet = end.asInstanceOf[FilesOffset].files.toSet
+    val byPath = listFiles().toMap
+    endSet.diff(seen).toSeq.sorted.flatMap { f =>
+      // a file named by the offset but since removed (dynamic
+      // overwrite between offset capture and planning) is skipped
+      byPath.get(f).map(v =>
+        SinkFileSplit(f, v, fullSchema(partCol).dataType): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionedSinkReaderFactory(fullSchema, required, partCol,
+      PartitionedSinkWriterFactory.sessionConf())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class SinkFileSplit(file: String, partValue: String,

@@ -459,6 +459,37 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_spj_spec.r")
   }
 
+  test("streaming READ: readStream.table tails the layout, appended batches arrive exactly once") {
+    import spark.implicits._
+    val root = tmpDir("sink_tail")
+    spark.conf.set("spark.sql.catalog.graft_tail_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tail_spec.root", root)
+    Seq((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B")).toDF("k", "v", "s", "p")
+      .writeTo("graft_tail_spec.t").partitionedBy(col("p")).create()
+    val q = spark.readStream.table("graft_tail_spec.t")
+      .writeStream.format("memory").queryName("sinktail")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", tmpDir("sink_tail_ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("sinktail")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got() === Set((1L, "A"), (2L, "B")), "initial layout arrives")
+      // a later append surfaces as a new micro-batch, exactly once
+      Seq((3L, 3.0, "c", "A"), (4L, 4.0, "d", "C")).toDF("k", "v", "s", "p")
+        .writeTo("graft_tail_spec.t").append()
+      q.processAllAvailable()
+      assert(got() === Set((1L, "A"), (2L, "B"), (3L, "A"), (4L, "C")),
+        "appended files arrive once — no replays, no misses")
+      // quiescence: nothing new ⇒ no duplicate emission
+      q.processAllAvailable()
+      assert(spark.table("sinktail").count() === 4)
+    } finally q.stop()
+    spark.sql("DROP TABLE graft_tail_spec.t")
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
