@@ -213,7 +213,7 @@ object PartitionedSink {
   }
 }
 
-private[sources] class PartitionedSinkTable(path: String, partCol: String,
+private[sources] class PartitionedSinkTable(path: String, val partCol: String,
                                             schema0: StructType)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {

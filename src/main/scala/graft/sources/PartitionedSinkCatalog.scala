@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog plugin exposing [[PartitionedSink]] layouts as V2 tables —
@@ -116,11 +116,46 @@ class PartitionedSinkCatalog extends TableCatalog {
     new PartitionedSinkTable(dir.toString, partCol, schema)
   }
 
+  /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
+    * appends nullable atomic columns to the END of the schema — the
+    * one evolution a positional text layout supports for free, because
+    * files written before the change are simply SHORT rows and the
+    * reader fills missing trailing cells with NULL (no rewrite of
+    * existing data; the next append starts writing the new width).
+    * Everything else (drop/rename/retype/reorder) would silently
+    * re-map existing files' positions — rejected loudly.
+    *
+    * The sidecar update is last-writer-wins (staged write + delete +
+    * rename): DDL here is a single-admin operation, not a concurrent
+    * write path — the DATA commit protocol is where concurrency lives.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "PartitionedSinkCatalog tables are append/overwrite-only; " +
-        "recreate to change the schema")
+                          changes: TableChange*): Table = {
+    val current = loadTable(ident).asInstanceOf[PartitionedSinkTable]
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "PartitionedSinkCatalog supports top-level columns only")
+        require(a.isNullable,
+          "added columns must be nullable (existing files read them as NULL)")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"PartitionedSinkCatalog tables support only ADD COLUMNS " +
+          s"(append-at-end, nullable); got $other")
+    }
+    added.foreach(f => require(!current.schema().fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    val newSchema = StructType(current.schema().fields ++ added)
+    val dir = tableDir(ident)
+    val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
+    val out = fs.create(staged, true)
+    try out.write((current.partCol + "\n" + newSchema.json).getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(metaFile(ident), false)
+    if (!fs.rename(staged, metaFile(ident)))
+      throw new IllegalStateException(s"sidecar update failed for $ident")
+    new PartitionedSinkTable(dir.toString, current.partCol, newSchema)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     fs.exists(metaFile(ident)) && fs.delete(tableDir(ident), true)

@@ -294,6 +294,9 @@ private class PartitionedSinkReader(
     val cells = line.split("\t", -1)
     val values = plan.map { case (idx, dt) =>
       if (idx < 0) partValue
+      // SHORT row: the file predates an ADD COLUMNS evolution — the
+      // missing trailing cells read as NULL
+      else if (idx >= cells.length) null
       else {
         val cell = cells(idx)
         if (cell == PartitionedSink.NullToken) null

@@ -490,6 +490,34 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tail_spec.t")
   }
 
+  test("ALTER TABLE ADD COLUMNS: old files read the new column as NULL, new appends carry it") {
+    import spark.implicits._
+    val root = tmpDir("sink_evolve")
+    spark.conf.set("spark.sql.catalog.graft_ev_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ev_spec.root", root)
+    Seq((1L, 1.0, "a", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_ev_spec.t").partitionedBy(col("p")).create()
+    spark.sql("ALTER TABLE graft_ev_spec.t ADD COLUMNS (note STRING)")
+    // catalog metadata evolved
+    assert(spark.table("graft_ev_spec.t").columns.toSeq ===
+      Seq("k", "v", "s", "p", "note"))
+    // new append writes the wider row
+    Seq((2L, 2.0, "b", "B", "fresh")).toDF("k", "v", "s", "p", "note")
+      .writeTo("graft_ev_spec.t").append()
+    val got = spark.table("graft_ev_spec.t")
+      .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toSet
+    assert(got === Set((1L, None), (2L, Some("fresh"))),
+      "pre-evolution files read the added column as NULL; no rewrite")
+    // non-additive evolution is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_ev_spec.t DROP COLUMN s")
+    }
+    assert(e.getMessage.contains("ADD COLUMNS") ||
+      e.getMessage.toLowerCase.contains("unsupported"))
+    spark.sql("DROP TABLE graft_ev_spec.t")
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
