@@ -95,4 +95,29 @@ object Compaction {
     }
     fragmented
   }
+
+  /** Sweep ORPHANED staging from a sink table: the commit protocol
+    * cleans `_staging/<queryId>` on every commit and abort, so the only
+    * way residue survives is a DRIVER crash between staging and
+    * commit — whose query, by definition, will never publish. Deleting
+    * its staging can therefore never lose published data; the age
+    * threshold exists solely so a LIVE job's staging (written minutes
+    * ago, commit still coming) is never swept from under it. Returns
+    * the removed query dirs.
+    */
+  def vacuumStaging(spark: SparkSession, catalog: String, table: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val staging = new Path(
+      s"$root/${graft.sources.TsvCodec.escapeDir(table)}/_staging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(staging)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val removed = fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+    if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
+      fs.delete(staging, true)
+    removed
+  }
 }

@@ -518,6 +518,31 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ev_spec.t")
   }
 
+  test("vacuumStaging removes only crashed-driver orphans past the age threshold") {
+    import spark.implicits._
+    val root = tmpDir("sink_vacuum")
+    spark.conf.set("spark.sql.catalog.graft_vac_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vac_spec.root", root)
+    Seq((1L, 1.0, "a", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_vac_spec.t").partitionedBy(col("p")).create()
+    // plant two orphans: one ancient (crashed driver last week), one
+    // fresh (a live job mid-write)
+    val staging = new File(s"$root/t/_staging")
+    val old = new File(staging, "crashed-query"); old.mkdirs()
+    new File(old, "part-0-1-A.tsv").createNewFile()
+    old.setLastModified(System.currentTimeMillis() - 7L * 24 * 3600 * 1000)
+    val fresh = new File(staging, "live-query"); fresh.mkdirs()
+    val removed = graft.ops.Compaction.vacuumStaging(
+      spark, "graft_vac_spec", "t")
+    assert(removed === Seq("crashed-query"))
+    assert(!old.exists(), "the orphan is swept")
+    assert(fresh.exists(), "a live job's staging is never swept")
+    // published data untouched throughout
+    assert(readBack(s"$root/t") === Set((1L, 1.0, "a", "A")))
+    spark.sql("DROP TABLE graft_vac_spec.t")
+  }
+
   // ---- encoding robustness: the layout's own syntax inside values ----
 
   test("strings containing delimiters, escapes, quotes and the NULL token round-trip losslessly") {
