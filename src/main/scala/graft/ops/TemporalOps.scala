@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,9 +31,12 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
-               prefix: String = "asof_"): DataFrame =
-    asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
-      forward = false)
+               prefix: String = "asof_",
+               toleranceMicros: Option[Long] = None): DataFrame =
+    withTolerance(
+      asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
+        forward = false),
+      leftTs, prefix, rightPayload, forward = false, toleranceMicros)
 
   /** Forward as-of join: every `left` row gains the payload of the
     * EARLIEST `right` row with `rightTs >= leftTs` on the same key —
@@ -43,9 +46,12 @@ object TemporalOps {
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String, rightPayload: Seq[String],
-                      prefix: String = "asof_"): DataFrame =
-    asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
-      forward = true)
+                      prefix: String = "asof_",
+                      toleranceMicros: Option[Long] = None): DataFrame =
+    withTolerance(
+      asofCore(left, right, keys, leftTs, rightTs, rightPayload, prefix,
+        forward = true),
+      leftTs, prefix, rightPayload, forward = true, toleranceMicros)
 
   /** As-of join through the NATIVE physical operator
     * (graft.plans.AsOfJoinExec, planned via the AsOfJoinStrategy that
@@ -62,15 +68,50 @@ object TemporalOps {
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String, rightPayload: Seq[String],
                      prefix: String = "asof_", forward: Boolean = false,
-                     broadcastRight: Boolean = false): DataFrame = {
+                     broadcastRight: Boolean = false,
+                     toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnShim
     val r2 = right.filter(col(rightTs).isNotNull)
-    GraftColumnShim.ofRows(left.sparkSession,
-      graft.plans.AsOfJoinPlan.resolved(
-        GraftColumnShim.planOf(left), GraftColumnShim.planOf(r2),
-        keys, leftTs, rightTs, rightPayload, prefix, forward,
-        broadcast = broadcastRight))
+    withTolerance(
+      GraftColumnShim.ofRows(left.sparkSession,
+        graft.plans.AsOfJoinPlan.resolved(
+          GraftColumnShim.planOf(left), GraftColumnShim.planOf(r2),
+          keys, leftTs, rightTs, rightPayload, prefix, forward,
+          broadcast = broadcastRight)),
+      leftTs, prefix, rightPayload, forward, toleranceMicros)
   }
+
+  /** STALENESS BOUND (the pandas `merge_asof(tolerance=...)` contract):
+    * a match farther than `toleranceMicros` from the probe instant is
+    * no match — every output column of the as-of (payload + matched
+    * ts) nulls out, exactly as if no right row existed. Applied as a
+    * single post-projection over the join result, so ALL renditions
+    * (declarative window, shuffle merge, broadcast probe, grouped) get
+    * identical semantics with no exec change and no codegen break.
+    * Inclusive boundary (distance == tolerance matches), mirroring the
+    * inclusive instant-match convention of the joins themselves.
+    * Timestamp columns compare in microseconds; numeric timeline
+    * columns compare in their own units.
+    */
+  private def withTolerance(joined: DataFrame, leftTs: String, prefix: String,
+                            rightPayload: Seq[String], forward: Boolean,
+                            toleranceMicros: Option[Long]): DataFrame =
+    toleranceMicros match {
+      case None => joined
+      case Some(tol) =>
+        require(tol >= 0, "tolerance must be nonnegative")
+        def us(c: Column): Column =
+          if (joined.schema(leftTs).dataType ==
+            org.apache.spark.sql.types.TimestampType) unix_micros(c)
+          else c.cast("long")
+        val dist =
+          if (forward) us(col(s"${prefix}ts")) - us(col(leftTs))
+          else us(col(leftTs)) - us(col(s"${prefix}ts"))
+        val within = dist <= tol
+        (rightPayload.map(c => s"$prefix$c") :+ s"${prefix}ts")
+          .foldLeft(joined)((df, c) =>
+            df.withColumn(c, when(within, col(c))))
+    }
 
   /** GROUPED as-of (point-in-time feature join) — the feature-store
     * workload: ONE spine (entity, ts) relation picks up the latest

@@ -379,6 +379,43 @@ object EventQueries {
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
       ORDER BY event_id"""))
 
+  /** Tolerance-bounded as-of (pandas `merge_asof(tolerance=...)`):
+    * each purchase picks the most recent view only if it is AT MOST 30
+    * minutes stale — a staler match nulls out exactly as if no view
+    * existed. The freshness contract every feature-store read wants
+    * ("use the last price, but never one from yesterday"). Oracle:
+    * DuckDB's native ASOF with the staleness CASE applied on top.
+    */
+  val qAsofTolerance = Q(
+    "q_asof_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      graft.ops.TemporalOps
+        .asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_value"), toleranceMicros = Some(1800L * 1000000))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("view_ts_us"),
+          col("asof_view_value").as("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+                  THEN epoch_us(r.ts) END AS view_ts_us,
+             CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+                  THEN r.view_value END AS view_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id"""))
+
   /** GROUPED as-of at feature-store shape
     * (graft.ops.TemporalOps.asofJoinFeatures): every purchase reads the
     * user's latest view, click AND signup state as of the purchase
@@ -1537,7 +1574,7 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     qEventsTumbling, qEventsSessionize, qEventsRunning, qRollingHour,
     qEventsJson, qEventsLatest, qEventsJsonStruct, qAsofJoin, qAsofNative,
-    qAsofBroadcast, qAsofForward, qPitFeatures,
+    qAsofBroadcast, qAsofForward, qAsofTolerance, qPitFeatures,
     qGapFill, qRangeJoin, qFunnel, qRetention, qAnomalyHours, qEventDebounce,
     qWinsorize, qTopPaths, qTimeWeightedAvg, qWinsorizeScalable, qTrend,
     qAttribution, qPagerank, qIntervalOverlap, qIntervalOverlapCapped,

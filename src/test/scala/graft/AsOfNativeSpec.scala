@@ -268,6 +268,41 @@ class AsOfNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("tolerance: a staler-than-bound match nulls out, boundary-exact matches keep, all renditions agree") {
+    // timeline: id1 probes at 100s, latest right at 100s (dist 0);
+    // id2 probes at 50s, latest right at 10s (dist 40s); id3 at 5s, no
+    // earlier right. With tolerance 30s: id2's match is TOO STALE.
+    val tol = Some(30L * 1000000)
+    val decl = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("payload"), toleranceMicros = tol)
+    assert(canon(decl) === Seq(
+      (1L, Some(100000000L), Some("c")),  // dist 0 <= 30s
+      (2L, None, None),                   // dist 40s > 30s: nulled
+      (3L, None, None), (4L, None, None),
+      (5L, Some(100000000L), Some("tie")),
+      (6L, None, None), (7L, None, None)))
+    // boundary-exact: tolerance 40s keeps id2 (inclusive contract)
+    val atBound = TemporalOps.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("payload"), toleranceMicros = Some(40L * 1000000))
+    assert(canon(atBound)(1) === ((2L, Some(10000000L), Some("a"))))
+    // every native rendition agrees with the declarative one
+    for (bcast <- Seq(false, true)) {
+      val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "t",
+        Seq("payload"), broadcastRight = bcast, toleranceMicros = tol)
+      assert(canon(native) === canon(decl), s"broadcast=$bcast")
+    }
+    // forward direction: distance measures the other way
+    val fwd = TemporalOps.asofJoinForward(left, right, Seq("k"), "t", "t",
+      Seq("payload"), toleranceMicros = Some(10L * 1000000))
+    assert(canon(fwd) === Seq(
+      (1L, Some(100000000L), Some("c")),  // dist 0
+      (2L, Some(60000000L), Some("b")),   // next at 60s, dist 10s == tol
+      (3L, Some(10000000L), Some("a")),   // next at 10s, dist 5s
+      (4L, None, None),
+      (5L, Some(100000000L), Some("tie")),
+      (6L, None, None), (7L, None, None)))
+  }
+
   test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
     // int key vs long key: the broadcast probe compares UnsafeRow bytes
     // across sides — without validation it would match NOTHING
