@@ -349,6 +349,58 @@ class AsOfNativeSpec extends SparkSpec {
         assert(n === e,
           s"forward=$fwd broadcast=$bcast: native and declarative diverge")
       }
+      // tolerance: every rendition must null out the SAME stale
+      // matches; the reference is the declarative result post-filtered
+      // independently (distance computed from the collected rows)
+      val tol = 100L * 1000000
+      val eTol = decl.select("id", "t", "asof_ts", "asof_payload")
+        .collect().map { row =>
+          val keep = !row.isNullAt(2) && {
+            val lts = row.getTimestamp(1).getTime * 1000
+            val mts = row.getTimestamp(2).getTime * 1000
+            (if (fwd) mts - lts else lts - mts) <= tol
+          }
+          Seq(row.get(0),
+            if (keep) row.get(2) else null,
+            if (keep) row.get(3) else null)
+        }.sortBy(_.toString)
+      for (bcast <- Seq(false, true)) {
+        val nTol = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "t",
+          Seq("payload"), forward = fwd, broadcastRight = bcast,
+          toleranceMicros = Some(tol))
+          .select("id", "asof_ts", "asof_payload")
+          .collect().map(_.toSeq).sortBy(_.toString)
+        assert(nTol === eTol,
+          s"forward=$fwd broadcast=$bcast: tolerance semantics diverge " +
+            "from the independent post-filter")
+      }
     }
+    // grouped as-of on the same generator: three feature tables with
+    // overlapping key coverage must equal three independent two-sided
+    // as-ofs composed by id
+    val f1 = spark.range(300).select((col("id") % 40).as("k"),
+      expr("timestamp_micros((id * 31) % 997 * 1000000)").as("t"),
+      (col("id") * 2).as("a")).groupBy("k", "t").agg(max("a").as("a"))
+    val f2 = spark.range(150).select((col("id") % 25).as("k"),
+      expr("timestamp_micros((id * 57) % 991 * 1000000)").as("t"),
+      concat(lit("b"), col("id")).as("b")).groupBy("k", "t").agg(max("b").as("b"))
+    val f3 = spark.range(80).select((col("id") % 10).as("k"),
+      expr("timestamp_micros((id * 101) % 983 * 1000000)").as("t"),
+      (col("id") % 7).as("c")).groupBy("k", "t").agg(max("c").as("c"))
+    val grouped = TemporalOps.asofJoinFeatures(l,
+      Seq(("f1", f1, Seq("a")), ("f2", f2, Seq("b")), ("f3", f3, Seq("c"))),
+      Seq("k"), "t", "t")
+      .select("id", "f1_a", "f1_ts", "f2_b", "f2_ts", "f3_c", "f3_ts")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val composed = TemporalOps.asofJoin(l, f1, Seq("k"), "t", "t", Seq("a"), "f1_")
+      .select(col("id"), col("f1_a"), col("f1_ts"))
+      .join(TemporalOps.asofJoin(l, f2, Seq("k"), "t", "t", Seq("b"), "f2_")
+        .select(col("id"), col("f2_b"), col("f2_ts")), "id")
+      .join(TemporalOps.asofJoin(l, f3, Seq("k"), "t", "t", Seq("c"), "f3_")
+        .select(col("id"), col("f3_c"), col("f3_ts")), "id")
+      .select("id", "f1_a", "f1_ts", "f2_b", "f2_ts", "f3_c", "f3_ts")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(grouped === composed,
+      "grouped as-of diverges from composed two-sided as-ofs on generated data")
   }
 }
