@@ -303,6 +303,23 @@ class AsOfNativeSpec extends SparkSpec {
       (6L, None, None), (7L, None, None)))
   }
 
+  test("AsOfIndexCache is bounded: entries past the LRU cap evict, recent entries hit") {
+    import graft.plans.AsOfIndexCache
+    def buildsFor(key: String): Long = {
+      val b0 = AsOfIndexCache.builds.get()
+      AsOfIndexCache.getOrBuild(key, () => new Object)
+      AsOfIndexCache.builds.get() - b0
+    }
+    // fill well past the cap (8) with fresh keys — each builds once
+    for (i <- 1 to 12) assert(buildsFor(s"lru-spec-$i") === 1)
+    // the most recent keys are still cached (no rebuild)...
+    assert(buildsFor("lru-spec-12") === 0)
+    assert(buildsFor("lru-spec-11") === 0)
+    // ...while the oldest were evicted to keep executor memory bounded
+    assert(buildsFor("lru-spec-1") === 1,
+      "an entry beyond the LRU cap must have been evicted")
+  }
+
   test("cross-side type mismatches fail loudly at construction, not as silent non-matches") {
     // int key vs long key: the broadcast probe compares UnsafeRow bytes
     // across sides — without validation it would match NOTHING
