@@ -129,8 +129,16 @@ object Bench {
           s"[bench] ignoring malformed SPARK_GRAFT_BENCH_REPS='$v'; using 3")
         p
       }.getOrElse(3)
+    // per-rep ambient sample: a single polluted rep (background process,
+    // another build) shows up as ONE load spike next to ONE slow time —
+    // adjudicable from the artifact alone, instead of cross-referencing
+    // a same-HEAD builder sweep (the r14 q_tpch_q5 episode: reps
+    // 4.7–6.7 s under load 0.90→4.33, builder 0.85 s)
+    val repLoads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val repTimes = headline.map { q =>
+      val loads = scala.collection.mutable.ArrayBuffer[Double]()
       val times = Seq.fill(reps) {
+        loads += loadAvg()
         val t0 = System.nanoTime()
         try { exec(q, spark, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
@@ -138,6 +146,7 @@ object Bench {
           -1.0
         }
       }
+      repLoads(q.name) = loads.toSeq
       // Drop this query's cached relations BEFORE the next query runs.
       // cachedOnce registers entries in the session CacheManager, whose
       // per-persist canonicalized-plan lookup is linear in LIVE entries
@@ -208,6 +217,12 @@ object Bench {
     val repsJson = repTimes.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // loadavg sampled at the START of each rep, aligned with
+    // rep_times_sec — round to 2 dp, locale-independent
+    val loadsJson = repTimes.map { case (k, _) =>
+      "\"" + k + "\":" + repLoads.getOrElse(k, Seq.empty)
+        .map(l => math.round(l * 100) / 100.0).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // origin marks WHO launched the run (r12: a builder artifact and the
     // driver's run collided on one filename — "which run is this?" was
     // forensic). Builder-initiated runs export SPARK_GRAFT_BENCH_ORIGIN=
@@ -215,6 +230,7 @@ object Bench {
     // nothing and keeps the canonical name.
     val origin = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORIGIN", "driver")
     println(s"""{"detail":"rep_times_sec","reps":$reps,"times":$repsJson}""")
+    println(s"""{"detail":"load_per_rep","loads":$loadsJson}""")
     println(s"""{"detail":"shuffle_read_mb","queries":$sh,"load_avg_before":$loadBefore,"load_avg":$load}""")
     println(s"""{"detail":"spill_mb","queries":$sp}""")
     println(s"""{"detail":"peak_task_mem_mb","queries":$pm}""")
@@ -236,6 +252,7 @@ object Bench {
          |"cc_rounds":$ccRounds,
          |"medians_sec":$qs,
          |"rep_times_sec":$repsJson,
+         |"load_per_rep":$loadsJson,
          |"shuffle_read_mb":$sh,
          |"spill_mb":$sp,
          |"peak_task_mem_mb":$pm,

@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** Floor on [[vacuumStaging]]'s age threshold: whatever the caller
+    * passes, staging younger than this is never swept — a typo'd or
+    * zero `olderThanMs` must not race a commit that is seconds away.
+    */
+  final val MinVacuumAgeMs: Long = 10L * 60 * 1000
+
   /** Compact one flat parquet directory. Returns (filesBefore,
     * filesAfter). Row content is preserved exactly; file boundaries
     * are not (repartition redistributes rows round-robin).
@@ -112,9 +118,24 @@ object Compaction {
       s"$root/${graft.sources.TsvCodec.escapeDir(table)}/_staging")
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(staging)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    // floor the age threshold: a caller passing olderThanMs=0 (or any
+    // tiny value) must not sweep a query that staged a file seconds ago
+    val cutoff = System.currentTimeMillis() -
+      math.max(olderThanMs, MinVacuumAgeMs)
+    // liveness = the NEWEST write anywhere under the query dir, not the
+    // dir's own mtime: a long-running job creates its staging dir early
+    // and keeps writing files into it — the dir mtime only tracks
+    // direct-child creation, so a still-active writer could look stale
+    def newestMtime(p: Path): Long = {
+      val self = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p)
+      if (kids.isEmpty) self
+      else math.max(self, kids.map(s =>
+        if (s.isDirectory) newestMtime(s.getPath)
+        else s.getModificationTime).max)
+    }
     val removed = fs.listStatus(staging).toSeq
-      .filter(s => s.isDirectory && s.getModificationTime < cutoff)
+      .filter(s => s.isDirectory && newestMtime(s.getPath) < cutoff)
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
     if (fs.exists(staging) && fs.listStatus(staging).isEmpty)
       fs.delete(staging, true)

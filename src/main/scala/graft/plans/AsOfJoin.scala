@@ -167,10 +167,17 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   */
 private[graft] object AsOfIndexCache {
   private val MaxEntries = 8
+  // values are SoftReferences: a cached index is a full copy of a
+  // broadcast dimension's rows, and streams that re-broadcast the dim
+  // every trigger would otherwise pin MaxEntries historical snapshots
+  // in executor memory for the JVM lifetime — soft values let the GC
+  // reclaim stale indexes under pressure while keeping the hot ones
   private val cache =
-    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, java.lang.ref.SoftReference[AnyRef]](
+      16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+          e: java.util.Map.Entry[String, java.lang.ref.SoftReference[AnyRef]])
+          : Boolean =
         size() > MaxEntries
     }
 
@@ -181,12 +188,13 @@ private[graft] object AsOfIndexCache {
 
   def getOrBuild(key: String, build: () => AnyRef): AnyRef =
     cache.synchronized {
-      val hit = cache.get(key)
+      val ref = cache.get(key)
+      val hit = if (ref != null) ref.get else null
       if (hit != null) hit
       else {
         val v = build()
         builds.incrementAndGet()
-        cache.put(key, v)
+        cache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
         v
       }
     }
@@ -443,6 +451,15 @@ case class AsOfBroadcastJoinExec(
         ExprCode(c, JavaCode.isNullVariable(isNullVar),
           JavaCode.variable(valVar, outA.dataType))
     }
+    // emit the payload evaluations here (they must sit in this scope —
+    // they read $matched), then hand consume() already-evaluated vars:
+    // clearing each block to EmptyBlock is the evaluateVariables
+    // contract that stops the parent re-emitting the same declarations
+    // (a duplicate emission is a janino "Redefinition of local
+    // variable" compile failure → silent interpreted fallback)
+    val payloadEval = payloadCodes.map(_.code.toString).mkString("\n")
+    payloadCodes.foreach(_.code =
+      org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock)
     s"""
        |${keyEvs.map(_.code.toString).mkString("\n")}
        |${tsEv.code.toString}
@@ -455,7 +472,7 @@ case class AsOfBroadcastJoinExec(
        |}
        |$numOutput.add(1);
        |if ($matched != null) $numMatchedM.add(1);
-       |${payloadCodes.map(_.code.toString).mkString("\n")}
+       |$payloadEval
        |${consume(ctx, input ++ payloadCodes)}
      """.stripMargin
   }

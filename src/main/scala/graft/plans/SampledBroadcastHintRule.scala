@@ -54,8 +54,11 @@ case class SampledBroadcastHintRule(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || probing.get()) return plan
-    val cap = maxRows
     val threshold = autoThreshold
+    // autoBroadcastJoinThreshold < 0 is the user saying "never
+    // broadcast" — injecting BROADCAST hints would override that
+    if (threshold < 0) return plan
+    val cap = maxRows
     plan.transformUp {
       case j @ Join(l, r, _, _, JoinHint.NONE)
           if l.stats.sizeInBytes > threshold &&
@@ -76,15 +79,23 @@ case class SampledBroadcastHintRule(session: SparkSession)
     * "too big to broadcast" — the probe never scans past the answer).
     */
   private def cappedCount(p: LogicalPlan, cap: Long): Long = {
-    val key = p.canonicalized
+    // size-stamped key: a relation that GROWS between queries changes
+    // its estimated size, which invalidates the old "small" verdict —
+    // a bare canonicalized-plan key would serve the stale count for
+    // the JVM lifetime and broadcast a now-large table
+    val key = (p.canonicalized, p.stats.sizeInBytes)
     counts.synchronized {
       val hit = counts.get(key)
       if (hit != null) return hit
     }
+    // Limit takes an Int: clamp a user cap near Long ranges instead of
+    // silently overflowing to a tiny/negative limit (which would
+    // undercount and hint a huge relation for broadcast)
+    val probeLimit = math.min(cap + 1, Int.MaxValue.toLong).toInt
     probing.set(true)
     val n =
       try org.apache.spark.sql.GraftColumnShim
-        .ofRows(session, Limit(Literal((cap + 1).toInt), p)).count()
+        .ofRows(session, Limit(Literal(probeLimit), p)).count()
       finally probing.set(false)
     counts.synchronized(counts.put(key, n))
     n
@@ -97,13 +108,17 @@ object SampledBroadcastHintRule {
 
   private val probing = ThreadLocal.withInitial[java.lang.Boolean](() => false)
 
-  /** Canonicalized subtree → measured count; access-ordered LRU so a
-    * long session's probe memory stays bounded.
+  /** (canonicalized subtree, estimated size) → measured count;
+    * access-ordered LRU so a long session's probe memory stays bounded.
+    * The size stamp makes growth self-invalidating: new bytes ⇒ new
+    * key ⇒ fresh probe (the stale entry ages out of the LRU).
     */
   private val counts =
-    new java.util.LinkedHashMap[LogicalPlan, java.lang.Long](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(LogicalPlan, BigInt), java.lang.Long](
+      32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[LogicalPlan, java.lang.Long]): Boolean =
+          e: java.util.Map.Entry[(LogicalPlan, BigInt), java.lang.Long])
+          : Boolean =
         size() > 64
     }
 }

@@ -1704,6 +1704,50 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: DATA-COLUMN FILE SKIPPING on a sink table — the pruning
+    * a Parquet lake reads from row-group footers, recovered for the
+    * text layout via the per-file min/max manifests the write side
+    * publishes (graft.sources.SinkStats). Three appends land orders in
+    * DISJOINT total-price bands (three files per partition, each with
+    * a tight recorded range); the read filters `o_totalprice > 300k`,
+    * which the scan consumes as a file-skip (PartitionedSinkScanBuilder
+    * skipFilters) — only the high band's files open; the filter stays
+    * residual so skipping can only drop provably-excluded files, never
+    * rows. The oracle recomputes from orders directly: a wrongly-
+    * skipped file (missing rows) or a mis-kept one contributing
+    * phantom rows both flip it. The strictly-fewer-splits effect is
+    * pinned plan-level in PartitionedSinkSpec.
+    */
+  val qDsv2Skip = Q(
+    "q_dsv2_skip",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.skip_orders")
+      def band(lo: Double, hi: Double) = ord(s, d)
+        .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      band(0, 100000)
+        .writeTo("graft_dyn.skip_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      band(100000, 200000).writeTo("graft_dyn.skip_orders").append()
+      band(200000, Double.MaxValue).writeTo("graft_dyn.skip_orders").append()
+      s.table("graft_dyn.skip_orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_totalprice > 300000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -1951,5 +1995,5 @@ object ParityQueries {
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
-    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact)
+    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip)
 }

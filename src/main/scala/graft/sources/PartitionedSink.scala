@@ -293,11 +293,83 @@ private case object Truncate extends SinkMode
 private case class OverwriteValues(values: Set[String]) extends SinkMode
 private case object Dynamic extends SinkMode
 
+/** Per-file, per-column min/max over the NON-NULL values — the file-
+  * skipping statistics a text layout doesn't get from its format (the
+  * pruning a Parquet lake reads from row-group footers). `minMax` is
+  * None when every value in the file is NULL for the column — which
+  * lets the reader skip the file for ANY comparison predicate on it
+  * (SQL comparisons with NULL are never true). Columns with no entry
+  * (non-numeric types, or a file containing NaN/±Inf) carry no stats
+  * and are never skipped on.
+  */
+private[sources] case class SinkColStat(col: String,
+                                        minMax: Option[(String, String)])
+
 /** One staged file, as named by the task that wrote it. */
 private case class StagedFile(partValue: String, stagedPath: String,
-                              rows: Long, partitionId: Int)
+                              rows: Long, partitionId: Int,
+                              stats: Seq[SinkColStat] = Seq.empty)
 private case class SinkCommitMessage(files: Seq[StagedFile])
     extends WriterCommitMessage
+
+/** Per-partition-dir stats manifests: `_stats-<token>.tsv`, one per
+  * PUBLISH into the dir (append-friendly — no read-modify-write of a
+  * shared manifest, so concurrent appends stay conflict-free under the
+  * same rename protocol as the data). One line per (file, column):
+  * `file \t col \t min \t max`, TsvCodec-escaped fields, `\N` min/max
+  * for the all-NULL case. Keyed by destination FILE NAME: a dynamic
+  * overwrite deletes the whole dir (stats go with it), a compaction
+  * republished through the sink regenerates them, and an entry whose
+  * file no longer exists is simply never looked up. Written AFTER the
+  * data renames — a crash in between leaves a file without stats,
+  * which readers scan instead of skip (degraded, never wrong).
+  */
+private[sources] object SinkStats {
+  def manifestName(token: String): String =
+    s"_stats-${TsvCodec.escapeDir(token)}.tsv"
+
+  def write(fs: FileSystem, dir: Path, token: String,
+            entries: Seq[(String, Seq[SinkColStat])]): Unit = {
+    val lines = entries.flatMap { case (file, stats) =>
+      stats.map { st =>
+        val (mn, mx) = st.minMax.getOrElse(
+          (PartitionedSink.NullToken, PartitionedSink.NullToken))
+        s"${TsvCodec.escape(file)}\t${TsvCodec.escape(st.col)}\t$mn\t$mx"
+      }
+    }
+    if (lines.nonEmpty) {
+      val out = fs.create(new Path(dir, manifestName(token)), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** file name → column → Some((min, max)) | None for all-NULL. */
+  def readDir(fs: FileSystem, dir: Path)
+      : Map[String, Map[String, Option[(String, String)]]] = {
+    val manifests = Option(fs.listStatus(dir)).toSeq.flatten
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_stats-"))
+    val u = (s: String) =>
+      TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s)).toString
+    manifests.flatMap { m =>
+      val in = fs.open(m.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(f, c, mn, mx) =>
+            val mm = if (mn == PartitionedSink.NullToken) None
+              else Some((mn, mx))
+            Some((u(f), u(c), mm))
+          case _ => None // malformed line: no stats, never wrong
+        }
+      }
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(e => e._2 -> e._3).toMap
+    }
+  }
+}
 
 /** The shared driver-side publish: clear whatever the mode says must
   * go, then move exactly the manifest-listed staged files to their
@@ -311,7 +383,8 @@ private object SinkCommit {
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
 
   def publish(fs: FileSystem, path: String, partCol: String, mode: SinkMode,
-              files: Seq[StagedFile], destName: StagedFile => String): Unit = {
+              files: Seq[StagedFile], destName: StagedFile => String,
+              statsToken: String): Unit = {
     val toClear: Set[String] = mode match {
       case Append => Set.empty
       case Truncate =>
@@ -334,6 +407,13 @@ private object SinkCommit {
       fs.delete(target, false) // streaming replay: same target name
       if (!fs.rename(src, target))
         throw new java.io.IOException(s"publish rename failed for $src")
+    }
+    // stats AFTER the data renames: a crash here leaves published files
+    // without stats — scanned instead of skipped, degraded never wrong
+    files.groupBy(_.partValue).foreach { case (v, fsOfV) =>
+      val dir = new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}")
+      SinkStats.write(fs, dir, statsToken,
+        fsOfV.map(f => destName(f) -> f.stats))
     }
   }
 
@@ -371,9 +451,20 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
     val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
     // publish exactly the manifest-listed files; a zombie attempt's
     // orphan staging file is NOT in any commit message and is swept
-    // with the staging dir below
+    // with the staging dir below.
+    // The published name carries a QUERY-UNIQUE token: the staged name
+    // alone is part-<partitionId>-<taskId>-<value>.tsv, and Spark's
+    // task ids restart at 0 per APPLICATION — two appends from
+    // different driver JVMs can mint the same (partitionId, taskId)
+    // pair, and publish's delete-before-rename (needed for streaming
+    // epoch replay) would silently clobber the first app's file. The
+    // queryId prefix makes batch names globally unique, so an append
+    // can never overwrite another append's data.
+    val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
     SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
-      f => new Path(f.stagedPath).getName)
+      f => s"part-$qTok-" +
+        new Path(f.stagedPath).getName.stripPrefix("part-"),
+      statsToken = queryId)
     sweepStaging(fs)
   }
 
@@ -432,8 +523,43 @@ private class PartitionedSinkWriter(path: String, partCol: String,
   private val partIdx = schema.fieldIndex(partCol)
   private val dataFields = schema.fields.zipWithIndex.filter(_._2 != partIdx)
 
-  private val open = scala.collection.mutable.Map[
-    String, (java.io.BufferedWriter, Path, Long)]()
+  /** Running min/max over one file's non-null values of one NUMERIC
+    * column. Integrals accumulate as Long (exact), floatings as Double;
+    * a NaN/±Inf poisons the column for the file (no stats emitted —
+    * non-finite values have no usable ordering for range skipping).
+    */
+  private final class NumStat(val floating: Boolean) {
+    var any = false; var poisoned = false
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
+    def addL(v: Long): Unit = {
+      any = true; if (v < minL) minL = v; if (v > maxL) maxL = v }
+    def addD(v: Double): Unit =
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        poisoned = true
+      else { any = true; if (v < minD) minD = v; if (v > maxD) maxD = v }
+    /** None = no stats (poisoned); Some(None) = all values NULL. */
+    def render: Option[Option[(String, String)]] =
+      if (poisoned) None
+      else if (!any) Some(None)
+      else Some(Some(if (floating) (minD.toString, maxD.toString)
+                     else (minL.toString, maxL.toString)))
+  }
+
+  /** Aligned with dataFields; null for non-numeric (no stats). */
+  private def newStats(): Array[NumStat] = dataFields.map { case (fld, _) =>
+    fld.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => new NumStat(false)
+      case DoubleType | FloatType => new NumStat(true)
+      case _ => null
+    }
+  }
+
+  private final class OpenOut(val w: java.io.BufferedWriter, val p: Path,
+                              var rows: Long,
+                              val stats: Array[NumStat])
+
+  private val open = scala.collection.mutable.Map[String, OpenOut]()
 
   /** Data-cell rendering: strings go through the TsvCodec escape so
     * delimiter bytes / the NULL token / the empty string round-trip;
@@ -465,39 +591,61 @@ private class PartitionedSinkWriter(path: String, partCol: String,
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(partIdx), s"NULL partition value in $partCol")
     val pv = rawStr(row, partIdx, schema.fields(partIdx).dataType)
-    val (w, p, n) = open.getOrElseUpdate(pv, {
+    val o = open.getOrElseUpdate(pv, {
       val f = new Path(path,
         s"_staging/$stagingSub/part-$partitionId-$taskId-${TsvCodec.escapeDir(pv)}.tsv")
       fs.mkdirs(f.getParent)
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
-      (out, f, 0L)
+      new OpenOut(out, f, 0L, newStats())
     })
-    w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
+    o.w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
       .mkString("\t"))
-    w.write("\n")
-    open(pv) = (w, p, n + 1)
+    o.w.write("\n")
+    o.rows += 1
+    var j = 0
+    while (j < dataFields.length) {
+      val st = o.stats(j)
+      if (st != null) {
+        val (fld, i) = dataFields(j)
+        if (!row.isNullAt(i)) fld.dataType match {
+          case LongType    => st.addL(row.getLong(i))
+          case IntegerType => st.addL(row.getInt(i).toLong)
+          case ShortType   => st.addL(row.getShort(i).toLong)
+          case ByteType    => st.addL(row.getByte(i).toLong)
+          case DoubleType  => st.addD(row.getDouble(i))
+          case FloatType   => st.addD(row.getFloat(i).toDouble)
+          case _           => ()
+        }
+      }
+      j += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = open.map { case (pv, (w, p, n)) =>
-      w.close(); StagedFile(pv, p.toString, n, partitionId)
+    val files = open.map { case (pv, o) =>
+      o.w.close()
+      val colStats = dataFields.zip(o.stats).flatMap { case ((fld, _), st) =>
+        if (st == null) None
+        else st.render.map(mm => SinkColStat(fld.name, mm))
+      }.toSeq
+      StagedFile(pv, o.p.toString, o.rows, partitionId, colStats)
     }.toSeq
     open.clear()
     SinkCommitMessage(files)
   }
 
   override def abort(): Unit = {
-    open.values.foreach { case (w, p, _) =>
-      try w.close() catch { case _: Throwable => () }
-      try fs.delete(p, false) catch { case _: Throwable => () }
+    open.values.foreach { o =>
+      try o.w.close() catch { case _: Throwable => () }
+      try fs.delete(o.p, false) catch { case _: Throwable => () }
     }
     open.clear()
   }
 
   override def close(): Unit =
-    open.values.foreach { case (w, _, _) =>
-      try w.close() catch { case _: Throwable => () }
+    open.values.foreach { o =>
+      try o.w.close() catch { case _: Throwable => () }
     }
 }
 
@@ -540,7 +688,8 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
     val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
     if (!fs.exists(marker(epochId))) {
       SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
-        f => s"part-e$epochId-p${f.partitionId}-${TsvCodec.escapeDir(f.partValue)}.tsv")
+        f => s"part-e$epochId-p${f.partitionId}-${TsvCodec.escapeDir(f.partValue)}.tsv",
+        statsToken = s"e$epochId")
       fs.mkdirs(marker(epochId).getParent)
       fs.create(marker(epochId), true).close()
     }

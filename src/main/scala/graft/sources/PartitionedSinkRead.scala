@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,19 +36,43 @@ private[sources] class PartitionedSinkScanBuilder(
     with SupportsPushDownRequiredColumns {
 
   private var partitionFilters: Array[Filter] = Array.empty
+  private var skipFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (pushable, rest) = filters.partition {
-      case EqualTo(c, _) => c == partCol
-      case In(c, _) => c == partCol
+    // a NULL inside the comparison (isin(lit(null), ...) / === null)
+    // never matches a partition dir and its rendering is undefined —
+    // decline pushdown and leave such filters entirely to Spark
+    val pushable = filters.filter {
+      case EqualTo(c, v) => c == partCol && v != null
+      case In(c, vs) => c == partCol && vs != null && !vs.contains(null)
       case IsNotNull(c) => c == partCol // partition values are never null
       case _ => false
     }
     partitionFilters = pushable
-    rest
+    // DATA-column comparisons become FILE-SKIP candidates against the
+    // per-file min/max manifests the write side publishes (SinkStats):
+    // a file whose recorded range provably excludes the predicate
+    // contributes zero splits — the row-group pruning a Parquet lake
+    // gets from footers, recovered for the text layout
+    skipFilters = filters.filter {
+      case GreaterThan(c, _) => c != partCol
+      case GreaterThanOrEqual(c, _) => c != partCol
+      case LessThan(c, _) => c != partCol
+      case LessThanOrEqual(c, _) => c != partCol
+      case EqualTo(c, v) => c != partCol && v != null
+      case In(c, vs) => c != partCol && vs != null && !vs.contains(null)
+      case _ => false
+    }
+    // ALL filters stay residual: pruning only SKIPS dirs/files whose
+    // rendered value or recorded range provably fails the predicate —
+    // Spark re-evaluates post-scan, so a value whose Catalyst string
+    // form differs from the writer's raw rendering can at worst read
+    // extra files, never return wrong rows
+    filters
   }
-  override def pushedFilters(): Array[Filter] = partitionFilters
+  override def pushedFilters(): Array[Filter] =
+    partitionFilters ++ skipFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (the line decoder walks by ordinal)
@@ -57,12 +81,13 @@ private[sources] class PartitionedSinkScanBuilder(
 
   override def build(): Scan =
     new PartitionedSinkScan(path, partCol, fullSchema, required,
-      partitionFilters)
+      partitionFilters, skipFilters)
 }
 
 private class PartitionedSinkScan(
     path: String, partCol: String, fullSchema: StructType,
-    required: StructType, partitionFilters: Array[Filter])
+    required: StructType, partitionFilters: Array[Filter],
+    skipFilters: Array[Filter] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -71,7 +96,8 @@ private class PartitionedSinkScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"PartitionedSinkScan($path) PushedPartitionFilters: " +
-      partitionFilters.mkString("[", ", ", "]")
+      partitionFilters.mkString("[", ", ", "]") +
+      " FileSkipFilters: " + skipFilters.mkString("[", ", ", "]")
 
   private def keepValue(v: String): Boolean = partitionFilters.forall {
     case EqualTo(_, want) => v == want.toString
@@ -96,9 +122,25 @@ private class PartitionedSinkScan(
         s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
       .filter { case (v, _) => keepValue(v) } // partition pruning
       .flatMap { case (v, dir) =>
+        // FILE skipping inside surviving dirs: one manifest read per
+        // publish per dir (driver-side, small), then drop every file
+        // whose recorded min/max provably excludes all skip filters.
+        // Files without stats (pre-stats writers, crash between rename
+        // and manifest, non-numeric columns) are always kept.
+        val stats =
+          if (skipFilters.isEmpty)
+            Map.empty[String, Map[String, Option[(String, String)]]]
+          else SinkStats.readDir(fs, dir)
         fs.listStatus(dir)
           .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
             !f.getPath.getName.startsWith("_")) // no checksums/markers
+          .filter { f =>
+            stats.get(f.getPath.getName) match {
+              case Some(cols) =>
+                skipFilters.forall(SinkFileSkip.mayMatch(_, cols))
+              case None => true
+            }
+          }
           .map(v -> _)
       }
   }
@@ -147,89 +189,150 @@ private class PartitionedSinkScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PartitionedSinkMicroBatchStream(path, partCol, fullSchema, required,
-      partitionFilters, keepValue)
+      partitionFilters, keepValue, checkpointLocation)
 }
 
 /** Streaming READ of a sink table — `spark.readStream.table("cat.t")`
-  * tails the layout: an offset is the sorted set of PUBLISHED data
-  * files (the sink's commit protocol makes publication atomic, so a
-  * listing never sees a half-written file), and a micro-batch is the
-  * file-set delta between two offsets. Deterministic under replay: the
-  * same (start, end) offsets always name the same files. Append-only
-  * semantics — files removed by a dynamic overwrite simply leave the
-  * listing (already-emitted rows are NOT retracted; a streaming reader
-  * of a table being rewritten wants a CDC log, not a file tail — out
-  * of scope and documented). Partition pruning applies to the tail:
-  * pushed partition filters drop pruned values' files from every
-  * offset. The offset carries the file list verbatim — right for
-  * table-sized tails; a billion-file warehouse wants the seen-map +
-  * compact-log design of Spark's FileStreamSource (noted, not needed
-  * at this table's scale).
+  * tails the layout with the seen-map + batch-log design of Spark's
+  * own FileStreamSource: the OFFSET is a single generation number
+  * (constant-size JSON, independent of table file count), and the
+  * files of each generation live in an immutable per-generation log
+  * under the source's checkpoint directory. `latestOffset` lists the
+  * layout (the sink's commit protocol makes publication atomic, so a
+  * listing never sees a half-written file), diffs against the seen
+  * set, and — when new files exist — writes them as log entry
+  * `<gen+1>` (atomic tmp+rename). A micro-batch (s, e] is the union of
+  * log entries s+1..e — deterministic under replay: the same offsets
+  * always read the same immutable logs, across restarts too (the seen
+  * set and max generation are rebuilt from the logs on construction).
+  * The old encoding carried the ENTIRE published-file list in every
+  * offset — O(files) checkpoint growth per trigger, the driver-side
+  * bottleneck class this repo eliminates elsewhere; a pre-r15
+  * checkpoint (array-form offset) is not readable by this encoding.
+  * Append-only semantics — files removed by a dynamic overwrite after
+  * being logged are skipped at planning (already-emitted rows are NOT
+  * retracted; a reader of a table being rewritten wants a CDC log, not
+  * a file tail). Partition pruning applies to the tail: pushed
+  * partition filters drop pruned values' files at listing AND at
+  * planning time.
   */
 private class PartitionedSinkMicroBatchStream(
     path: String, partCol: String, fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
-    keepValue: String => Boolean)
+    keepValue: String => Boolean, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FilesOffset(files: Seq[String]) extends Offset {
-    override def json(): String =
-      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
+  private case class GenOffset(gen: Long) extends Offset {
+    override def json(): String = s"""{"gen":$gen}"""
+  }
+
+  private def fs: FileSystem = FileSystem.get(new java.net.URI(path),
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private val logDir = new Path(checkpointLocation, "graft-file-log")
+
+  // rebuilt from the immutable logs on (re)construction — a restart
+  // resumes with the exact seen set the previous run had logged
+  private lazy val state: (scala.collection.mutable.Set[String],
+                           java.util.concurrent.atomic.AtomicLong) = {
+    val f = fs
+    val seen = scala.collection.mutable.Set[String]()
+    var maxGen = 0L
+    if (f.exists(logDir)) {
+      Option(f.listStatus(logDir)).toSeq.flatten
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+        .foreach { s =>
+          maxGen = math.max(maxGen, s.getPath.getName.toLong)
+          readLog(f, s.getPath).foreach { case (file, _) => seen += file }
+        }
+    }
+    (seen, new java.util.concurrent.atomic.AtomicLong(maxGen))
+  }
+
+  private def readLog(f: FileSystem, p: Path): Seq[(String, String)] = {
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(file, v) =>
+          Some((TsvCodec.unescape(UTF8String.fromString(file)).toString,
+            TsvCodec.unescape(UTF8String.fromString(v)).toString))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeLog(f: FileSystem, gen: Long,
+                       files: Seq[(String, String)]): Unit = {
+    f.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(files.map { case (file, v) =>
+      s"${TsvCodec.escape(file)}\t${TsvCodec.escape(v)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(logDir, gen.toString)))
+      throw new java.io.IOException(s"file-log commit failed for gen $gen")
   }
 
   private def listFiles(): Seq[(String, String)] = {
-    val fs = FileSystem.get(new java.net.URI(path),
-      SparkSession.active.sessionState.newHadoopConf())
+    val f = fs
     val root = new Path(path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .map(s => TsvCodec.unescapeDir(
         s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
       .filter { case (v, _) => keepValue(v) }
       .flatMap { case (v, dir) =>
-        fs.listStatus(dir)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_"))
-          .map(f => f.getPath.toString -> v)
+        f.listStatus(dir)
+          .filter(fl => fl.isFile && !fl.getPath.getName.startsWith(".") &&
+            !fl.getPath.getName.startsWith("_"))
+          .map(fl => fl.getPath.toString -> v)
       }
       .sortBy(_._1)
   }
 
-  override def initialOffset(): Offset = FilesOffset(Seq.empty)
-  override def latestOffset(): Offset = FilesOffset(listFiles().map(_._1))
+  override def initialOffset(): Offset = GenOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val (seen, maxGen) = state
+    val fresh = listFiles().filterNot { case (file, _) => seen(file) }
+    if (fresh.nonEmpty) {
+      val gen = maxGen.incrementAndGet()
+      writeLog(fs, gen, fresh)
+      fresh.foreach { case (file, _) => seen += file }
+    }
+    GenOffset(maxGen.get())
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    // inverse of FilesOffset.json — a flat JSON string array
-    val items = scala.collection.mutable.ArrayBuffer[String]()
-    val sb = new StringBuilder
-    var inStr = false; var i = 0
-    while (i < json.length) {
-      val c = json.charAt(i)
-      if (!inStr) { if (c == '"') inStr = true }
-      else c match {
-        case '\\' => sb.append(json.charAt(i + 1)); i += 1
-        case '"'  => items += sb.toString; sb.clear(); inStr = false
-        case o    => sb.append(o)
-      }
-      i += 1
+    val m = """\{\s*"gen"\s*:\s*(\d+)\s*\}""".r
+    json.trim match {
+      case m(g) => GenOffset(g.toLong)
+      case _ => throw new IllegalStateException(
+        s"unreadable sink-stream offset '$json' — pre-r15 (file-list) " +
+          "checkpoints are not supported by the generation-log encoding; " +
+          "restart the query with a fresh checkpoint")
     }
-    FilesOffset(items.toSeq)
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val seen = start.asInstanceOf[FilesOffset].files.toSet
-    val endSet = end.asInstanceOf[FilesOffset].files.toSet
-    val byPath = listFiles().toMap
-    endSet.diff(seen).toSeq.sorted.flatMap { f =>
-      // a file named by the offset but since removed (dynamic
-      // overwrite between offset capture and planning) is skipped
-      byPath.get(f).map(v =>
-        SinkFileSplit(f, v, fullSchema(partCol).dataType): InputPartition)
-    }.toArray
+    val s = start.asInstanceOf[GenOffset].gen
+    val e = end.asInstanceOf[GenOffset].gen
+    val f = fs
+    (s + 1 to e).flatMap { g =>
+      val p = new Path(logDir, g.toString)
+      if (!f.exists(p)) Seq.empty else readLog(f, p)
+    }
+      .filter { case (file, v) => keepValue(v) && f.exists(new Path(file)) }
+      .sortBy(_._1)
+      .map { case (file, v) =>
+        SinkFileSplit(file, v, fullSchema(partCol).dataType): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -267,7 +370,10 @@ private class PartitionedSinkReader(
     partCol: String, conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
-  private val fs = FileSystem.get(new java.net.URI(split.file), conf.value)
+  // Path(...).toUri, not new URI(...): the file name embeds the escaped
+  // partition VALUE, which hive escaping leaves spaces (and other
+  // URI-illegal chars) in — Path percent-encodes them, a raw URI throws
+  private val fs = FileSystem.get(new Path(split.file).toUri, conf.value)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
     fs.open(new Path(split.file)), "UTF-8"))
 
@@ -313,6 +419,57 @@ private class PartitionedSinkReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+/** Range evaluation for file skipping: decides whether a file MAY
+  * contain a row matching a comparison filter, given the file's
+  * per-column min/max (over non-null values). Conservative in every
+  * uncertain direction — missing stats, unparseable bounds, or a
+  * non-numeric literal all answer "may match" (scan the file). The one
+  * aggressive-but-sound case: a column recorded ALL-NULL can never
+  * satisfy a comparison (SQL: NULL cmp x is not true), so the file
+  * skips for any of the handled predicates. Comparison is BigDecimal
+  * (exact for every Long and for the round-tripped Double/Float
+  * renderings the writer emits — no 2^53 float-widening trap).
+  */
+private[sources] object SinkFileSkip {
+  private def big(s: String): Option[java.math.BigDecimal] =
+    try Some(new java.math.BigDecimal(s))
+    catch { case _: NumberFormatException => None }
+
+  private def cmp(stats: Map[String, Option[(String, String)]], c: String,
+                  v: Any)(
+      sat: (java.math.BigDecimal, java.math.BigDecimal,
+            java.math.BigDecimal) => Boolean): Boolean =
+    stats.get(c) match {
+      case None => true // no stats for the column: must scan
+      case Some(None) => false // all values NULL: no comparison matches
+      case Some(Some((mnS, mxS))) =>
+        (big(mnS), big(mxS), Option(v).flatMap {
+          case n: java.lang.Number => big(n.toString)
+          case _ => None
+        }) match {
+          case (Some(mn), Some(mx), Some(b)) => sat(mn, mx, b)
+          case _ => true
+        }
+    }
+
+  /** false = the file provably contains no matching row. */
+  def mayMatch(f: Filter,
+               stats: Map[String, Option[(String, String)]]): Boolean =
+    f match {
+      case GreaterThan(c, v) => cmp(stats, c, v)((_, mx, b) => mx.compareTo(b) > 0)
+      case GreaterThanOrEqual(c, v) => cmp(stats, c, v)((_, mx, b) => mx.compareTo(b) >= 0)
+      case LessThan(c, v) => cmp(stats, c, v)((mn, _, b) => mn.compareTo(b) < 0)
+      case LessThanOrEqual(c, v) => cmp(stats, c, v)((mn, _, b) => mn.compareTo(b) <= 0)
+      case EqualTo(c, v) => cmp(stats, c, v)(
+        (mn, mx, b) => mn.compareTo(b) <= 0 && mx.compareTo(b) >= 0)
+      case In(c, vs) =>
+        if (vs == null) true
+        else vs.exists(v => cmp(stats, c, v)(
+          (mn, mx, b) => mn.compareTo(b) <= 0 && mx.compareTo(b) >= 0))
+      case _ => true
+    }
 }
 
 private[sources] object PartitionedSinkReader {

@@ -321,6 +321,42 @@ object EventsStreaming {
     graft.ops.TemporalOps.asofJoinNative(events, versionedDim, keys,
       eventTs, dimTs, payload, prefix, broadcastRight = true)
 
+  /** Streaming GROUPED as-of enrichment — the online feature-store
+    * shape: each streaming event reads the point-in-time-correct value
+    * of K feature timelines at once (user spend history, session stats,
+    * risk scores — each its own versioned table). Column contract
+    * matches the batch [[graft.ops.TemporalOps.asofJoinFeatures]]
+    * exactly (`<name>_<col>` payloads + `<name>_ts` match stamps), so a
+    * training pipeline built on the batch op serves online from this
+    * one with no renames — the training/serving-skew seam closed by
+    * construction.
+    *
+    * Mechanics: K chained broadcast as-of probes
+    * ([[graft.plans.AsOfBroadcastJoinExec]]), one per feature table.
+    * Each probe is STATELESS map-side work inside the micro-batch —
+    * zero stream-side shuffle, zero state store, one pass over the
+    * events with K point lookups per row — and each table's per-key
+    * timeline index is memoized per executor across triggers
+    * (AsOfIndexCache). The batch op's union+single-window plan is the
+    * right shape when spine AND features are both huge; on a stream
+    * the features are dimension-sized by definition, so K probes beat
+    * shuffling every micro-batch K+1 ways. Feature tables are re-read
+    * and re-broadcast per trigger: a feature update takes effect on
+    * the next batch without a query restart.
+    */
+  def asofEnrichStreamFeatures(events: DataFrame,
+                               features: Seq[(String, DataFrame, Seq[String])],
+                               keys: Seq[String], eventTs: String,
+                               featTs: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature table")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be unique")
+    features.foldLeft(events) { case (df, (n, dim, payload)) =>
+      graft.ops.TemporalOps.asofJoinNative(df, dim, keys, eventTs, featTs,
+        payload, s"${n}_", broadcastRight = true)
+    }
+  }
+
   /** Idempotent streaming sink: every micro-batch is diffed against the
     * target (the U2 EXCEPT-DISTINCT primitive) before appending, so
     * replayed batches append zero rows — exactly the reference's

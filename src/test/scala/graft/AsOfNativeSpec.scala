@@ -253,8 +253,14 @@ class AsOfNativeSpec extends SparkSpec {
       assert(fused,
         s"the probe must sit INSIDE a WholeStageCodegen span (scan → " +
           s"filter → probe in one generated function):\n$plan")
-      // and the generated path computes the same rows as the fallback
-      val viaCodegen = df.collect().map(_.toSeq).sortBy(_.toString)
+      // and the generated path EXECUTES compiled — fallback=false turns
+      // a janino compile failure (e.g. a double-emitted payload local)
+      // into a hard error instead of a silent interpreted de-opt
+      val prevFb = spark.conf.get("spark.sql.codegen.fallback")
+      val viaCodegen = try {
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        df.collect().map(_.toSeq).sortBy(_.toString)
+      } finally spark.conf.set("spark.sql.codegen.fallback", prevFb)
       val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
       val viaIterator = try {
         spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -362,7 +362,8 @@ class PartitionedSinkSpec extends SparkSpec {
     Seq((4L, 4.0, "d", "A")).toDF("k", "v", "s", "p").coalesce(1)
       .writeTo("graft_cmp_spec.t").append()
     def files(p: String) = new File(s"$root/t/p=$p").listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")) // data files only, not stats manifests
     assert(files("A").length === 3 && files("B").length === 1)
     val bBefore = files("B").map(f => (f.getName, f.lastModified, f.length)).toSet
     val expected = spark.table("graft_cmp_spec.t").collect()
@@ -459,6 +460,58 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_spj_spec.r")
   }
 
+  test("data-column min/max skipping: a selective range predicate opens strictly fewer files") {
+    import spark.implicits._
+    val root = tmpDir("sink_skip")
+    spark.conf.set("spark.sql.catalog.graft_skip_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_skip_spec.root", root)
+    def batch(ks: Seq[Option[Long]]) = ks.zipWithIndex
+      .map { case (k, i) => (k, i * 0.5, s"s$i", "A") }
+      .toDF("k", "v", "s", "p").coalesce(1)
+    // three appends with DISJOINT k ranges (one file each), plus a
+    // fourth whose k column is entirely NULL
+    batch((1L to 10L).map(Some(_)))
+      .writeTo("graft_skip_spec.t").partitionedBy(col("p")).create()
+    batch((11L to 20L).map(Some(_))).writeTo("graft_skip_spec.t").append()
+    batch((21L to 30L).map(Some(_))).writeTo("graft_skip_spec.t").append()
+    batch(Seq(None, None)).writeTo("graft_skip_spec.t").append()
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val all = spark.table("graft_skip_spec.t")
+    assert(splits(all) === 4, "unfiltered scan reads every file")
+    // k > 25 can only live in the third file: the two low-range files
+    // AND the all-NULL file are provably excluded by their stats
+    val hi = spark.table("graft_skip_spec.t").filter(col("k") > 25L)
+    assert(splits(hi) === 1,
+      "a selective range predicate must open exactly the one file " +
+        "whose recorded min/max intersects it")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq === (26L to 30L),
+      "skipping must not change results")
+    // a straddling predicate keeps both touched files, drops the rest
+    val mid = spark.table("graft_skip_spec.t")
+      .filter(col("k") >= 8L && col("k") <= 13L)
+    assert(splits(mid) === 2, "range straddling two files opens exactly those")
+    assert(mid.count() === 6)
+    // equality and IN prune the same way
+    assert(splits(spark.table("graft_skip_spec.t")
+      .filter(col("k") === 15L)) === 1)
+    assert(splits(spark.table("graft_skip_spec.t")
+      .filter(col("k").isin(2L, 4L))) === 1)
+    // the skip is visible in the plan (explain pin)
+    assert(hi.queryExecution.executedPlan.toString.contains("FileSkipFilters"),
+      "the scan must surface its file-skip filters in explain output")
+    // floating-point column skips too; NULL rows never satisfy v>x so
+    // the all-null-k file's v values still count (its stats are per
+    // column): v ranges overlap across files here, so only prove rows
+    val vq = spark.table("graft_skip_spec.t").filter(col("v") > 4.0)
+    assert(vq.collect().map(_.getDouble(1)).forall(_ > 4.0))
+    spark.sql("DROP TABLE graft_skip_spec.t")
+  }
+
   test("streaming READ: readStream.table tails the layout, appended batches arrive exactly once") {
     import spark.implicits._
     val root = tmpDir("sink_tail")
@@ -467,10 +520,11 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_tail_spec.root", root)
     Seq((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B")).toDF("k", "v", "s", "p")
       .writeTo("graft_tail_spec.t").partitionedBy(col("p")).create()
+    val ckpt = tmpDir("sink_tail_ck")
     val q = spark.readStream.table("graft_tail_spec.t")
       .writeStream.format("memory").queryName("sinktail")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .option("checkpointLocation", tmpDir("sink_tail_ck"))
+      .option("checkpointLocation", ckpt)
       .start()
     try {
       q.processAllAvailable()
@@ -486,6 +540,18 @@ class PartitionedSinkSpec extends SparkSpec {
       // quiescence: nothing new ⇒ no duplicate emission
       q.processAllAvailable()
       assert(spark.table("sinktail").count() === 4)
+      // OFFSET COMPACTION: the checkpointed offset is a generation
+      // number, CONSTANT in table file count (the old encoding grew
+      // O(files) per trigger) — the file lists live in the source's
+      // immutable per-generation log instead
+      val offDir = new File(s"$ckpt/offsets")
+      val newest = offDir.listFiles()
+        .filter(f => f.isFile && f.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      val offLine = scala.io.Source.fromFile(newest, "UTF-8")
+        .getLines().toSeq.last
+      assert(offLine.matches("""\{"gen":\d+\}"""),
+        s"offset must be a compact generation number, got: $offLine")
     } finally q.stop()
     spark.sql("DROP TABLE graft_tail_spec.t")
   }
@@ -526,18 +592,31 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_vac_spec.root", root)
     Seq((1L, 1.0, "a", "A")).toDF("k", "v", "s", "p")
       .writeTo("graft_vac_spec.t").partitionedBy(col("p")).create()
-    // plant two orphans: one ancient (crashed driver last week), one
-    // fresh (a live job mid-write)
+    // plant three: an ancient orphan (crashed driver last week — dir
+    // AND file old), a fresh dir, and the long-running-job shape: dir
+    // created long ago but a file written into it just now (liveness
+    // is the NEWEST write anywhere under the dir, not the dir's mtime)
     val staging = new File(s"$root/t/_staging")
+    val weekAgo = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
     val old = new File(staging, "crashed-query"); old.mkdirs()
-    new File(old, "part-0-1-A.tsv").createNewFile()
-    old.setLastModified(System.currentTimeMillis() - 7L * 24 * 3600 * 1000)
+    val oldFile = new File(old, "part-0-1-A.tsv"); oldFile.createNewFile()
+    oldFile.setLastModified(weekAgo)
+    old.setLastModified(weekAgo)
     val fresh = new File(staging, "live-query"); fresh.mkdirs()
+    val longRun = new File(staging, "long-running-query"); longRun.mkdirs()
+    new File(longRun, "part-0-2-B.tsv").createNewFile() // written NOW
+    longRun.setLastModified(weekAgo) // dir itself looks stale
     val removed = graft.ops.Compaction.vacuumStaging(
       spark, "graft_vac_spec", "t")
     assert(removed === Seq("crashed-query"))
     assert(!old.exists(), "the orphan is swept")
     assert(fresh.exists(), "a live job's staging is never swept")
+    assert(longRun.exists(),
+      "an early-created dir with a FRESH file inside is a live writer")
+    // the age floor: olderThanMs=0 must not sweep anything fresh
+    assert(graft.ops.Compaction.vacuumStaging(
+      spark, "graft_vac_spec", "t", olderThanMs = 0L).isEmpty,
+      "a zero threshold is floored, never sweeping recent staging")
     // published data untouched throughout
     assert(readBack(s"$root/t") === Set((1L, 1.0, "a", "A")))
     spark.sql("DROP TABLE graft_vac_spec.t")

@@ -76,6 +76,61 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch, "stream and batch renditions must agree")
   }
 
+  test("grouped as-of enrichment: K feature timelines per event across ≥2 batches, ≡ batch op, replay-zero") {
+    val in = tmpDir("stream-pit-in")
+    fixture.toDS().write.mode("overwrite").parquet(in)
+    // two independent versioned feature tables (the online feature-
+    // store shape): tier changes mid-stream; spend has an early and a
+    // late version per user
+    val tiers = Seq(
+      (7L, ts(0), "bronze"), (7L, ts(15), "gold"), (8L, ts(30), "vip"))
+      .toDF("user_id", "valid_from", "tier")
+    val spend = Seq((7L, ts(5), 10.0), (7L, ts(55), 99.0), (8L, ts(0), 3.0))
+      .toDF("user_id", "valid_from", "spend")
+    val features = Seq(
+      ("tier", tiers, Seq("tier")), ("spend", spend, Seq("spend")))
+    val events = EventsStreaming.readEvents(spark, in,
+      implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+    val enriched = EventsStreaming.asofEnrichStreamFeatures(
+      events, features, Seq("user_id"), "ts", "valid_from")
+    val q = enriched.writeStream
+      .format("memory").queryName("pitfeat")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("ckpt-pitfeat"))
+      .start()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[String]("tier_tier")),
+        Option(r.getAs[java.sql.Timestamp]("tier_ts")).map(_.getTime),
+        Option(r.getAs[Any]("spend_spend")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[java.sql.Timestamp]("spend_ts")).map(_.getTime))
+    }.toSet
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pitfeat").count() === 4, "batch 1: the fixture")
+      // a second micro-batch: late events land as new input files
+      val more = Seq(Event(5L, ts(30), 8L, "view", 1.0),
+        Event(6L, ts(40), 7L, "click", 4.0))
+      more.toDS().write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val got = canon(spark.table("pitfeat").collect())
+      // spot values: event 3 (user 8 @10:20) has NO tier yet but an
+      // early spend; event 5 (user 8 @10:30) hits the vip tie exactly
+      assert(got.find(_._1 == 3L).get._2 === None)
+      assert(got.find(_._1 == 3L).get._4 === Some(3.0))
+      assert(got.find(_._1 == 5L).get._2 === Some("vip"))
+      // the stream result ≡ the batch grouped PIT join on ALL the data
+      val batch = canon(graft.ops.TemporalOps.asofJoinFeatures(
+        (fixture ++ more).toDS().toDF(), features,
+        Seq("user_id"), "ts", "valid_from").collect())
+      assert(got === batch,
+        "streaming grouped enrichment must equal batch asofJoinFeatures")
+      // replay-zero: nothing new ⇒ nothing re-emitted
+      q.processAllAvailable()
+      assert(spark.table("pitfeat").count() === 6)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running stats") {
     val in = tmpDir("stream-in2")
     writeFixture(in)
