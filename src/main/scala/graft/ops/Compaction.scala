@@ -83,15 +83,23 @@ object Compaction {
     val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
     val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val fragmented = fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .map { s =>
-        val files = fs.listStatus(s.getPath).count(f =>
-          f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_"))
-        graft.sources.TsvCodec.unescapeDir(
-          s.getPath.getName.stripPrefix(partCol + "=")) -> files
-      }
+    // live file counts: from the snapshot manifest on a versioned
+    // table (a retired-but-unvacuumed file is not fragmentation), from
+    // the directory listing otherwise
+    val fragmented = (
+      if (graft.sources.SinkVersions.isVersioned(fs, dir.toString))
+        graft.sources.SinkVersions.latest(fs, dir.toString).toSeq
+          .flatMap(graft.sources.SinkVersions.read(fs, dir.toString, _))
+          .groupBy(_._2).map { case (v, fsOfV) => v -> fsOfV.size }.toSeq
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+        .map { s =>
+          val files = fs.listStatus(s.getPath).count(f =>
+            f.isFile && !f.getPath.getName.startsWith(".") &&
+              !f.getPath.getName.startsWith("_"))
+          graft.sources.TsvCodec.unescapeDir(
+            s.getPath.getName.stripPrefix(partCol + "=")) -> files
+        })
       .filter(_._2 > maxFilesPerPartition).toMap
     if (fragmented.nonEmpty) {
       spark.table(s"$catalog.$table")
@@ -100,6 +108,87 @@ object Compaction {
         .writeTo(s"$catalog.$table").overwritePartitions()
     }
     fragmented
+  }
+
+  /** Merge a sink table's per-publish STATS manifests: every publish
+    * writes its own `_stats-<token>.tsv` per touched partition dir (by
+    * design — append-friendly, no read-modify-write), so a long-lived
+    * streaming table accumulates one per epoch per dir, and the
+    * driver-side scan reads them ALL when evaluating file skips. This
+    * maintenance pass rewrites each dir's manifests into ONE, dropping
+    * entries whose data file no longer exists (retired + vacuumed, or
+    * compacted away). Readers racing the swap see at worst the union
+    * of old and merged manifests — same entries, keyed by file name —
+    * and a publish racing it writes a NEW token file this pass never
+    * touches. Returns the number of dirs rewritten. Single-admin
+    * maintenance, like [[compactSinkTable]].
+    */
+  def compactStats(spark: SparkSession, catalog: String, table: String,
+                   minManifests: Int = 2): Int = {
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .count { d =>
+        val manifests = fs.listStatus(d.getPath).toSeq.filter(s =>
+          s.isFile && s.getPath.getName.startsWith("_stats-"))
+        if (manifests.size < minManifests) false
+        else {
+          val merged = graft.sources.SinkStats.readDir(fs, d.getPath)
+            .filter { case (file, _) =>
+              fs.exists(new Path(d.getPath, file)) } // drop dead entries
+            .toSeq.sortBy(_._1)
+            .map { case (file, cols) =>
+              file -> cols.toSeq.sortBy(_._1).map { case (c, mm) =>
+                graft.sources.SinkColStat(c, mm) }
+            }
+          graft.sources.SinkStats.write(fs, d.getPath,
+            s"merged-${java.util.UUID.randomUUID()}", merged)
+          manifests.foreach(m => fs.delete(m.getPath, false))
+          true
+        }
+      }
+  }
+
+  /** Reclaim expired SNAPSHOTS of a versioned sink table: keep the
+    * newest `keepLast` version manifests, delete the older ones, then
+    * delete every data file no retained manifest references (files
+    * logically retired by overwrites live on disk until this runs —
+    * that retention is what `VERSION AS OF` reads). Returns
+    * (manifests deleted, data files deleted). Single-admin maintenance
+    * like [[compactSinkTable]]: don't race it with concurrent writes
+    * to the same table.
+    */
+  def vacuumVersions(spark: SparkSession, catalog: String, table: String,
+                     keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val vDir = graft.sources.SinkVersions.dir(dir.toString)
+    if (!fs.exists(vDir)) return (0, 0)
+    val versions = fs.listStatus(vDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toLong).sorted
+    val (expired, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val referenced = kept
+      .flatMap(graft.sources.SinkVersions.read(fs, dir.toString, _))
+      .map(_._1).toSet
+    expired.foreach(v => fs.delete(new Path(vDir, v.toString), false))
+    // unreferenced data files under the partition dirs are unreachable
+    // from every retained snapshot — delete them
+    val removed = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          .filter(f => !referenced(s"${d.getPath.getName}/${f.getPath.getName}"))
+          .map { f => fs.delete(f.getPath, false); f.getPath.toString }
+      }
+    (expired.size, removed.size)
   }
 
   /** Sweep ORPHANED staging from a sink table: the commit protocol

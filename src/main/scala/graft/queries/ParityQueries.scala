@@ -1704,6 +1704,49 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: TIME TRAVEL on a versioned sink table — version 1 is
+    * the full per-(returnflag, linestatus) aggregate; version 2
+    * OVERWRITES the R partition with a filtered recompute (the daily
+    * correction shape). The query returns `VERSION AS OF 1` read AFTER
+    * the overwrite landed: on a versioned table the overwrite retires
+    * files logically (nothing is physically deleted until
+    * vacuumVersions), so the pre-overwrite snapshot must read back
+    * exactly — the oracle is the plain full aggregate, and a snapshot
+    * torn by the overwrite (missing the old R files, or leaking the
+    * new ones) flips it. Latest-read and vacuum semantics are pinned
+    * in PartitionedSinkSpec.
+    */
+  val qDsv2TimeTravel = Q(
+    "q_dsv2_timetravel",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dynv",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dynv.root", root)
+      s.conf.set("spark.sql.catalog.graft_dynv.versioned", "true")
+      s.sql("DROP TABLE IF EXISTS graft_dynv.flags_tt")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      agg(li(s, d))
+        .writeTo("graft_dynv.flags_tt")
+        .partitionedBy(col("l_returnflag")).create()         // version 1
+      agg(li(s, d).filter(col("l_returnflag") === "R" &&
+          col("l_quantity") < 25))
+        .writeTo("graft_dynv.flags_tt").overwritePartitions() // version 2
+      s.read.option("versionAsOf", "1").table("graft_dynv.flags_tt")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** §2.9-ext: DATA-COLUMN FILE SKIPPING on a sink table — the pruning
     * a Parquet lake reads from row-group footers, recovered for the
     * text layout via the per-file min/max manifests the write side
@@ -1995,5 +2038,5 @@ object ParityQueries {
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
-    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip)
+    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel)
 }

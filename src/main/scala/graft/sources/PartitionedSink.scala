@@ -214,10 +214,13 @@ object PartitionedSink {
 }
 
 private[sources] class PartitionedSinkTable(path: String, val partCol: String,
-                                            schema0: StructType)
+                                            schema0: StructType,
+                                            versioned: Boolean = false,
+                                            asOfVersion: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
-  override def name(): String = s"partitioned_sink($path by $partCol)"
+  override def name(): String = s"partitioned_sink($path by $partCol)" +
+    asOfVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = schema0
   override def partitioning(): Array[Transform] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -231,13 +234,16 @@ private[sources] class PartitionedSinkTable(path: String, val partCol: String,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC).asJava
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new PartitionedSinkWriteBuilder(path, partCol, info)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOfVersion.isEmpty,
+      "cannot write to a time-travel (VERSION AS OF) table reference")
+    new PartitionedSinkWriteBuilder(path, partCol, info, versioned)
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new PartitionedSinkScanBuilder(path, partCol, schema0)
+    new PartitionedSinkScanBuilder(path, partCol, schema0, asOfVersion)
 }
 
 /** Overwrite mode resolved at build time from which mix-in Spark
@@ -247,7 +253,8 @@ private[sources] class PartitionedSinkTable(path: String, val partCol: String,
   * writes.
   */
 private class PartitionedSinkWriteBuilder(path: String, partCol: String,
-                                          info: LogicalWriteInfo)
+                                          info: LogicalWriteInfo,
+                                          versioned: Boolean = false)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: SinkMode = Append
@@ -279,11 +286,11 @@ private class PartitionedSinkWriteBuilder(path: String, partCol: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new PartitionedSinkBatchWrite(path, partCol, info.schema(),
-        info.queryId(), mode)
+        info.queryId(), mode, versioned)
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new PartitionedSinkStreamingWrite(path, partCol, info.schema(),
-        info.queryId(), mode)
+        info.queryId(), mode, versioned)
   }
 }
 
@@ -302,7 +309,7 @@ private case object Dynamic extends SinkMode
   * (non-numeric types, or a file containing NaN/±Inf) carry no stats
   * and are never skipped on.
   */
-private[sources] case class SinkColStat(col: String,
+private[graft] case class SinkColStat(col: String,
                                         minMax: Option[(String, String)])
 
 /** One staged file, as named by the task that wrote it. */
@@ -324,7 +331,7 @@ private case class SinkCommitMessage(files: Seq[StagedFile])
   * data renames — a crash in between leaves a file without stats,
   * which readers scan instead of skip (degraded, never wrong).
   */
-private[sources] object SinkStats {
+private[graft] object SinkStats {
   def manifestName(token: String): String =
     s"_stats-${TsvCodec.escapeDir(token)}.tsv"
 
@@ -371,6 +378,87 @@ private[sources] object SinkStats {
   }
 }
 
+/** Version manifests for time travel — `_versions/<v>` at the table
+  * root, each an immutable FULL SNAPSHOT of the live data files after
+  * publish v (one line per file: `relPath \t partValue`, escaped).
+  * On a VERSIONED table, overwrite modes retire files LOGICALLY (they
+  * drop out of the next manifest; nothing is physically deleted), so
+  * `VERSION AS OF v` replans exactly manifest v's files; reads of the
+  * LATEST version are manifest-driven too, which is what makes the
+  * deferred deletes invisible. [[graft.ops.Compaction.vacuumVersions]]
+  * reclaims: drop expired manifests, then delete any data file no
+  * retained manifest references. Versioning is opt-in per catalog
+  * (`spark.sql.catalog.<name>.versioned=true`) and STICKY per table
+  * (once `_versions/` exists, every publish maintains it) — the
+  * default layout keeps its delete-on-overwrite behavior and its
+  * listing-based readers (the V1 readBack glob cannot see manifests,
+  * so it must not be pointed at a versioned table that has ever
+  * overwritten).
+  */
+private[graft] object SinkVersions {
+  def dir(root: String): Path = new Path(root, "_versions")
+
+  def isVersioned(fs: FileSystem, root: String): Boolean =
+    fs.exists(dir(root))
+
+  def latest(fs: FileSystem, root: String): Option[Long] = {
+    val d = dir(root)
+    if (!fs.exists(d)) None
+    else Option(fs.listStatus(d)).toSeq.flatten
+      .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toLong) match {
+      case Seq() => None
+      case vs => Some(vs.max)
+    }
+  }
+
+  /** Manifest v: (relative data-file path, raw partition value). */
+  def read(fs: FileSystem, root: String, v: Long): Seq[(String, String)] = {
+    val p = new Path(dir(root), v.toString)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"version $v of $root does not exist (expired by vacuum, or never " +
+        "published)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val u = (s: String) => TsvCodec.unescape(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(rel, value) = line.split("\t", -1)
+      (u(rel), u(value))
+    }
+  }
+
+  /** Attempt to commit manifest v. Returns false when version v was
+    * taken by a concurrent publisher — the CAS signal for the retry
+    * loop in [[SinkCommit.publish]]. The commit is a no-overwrite
+    * rename through [[org.apache.hadoop.fs.FileContext]] (whose
+    * Rename.NONE contract REJECTS an existing destination — plain
+    * `FileSystem.rename` on a local FS silently replaces it, which
+    * would lose the racing publisher's snapshot).
+    */
+  def tryWrite(fs: FileSystem, root: String, v: Long,
+               entries: Seq[(String, String)]): Boolean = {
+    val d = dir(root)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".tmp-$v-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map { case (rel, value) =>
+      s"${TsvCodec.escape(rel)}\t${TsvCodec.escape(value)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      d.toUri, fs.getConf)
+    try { fc.rename(tmp, new Path(d, v.toString)); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        fs.delete(tmp, false); false
+    }
+  }
+}
+
 /** The shared driver-side publish: clear whatever the mode says must
   * go, then move exactly the manifest-listed staged files to their
   * destination names. Batch keeps the staged (taskId-unique) name;
@@ -384,7 +472,10 @@ private object SinkCommit {
 
   def publish(fs: FileSystem, path: String, partCol: String, mode: SinkMode,
               files: Seq[StagedFile], destName: StagedFile => String,
-              statsToken: String): Unit = {
+              statsToken: String, versioned: Boolean = false): Unit = {
+    // versioning is sticky: once a table has manifests, every publish
+    // maintains them, whatever write path reached it
+    val vMode = versioned || SinkVersions.isVersioned(fs, path)
     val toClear: Set[String] = mode match {
       case Append => Set.empty
       case Truncate =>
@@ -397,7 +488,10 @@ private object SinkCommit {
       case OverwriteValues(vs) => vs
       case Dynamic => files.map(_.partValue).toSet
     }
-    toClear.foreach(v =>
+    // versioned tables never physically delete at publish: retired
+    // files just drop out of the next manifest (old versions keep
+    // reading them until vacuumVersions reclaims)
+    if (!vMode) toClear.foreach(v =>
       fs.delete(new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}"), true))
     files.foreach { f =>
       val dest = new Path(path, s"$partCol=${TsvCodec.escapeDir(f.partValue)}")
@@ -414,6 +508,34 @@ private object SinkCommit {
       val dir = new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}")
       SinkStats.write(fs, dir, statsToken,
         fsOfV.map(f => destName(f) -> f.stats))
+    }
+    if (vMode) {
+      // next snapshot = previous minus cleared partitions plus this
+      // publish, keyed by relative path (a streaming crash-replay that
+      // re-published the same deterministic names replaces, not
+      // duplicates). Manifest LAST: a crash before this line leaves
+      // the data renamed but unreferenced — invisible to every
+      // manifest-driven reader, reclaimed by vacuum; never a torn read.
+      // CAS loop: concurrent publishers race on the version number —
+      // a taken slot (tryWrite false) means another snapshot landed
+      // first; recompute from ITS state and try the next number, so
+      // neither publisher's files are lost
+      val fresh = files.map { f =>
+        (s"$partCol=${TsvCodec.escapeDir(f.partValue)}/${destName(f)}",
+          f.partValue)
+      }
+      var committed = false
+      var attempts = 0
+      while (!committed) {
+        attempts += 1
+        if (attempts > 100) throw new java.io.IOException(
+          s"version manifest commit lost the CAS race 100 times: $path")
+        val base = SinkVersions.latest(fs, path)
+        val prev = base.map(SinkVersions.read(fs, path, _)).getOrElse(Seq.empty)
+        val kept = prev.filterNot { case (_, value) => toClear(value) }
+        val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
+        committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)
+      }
     }
   }
 
@@ -433,7 +555,8 @@ private object SinkCommit {
 
 private class PartitionedSinkBatchWrite(path: String, partCol: String,
                                         schema: StructType, queryId: String,
-                                        mode: SinkMode)
+                                        mode: SinkMode,
+                                        versioned: Boolean = false)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
@@ -464,7 +587,7 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
     SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
       f => s"part-$qTok-" +
         new Path(f.stagedPath).getName.stripPrefix("part-"),
-      statsToken = queryId)
+      statsToken = queryId, versioned = versioned)
     sweepStaging(fs)
   }
 
@@ -671,7 +794,8 @@ private class PartitionedSinkWriter(path: String, partCol: String,
   */
 private class PartitionedSinkStreamingWrite(path: String, partCol: String,
                                             schema: StructType, queryId: String,
-                                            mode: SinkMode)
+                                            mode: SinkMode,
+                                            versioned: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -689,7 +813,7 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
     if (!fs.exists(marker(epochId))) {
       SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
         f => s"part-e$epochId-p${f.partitionId}-${TsvCodec.escapeDir(f.partValue)}.tsv",
-        statsToken = s"e$epochId")
+        statsToken = s"e$epochId", versioned = versioned)
       fs.mkdirs(marker(epochId).getParent)
       fs.create(marker(epochId), true).close()
     }

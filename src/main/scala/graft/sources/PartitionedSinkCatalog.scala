@@ -43,6 +43,7 @@ class PartitionedSinkCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var versioned: Boolean = false
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -50,6 +51,11 @@ class PartitionedSinkCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root=<dir>"))
+    // opt-in snapshot retention: every publish writes a version
+    // manifest and overwrites retire files logically (VERSION AS OF
+    // becomes readable; vacuumVersions reclaims). Sticky per table
+    // once the first manifest exists.
+    versioned = Option(options.get("versioned")).exists(_.toBoolean)
   }
 
   override def name(): String = catalogName
@@ -85,7 +91,29 @@ class PartitionedSinkCatalog extends TableCatalog {
     // sidecar layout: first line = partition column, rest = schema JSON
     val (partCol, schemaJson) = json.splitAt(json.indexOf('\n'))
     val schema = DataType.fromJson(schemaJson.trim).asInstanceOf[StructType]
-    new PartitionedSinkTable(tableDir(ident).toString, partCol, schema)
+    new PartitionedSinkTable(tableDir(ident).toString, partCol, schema,
+      versioned)
+  }
+
+  /** Time travel: `VERSION AS OF v` / `spark.read.option("versionAsOf",
+    * v).table(...)` — plans exactly snapshot v's files. Only numbered
+    * versions exist (no timestamp travel: manifests are not
+    * wall-clock-stamped, deliberately — see DetMath's no-ambient-time
+    * discipline).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident).asInstanceOf[PartitionedSinkTable]
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName tables are versioned by number, got '$version'")
+    }
+    val vDir = new Path(tableDir(ident), "_versions")
+    if (!fs.exists(new Path(vDir, v.toString)))
+      throw new IllegalArgumentException(
+        s"version $v of $ident does not exist (expired by vacuum, or " +
+          "never published — is the catalog versioned?)")
+    new PartitionedSinkTable(tableDir(ident).toString, base.partCol,
+      base.schema(), versioned, asOfVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -113,7 +141,7 @@ class PartitionedSinkCatalog extends TableCatalog {
       fs.delete(staged, false)
       throw new TableAlreadyExistsException(ident)
     }
-    new PartitionedSinkTable(dir.toString, partCol, schema)
+    new PartitionedSinkTable(dir.toString, partCol, schema, versioned)
   }
 
   /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
@@ -154,7 +182,8 @@ class PartitionedSinkCatalog extends TableCatalog {
     fs.delete(metaFile(ident), false)
     if (!fs.rename(staged, metaFile(ident)))
       throw new IllegalStateException(s"sidecar update failed for $ident")
-    new PartitionedSinkTable(dir.toString, current.partCol, newSchema)
+    new PartitionedSinkTable(dir.toString, current.partCol, newSchema,
+      versioned)
   }
 
   override def dropTable(ident: Identifier): Boolean =

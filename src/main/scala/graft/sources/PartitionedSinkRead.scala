@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hadoop conf the same way the writer does.
   */
 private[sources] class PartitionedSinkScanBuilder(
-    path: String, partCol: String, fullSchema: StructType)
+    path: String, partCol: String, fullSchema: StructType,
+    asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -81,13 +82,14 @@ private[sources] class PartitionedSinkScanBuilder(
 
   override def build(): Scan =
     new PartitionedSinkScan(path, partCol, fullSchema, required,
-      partitionFilters, skipFilters)
+      partitionFilters, skipFilters, asOfVersion)
 }
 
 private class PartitionedSinkScan(
     path: String, partCol: String, fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    asOfVersion: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -95,7 +97,9 @@ private class PartitionedSinkScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PartitionedSinkScan($path) PushedPartitionFilters: " +
+    s"PartitionedSinkScan($path)" +
+      asOfVersion.map(v => s" VERSION AS OF $v").getOrElse("") +
+      " PushedPartitionFilters: " +
       partitionFilters.mkString("[", ", ", "]") +
       " FileSkipFilters: " + skipFilters.mkString("[", ", ", "]")
 
@@ -108,7 +112,10 @@ private class PartitionedSinkScan(
 
   /** (value, files) for every partition SURVIVING the pushed filters —
     * shared by split planning and statistics, so both see the same
-    * pruned view.
+    * pruned view. Membership comes from the directory listing, or —
+    * on a VERSIONED table — from the snapshot manifest (the requested
+    * `VERSION AS OF`, else the latest), which is what makes logically
+    * retired files invisible without physical deletes.
     */
   private lazy val prunedFiles
       : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
@@ -116,33 +123,57 @@ private class PartitionedSinkScan(
       SparkSession.active.sessionState.newHadoopConf())
     val root = new Path(path)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .map(s => TsvCodec.unescapeDir(
-        s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
-      .filter { case (v, _) => keepValue(v) } // partition pruning
-      .flatMap { case (v, dir) =>
-        // FILE skipping inside surviving dirs: one manifest read per
-        // publish per dir (driver-side, small), then drop every file
-        // whose recorded min/max provably excludes all skip filters.
-        // Files without stats (pre-stats writers, crash between rename
-        // and manifest, non-numeric columns) are always kept.
-        val stats =
-          if (skipFilters.isEmpty)
-            Map.empty[String, Map[String, Option[(String, String)]]]
-          else SinkStats.readDir(fs, dir)
-        fs.listStatus(dir)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_")) // no checksums/markers
-          .filter { f =>
+    else {
+      val version = asOfVersion.orElse(
+        if (SinkVersions.isVersioned(fs, path))
+          SinkVersions.latest(fs, path)
+        else None)
+      // (value, data file) after partition pruning, before file skipping
+      val candidates: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+        version match {
+          case Some(v) =>
+            SinkVersions.read(fs, path, v)
+              .filter { case (_, value) => keepValue(value) }
+              .map { case (rel, value) =>
+                val p = new Path(path, rel)
+                if (!fs.exists(p)) throw new IllegalStateException(
+                  s"version $v of $path references $rel, which no longer " +
+                    "exists — vacuumed beyond retention?")
+                value -> fs.getFileStatus(p)
+              }
+          case None =>
+            fs.listStatus(root).toSeq
+              .filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith(partCol + "="))
+              .map(s => TsvCodec.unescapeDir(
+                s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
+              .filter { case (v, _) => keepValue(v) } // partition pruning
+              .flatMap { case (v, dir) =>
+                fs.listStatus(dir)
+                  .filter(f => f.isFile &&
+                    !f.getPath.getName.startsWith(".") &&
+                    !f.getPath.getName.startsWith("_")) // no markers
+                  .map(v -> _)
+              }
+        }
+      // FILE skipping: one stats-manifest read per publish per dir
+      // (driver-side, small), then drop every file whose recorded
+      // min/max provably excludes all skip filters. Files without
+      // stats (pre-stats writers, crash between rename and manifest,
+      // non-numeric columns) are always kept.
+      if (skipFilters.isEmpty) candidates
+      else candidates.groupBy(_._2.getPath.getParent).toSeq
+        .flatMap { case (dir, inDir) =>
+          val stats = SinkStats.readDir(fs, dir)
+          inDir.filter { case (_, f) =>
             stats.get(f.getPath.getName) match {
               case Some(cols) =>
                 skipFilters.forall(SinkFileSkip.mayMatch(_, cols))
               case None => true
             }
           }
-          .map(v -> _)
-      }
+        }
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -281,6 +312,14 @@ private class PartitionedSinkMicroBatchStream(
     val f = fs
     val root = new Path(path)
     if (!f.exists(root)) Seq.empty
+    // VERSIONED table: live membership is the latest snapshot manifest
+    // (logically retired files must not re-enter the tail)
+    else if (SinkVersions.isVersioned(f, path))
+      SinkVersions.latest(f, path).toSeq
+        .flatMap(SinkVersions.read(f, path, _))
+        .filter { case (_, v) => keepValue(v) }
+        .map { case (rel, v) => new Path(path, rel).toString -> v }
+        .sortBy(_._1)
     else f.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .map(s => TsvCodec.unescapeDir(

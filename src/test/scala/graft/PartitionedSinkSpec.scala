@@ -556,6 +556,83 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tail_spec.t")
   }
 
+  test("compactStats merges per-publish stats manifests into one; skipping still prunes") {
+    import spark.implicits._
+    val root = tmpDir("sink_statcmp")
+    spark.conf.set("spark.sql.catalog.graft_sc_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sc_spec.root", root)
+    def batch(ks: Seq[Long]) = ks.map(k => (k, "A")).toDF("k", "p").coalesce(1)
+    batch(1L to 10L)
+      .writeTo("graft_sc_spec.t").partitionedBy(col("p")).create()
+    batch(11L to 20L).writeTo("graft_sc_spec.t").append()
+    batch(21L to 30L).writeTo("graft_sc_spec.t").append()
+    def manifests() = new File(s"$root/t/p=A").listFiles()
+      .filter(_.getName.startsWith("_stats-"))
+    assert(manifests().length === 3, "one stats manifest per publish")
+    assert(graft.ops.Compaction.compactStats(spark, "graft_sc_spec", "t") === 1)
+    assert(manifests().length === 1, "merged into one")
+    // skipping is unchanged: k > 25 still opens exactly one file
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val hi = spark.table("graft_sc_spec.t").filter(col("k") > 25L)
+    assert(splits(hi) === 1 && hi.count() === 5)
+    // idempotent: a single manifest is left alone
+    assert(graft.ops.Compaction.compactStats(spark, "graft_sc_spec", "t") === 0)
+    spark.sql("DROP TABLE graft_sc_spec.t")
+  }
+
+  test("VERSION AS OF: snapshots survive overwrites, SQL + reader-option travel, vacuum reclaims") {
+    import spark.implicits._
+    val root = tmpDir("sink_tt")
+    spark.conf.set("spark.sql.catalog.graft_tt_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt_spec.root", root)
+    spark.conf.set("spark.sql.catalog.graft_tt_spec.versioned", "true")
+    def df(rows: (Long, Double, String, String)*) =
+      rows.toSeq.toDF("k", "v", "s", "p")
+    df((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B"))
+      .writeTo("graft_tt_spec.t").partitionedBy(col("p")).create() // v1
+    df((3L, 3.0, "c", "A")).writeTo("graft_tt_spec.t").append()    // v2
+    df((9L, 9.0, "z", "A"))
+      .writeTo("graft_tt_spec.t").overwritePartitions()            // v3
+    def at(v: Int) = spark.read.option("versionAsOf", v.toString)
+      .table("graft_tt_spec.t")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(at(1) === Set((1L, "A"), (2L, "B")), "the creation snapshot")
+    assert(at(2) === Set((1L, "A"), (2L, "B"), (3L, "A")), "post-append")
+    assert(at(3) === Set((9L, "A"), (2L, "B")),
+      "the overwrite snapshot: A replaced, B untouched")
+    def latest() = spark.table("graft_tt_spec.t")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(latest() === at(3),
+      "the un-travelled read is the latest snapshot — retired files " +
+        "stay on disk but must be invisible")
+    // SQL surface
+    assert(spark.sql("SELECT k FROM graft_tt_spec.t VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // partition pruning composes with travel
+    assert(spark.read.option("versionAsOf", "2").table("graft_tt_spec.t")
+      .filter(col("p") === "A").count() === 2)
+    // vacuum to the latest only: two manifests expire, and exactly the
+    // two A-files retired by the overwrite (v1's create + v2's append)
+    // are reclaimed
+    val (manifests, dataFiles) = graft.ops.Compaction.vacuumVersions(
+      spark, "graft_tt_spec", "t", keepLast = 1)
+    assert(manifests === 2 && dataFiles === 2,
+      s"expected 2 manifests + 2 retired files reclaimed, " +
+        s"got ($manifests, $dataFiles)")
+    assert(latest() === Set((9L, "A"), (2L, "B")),
+      "vacuum must not touch the retained snapshot's files")
+    val e = intercept[Exception](at(1))
+    assert(e.getMessage.contains("version"),
+      s"travel to a vacuumed version must fail loudly, got: $e")
+    spark.sql("DROP TABLE graft_tt_spec.t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: old files read the new column as NULL, new appends carry it") {
     import spark.implicits._
     val root = tmpDir("sink_evolve")

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Publish-protocol pins that need staged names the public API cannot
+  * mint: Spark's task ids restart at 0 per APPLICATION, so two batch
+  * appends from different driver JVMs can stage files with the SAME
+  * `part-<partitionId>-<taskId>-<value>.tsv` name — and publish's
+  * delete-before-rename (required for streaming epoch replay) would
+  * silently clobber the first app's data. The batch commit therefore
+  * prefixes published names with a query-unique token; this spec
+  * drives `SinkCommit.publish` directly with colliding staged names
+  * (same package — the protocol internals are package-private).
+  */
+class SinkPublishSpec extends AnyFunSuite {
+
+  test("same-named staged files from two driver JVMs both survive publish") {
+    val root = Files.createTempDirectory("sink_pub").toString
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+
+    // both "applications" stage part-0-0-A.tsv (fresh JVM ⇒ taskId 0)
+    def stage(queryId: String, content: String): StagedFile = {
+      val p = new Path(s"$root/_staging/$queryId/part-0-0-A.tsv")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      StagedFile("A", p.toString, 1, 0)
+    }
+    // mirror PartitionedSinkBatchWrite.commit's naming exactly
+    def publishAs(queryId: String, f: StagedFile): Unit = {
+      val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+      SinkCommit.publish(fs, root, "p", Append, Seq(f),
+        sf => s"part-$qTok-" +
+          new Path(sf.stagedPath).getName.stripPrefix("part-"),
+        statsToken = queryId)
+    }
+    publishAs("query-one-uuid", stage("query-one-uuid", "1\t1.0\n"))
+    publishAs("query-two-uuid", stage("query-two-uuid", "2\t2.0\n"))
+
+    val dataFiles = fs.listStatus(new Path(s"$root/p=A"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(dataFiles.length === 2,
+      "the second app's same-named staged file must publish alongside " +
+        "the first's, not over it")
+    val contents = dataFiles.map { s =>
+      val in = fs.open(s.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }.toSet
+    assert(contents === Set("1\t1.0\n", "2\t2.0\n"),
+      "both appends' rows survive byte-exactly")
+  }
+
+  test("version manifest commit is compare-and-swap: a taken version number is rejected, not replaced") {
+    val root = Files.createTempDirectory("sink_cas").toString
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    assert(SinkVersions.tryWrite(fs, root, 1L, Seq(("p=A/f1.tsv", "A"))),
+      "first writer claims version 1")
+    // a racing publisher computed the same next version from the same
+    // base — its commit must FAIL (plain FileSystem.rename on a local
+    // FS would silently replace the file and lose the first snapshot)
+    assert(!SinkVersions.tryWrite(fs, root, 1L, Seq(("p=B/f2.tsv", "B"))),
+      "second writer's CAS on the taken version must lose")
+    assert(SinkVersions.read(fs, root, 1L) === Seq(("p=A/f1.tsv", "A")),
+      "the winning snapshot is untouched")
+    assert(SinkVersions.tryWrite(fs, root, 2L, Seq(("p=B/f2.tsv", "B"))),
+      "the loser retries at the next number and lands")
+    assert(SinkVersions.latest(fs, root) === Some(2L))
+  }
+}
