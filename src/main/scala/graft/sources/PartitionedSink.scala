@@ -429,6 +429,25 @@ private[graft] object SinkVersions {
     }
   }
 
+  /** The current PHYSICAL layout as manifest entries — the seed for a
+    * table whose versioning was enabled after it already had data.
+    */
+  def listingEntries(fs: FileSystem, root: String,
+                     partCol: String): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else Option(fs.listStatus(rootPath)).toSeq.flatten
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .flatMap { d =>
+        val value = TsvCodec.unescapeDir(
+          d.getPath.getName.stripPrefix(partCol + "="))
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> value)
+      }
+  }
+
   /** Attempt to commit manifest v. Returns false when version v was
     * taken by a concurrent publisher — the CAS signal for the retry
     * loop in [[SinkCommit.publish]]. The commit is a no-overwrite
@@ -531,7 +550,13 @@ private object SinkCommit {
         if (attempts > 100) throw new java.io.IOException(
           s"version manifest commit lost the CAS race 100 times: $path")
         val base = SinkVersions.latest(fs, path)
-        val prev = base.map(SinkVersions.read(fs, path, _)).getOrElse(Seq.empty)
+        // no prior manifest = versioning was just ENABLED: seed the
+        // first snapshot from the directory listing, or a table with
+        // pre-versioning history would lose its existing files to the
+        // manifest-driven readers (the listing already includes this
+        // publish's renamed files — the map union dedups them)
+        val prev = base.map(SinkVersions.read(fs, path, _))
+          .getOrElse(SinkVersions.listingEntries(fs, path, partCol))
         val kept = prev.filterNot { case (_, value) => toClear(value) }
         val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
         committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)

@@ -633,6 +633,45 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tt_spec.t")
   }
 
+  test("enabling versioning on a table with history seeds the first snapshot from the layout") {
+    import spark.implicits._
+    val root = tmpDir("sink_boot")
+    // same root through two catalog names (catalog instances are
+    // cached per session — a conf flip after first use would not
+    // reinitialize): boot1 writes pre-versioning history, boot2 turns
+    // versioning on
+    spark.conf.set("spark.sql.catalog.graft_boot1",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_boot1.root", root)
+    spark.conf.set("spark.sql.catalog.graft_boot2",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_boot2.root", root)
+    spark.conf.set("spark.sql.catalog.graft_boot2.versioned", "true")
+    Seq((1L, 1.0, "old", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_boot1.t").partitionedBy(col("p")).create()
+    Seq((2L, 2.0, "older", "B")).toDF("k", "v", "s", "p")
+      .writeTo("graft_boot1.t").append()
+    // first VERSIONED publish: its snapshot must carry the history,
+    // not just its own files
+    Seq((3L, 3.0, "new", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_boot2.t").append()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(rows(spark.read.option("versionAsOf", "1").table("graft_boot2.t"))
+      === Set((1L, "A"), (2L, "B"), (3L, "A")),
+      "version 1 = pre-versioning layout + the enabling publish")
+    assert(rows(spark.table("graft_boot2.t"))
+      === Set((1L, "A"), (2L, "B"), (3L, "A")))
+    // and overwrites from here retire logically as usual
+    Seq((9L, 9.0, "z", "A")).toDF("k", "v", "s", "p")
+      .writeTo("graft_boot2.t").overwritePartitions()
+    assert(rows(spark.table("graft_boot2.t")) === Set((9L, "A"), (2L, "B")))
+    assert(rows(spark.read.option("versionAsOf", "1").table("graft_boot2.t"))
+      === Set((1L, "A"), (2L, "B"), (3L, "A")),
+      "the seeded snapshot survives the later overwrite")
+    spark.sql("DROP TABLE graft_boot2.t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: old files read the new column as NULL, new appends carry it") {
     import spark.implicits._
     val root = tmpDir("sink_evolve")
