@@ -140,9 +140,10 @@ object Compaction {
             .filter { case (file, _) =>
               fs.exists(new Path(d.getPath, file)) } // drop dead entries
             .toSeq.sortBy(_._1)
-            .map { case (file, cols) =>
-              file -> cols.toSeq.sortBy(_._1).map { case (c, mm) =>
-                graft.sources.SinkColStat(c, mm) }
+            .map { case (file, st) =>
+              (file, st.rows,
+                st.cols.toSeq.sortBy(_._1).map { case (c, mm) =>
+                  graft.sources.SinkColStat(c, mm) })
             }
           graft.sources.SinkStats.write(fs, d.getPath,
             s"merged-${java.util.UUID.randomUUID()}", merged)

@@ -319,30 +319,45 @@ private case class StagedFile(partValue: String, stagedPath: String,
 private case class SinkCommitMessage(files: Seq[StagedFile])
     extends WriterCommitMessage
 
+/** Per-file statistics as read back from the manifests: exact row
+  * count (None when unrecorded) and per-column min/max over non-null
+  * values (inner None = the column is entirely NULL in the file).
+  */
+private[graft] case class SinkFileStats(
+    rows: Option[Long],
+    cols: Map[String, Option[(String, String)]])
+
 /** Per-partition-dir stats manifests: `_stats-<token>.tsv`, one per
   * PUBLISH into the dir (append-friendly — no read-modify-write of a
   * shared manifest, so concurrent appends stay conflict-free under the
   * same rename protocol as the data). One line per (file, column):
   * `file \t col \t min \t max`, TsvCodec-escaped fields, `\N` min/max
-  * for the all-NULL case. Keyed by destination FILE NAME: a dynamic
-  * overwrite deletes the whole dir (stats go with it), a compaction
-  * republished through the sink regenerates them, and an entry whose
-  * file no longer exists is simply never looked up. Written AFTER the
-  * data renames — a crash in between leaves a file without stats,
-  * which readers scan instead of skip (degraded, never wrong).
+  * for the all-NULL case; one ROW-COUNT line per file with the raw
+  * `\N` token in the column field (unambiguous — a real column named
+  * "\N" escapes to "\\N"): `file \t \N \t <rows> \t \N`. Keyed by
+  * destination FILE NAME: a dynamic overwrite deletes the whole dir
+  * (stats go with it), a compaction republished through the sink
+  * regenerates them, and an entry whose file no longer exists is
+  * simply never looked up. Written AFTER the data renames — a crash in
+  * between leaves a file without stats, which readers scan instead of
+  * skip (degraded, never wrong).
   */
 private[graft] object SinkStats {
   def manifestName(token: String): String =
     s"_stats-${TsvCodec.escapeDir(token)}.tsv"
 
   def write(fs: FileSystem, dir: Path, token: String,
-            entries: Seq[(String, Seq[SinkColStat])]): Unit = {
-    val lines = entries.flatMap { case (file, stats) =>
-      stats.map { st =>
-        val (mn, mx) = st.minMax.getOrElse(
-          (PartitionedSink.NullToken, PartitionedSink.NullToken))
-        s"${TsvCodec.escape(file)}\t${TsvCodec.escape(st.col)}\t$mn\t$mx"
-      }
+            entries: Seq[(String, Option[Long], Seq[SinkColStat])]): Unit = {
+    val lines = entries.flatMap { case (file, rows, stats) =>
+      val f = TsvCodec.escape(file)
+      rows.map(n =>
+        s"$f\t${PartitionedSink.NullToken}\t$n\t${PartitionedSink.NullToken}")
+        .toSeq ++
+        stats.map { st =>
+          val (mn, mx) = st.minMax.getOrElse(
+            (PartitionedSink.NullToken, PartitionedSink.NullToken))
+          s"$f\t${TsvCodec.escape(st.col)}\t$mn\t$mx"
+        }
     }
     if (lines.nonEmpty) {
       val out = fs.create(new Path(dir, manifestName(token)), true)
@@ -351,29 +366,35 @@ private[graft] object SinkStats {
     }
   }
 
-  /** file name → column → Some((min, max)) | None for all-NULL. */
-  def readDir(fs: FileSystem, dir: Path)
-      : Map[String, Map[String, Option[(String, String)]]] = {
+  /** file name → its recorded statistics. */
+  def readDir(fs: FileSystem, dir: Path): Map[String, SinkFileStats] = {
     val manifests = Option(fs.listStatus(dir)).toSeq.flatten
       .filter(s => s.isFile && s.getPath.getName.startsWith("_stats-"))
     val u = (s: String) =>
       TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
         .fromString(s)).toString
-    manifests.flatMap { m =>
+    val parsed = manifests.flatMap { m =>
       val in = fs.open(m.getPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
         line.split("\t", -1) match {
-          case Array(f, c, mn, mx) =>
-            val mm = if (mn == PartitionedSink.NullToken) None
-              else Some((mn, mx))
-            Some((u(f), u(c), mm))
+          case Array(f, c, mn, mx) => Some((u(f), c, mn, mx))
           case _ => None // malformed line: no stats, never wrong
         }
       }
-    }.groupBy(_._1).map { case (f, es) =>
-      f -> es.map(e => e._2 -> e._3).toMap
+    }
+    parsed.groupBy(_._1).map { case (f, es) =>
+      val rows = es.collectFirst {
+        case (_, c, n, _) if c == PartitionedSink.NullToken &&
+          n.forall(_.isDigit) && n.nonEmpty => n.toLong
+      }
+      val cols = es.filter(_._2 != PartitionedSink.NullToken)
+        .map { case (_, c, mn, mx) =>
+          u(c) -> (if (mn == PartitionedSink.NullToken) None
+                   else Some((mn, mx)))
+        }.toMap
+      f -> SinkFileStats(rows, cols)
     }
   }
 }
@@ -526,7 +547,7 @@ private object SinkCommit {
     files.groupBy(_.partValue).foreach { case (v, fsOfV) =>
       val dir = new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}")
       SinkStats.write(fs, dir, statsToken,
-        fsOfV.map(f => destName(f) -> f.stats))
+        fsOfV.map(f => (destName(f), Some(f.rows), f.stats)))
     }
     if (vMode) {
       // next snapshot = previous minus cleared partitions plus this

@@ -110,15 +110,15 @@ private class PartitionedSinkScan(
     case _ => true
   }
 
-  /** (value, files) for every partition SURVIVING the pushed filters —
-    * shared by split planning and statistics, so both see the same
-    * pruned view. Membership comes from the directory listing, or —
-    * on a VERSIONED table — from the snapshot manifest (the requested
-    * `VERSION AS OF`, else the latest), which is what makes logically
-    * retired files invisible without physical deletes.
+  /** (value, file, recorded rows) for every partition SURVIVING the
+    * pushed filters — shared by split planning and statistics, so both
+    * see the same pruned view. Membership comes from the directory
+    * listing, or — on a VERSIONED table — from the snapshot manifest
+    * (the requested `VERSION AS OF`, else the latest), which is what
+    * makes logically retired files invisible without physical deletes.
     */
-  private lazy val prunedFiles
-      : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+  private lazy val prunedFilesWithStats
+      : Seq[(String, org.apache.hadoop.fs.FileStatus, Option[Long])] = {
     val fs = FileSystem.get(new java.net.URI(path),
       SparkSession.active.sessionState.newHadoopConf())
     val root = new Path(path)
@@ -156,25 +156,27 @@ private class PartitionedSinkScan(
                   .map(v -> _)
               }
         }
-      // FILE skipping: one stats-manifest read per publish per dir
-      // (driver-side, small), then drop every file whose recorded
-      // min/max provably excludes all skip filters. Files without
-      // stats (pre-stats writers, crash between rename and manifest,
-      // non-numeric columns) are always kept.
-      if (skipFilters.isEmpty) candidates
-      else candidates.groupBy(_._2.getPath.getParent).toSeq
+      // per-dir stats manifests (driver-side, small — one per publish
+      // per dir): used for FILE SKIPPING (drop every file whose
+      // recorded min/max provably excludes a skip filter; files
+      // without stats are always kept) and for the exact ROW COUNTS
+      // estimateStatistics reports. Loaded once per dir per scan.
+      candidates.groupBy(_._2.getPath.getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(fs, dir)
-          inDir.filter { case (_, f) =>
-            stats.get(f.getPath.getName) match {
-              case Some(cols) =>
-                skipFilters.forall(SinkFileSkip.mayMatch(_, cols))
-              case None => true
-            }
+          inDir.flatMap { case (v, f) =>
+            val st = stats.get(f.getPath.getName)
+            val keep = st.forall(s =>
+              skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols)))
+            if (keep) Some((v, f, st.flatMap(_.rows))) else None
           }
         }
     }
   }
+
+  private lazy val prunedFiles
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    prunedFilesWithStats.map(t => (t._1, t._2))
 
   override def planInputPartitions(): Array[InputPartition] =
     prunedFiles.map { case (v, f) =>
@@ -182,11 +184,14 @@ private class PartitionedSinkScan(
         fullSchema(partCol).dataType): InputPartition
     }.toArray
 
-  /** POST-PRUNING size statistics: `partCol = v` reports only v's
-    * bytes, so a query over one partition of a huge table is
+  /** POST-PRUNING statistics: `partCol = v` reports only v's bytes,
+    * so a query over one partition of a huge table is
     * auto-broadcastable even though the whole table is not — exactly
     * the estimate Catalyst's join planning consumes
-    * (V2ScanRelationPushDown folds it into the relation stats).
+    * (V2ScanRelationPushDown folds it into the relation stats). Row
+    * counts come EXACT from the publish manifests (each writer counted
+    * its rows); reported only when every surviving file recorded one —
+    * a partial sum would mislead the CBO worse than no estimate.
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
@@ -194,7 +199,12 @@ private class PartitionedSinkScan(
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(prunedFiles.map(_._2.getLen).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty() // text layout: rows unknown
+        if (prunedFilesWithStats.nonEmpty &&
+            prunedFilesWithStats.forall(_._3.isDefined))
+          java.util.OptionalLong.of(prunedFilesWithStats.flatMap(_._3).sum)
+        else if (prunedFilesWithStats.isEmpty)
+          java.util.OptionalLong.of(0L)
+        else java.util.OptionalLong.empty()
     }
 
   /** STORAGE-PARTITIONED execution: the layout IS hash-free clustered

@@ -504,6 +504,19 @@ class PartitionedSinkSpec extends SparkSpec {
     // the skip is visible in the plan (explain pin)
     assert(hi.queryExecution.executedPlan.toString.contains("FileSkipFilters"),
       "the scan must surface its file-skip filters in explain output")
+    // POST-PRUNING EXACT row counts, straight from the publish
+    // manifests (each writer counted its rows): the full scan reports
+    // all 32, the skipped scan only the surviving file's 10
+    def numRows(df: org.apache.spark.sql.DataFrame): java.util.OptionalLong =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics().numRows()
+      }.head
+    assert(numRows(spark.table("graft_skip_spec.t")).getAsLong === 32L)
+    assert(numRows(hi).getAsLong === 10L,
+      "numRows must reflect the post-skip view")
     // floating-point column skips too; NULL rows never satisfy v>x so
     // the all-null-k file's v values still count (its stats are per
     // column): v ranges overlap across files here, so only prove rows
