@@ -230,7 +230,7 @@ private class PartitionedSinkScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PartitionedSinkMicroBatchStream(path, partCol, fullSchema, required,
-      partitionFilters, keepValue, checkpointLocation)
+      partitionFilters, keepValue, checkpointLocation, skipFilters)
 }
 
 /** Streaming READ of a sink table — `spark.readStream.table("cat.t")`
@@ -253,14 +253,21 @@ private class PartitionedSinkScan(
   * Append-only semantics — files removed by a dynamic overwrite after
   * being logged are skipped at planning (already-emitted rows are NOT
   * retracted; a reader of a table being rewritten wants a CDC log, not
-  * a file tail). Partition pruning applies to the tail: pushed
-  * partition filters drop pruned values' files at listing AND at
-  * planning time.
+  * a file tail). Pushed partition filters drop pruned values' files
+  * at listing AND planning time, and pushed data-column comparisons
+  * skip provably-excluded files at planning (same residual contract
+  * as the batch scan) — with the honest caveat that Spark's streaming
+  * planner does not run V2ScanRelationPushDown, so `.filter` above
+  * `readStream.table` reaches neither hook today; they fire when the
+  * builder is driven through the pushdown protocol directly
+  * (spec-pinned), and the full stream stays correct either way
+  * because every filter is also evaluated post-scan.
   */
 private class PartitionedSinkMicroBatchStream(
     path: String, partCol: String, fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
-    keepValue: String => Boolean, checkpointLocation: String)
+    keepValue: String => Boolean, checkpointLocation: String,
+    skipFilters: Array[Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -373,12 +380,28 @@ private class PartitionedSinkMicroBatchStream(
     val s = start.asInstanceOf[GenOffset].gen
     val e = end.asInstanceOf[GenOffset].gen
     val f = fs
-    (s + 1 to e).flatMap { g =>
+    val live = (s + 1 to e).flatMap { g =>
       val p = new Path(logDir, g.toString)
       if (!f.exists(p)) Seq.empty else readLog(f, p)
     }
       .filter { case (file, v) => keepValue(v) && f.exists(new Path(file)) }
-      .sortBy(_._1)
+    // FILE SKIPPING on the tail, same contract as the batch scan: the
+    // query's data-column comparisons stay residual, so dropping a
+    // provably-excluded file removes only rows the filter would
+    // discard anyway — a replay without stats (vacuumed manifests)
+    // reads the file and post-scan-filters to the identical output
+    val kept =
+      if (skipFilters.isEmpty) live
+      else live.groupBy(t => new Path(t._1).getParent).toSeq
+        .flatMap { case (dir, inDir) =>
+          val stats = SinkStats.readDir(f, dir)
+          inDir.filter { case (file, _) =>
+            stats.get(new Path(file).getName)
+              .forall(st => skipFilters.forall(
+                SinkFileSkip.mayMatch(_, st.cols)))
+          }
+        }
+    kept.sortBy(_._1)
       .map { case (file, v) =>
         SinkFileSplit(file, v, fullSchema(partCol).dataType): InputPartition
       }.toArray

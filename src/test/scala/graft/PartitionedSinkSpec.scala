@@ -646,6 +646,44 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tt_spec.t")
   }
 
+  test("streaming READ of a VERSIONED table: tail follows the manifest, retired files never re-enter") {
+    import spark.implicits._
+    val root = tmpDir("sink_vtail")
+    spark.conf.set("spark.sql.catalog.graft_vt_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_vt_spec.root", root)
+    spark.conf.set("spark.sql.catalog.graft_vt_spec.versioned", "true")
+    Seq((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B")).toDF("k", "v", "s", "p")
+      .writeTo("graft_vt_spec.t").partitionedBy(col("p")).create() // v1
+    val q = spark.readStream.table("graft_vt_spec.t")
+      .writeStream.format("memory").queryName("vtail")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", tmpDir("sink_vtail_ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("vtail")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got() === Set((1L, "A"), (2L, "B")))
+      // an append lands as a new batch (v2)
+      Seq((3L, 3.0, "c", "A")).toDF("k", "v", "s", "p")
+        .writeTo("graft_vt_spec.t").append()
+      q.processAllAvailable()
+      assert(got() === Set((1L, "A"), (2L, "B"), (3L, "A")))
+      // an overwrite (v3) RETIRES A's files — they stay on disk, but
+      // the tail must neither re-emit them nor miss the replacement
+      Seq((9L, 9.0, "z", "A")).toDF("k", "v", "s", "p")
+        .writeTo("graft_vt_spec.t").overwritePartitions()
+      q.processAllAvailable()
+      assert(got() === Set((1L, "A"), (2L, "B"), (3L, "A"), (9L, "A")),
+        "the replacement file arrives once; retired files are not " +
+          "re-delivered even though they remain on disk")
+      q.processAllAvailable()
+      assert(spark.table("vtail").count() === 4, "quiescent: no replays")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft_vt_spec.t")
+  }
+
   test("enabling versioning on a table with history seeds the first snapshot from the layout") {
     import spark.implicits._
     val root = tmpDir("sink_boot")

@@ -17,6 +17,49 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SinkPublishSpec extends AnyFunSuite {
 
+  test("streaming tail skips provably-excluded files when filters are pushed") {
+    // Spark's streaming planner does NOT run V2ScanRelationPushDown
+    // (it is batch-only), so a `.filter` above readStream.table never
+    // reaches pushFilters — drive the scan-builder protocol directly,
+    // exactly as a pushing planner would, and pin that the tail plans
+    // only the file whose recorded min/max intersects the predicate
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("sink_stail").toString
+    spark.conf.set("spark.sql.catalog.graft_st_spec",
+      classOf[PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_st_spec.root", root)
+    def batch(ks: Seq[Long]) = ks.map(k => (k, "A")).toDF("k", "p").coalesce(1)
+    batch(1L to 10L)
+      .writeTo("graft_st_spec.t").partitionedBy(col("p")).create()
+    batch(11L to 20L).writeTo("graft_st_spec.t").append()
+    batch(21L to 30L).writeTo("graft_st_spec.t").append()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    def ckpt(n: String) = Files.createTempDirectory(n).toString
+    val builder = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+    val residual = builder.pushFilters(
+      Array(org.apache.spark.sql.sources.GreaterThan("k", 25L)))
+    assert(residual.length === 1,
+      "skip filters stay residual — the engine re-evaluates post-scan")
+    val stream = builder.build().toMicroBatchStream(ckpt("stail_ck"))
+    val splits = stream.planInputPartitions(
+      stream.initialOffset(), stream.latestOffset())
+    assert(splits.length === 1,
+      s"two band files must be SKIPPED at tail planning, " +
+        s"got ${splits.length} splits")
+    // the unfiltered tail plans all three
+    val b2 = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+    val s2 = b2.build().toMicroBatchStream(ckpt("stail_ck2"))
+    assert(s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
+      .length === 3)
+    spark.sql("DROP TABLE graft_st_spec.t")
+  }
+
   test("same-named staged files from two driver JVMs both survive publish") {
     val root = Files.createTempDirectory("sink_pub").toString
     val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
