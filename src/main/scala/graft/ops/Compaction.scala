@@ -192,6 +192,52 @@ object Compaction {
     (expired.size, removed.size)
   }
 
+  /** DESCRIBE HISTORY for a versioned sink table: one row per retained
+    * snapshot — (version, n_files, n_rows), rows summed EXACTLY from
+    * the per-file counts the publish manifests record (NULL when any
+    * member file predates row-count stats). Driver-side reads of
+    * small manifests only; no data files are opened.
+    */
+  def tableHistory(spark: SparkSession, catalog: String,
+                   table: String): org.apache.spark.sql.DataFrame = {
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val vDir = graft.sources.SinkVersions.dir(dir.toString)
+    val versions =
+      if (!fs.exists(vDir)) Seq.empty[Long]
+      else fs.listStatus(vDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+        .map(_.getPath.getName.toLong).sorted
+    // stats manifests are per partition dir; load each dir once
+    val statsByDir = scala.collection.mutable.Map[
+      String, Map[String, graft.sources.SinkFileStats]]()
+    val rows = versions.map { v =>
+      val files = graft.sources.SinkVersions.read(fs, dir.toString, v)
+      val counts = files.map { case (rel, _) =>
+        val slash = rel.lastIndexOf('/')
+        val (d, name) = (rel.take(slash), rel.drop(slash + 1))
+        statsByDir.getOrElseUpdate(d,
+          graft.sources.SinkStats.readDir(fs, new Path(dir, d)))
+          .get(name).flatMap(_.rows)
+      }
+      org.apache.spark.sql.Row(v, files.size.toLong,
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          counts.flatten.sum
+        else if (counts.isEmpty) 0L
+        else null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
   /** Sweep ORPHANED staging from a sink table: the commit protocol
     * cleans `_staging/<queryId>` on every commit and abort, so the only
     * way residue survives is a DRIVER crash between staging and

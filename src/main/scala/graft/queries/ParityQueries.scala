@@ -1747,6 +1747,52 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: TABLE HISTORY of a versioned sink table — DESCRIBE
+    * HISTORY re-expressed: one row per retained snapshot with its
+    * EXACT row count, summed driver-side from the per-file counts the
+    * publish stats manifests record (no data files opened). The
+    * oracle recomputes each version's expected cardinality from
+    * lineitem — version 1 = the full aggregate's groups, version 2 =
+    * the groups surviving the R-partition overwrite — so a manifest
+    * that lost a file, double-listed one, or mis-recorded a count
+    * flips it.
+    */
+  val qDsv2History = Q(
+    "q_dsv2_history",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dynv",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dynv.root", root)
+      s.conf.set("spark.sql.catalog.graft_dynv.versioned", "true")
+      s.sql("DROP TABLE IF EXISTS graft_dynv.flags_hist")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      agg(li(s, d))
+        .writeTo("graft_dynv.flags_hist")
+        .partitionedBy(col("l_returnflag")).create()           // v1
+      agg(li(s, d).filter(col("l_returnflag") === "R" &&
+          col("l_quantity") < 25))
+        .writeTo("graft_dynv.flags_hist").overwritePartitions() // v2
+      graft.ops.Compaction.tableHistory(s, "graft_dynv", "flags_hist")
+        .select(col("version"), col("n_rows"))
+        .orderBy(col("version"))
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT l_returnflag, l_linestatus FROM lineitem GROUP BY 1, 2),
+      v2 AS (
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_returnflag <> 'R' GROUP BY 1, 2
+        UNION ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity < 25 GROUP BY 1, 2)
+      SELECT 1 AS version, (SELECT count(*) FROM v1) AS n_rows
+      UNION ALL
+      SELECT 2 AS version, (SELECT count(*) FROM v2) AS n_rows
+      ORDER BY version"""))
+
   /** §2.9-ext: DATA-COLUMN FILE SKIPPING on a sink table — the pruning
     * a Parquet lake reads from row-group footers, recovered for the
     * text layout via the per-file min/max manifests the write side
@@ -2038,5 +2084,6 @@ object ParityQueries {
     qTpchQ18, qTpchQ21, qTpchQ17, qTpchQ8, qTpchQ19, qTpchQ22, qTpchQ20,
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
-    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel)
+    qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
+    qDsv2History)
 }
