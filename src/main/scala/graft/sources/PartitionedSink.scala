@@ -696,8 +696,19 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     * column. Integrals accumulate as Long (exact), floatings as Double;
     * a NaN/±Inf poisons the column for the file (no stats emitted —
     * non-finite values have no usable ordering for range skipping).
+    *
+    * Rendering precision matters for CORRECTNESS, not cosmetics: the
+    * skip side compares these strings as BigDecimals against the
+    * pushed filter literal's toString, which for a Float renders at
+    * FLOAT precision ("0.1"), while the same value widened to Double
+    * renders at double precision ("0.10000000149011612"). Mixing the
+    * two reprs of one float makes `0.1 < 0.100000001…` "provable" and
+    * wrongly skips a file whose every row EQUALS the literal — so a
+    * float column's bounds are rendered back at float precision
+    * (widening is exact; `.toFloat` restores the original bits).
     */
-  private final class NumStat(val floating: Boolean) {
+  private final class NumStat(val floating: Boolean,
+                              val isFloat: Boolean = false) {
     var any = false; var poisoned = false
     var minL = Long.MaxValue; var maxL = Long.MinValue
     var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
@@ -711,15 +722,18 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     def render: Option[Option[(String, String)]] =
       if (poisoned) None
       else if (!any) Some(None)
-      else Some(Some(if (floating) (minD.toString, maxD.toString)
-                     else (minL.toString, maxL.toString)))
+      else Some(Some(
+        if (isFloat) (minD.toFloat.toString, maxD.toFloat.toString)
+        else if (floating) (minD.toString, maxD.toString)
+        else (minL.toString, maxL.toString)))
   }
 
   /** Aligned with dataFields; null for non-numeric (no stats). */
   private def newStats(): Array[NumStat] = dataFields.map { case (fld, _) =>
     fld.dataType match {
       case LongType | IntegerType | ShortType | ByteType => new NumStat(false)
-      case DoubleType | FloatType => new NumStat(true)
+      case DoubleType => new NumStat(true)
+      case FloatType  => new NumStat(true, isFloat = true)
       case _ => null
     }
   }

@@ -525,6 +525,27 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_skip_spec.t")
   }
 
+  test("float-column skipping renders bounds at FLOAT precision: equality on an inexact float never mis-skips") {
+    import spark.implicits._
+    val root = tmpDir("sink_fskip")
+    spark.conf.set("spark.sql.catalog.graft_fs_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fs_spec.root", root)
+    // 0.1f is not exactly representable: widened to double it prints
+    // "0.10000000149011612" while the float literal prints "0.1" —
+    // bounds stored at double precision would make the EqualTo skip
+    // "prove" 0.1 < min and drop the very file holding the matches
+    Seq((1L, 0.1f, "A"), (2L, 0.1f, "A")).toDF("k", "f", "p")
+      .coalesce(1).writeTo("graft_fs_spec.t").partitionedBy(col("p")).create()
+    val eq = spark.table("graft_fs_spec.t").filter(col("f") === 0.1f)
+    assert(eq.count() === 2L,
+      "a file whose every row equals the literal must never be skipped")
+    val gt = spark.table("graft_fs_spec.t").filter(col("f") > 0.05f)
+    assert(gt.count() === 2L)
+    assert(spark.table("graft_fs_spec.t").filter(col("f") > 0.2f).count() === 0L)
+    spark.sql("DROP TABLE graft_fs_spec.t")
+  }
+
   test("streaming READ: readStream.table tails the layout, appended batches arrive exactly once") {
     import spark.implicits._
     val root = tmpDir("sink_tail")
