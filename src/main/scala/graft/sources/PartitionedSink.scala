@@ -501,7 +501,10 @@ private[graft] object SinkVersions {
 
 /** The shared driver-side publish: clear whatever the mode says must
   * go, then move exactly the manifest-listed staged files to their
-  * destination names. Batch keeps the staged (taskId-unique) name;
+  * destination names. Batch prefixes the staged (taskId-unique) name
+  * with a query-unique token (task ids restart per application —
+  * without the token, appends from two driver JVMs could collide and
+  * the delete-before-rename below would clobber the first's file);
   * streaming passes an (epoch, partition)-deterministic name so an
   * epoch REPLAY overwrites its own files instead of duplicating them.
   */
