@@ -178,11 +178,35 @@ private class PartitionedSinkScan(
       : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
     prunedFilesWithStats.map(t => (t._1, t._2))
 
-  override def planInputPartitions(): Array[InputPartition] =
-    prunedFiles.map { case (v, f) =>
-      SinkFileSplit(f.getPath.toString, v,
-        fullSchema(partCol).dataType): InputPartition
+  /** Byte-range split carving: a scan that cannot split a 10 GB file
+    * is one task at 100 TB. The TSV codec escapes \n and \r inside
+    * values, so every ROW is one physical LINE and the classic
+    * LineRecordReader contract applies — split i reads the lines whose
+    * first byte lies in (start_i, end_i] (the first split from 0), a
+    * line crossing the boundary is finished by the split that started
+    * it, and every split with start > 0 discards its first (possibly
+    * partial) line. Files at or under the threshold stay whole.
+    */
+  private lazy val inputSplits: Array[InputPartition] = {
+    val sess = SparkSession.active
+    val maxSplit = sess.conf.getOption("spark.graft.sink.maxSplitBytes")
+      .map(_.toLong)
+      .getOrElse(sess.sessionState.conf.filesMaxPartitionBytes)
+      .max(1L)
+    prunedFiles.flatMap { case (v, f) =>
+      val len = f.getLen
+      if (len <= maxSplit)
+        Seq(SinkFileSplit(f.getPath.toString, v,
+          fullSchema(partCol).dataType): InputPartition)
+      else (0L until len by maxSplit).map(s =>
+        SinkFileSplit(f.getPath.toString, v, fullSchema(partCol).dataType,
+          s, math.min(maxSplit, len - s)): InputPartition)
     }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = inputSplits
+
+  private lazy val carved: Boolean = inputSplits.length > prunedFiles.size
 
   /** POST-PRUNING statistics: `partCol = v` reports only v's bytes,
     * so a query over one partition of a huge table is
@@ -218,10 +242,19 @@ private class PartitionedSinkScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .identity(partCol)),
-      prunedFiles.map(_._1).distinct.size)
+    // key-grouped execution collapses each VALUE's splits into one
+    // task — exactly right when a value is a handful of files (zero-
+    // exchange GROUP BY / joins), exactly wrong once a file was carved
+    // into byte ranges for parallelism: grouping would re-serialize
+    // the ranges. Report the clustering only when nothing was carved.
+    if (carved)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        inputSplits.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(partCol)),
+        prunedFiles.map(_._1).distinct.size)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCol,
@@ -415,8 +448,14 @@ private class PartitionedSinkMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** One scan task: a whole file (default) or a byte range of one.
+  * `length = Long.MaxValue` means "through end of file" — the reader
+  * clamps to the actual file length with saturating arithmetic.
+  */
 private case class SinkFileSplit(file: String, partValue: String,
-                                 keyType: DataType)
+                                 keyType: DataType,
+                                 start: Long = 0L,
+                                 length: Long = Long.MaxValue)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -446,8 +485,30 @@ private class PartitionedSinkReader(
   // partition VALUE, which hive escaping leaves spaces (and other
   // URI-illegal chars) in — Path percent-encodes them, a raw URI throws
   private val fs = FileSystem.get(new Path(split.file).toUri, conf.value)
-  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    fs.open(new Path(split.file)), "UTF-8"))
+
+  // Ranged read, LineRecordReader contract: emit the lines whose FIRST
+  // byte position is ≤ end (INCLUSIVE — a line starting exactly at the
+  // boundary belongs to THIS split; the next split's discard-first
+  // throws its copy away), finish a line that crosses the boundary,
+  // and when start > 0 discard the first (possibly partial) line — the
+  // previous split finished it. Sound for UTF-8 because '\n' bytes
+  // cannot occur inside a multi-byte character, and sound for the
+  // layout because TsvCodec escapes \n/\r inside values.
+  private val stream = fs.open(new Path(split.file))
+  private val end: Long = {
+    val len = fs.getFileStatus(new Path(split.file)).getLen
+    if (split.length >= len - split.start) len // saturating: MaxValue ok
+    else split.start + split.length
+  }
+  private var pos: Long = split.start
+  private val lineReader = {
+    if (split.start > 0) stream.seek(split.start)
+    val lr = new org.apache.hadoop.util.LineReader(stream, conf.value)
+    if (split.start > 0)
+      pos += lr.readLine(new org.apache.hadoop.io.Text) // discard-first
+    lr
+  }
+  private val text = new org.apache.hadoop.io.Text
 
   // the file carries the data fields in fullSchema order MINUS partCol
   private val dataFields =
@@ -466,8 +527,11 @@ private class PartitionedSinkReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null) return false
+    if (pos > end) return false // next line starts past this range
+    val n = lineReader.readLine(text)
+    if (n == 0) return false // end of file
+    pos += n
+    val line = new String(text.getBytes, 0, text.getLength, "UTF-8")
     // -1 keeps trailing empty cells (a NULL in the last column)
     val cells = line.split("\t", -1)
     val values = plan.map { case (idx, dt) =>
@@ -490,7 +554,7 @@ private class PartitionedSinkReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = { lineReader.close() }
 }
 
 /** Range evaluation for file skipping: decides whether a file MAY

@@ -525,6 +525,50 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_skip_spec.t")
   }
 
+  test("byte-range splits: every threshold reads every row exactly once; carving drops key grouping") {
+    import spark.implicits._
+    val root = tmpDir("sink_ranged")
+    spark.conf.set("spark.sql.catalog.graft_rg_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rg_spec.root", root)
+    // one file per partition, rows of VARYING byte lengths (strings of
+    // growing width) so range boundaries land at every relative offset
+    val rows = (1L to 200L).map(k => (k, "x" * (k % 17).toInt, "A")) ++
+      (201L to 300L).map(k => (k, "y" * (k % 11).toInt, "B"))
+    rows.toDF("k", "s", "p").coalesce(1)
+      .writeTo("graft_rg_spec.t").partitionedBy(col("p")).create()
+    val expected = rows.map { case (k, s, p) => (k, s, p) }.toSet
+    def read() = spark.table("graft_rg_spec.t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    try {
+      // the classic boundary sweep: prime-ish thresholds place the
+      // range cut at line starts, line ends, and every mid-line offset
+      for (threshold <- Seq(7, 23, 64, 301, 999)) {
+        spark.conf.set("spark.graft.sink.maxSplitBytes", threshold.toString)
+        assert(read() === expected,
+          s"threshold=$threshold must read every row exactly once")
+        assert(splits(spark.table("graft_rg_spec.t")) > 2,
+          s"threshold=$threshold must carve multiple ranges")
+      }
+      // carved scans must NOT report key-grouped clustering (grouping
+      // would re-serialize the ranges into one task per value): the
+      // row-RDD partition count exceeds the 2 partition values
+      spark.conf.set("spark.graft.sink.maxSplitBytes", "64")
+      assert(spark.table("graft_rg_spec.t").rdd.getNumPartitions > 2,
+        "carved ranges must execute in parallel, not one task per value")
+    } finally spark.conf.unset("spark.graft.sink.maxSplitBytes")
+    // default threshold: whole files, key grouping restored
+    assert(splits(spark.table("graft_rg_spec.t")) === 2)
+    assert(spark.table("graft_rg_spec.t").rdd.getNumPartitions === 2)
+    assert(read() === expected)
+    spark.sql("DROP TABLE graft_rg_spec.t")
+  }
+
   test("float-column skipping renders bounds at FLOAT precision: equality on an inexact float never mis-skips") {
     import spark.implicits._
     val root = tmpDir("sink_fskip")
