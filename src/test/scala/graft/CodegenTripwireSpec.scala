@@ -16,9 +16,16 @@ class CodegenTripwireSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val prevFb = spark.conf.get("spark.sql.codegen.fallback")
     val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val failures = try {
       spark.conf.set("spark.sql.codegen.fallback", "false")
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      // CODEGEN_ONLY also disables the interpreted fallback for
+      // projections/predicates built via
+      // CodeGeneratorWithInterpretedFallback — an Expression whose
+      // doGenCode emits broken Java fails HERE by name even when it
+      // sits outside a whole-stage span
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       SparkEntry.registry.flatMap { q =>
         try { q.run(spark, sf).collect(); None }
         catch { case t: Throwable =>
@@ -29,6 +36,10 @@ class CodegenTripwireSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFb)
       spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      prevFm match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
     assert(failures.isEmpty,
       s"queries whose generated code fails to compile (or that crash " +
