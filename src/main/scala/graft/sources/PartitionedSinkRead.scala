@@ -434,9 +434,24 @@ private class PartitionedSinkMicroBatchStream(
                 SinkFileSkip.mayMatch(_, st.cols)))
           }
         }
+    // byte-range carving, same contract as the batch scan: a giant
+    // epoch file must not become one task. Deterministic under replay
+    // because published files are immutable — the same file always
+    // carves into the same ranges
+    val sess = SparkSession.active
+    val maxSplit = sess.conf.getOption("spark.graft.sink.maxSplitBytes")
+      .map(_.toLong)
+      .getOrElse(sess.sessionState.conf.filesMaxPartitionBytes)
+      .max(1L)
     kept.sortBy(_._1)
-      .map { case (file, v) =>
-        SinkFileSplit(file, v, fullSchema(partCol).dataType): InputPartition
+      .flatMap { case (file, v) =>
+        val len = f.getFileStatus(new Path(file)).getLen
+        if (len <= maxSplit)
+          Seq(SinkFileSplit(file, v,
+            fullSchema(partCol).dataType): InputPartition)
+        else (0L until len by maxSplit).map(s =>
+          SinkFileSplit(file, v, fullSchema(partCol).dataType,
+            s, math.min(maxSplit, len - s)): InputPartition)
       }.toArray
   }
 

@@ -57,6 +57,26 @@ class SinkPublishSpec extends AnyFunSuite {
     val s2 = b2.build().toMicroBatchStream(ckpt("stail_ck2"))
     assert(s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
       .length === 3)
+    // and a giant epoch file carves into byte ranges on the tail too —
+    // rows exactly once across the ranges (batch-twin read compares)
+    spark.conf.set("spark.graft.sink.maxSplitBytes", "16")
+    try {
+      val b3 = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+      val s3 = b3.build().toMicroBatchStream(ckpt("stail_ck3"))
+      val ranges = s3.planInputPartitions(s3.initialOffset(), s3.latestOffset())
+      assert(ranges.length > 3,
+        s"16-byte threshold must carve the tail's files, got ${ranges.length}")
+      val factory = b3.build().toMicroBatchStream(ckpt("stail_ck4"))
+        .createReaderFactory()
+      val rows = ranges.flatMap { sp =>
+        val r = factory.createReader(sp)
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (r.next()) buf += r.get().getLong(0)
+        r.close(); buf
+      }
+      assert(rows.sorted.toSeq === (1L to 30L),
+        "ranged tail reads every row exactly once")
+    } finally spark.conf.unset("spark.graft.sink.maxSplitBytes")
     spark.sql("DROP TABLE graft_st_spec.t")
   }
 
