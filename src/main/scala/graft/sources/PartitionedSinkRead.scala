@@ -533,6 +533,19 @@ private class PartitionedSinkReader(
     if (f.name == partCol) (-1, f.dataType)
     else (dataFields.indexWhere(_.name == f.name), f.dataType)
   }
+  // column pruning, for real: the walk below materializes a String for
+  // REQUIRED cells only and stops at the last one — a 2-column
+  // projection of a 50-column row never scans past its cells, and a
+  // partition-column-only read (count(*) over p) never walks the line
+  // at all. `java.lang.String.split` would allocate every cell of
+  // every row regardless of the projection.
+  private val maxNeeded: Int =
+    if (plan.exists(_._1 >= 0)) plan.map(_._1).max else -1
+  private val neededCell: Array[Boolean] = {
+    val a = new Array[Boolean](maxNeeded + 1)
+    plan.foreach { case (i, _) => if (i >= 0) a(i) = true }
+    a
+  }
   private val partValue: Any =
     PartitionedSinkReader.castValue(split.partValue, fullSchema(partCol).dataType)
 
@@ -547,13 +560,30 @@ private class PartitionedSinkReader(
     if (n == 0) return false // end of file
     pos += n
     val line = new String(text.getBytes, 0, text.getLength, "UTF-8")
-    // -1 keeps trailing empty cells (a NULL in the last column)
-    val cells = line.split("\t", -1)
+    // one pass, required cells only, stop after the last needed one.
+    // End-of-line terminates the final cell (split("\t", -1) parity:
+    // trailing empty cells — a NULL in the last column — survive)
+    val cells = new Array[String](maxNeeded + 1)
+    var cellIdx = 0
+    var cellStart = 0
+    var i = 0
+    while (cellIdx <= maxNeeded && i <= line.length) {
+      if (i == line.length || line.charAt(i) == '\t') {
+        if (neededCell(cellIdx))
+          cells(cellIdx) = line.substring(cellStart, i)
+        cellIdx += 1
+        cellStart = i + 1
+      }
+      i += 1
+    }
+    // cells actually present on the line, for SHORT-row detection (the
+    // file predates an ADD COLUMNS evolution — missing trailing cells
+    // read as NULL); when the walk stopped early every needed cell was
+    // seen, so the count only matters when it is small
+    val cellsSeen = cellIdx
     val values = plan.map { case (idx, dt) =>
       if (idx < 0) partValue
-      // SHORT row: the file predates an ADD COLUMNS evolution — the
-      // missing trailing cells read as NULL
-      else if (idx >= cells.length) null
+      else if (idx >= cellsSeen) null
       else {
         val cell = cells(idx)
         if (cell == PartitionedSink.NullToken) null
