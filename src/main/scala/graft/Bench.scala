@@ -28,6 +28,54 @@ private final class ShuffleTally extends SparkListener {
   }
 }
 
+/** The bench artifact's self-adjudication tier, factored out so the
+  * decision is unit-testable against synthetic load traces. The r15
+  * lesson: the driver's sweep reported `status: ok / ambient_ok: true`
+  * off the PRE-sweep sample (0.85) while its own `load_per_rep`
+  * recorded 3.7–7.4 mid-sweep — the artifact self-described the
+  * pollution but the status field contradicted it. The tier therefore
+  * also reads the per-rep loads: their MEDIAN minus the bench's own
+  * steady-state contribution is the mid-sweep ambient estimate, held
+  * to the same 1.5 threshold as the before-sample.
+  */
+private[graft] object BenchStatus {
+  /** The bench's own steady-state contribution to the 1-minute
+    * loadavg, calibrated from clean solo sweeps (bench_r15_builder:
+    * ambient 0.89 before, per-rep median 2.12, max 2.39 — the sweep
+    * itself sustains ≈1.2–2.4 of load at sf0.1; 2.5 is the
+    * conservative ceiling so only load clearly NOT ours flips the
+    * tier). Larger sfs sustain more self-load (sf1 clean median 3.55),
+    * which this constant absorbs by staying below their clean medians
+    * plus threshold.
+    */
+  final val SelfLoad = 2.5
+  final val AmbientThreshold = 1.5
+
+  private def r2(v: Double): Double = math.round(v * 100) / 100.0
+
+  def medianRepLoad(perRepLoads: Seq[Double]): Double =
+    if (perRepLoads.isEmpty) 0.0
+    else perRepLoads.sorted.apply(perRepLoads.size / 2)
+
+  def ambientOk(loadBefore: Double, perRepLoads: Seq[Double]): Boolean =
+    loadBefore <= AmbientThreshold &&
+      medianRepLoad(perRepLoads) - SelfLoad <= AmbientThreshold
+
+  /** The status string (unquoted). */
+  def tier(invalid: Boolean, nFailed: Int, loadBefore: Double,
+           perRepLoads: Seq[Double]): String = {
+    val medRep = medianRepLoad(perRepLoads)
+    if (invalid) "INVALID: load_avg>2"
+    else if (nFailed > 0) s"FAILED: $nFailed queries"
+    else if (loadBefore > AmbientThreshold)
+      s"degraded: ambient load ${r2(loadBefore)}"
+    else if (medRep - SelfLoad > AmbientThreshold)
+      s"degraded: mid-sweep load ${r2(medRep)} " +
+        s"(~${r2(medRep - SelfLoad)} ambient over self-load)"
+    else "ok"
+  }
+}
+
 object Bench {
   /** Times each headline query on SPARK_GRAFT_SF_DIR (default sf0.1) and
     * prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -207,14 +255,14 @@ object Bench {
     // the driver's official sweep ran under load 0.95→7.31 and its
     // total read as a regression until the per-rep detail was mined):
     // >2 at start = INVALID (numbers are noise), >1.5 = degraded
-    // (directionally usable, not comparable round-over-round), else ok.
-    val ambientOk = loadBefore <= 1.5
+    // (directionally usable, not comparable round-over-round), else ok
+    // — and since r16 the tier also reads the PER-REP loads, so a
+    // sweep that started clean but ran polluted (the r15 driver sweep)
+    // labels itself degraded instead of ok (see BenchStatus).
+    val allRepLoads = repLoads.values.flatten.toSeq
+    val ambientOk = BenchStatus.ambientOk(loadBefore, allRepLoads)
     val status =
-      if (invalid) "\"INVALID: load_avg>2\""
-      else if (nFailed > 0) "\"FAILED: " + nFailed + " queries\""
-      else if (!ambientOk) "\"degraded: ambient load " +
-        (math.round(loadBefore * 100) / 100.0) + "\""
-      else "\"ok\""
+      "\"" + BenchStatus.tier(invalid, nFailed, loadBefore, allRepLoads) + "\""
     // Three lines, bulky detail FIRST: the driver records only the last
     // ~2000 chars of stdout, so per-rep times and shuffle bytes go on
     // their own earlier lines (no length budget; these are what make

@@ -70,41 +70,45 @@ object Compaction {
     * compacted set; empty when nothing was fragmented.
     */
   def compactSinkTable(spark: SparkSession, catalog: String, table: String,
-                       maxFilesPerPartition: Int = 1): Map[String, Int] = {
-    import org.apache.spark.sql.functions.col
+                       maxFilesPerPartition: Int = 1): Map[Seq[String], Int] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val catalogPlugin = spark.sessionState.catalogManager.catalog(catalog)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(Array.empty, table)
     val t = catalogPlugin.loadTable(ident)
-    val partCol = t.partitioning().head.references()(0).fieldNames.mkString(".")
+    val partCols = t.partitioning().toSeq
+      .map(_.references()(0).fieldNames.mkString("."))
     // table dir = the catalog root + escaped name (mirror the catalog's
-    // layout contract); count data files per partition dir
+    // layout contract); count data files per partition LEAF dir
     val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
     val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     // live file counts: from the snapshot manifest on a versioned
     // table (a retired-but-unvacuumed file is not fragmentation), from
     // the directory listing otherwise
-    val fragmented = (
+    val fragmented: Map[Seq[String], Int] = (
       if (graft.sources.SinkVersions.isVersioned(fs, dir.toString))
         graft.sources.SinkVersions.latest(fs, dir.toString).toSeq
           .flatMap(graft.sources.SinkVersions.read(fs, dir.toString, _))
           .groupBy(_._2).map { case (v, fsOfV) => v -> fsOfV.size }.toSeq
-      else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-        .map { s =>
-          val files = fs.listStatus(s.getPath).count(f =>
-            f.isFile && !f.getPath.getName.startsWith(".") &&
-              !f.getPath.getName.startsWith("_"))
-          graft.sources.TsvCodec.unescapeDir(
-            s.getPath.getName.stripPrefix(partCol + "=")) -> files
+      else graft.sources.SinkLayout.listLeaves(fs, dir, partCols)
+        .map { case (values, leaf) =>
+          values -> graft.sources.SinkLayout.dataFiles(fs, leaf).size
         })
       .filter(_._2 > maxFilesPerPartition).toMap
     if (fragmented.nonEmpty) {
+      // predicate = OR over the fragmented tuples of per-column ANDs —
+      // dimension-sized (one term per fragmented partition), never a
+      // row-wise computation
+      val cond = fragmented.keys.map { values =>
+        partCols.zip(values)
+          .map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
       spark.table(s"$catalog.$table")
-        .filter(col(partCol).isin(fragmented.keys.toSeq: _*))
-        .repartition(col(partCol)) // all rows of a value in one task
+        .filter(cond)
+        .repartition(partCols.map(col): _*) // one tuple's rows per task
         .writeTo(s"$catalog.$table").overwritePartitions()
     }
     fragmented
@@ -129,8 +133,7 @@ object Compaction {
     val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return 0
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    partitionDirs(fs, dir)
       .count { d =>
         val manifests = fs.listStatus(d.getPath).toSeq.filter(s =>
           s.isFile && s.getPath.getName.startsWith("_stats-"))
@@ -153,14 +156,33 @@ object Compaction {
       }
   }
 
+  /** Every descendant PARTITION directory (`col=value` segments, any
+    * nesting depth) of a sink table root — the multi-level layout's
+    * replacement for the old one-level `listStatus` walk.
+    */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def walk(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => s +: walk(s.getPath))
+    walk(root)
+  }
+
   /** Reclaim expired SNAPSHOTS of a versioned sink table: keep the
     * newest `keepLast` version manifests, delete the older ones, then
     * delete every data file no retained manifest references (files
     * logically retired by overwrites live on disk until this runs —
     * that retention is what `VERSION AS OF` reads). Returns
     * (manifests deleted, data files deleted). Single-admin maintenance
-    * like [[compactSinkTable]]: don't race it with concurrent writes
-    * to the same table.
+    * like [[compactSinkTable]] — but with one liveness guard baked in:
+    * the publish protocol renames data files BEFORE committing the
+    * version manifest (manifest-last is what makes crashes safe), so a
+    * vacuum racing a publish would see the about-to-be-referenced
+    * files as orphans. Files younger than [[MinVacuumAgeMs]] are
+    * therefore never deleted, whatever the manifests say — the same
+    * age-floor discipline as [[vacuumStaging]]; a genuine orphan is
+    * reclaimed by the next vacuum run once it ages past the floor.
     */
   def vacuumVersions(spark: SparkSession, catalog: String, table: String,
                      keepLast: Int = 2): (Int, Int) = {
@@ -179,14 +201,20 @@ object Compaction {
       .map(_._1).toSet
     expired.foreach(v => fs.delete(new Path(vDir, v.toString), false))
     // unreferenced data files under the partition dirs are unreachable
-    // from every retained snapshot — delete them
-    val removed = fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    // from every retained snapshot — delete them, EXCEPT files still
+    // inside the publish window (see the age floor in the scaladoc)
+    val ageCutoff = System.currentTimeMillis() - MinVacuumAgeMs
+    val rootUri = dir.toUri.getPath.stripSuffix("/")
+    val removed = partitionDirs(fs, dir)
       .flatMap { d =>
         fs.listStatus(d.getPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
             !f.getPath.getName.startsWith("_"))
-          .filter(f => !referenced(s"${d.getPath.getName}/${f.getPath.getName}"))
+          .filter { f =>
+            val rel = f.getPath.toUri.getPath
+              .stripPrefix(rootUri).stripPrefix("/")
+            !referenced(rel) && f.getModificationTime < ageCutoff
+          }
           .map { f => fs.delete(f.getPath, false); f.getPath.toString }
       }
     (expired.size, removed.size)
@@ -238,6 +266,58 @@ object Compaction {
           org.apache.spark.sql.types.LongType, nullable = true))))
   }
 
+  /** CHANGE FEED between two snapshots of a VERSIONED sink table: the
+    * row-level difference of manifests `fromVersion` → `toVersion`, as
+    * a DataFrame in table-schema column order plus a `_change_type`
+    * column (`insert` | `delete`). Published files are IMMUTABLE and
+    * overwrites retire them logically, so the file-level manifest diff
+    * IS the row-level delta: files in `to` but not `from` contribute
+    * their rows as inserts, files in `from` but not `to` as deletes —
+    * a dynamic overwrite therefore reads as delete+insert of exactly
+    * the rewritten partition, which closes the streaming tail's
+    * documented append-only caveat (a reader of a table being
+    * rewritten wants this CDC log, not a file tail). Both manifests
+    * must still be retained (vacuumVersions keeps the retired files on
+    * disk for exactly as long as a manifest references them). Scales
+    * as a scan of the CHANGED files only — the manifest diff is
+    * driver-side metadata, never a data-file read of the unchanged
+    * table.
+    */
+  def tableChanges(spark: SparkSession, catalog: String, table: String,
+                   fromVersion: Long, toVersion: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion < toVersion,
+      s"change feed needs fromVersion < toVersion, got $fromVersion → $toVersion")
+    val catalogPlugin = spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, table)
+    val t = catalogPlugin.loadTable(ident)
+    val partCols = t.partitioning().toSeq
+      .map(_.references()(0).fieldNames.mkString("."))
+    val schema = t.schema()
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val partTyped = partCols.map(c => c -> schema(c).dataType)
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val from = graft.sources.SinkVersions.read(fs, dir.toString, fromVersion)
+      .map(_._1).toSet
+    val to = graft.sources.SinkVersions.read(fs, dir.toString, toVersion)
+      .map(_._1).toSet
+    def side(rels: Set[String], changeType: String) =
+      graft.sources.PartitionedSink.readPaths(spark, dir.toString,
+        rels.toSeq.sorted.map(rel => new Path(dir, rel).toString),
+        dataSchema, partTyped)
+        .withColumn("_change_type", lit(changeType))
+    val ordered = schema.fieldNames.map(col).toSeq :+ col("_change_type")
+    side(to.diff(from), "insert")
+      .unionByName(side(from.diff(to), "delete"))
+      .select(ordered: _*)
+  }
+
   /** Sweep ORPHANED staging from a sink table: the commit protocol
     * cleans `_staging/<queryId>` on every commit and abort, so the only
     * way residue survives is a DRIVER crash between staging and
@@ -246,6 +326,11 @@ object Compaction {
     * threshold exists solely so a LIVE job's staging (written minutes
     * ago, commit still coming) is never swept from under it. Returns
     * the removed query dirs.
+    *
+    * `olderThanMs` is FLOORED at [[MinVacuumAgeMs]] (10 minutes): a
+    * smaller value is not honored — it is raised to the floor, with a
+    * warning logged, so a typo'd or zero threshold can never race a
+    * commit that is seconds away.
     */
   def vacuumStaging(spark: SparkSession, catalog: String, table: String,
                     olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -255,7 +340,12 @@ object Compaction {
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(staging)) return Seq.empty
     // floor the age threshold: a caller passing olderThanMs=0 (or any
-    // tiny value) must not sweep a query that staged a file seconds ago
+    // tiny value) must not sweep a query that staged a file seconds
+    // ago — and must be TOLD the explicit threshold was overridden
+    if (olderThanMs < MinVacuumAgeMs)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"vacuumStaging olderThanMs=${olderThanMs}ms is below the " +
+          s"${MinVacuumAgeMs}ms safety floor; using the floor instead")
     val cutoff = System.currentTimeMillis() -
       math.max(olderThanMs, MinVacuumAgeMs)
     // liveness = the NEWEST write anywhere under the query dir, not the

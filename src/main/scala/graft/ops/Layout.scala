@@ -58,4 +58,27 @@ object Layout {
         n => z.repartitionByRange(n, col(zCol)))
       .sortWithinPartitions(col(zCol))
   }
+
+  /** CLUSTER-ON-WRITE for the sink's file-skipping stats: file skipping
+    * only bites when values CLUSTER into files, and a publish inherits
+    * whatever task-partitioning the query had — an unsorted append
+    * smears every column's range across every file, recording min/max
+    * bounds that exclude nothing. Route the frame through this before
+    * `.writeTo(...).append()` (or any sink write): a sampled
+    * range-exchange on `cols` (a total order across tasks WITHOUT a
+    * single-partition sort — the same scale shape as [[zOrderBy]])
+    * plus an in-partition sort, so each task — hence each staged
+    * file — covers one narrow band of `cols` and the published
+    * `SinkStats` manifests carry bounds worth skipping on. One-column
+    * clusterBy is the single-dimension analogue of [[zOrderBy]]; the
+    * strictly-fewer-splits effect of sorted vs unsorted publishes of
+    * identical data is pinned in PartitionedSinkSpec.
+    */
+  def clusterBy(df: DataFrame, cols: Seq[Column],
+                numPartitions: Option[Int] = None): DataFrame = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    numPartitions.fold(df.repartitionByRange(cols: _*))(
+        n => df.repartitionByRange(n, cols: _*))
+      .sortWithinPartitions(cols: _*)
+  }
 }

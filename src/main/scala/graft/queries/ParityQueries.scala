@@ -1817,14 +1817,21 @@ object ParityQueries {
       s.sql("DROP TABLE IF EXISTS graft_dyn.skip_orders")
       def band(lo: Double, hi: Double) = ord(s, d)
         .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
       band(0, 100000)
         .writeTo("graft_dyn.skip_orders")
         .partitionedBy(col("o_orderpriority")).create()
       band(100000, 200000).writeTo("graft_dyn.skip_orders").append()
       band(200000, Double.MaxValue).writeTo("graft_dyn.skip_orders").append()
+      // the STRING comparison rides the same skip machinery (binary
+      // UTF-8 against the truncated prefix bounds of SinkStrBounds) —
+      // status ranges overlap across the bands here, so it must not
+      // skip anything, only never skip WRONGLY; the string-banded
+      // fewer-splits effect is pinned plan-level in PartitionedSinkSpec
       s.table("graft_dyn.skip_orders")
-        .filter(col("o_totalprice") > 300000.0)
+        .filter(col("o_totalprice") > 300000.0 &&
+          col("o_orderstatus") >= "O")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
@@ -1833,9 +1840,110 @@ object ParityQueries {
     Some("""
       SELECT o_orderpriority, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-      FROM orders WHERE o_totalprice > 300000
+      FROM orders WHERE o_totalprice > 300000 AND o_orderstatus >= 'O'
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
+
+  /** §2.9-ext: CHANGE FEED between snapshots of a versioned sink table
+    * ([[graft.ops.Compaction.tableChanges]]) — version 1 is the full
+    * per-(returnflag, linestatus) aggregate, version 2 dynamically
+    * OVERWRITES the R partition with a filtered recompute; the feed
+    * (1 → 2) must read as DELETE of exactly the old R rows plus INSERT
+    * of exactly the new ones, with every other partition absent (its
+    * files are in both manifests — the diff is driver-side metadata,
+    * and only CHANGED files are ever scanned). This closes the
+    * streaming tail's documented append-only caveat: a consumer of a
+    * table being rewritten follows this CDC log instead of the file
+    * tail. The oracle recomputes both sides from lineitem; a leaked
+    * unchanged partition, a missed retirement, or a torn insert set
+    * all flip it.
+    */
+  val qDsv2Changes = Q(
+    "q_dsv2_changes",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dynv",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dynv.root", root)
+      s.conf.set("spark.sql.catalog.graft_dynv.versioned", "true")
+      s.sql("DROP TABLE IF EXISTS graft_dynv.flags_cdc")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      agg(li(s, d))
+        .writeTo("graft_dynv.flags_cdc")
+        .partitionedBy(col("l_returnflag")).create()           // v1
+      agg(li(s, d).filter(col("l_returnflag") === "R" &&
+          col("l_quantity") < 25))
+        .writeTo("graft_dynv.flags_cdc").overwritePartitions() // v2
+      graft.ops.Compaction.tableChanges(s, "graft_dynv", "flags_cdc", 1L, 2L)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("_change_type").as("change_type"))
+        .orderBy(col("change_type"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             'delete' AS change_type
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             'insert' AS change_type
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY change_type, l_linestatus"""))
+
+  /** §2.9-ext: MULTI-LEVEL partitioning through the catalog — the
+    * reference lake's own canonical layout is THREE-level hive nesting
+    * (`flight_year/flight_month/flight_day`, extract_flights.py:96-99),
+    * re-expressed here as a (year, month)-partitioned orders rollup:
+    * `partitionedBy(col("o_year"), col("o_month"))` nests directories
+    * in declared order, day 2 recomputes exactly ONE (year, month)
+    * LEAF via dynamic overwrite (untouched leaves keep their files —
+    * pinned byte-level in PartitionedSinkSpec), and the read filters
+    * on the INNER column only (`o_month = 3`), which prunes at its own
+    * level inside every year subtree — the subset-pruning shape a
+    * single-column layout cannot express. The oracle recomputes from
+    * orders directly: a mis-nested layout, a clobbered sibling leaf,
+    * or an over/under-pruned month all flip it.
+    */
+  val qDsv2Multipart = Q(
+    "q_dsv2_multipart",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.orders_ym")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType))
+        .withColumn("o_month", month(col("o_orderdate")).cast(IntegerType))
+        .groupBy(col("o_year"), col("o_month"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      agg(ord(s, d))
+        .writeTo("graft_dyn.orders_ym")
+        .partitionedBy(col("o_year"), col("o_month")).create()
+      // day 2: one LEAF (1995, March) recomputed from a filtered subset
+      agg(ord(s, d).filter(year(col("o_orderdate")) === 1995 &&
+          month(col("o_orderdate")) === 3 && col("o_totalprice") < 150000))
+        .writeTo("graft_dyn.orders_ym").overwritePartitions()
+      s.table("graft_dyn.orders_ym")
+        .filter(col("o_month") === 3) // inner-level subset prune
+        .select(col("o_year"), col("o_month"), col("o_orderpriority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("o_year"), col("o_orderpriority"))
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE month(o_orderdate) = 3
+        AND (year(o_orderdate) <> 1995 OR o_totalprice < 150000)
+      GROUP BY 1, 2, 3
+      ORDER BY o_year, o_orderpriority"""))
 
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
@@ -2085,5 +2193,5 @@ object ParityQueries {
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
-    qDsv2History)
+    qDsv2History, qDsv2Multipart, qDsv2Changes)
 }

@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
@@ -20,18 +20,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * append/overwrite warehouse in reference src/jobs/load_*.py, which
   * delegates the commit problem to Hive — this connector owns it).
   *
-  * Layout: hive-style `<root>/<partCol>=<value>/part-*.tsv`, one
-  * directory per partition value, tab-separated columns in dataSchema
-  * order (`\N` = NULL). Readable back through [[PartitionedSink.readBack]]
-  * (plain `spark.read.csv` + partition discovery — nothing about the
-  * layout is private to this connector).
+  * Layout: hive-style `<root>/<p1>=<v1>/<p2>=<v2>/.../part-*.tsv` —
+  * MULTI-LEVEL nested partition directories, one LEAF directory per
+  * partition-value TUPLE (the reference's own lake is three-level
+  * `flight_year/flight_month/flight_day`, extract_flights.py:96-99),
+  * tab-separated data columns in dataSchema order (`\N` = NULL).
+  * Readable back through [[PartitionedSink.readBack]] (plain
+  * `spark.read.csv` + partition discovery — nothing about the layout
+  * is private to this connector).
   *
   * The part that matters at 100 TB is the COMMIT PROTOCOL — a job
   * that writes for an hour from 1000 executors must publish all-or-
   * nothing, under task retry, speculative duplicates, and job abort:
   *
   *   - Every task writes only under `_staging/<queryId>/`, one file
-  *     per (task, partition-value), named by (partitionId, taskId) —
+  *     per (task, partition-tuple), named by (partitionId, taskId) —
   *     task attempts NEVER touch the published layout.
   *   - A task's [[DataWriter.commit]] returns a manifest (its staged
   *     files + row counts) as the WriterCommitMessage. Spark's
@@ -45,11 +48,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     therefore a property of the manifest, not of task scheduling.
   *   - Overwrite semantics run at publish time, inside the one
   *     driver-side commit: TRUNCATE/OverwriteByExpression(true)
-  *     clears the whole layout, filter overwrite clears the matching
-  *     partition dirs, dynamic overwrite clears exactly the partition
-  *     values present in the commit manifests. Readers of the old
-  *     data race only with the final rename window, not with the
-  *     whole job.
+  *     clears the whole layout, filter overwrite clears the leaf dirs
+  *     matching the equality conjunction (ANY SUBSET of the partition
+  *     columns — `month = 3` on a y/m/d table clears March of every
+  *     year), dynamic overwrite clears exactly the partition TUPLES
+  *     present in the commit manifests. Readers of the old data race
+  *     only with the final rename window, not with the whole job.
   *   - [[BatchWrite.abort]] deletes the staging dir; the published
   *     layout is untouched (all-or-nothing).
   *
@@ -62,7 +66,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * private method.
   *
   * Types: atomic columns only (string/boolean/int/long/float/double/
-  * date-less). Partition column must be a non-null atomic. The text
+  * date-less). Partition columns must be non-null atomics. The text
   * encoding is lossless: Long/Double round-trip through Java's
   * shortest-repr toString exactly, and strings go through
   * [[TsvCodec]] — backslash escapes for the delimiter characters
@@ -152,6 +156,67 @@ object TsvCodec {
       .unescapePathName(name)
 }
 
+/** Shared geometry of the multi-level hive layout: tuple → leaf-dir
+  * mapping, the pruned recursive leaf walk, and the injective file-name
+  * encoding of a tuple. Hive escaping always percent-encodes a literal
+  * `=` inside a VALUE (`%3D`), so joining ESCAPED values with `=` is
+  * collision-free — two distinct tuples can never render to one name.
+  */
+private[graft] object SinkLayout {
+  /** Relative leaf dir for a partition tuple: `p1=v1/p2=v2/...`. */
+  def leafRel(partCols: Seq[String], values: Seq[String]): String =
+    partCols.zip(values)
+      .map { case (c, v) => s"$c=${TsvCodec.escapeDir(v)}" }.mkString("/")
+
+  /** Injective single-segment encoding of a tuple for FILE names. */
+  def valueTag(values: Seq[String]): String =
+    values.map(TsvCodec.escapeDir).mkString("=")
+
+  /** Recursive leaf listing with PER-LEVEL pruning: at depth i only
+    * dirs named `partCols(i)=...` are entered, and only when
+    * `keepAt(i, value)` holds — a filter on ANY subset of the partition
+    * columns prunes at its own level, whole subtrees at a time.
+    * Returns (raw value tuple, leaf dir).
+    */
+  def listLeaves(fs: FileSystem, root: Path, partCols: Seq[String],
+                 keepAt: (Int, String) => Boolean = (_, _) => true)
+      : Seq[(Seq[String], Path)] = {
+    def walk(dir: Path, level: Int,
+             acc: Vector[String]): Seq[(Seq[String], Path)] =
+      if (level == partCols.length) Seq((acc, dir))
+      else Option(fs.listStatus(dir)).toSeq.flatten
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(partCols(level) + "="))
+        .flatMap { s =>
+          val v = TsvCodec.unescapeDir(
+            s.getPath.getName.stripPrefix(partCols(level) + "="))
+          if (keepAt(level, v)) walk(s.getPath, level + 1, acc :+ v)
+          else Seq.empty
+        }
+    if (!fs.exists(root)) Seq.empty else walk(root, 0, Vector.empty)
+  }
+
+  /** Data files of one leaf dir (markers and manifests excluded). */
+  def dataFiles(fs: FileSystem, leaf: Path): Seq[FileStatus] =
+    Option(fs.listStatus(leaf)).toSeq.flatten
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
+
+  /** Delete a leaf dir, then remove now-empty ancestors up to (but
+    * never including) the table root — a multi-level overwrite must
+    * not leave empty `year=.../month=...` skeletons behind.
+    */
+  def deleteLeaf(fs: FileSystem, root: Path, leaf: Path): Unit = {
+    fs.delete(leaf, true)
+    var p = leaf.getParent
+    while (p != null && p != root && fs.exists(p) &&
+      fs.listStatus(p).isEmpty) {
+      fs.delete(p, true)
+      p = p.getParent
+    }
+  }
+}
+
 class PartitionedSink extends TableProvider {
   // the sink infers nothing; schema comes from the written DataFrame
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -162,9 +227,10 @@ class PartitionedSink extends TableProvider {
     new PartitionedSinkTable(
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("PartitionedSink needs a path")),
-      Option(properties.get("partitionBy")).getOrElse(
-        throw new IllegalArgumentException(
-          "PartitionedSink needs option partitionBy=<column>")),
+      Option(properties.get("partitionBy")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "PartitionedSink needs option partitionBy=<col>[,<col>...]")),
       schema)
 }
 
@@ -177,19 +243,51 @@ object PartitionedSink {
     * the job wrote zero rows) returns a schema-correct empty frame.
     */
   def readBack(spark: SparkSession, root: String, dataSchema: StructType,
-               partCol: String, partType: DataType = StringType): DataFrame = {
+               partCol: String, partType: DataType = StringType): DataFrame =
+    readBackParts(spark, root, dataSchema, Seq(partCol -> partType))
+
+  /** Multi-level variant: `partCols` in layout order (outermost
+    * first), each with its read-back type.
+    */
+  def readBackParts(spark: SparkSession, root: String,
+                    dataSchema: StructType,
+                    partCols: Seq[(String, DataType)]): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(root)
+    val firstCol = partCols.head._1
     val hasParts = fs.exists(rootPath) && fs.listStatus(rootPath)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-    val full = StructType(dataSchema.fields :+ StructField(partCol, partType))
-    if (!hasParts) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    } else {
-      import org.apache.spark.sql.functions.col
-      val raw = spark.read
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(firstCol + "="))
+    if (!hasParts)
+      emptyFrame(spark, dataSchema, partCols)
+    else {
+      val glob = partCols.map { case (c, _) => s"$c=*" }.mkString("/")
+      readPaths(spark, root, Seq(s"$root/$glob"), dataSchema, partCols)
+    }
+  }
+
+  private def emptyFrame(spark: SparkSession, dataSchema: StructType,
+                         partCols: Seq[(String, DataType)]): DataFrame = {
+    val full = StructType(dataSchema.fields ++
+      partCols.map { case (c, t) => StructField(c, t) })
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
+
+  /** EXPLICIT data-file paths (or globs) of one sink layout as rows —
+    * the shared decode behind [[readBackParts]] and the change feed
+    * ([[graft.ops.Compaction.tableChanges]], which reads exactly a
+    * manifest-diff's files). Partition columns come from partition
+    * discovery against `basePath` (the dir names), data columns from
+    * the TSV payload through the [[TsvCodec]] decode.
+    */
+  private[graft] def readPaths(spark: SparkSession, root: String,
+                               paths: Seq[String], dataSchema: StructType,
+                               partCols: Seq[(String, DataType)]): DataFrame = {
+    if (paths.isEmpty) return emptyFrame(spark, dataSchema, partCols)
+    import org.apache.spark.sql.functions.col
+    val raw = partCols.foldLeft(
+      spark.read
         .schema(dataSchema)
         .option("sep", "\t")
         .option("nullValue", NullToken)
@@ -198,33 +296,36 @@ object PartitionedSink {
         // trigger CSV quote semantics
         .option("quote", "")
         .option("basePath", root)
-        .csv(s"$root/$partCol=*")
-        .withColumn(partCol, col(partCol).cast(partType))
-      // decode the TsvCodec escapes on every string DATA column (the
-      // partition column comes from the dir name, hive-unescaped by
-      // partition discovery, not from the TSV payload)
-      dataSchema.fields.filter(_.dataType == StringType).foldLeft(raw) {
-        (df, f) =>
-          df.withColumn(f.name, org.apache.spark.sql.GraftColumnShim.column(
-            TsvCodec.TsvUnescape(org.apache.spark.sql.GraftColumnShim
-              .expression(col(f.name)))))
-      }
+        .csv(paths: _*)) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
+    }
+    // decode the TsvCodec escapes on every string DATA column (the
+    // partition columns come from the dir names, hive-unescaped by
+    // partition discovery, not from the TSV payload)
+    dataSchema.fields.filter(_.dataType == StringType).foldLeft(raw) {
+      (df, f) =>
+        df.withColumn(f.name, org.apache.spark.sql.GraftColumnShim.column(
+          TsvCodec.TsvUnescape(org.apache.spark.sql.GraftColumnShim
+            .expression(col(f.name)))))
     }
   }
 }
 
-private[sources] class PartitionedSinkTable(path: String, val partCol: String,
+private[sources] class PartitionedSinkTable(path: String,
+                                            val partCols: Seq[String],
                                             schema0: StructType,
                                             versioned: Boolean = false,
                                             asOfVersion: Option[Long] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
-  override def name(): String = s"partitioned_sink($path by $partCol)" +
-    asOfVersion.map(v => s" VERSION AS OF $v").getOrElse("")
+  require(partCols.nonEmpty, "PartitionedSink needs at least one partition column")
+  override def name(): String =
+    s"partitioned_sink($path by ${partCols.mkString(",")})" +
+      asOfVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = schema0
   override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .identity(partCol))
+    partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .identity(c): Transform).toArray
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ,
     TableCapability.MICRO_BATCH_READ,
@@ -237,29 +338,30 @@ private[sources] class PartitionedSinkTable(path: String, val partCol: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty,
       "cannot write to a time-travel (VERSION AS OF) table reference")
-    new PartitionedSinkWriteBuilder(path, partCol, info, versioned)
+    new PartitionedSinkWriteBuilder(path, partCols, info, versioned)
   }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new PartitionedSinkScanBuilder(path, partCol, schema0, asOfVersion)
+    new PartitionedSinkScanBuilder(path, partCols, schema0, asOfVersion)
 }
 
 /** Overwrite mode resolved at build time from which mix-in Spark
   * calls: none = append, truncate()/overwrite(AlwaysTrue) = full
-  * replace, overwrite(partCol = v, ...) = replace those partitions,
-  * overwriteDynamicPartitions() = replace the partitions the job
-  * writes.
+  * replace, overwrite(p1 = v1 [, p2 = v2 ...]) = replace the leaf
+  * partitions matching the conjunction (any SUBSET of the partition
+  * columns), overwriteDynamicPartitions() = replace the partition
+  * tuples the job writes.
   */
-private class PartitionedSinkWriteBuilder(path: String, partCol: String,
+private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
                                           info: LogicalWriteInfo,
                                           versioned: Boolean = false)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: SinkMode = Append
-  require(info.schema().fieldNames.contains(partCol),
-    s"partition column $partCol not in written schema ${info.schema().sql}")
+  partCols.foreach(pc => require(info.schema().fieldNames.contains(pc),
+    s"partition column $pc not in written schema ${info.schema().sql}"))
 
   override def truncate(): WriteBuilder = { mode = Truncate; this }
 
@@ -268,13 +370,15 @@ private class PartitionedSinkWriteBuilder(path: String, partCol: String,
       if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
         Truncate
       else {
-        val values = filters.map {
-          case EqualTo(c, v) if c == partCol => v.toString
+        val eqs = filters.map {
+          case EqualTo(c, v) if partCols.contains(c) => c -> v.toString
           case f => throw new UnsupportedOperationException(
-            s"PartitionedSink overwrite supports only $partCol = <value> " +
-              s"conjunctions, got $f")
+            s"PartitionedSink overwrite supports only <partitionCol> = " +
+              s"<value> conjunctions over [${partCols.mkString(", ")}], got $f")
         }
-        OverwriteValues(values.toSet)
+        require(eqs.map(_._1).distinct.length == eqs.length,
+          s"duplicate partition column in overwrite filter: ${filters.mkString(", ")}")
+        OverwriteEq(eqs.toMap)
       }
     this
   }
@@ -285,11 +389,11 @@ private class PartitionedSinkWriteBuilder(path: String, partCol: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new PartitionedSinkBatchWrite(path, partCol, info.schema(),
+      new PartitionedSinkBatchWrite(path, partCols, info.schema(),
         info.queryId(), mode, versioned)
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new PartitionedSinkStreamingWrite(path, partCol, info.schema(),
+      new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
         info.queryId(), mode, versioned)
   }
 }
@@ -297,7 +401,8 @@ private class PartitionedSinkWriteBuilder(path: String, partCol: String,
 private sealed trait SinkMode extends Serializable
 private case object Append extends SinkMode
 private case object Truncate extends SinkMode
-private case class OverwriteValues(values: Set[String]) extends SinkMode
+/** Equality conjunction over a SUBSET of the partition columns. */
+private case class OverwriteEq(eqs: Map[String, String]) extends SinkMode
 private case object Dynamic extends SinkMode
 
 /** Per-file, per-column min/max over the NON-NULL values — the file-
@@ -306,14 +411,79 @@ private case object Dynamic extends SinkMode
   * None when every value in the file is NULL for the column — which
   * lets the reader skip the file for ANY comparison predicate on it
   * (SQL comparisons with NULL are never true). Columns with no entry
-  * (non-numeric types, or a file containing NaN/±Inf) carry no stats
+  * (unsupported types, or a file containing NaN/±Inf) carry no stats
   * and are never skipped on.
   */
 private[graft] case class SinkColStat(col: String,
                                         minMax: Option[(String, String)])
 
+/** Truncated STRING bounds for the skipping manifests, Iceberg-style:
+  * a string column's recorded min is the 16-code-point PREFIX of the
+  * true minimum (a prefix never exceeds its source, so it stays a
+  * valid lower bound), and its recorded max is the 16-code-point
+  * prefix of the true maximum with the last code point INCREMENTED
+  * when anything was cut — strictly greater than every value that
+  * shares the prefix, so it stays a valid upper bound. All ordering is
+  * binary UTF-8 ([[org.apache.spark.unsafe.types.UTF8String]] — the
+  * engine's own string comparison), never Java's UTF-16 char order,
+  * which disagrees above the BMP. The bbee179 lesson applies verbatim:
+  * a truncated bound must never prove an exclusion it can't prove —
+  * prefixes only ever WIDEN the recorded range, and values whose
+  * 16-cp prefix contains a lone surrogate poison the column (their
+  * UTF-8 rendering is not order-faithful), trading skips for safety.
+  */
+private[graft] object SinkStrBounds {
+  final val MaxLen = 16 // code points
+
+  def cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** (≤16-code-point prefix, anything cut?); None = poisoned (a lone
+    * surrogate inside the prefix).
+    */
+  def truncate(s: String): Option[(String, Boolean)] = {
+    val n = s.codePointCount(0, s.length)
+    val cut = n > MaxLen
+    val prefix =
+      if (cut) s.substring(0, s.offsetByCodePoints(0, MaxLen)) else s
+    var i = 0
+    while (i < prefix.length) {
+      val c = prefix.charAt(i)
+      val high = Character.isHighSurrogate(c)
+      if (Character.isLowSurrogate(c)) return None // lone low surrogate
+      if (high && (i + 1 >= prefix.length ||
+        !Character.isLowSurrogate(prefix.charAt(i + 1)))) return None
+      i += (if (high) 2 else 1)
+    }
+    Some((prefix, cut))
+  }
+
+  /** Upper bound for a (possibly truncated) max prefix: untruncated is
+    * its own exact max; truncated increments the LAST code point
+    * (skipping the surrogate gap U+D800–U+DFFF), dropping trailing
+    * maxed-out points. None when no representable bound exists (every
+    * code point is U+10FFFF) — the column then carries no stats.
+    */
+  def upperBound(prefix: String, truncated: Boolean): Option[String] = {
+    if (!truncated) return Some(prefix)
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val c = cps(i)
+      if (c < 0x10FFFF) {
+        val next = if (c == 0xD7FF) 0xE000 else c + 1
+        val out = cps.take(i) :+ next
+        return Some(new String(out, 0, out.length))
+      }
+      i -= 1
+    }
+    None
+  }
+}
+
 /** One staged file, as named by the task that wrote it. */
-private case class StagedFile(partValue: String, stagedPath: String,
+private case class StagedFile(partValues: Seq[String], stagedPath: String,
                               rows: Long, partitionId: Int,
                               stats: Seq[SinkColStat] = Seq.empty)
 private case class SinkCommitMessage(files: Seq[StagedFile])
@@ -354,8 +524,12 @@ private[graft] object SinkStats {
         s"$f\t${PartitionedSink.NullToken}\t$n\t${PartitionedSink.NullToken}")
         .toSeq ++
         stats.map { st =>
-          val (mn, mx) = st.minMax.getOrElse(
-            (PartitionedSink.NullToken, PartitionedSink.NullToken))
+          // bounds are ESCAPED (string bounds can contain the layout's
+          // own delimiters); the all-NULL marker stays the raw token —
+          // a real bound value "\N" escapes to "\\N", never colliding
+          val (mn, mx) = st.minMax
+            .map { case (a, b) => (TsvCodec.escape(a), TsvCodec.escape(b)) }
+            .getOrElse((PartitionedSink.NullToken, PartitionedSink.NullToken))
           s"$f\t${TsvCodec.escape(st.col)}\t$mn\t$mx"
         }
     }
@@ -391,8 +565,10 @@ private[graft] object SinkStats {
       }
       val cols = es.filter(_._2 != PartitionedSink.NullToken)
         .map { case (_, c, mn, mx) =>
+          // unescape is identity on the numeric renderings older
+          // manifests wrote raw — backward compatible
           u(c) -> (if (mn == PartitionedSink.NullToken) None
-                   else Some((mn, mx)))
+                   else Some((u(mn), u(mx))))
         }.toMap
       f -> SinkFileStats(rows, cols)
     }
@@ -401,7 +577,10 @@ private[graft] object SinkStats {
 
 /** Version manifests for time travel — `_versions/<v>` at the table
   * root, each an immutable FULL SNAPSHOT of the live data files after
-  * publish v (one line per file: `relPath \t partValue`, escaped).
+  * publish v (one line per file: `relPath \t v1 [\t v2 ...]` — the
+  * partition TUPLE, escaped, one field per partition column; a
+  * single-column table's manifests are byte-identical to the pre-
+  * multi-level format, so old tables read unchanged).
   * On a VERSIONED table, overwrite modes retire files LOGICALLY (they
   * drop out of the next manifest; nothing is physically deleted), so
   * `VERSION AS OF v` replans exactly manifest v's files; reads of the
@@ -433,8 +612,9 @@ private[graft] object SinkVersions {
     }
   }
 
-  /** Manifest v: (relative data-file path, raw partition value). */
-  def read(fs: FileSystem, root: String, v: Long): Seq[(String, String)] = {
+  /** Manifest v: (relative data-file path, raw partition tuple). */
+  def read(fs: FileSystem, root: String,
+           v: Long): Seq[(String, Seq[String])] = {
     val p = new Path(dir(root), v.toString)
     if (!fs.exists(p)) throw new IllegalArgumentException(
       s"version $v of $root does not exist (expired by vacuum, or never " +
@@ -445,8 +625,9 @@ private[graft] object SinkVersions {
     val u = (s: String) => TsvCodec.unescape(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
     text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(rel, value) = line.split("\t", -1)
-      (u(rel), u(value))
+      val fields = line.split("\t", -1)
+      require(fields.length >= 2, s"malformed version manifest line: $line")
+      (u(fields.head), fields.tail.toSeq.map(u))
     }
   }
 
@@ -454,20 +635,13 @@ private[graft] object SinkVersions {
     * table whose versioning was enabled after it already had data.
     */
   def listingEntries(fs: FileSystem, root: String,
-                     partCol: String): Seq[(String, String)] = {
-    val rootPath = new Path(root)
-    if (!fs.exists(rootPath)) Seq.empty
-    else Option(fs.listStatus(rootPath)).toSeq.flatten
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .flatMap { d =>
-        val value = TsvCodec.unescapeDir(
-          d.getPath.getName.stripPrefix(partCol + "="))
-        fs.listStatus(d.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_"))
-          .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> value)
+                     partCols: Seq[String]): Seq[(String, Seq[String])] =
+    SinkLayout.listLeaves(fs, new Path(root), partCols)
+      .flatMap { case (values, leaf) =>
+        val rel = SinkLayout.leafRel(partCols, values)
+        SinkLayout.dataFiles(fs, leaf)
+          .map(f => s"$rel/${f.getPath.getName}" -> values)
       }
-  }
 
   /** Attempt to commit manifest v. Returns false when version v was
     * taken by a concurrent publisher — the CAS signal for the retry
@@ -478,13 +652,13 @@ private[graft] object SinkVersions {
     * would lose the racing publisher's snapshot).
     */
   def tryWrite(fs: FileSystem, root: String, v: Long,
-               entries: Seq[(String, String)]): Boolean = {
+               entries: Seq[(String, Seq[String])]): Boolean = {
     val d = dir(root)
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-$v-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(entries.map { case (rel, value) =>
-      s"${TsvCodec.escape(rel)}\t${TsvCodec.escape(value)}"
+    try out.write(entries.map { case (rel, values) =>
+      (TsvCodec.escape(rel) +: values.map(TsvCodec.escape)).mkString("\t")
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -513,31 +687,37 @@ private object SinkCommit {
     FileSystem.get(new java.net.URI(path),
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
 
-  def publish(fs: FileSystem, path: String, partCol: String, mode: SinkMode,
-              files: Seq[StagedFile], destName: StagedFile => String,
+  def publish(fs: FileSystem, path: String, partCols: Seq[String],
+              mode: SinkMode, files: Seq[StagedFile],
+              destName: StagedFile => String,
               statsToken: String, versioned: Boolean = false): Unit = {
     // versioning is sticky: once a table has manifests, every publish
     // maintains them, whatever write path reached it
     val vMode = versioned || SinkVersions.isVersioned(fs, path)
-    val toClear: Set[String] = mode match {
-      case Append => Set.empty
-      case Truncate =>
-        // dir names carry ESCAPED values; toClear holds raw values
-        Option(fs.listStatus(new Path(path))).toSeq.flatten
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-          .map(s => TsvCodec.unescapeDir(
-            s.getPath.getName.stripPrefix(partCol + "=")))
-          .toSet
-      case OverwriteValues(vs) => vs
-      case Dynamic => files.map(_.partValue).toSet
+    // which partition TUPLES must be cleared, as a predicate (an
+    // OverwriteEq over a strict subset of the columns matches many
+    // leaves; Dynamic matches exactly the tuples being published)
+    val dynamicTuples: Set[Seq[String]] =
+      if (mode == Dynamic) files.map(_.partValues).toSet else Set.empty
+    val clearMatch: Seq[String] => Boolean = mode match {
+      case Append => _ => false
+      case Truncate => _ => true
+      case OverwriteEq(eqs) => values =>
+        eqs.forall { case (c, want) =>
+          values(partCols.indexOf(c)) == want }
+      case Dynamic => values => dynamicTuples(values)
     }
     // versioned tables never physically delete at publish: retired
     // files just drop out of the next manifest (old versions keep
     // reading them until vacuumVersions reclaims)
-    if (!vMode) toClear.foreach(v =>
-      fs.delete(new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}"), true))
+    if (!vMode && mode != Append) {
+      val root = new Path(path)
+      SinkLayout.listLeaves(fs, root, partCols)
+        .filter { case (values, _) => clearMatch(values) }
+        .foreach { case (_, leaf) => SinkLayout.deleteLeaf(fs, root, leaf) }
+    }
     files.foreach { f =>
-      val dest = new Path(path, s"$partCol=${TsvCodec.escapeDir(f.partValue)}")
+      val dest = new Path(path, SinkLayout.leafRel(partCols, f.partValues))
       fs.mkdirs(dest)
       val src = new Path(f.stagedPath)
       val target = new Path(dest, destName(f))
@@ -547,8 +727,8 @@ private object SinkCommit {
     }
     // stats AFTER the data renames: a crash here leaves published files
     // without stats — scanned instead of skipped, degraded never wrong
-    files.groupBy(_.partValue).foreach { case (v, fsOfV) =>
-      val dir = new Path(path, s"$partCol=${TsvCodec.escapeDir(v)}")
+    files.groupBy(_.partValues).foreach { case (values, fsOfV) =>
+      val dir = new Path(path, SinkLayout.leafRel(partCols, values))
       SinkStats.write(fs, dir, statsToken,
         fsOfV.map(f => (destName(f), Some(f.rows), f.stats)))
     }
@@ -564,8 +744,8 @@ private object SinkCommit {
       // first; recompute from ITS state and try the next number, so
       // neither publisher's files are lost
       val fresh = files.map { f =>
-        (s"$partCol=${TsvCodec.escapeDir(f.partValue)}/${destName(f)}",
-          f.partValue)
+        (s"${SinkLayout.leafRel(partCols, f.partValues)}/${destName(f)}",
+          f.partValues)
       }
       var committed = false
       var attempts = 0
@@ -580,8 +760,8 @@ private object SinkCommit {
         // manifest-driven readers (the listing already includes this
         // publish's renamed files — the map union dedups them)
         val prev = base.map(SinkVersions.read(fs, path, _))
-          .getOrElse(SinkVersions.listingEntries(fs, path, partCol))
-        val kept = prev.filterNot { case (_, value) => toClear(value) }
+          .getOrElse(SinkVersions.listingEntries(fs, path, partCols))
+        val kept = prev.filterNot { case (_, values) => clearMatch(values) }
         val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
         committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)
       }
@@ -602,7 +782,7 @@ private object SinkCommit {
   }
 }
 
-private class PartitionedSinkBatchWrite(path: String, partCol: String,
+private class PartitionedSinkBatchWrite(path: String, partCols: Seq[String],
                                         schema: StructType, queryId: String,
                                         mode: SinkMode,
                                         versioned: Boolean = false)
@@ -611,7 +791,7 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PartitionedSinkWriterFactory(path, partCol, schema, queryId,
+    new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf())
 
   // at most one committed attempt per task partition — the scheduler
@@ -625,7 +805,7 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
     // orphan staging file is NOT in any commit message and is swept
     // with the staging dir below.
     // The published name carries a QUERY-UNIQUE token: the staged name
-    // alone is part-<partitionId>-<taskId>-<value>.tsv, and Spark's
+    // alone is part-<partitionId>-<taskId>-<tuple>.tsv, and Spark's
     // task ids restart at 0 per APPLICATION — two appends from
     // different driver JVMs can mint the same (partitionId, taskId)
     // pair, and publish's delete-before-rename (needed for streaming
@@ -633,7 +813,7 @@ private class PartitionedSinkBatchWrite(path: String, partCol: String,
     // queryId prefix makes batch names globally unique, so an append
     // can never overwrite another append's data.
     val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
-    SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
+    SinkCommit.publish(fs, path, partCols, mode, files.toSeq,
       f => s"part-$qTok-" +
         new Path(f.stagedPath).getName.stripPrefix("part-"),
       statsToken = queryId, versioned = versioned)
@@ -671,34 +851,46 @@ private object PartitionedSinkWriterFactory {
 }
 
 private class PartitionedSinkWriterFactory(
-    path: String, partCol: String, schema: StructType, queryId: String,
+    path: String, partCols: Seq[String], schema: StructType, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PartitionedSinkWriter(path, partCol, schema, queryId, partitionId,
+    new PartitionedSinkWriter(path, partCols, schema, queryId, partitionId,
       taskId, conf)
 }
 
-/** Task-side writer: buffers one open staged file per partition value
+/** Task-side writer: buffers one open staged file per partition TUPLE
   * seen (the incoming rows need not be clustered by the partition
-  * column), stages under `_staging/<stagingSub>/` (query dir for batch,
+  * columns), stages under `_staging/<stagingSub>/` (query dir for batch,
   * query/epoch dir for streaming), and reports its files in the commit
   * message. abort() deletes everything it staged.
   */
-private class PartitionedSinkWriter(path: String, partCol: String,
+private class PartitionedSinkWriter(path: String, partCols: Seq[String],
                                     schema: StructType, stagingSub: String,
                                     partitionId: Int, taskId: Long,
                                     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new java.net.URI(path), conf.value)
-  private val partIdx = schema.fieldIndex(partCol)
-  private val dataFields = schema.fields.zipWithIndex.filter(_._2 != partIdx)
+  private val partIdxs: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val partIdxSet = partIdxs.toSet
+  private val dataFields = schema.fields.zipWithIndex
+    .filter { case (_, i) => !partIdxSet.contains(i) }
 
-  /** Running min/max over one file's non-null values of one NUMERIC
-    * column. Integrals accumulate as Long (exact), floatings as Double;
-    * a NaN/±Inf poisons the column for the file (no stats emitted —
-    * non-finite values have no usable ordering for range skipping).
+  /** Running min/max over one file's non-null values of one column.
+    * `addFrom` pulls the typed value straight off the row; `render`
+    * answers None = no stats (poisoned), Some(None) = all values NULL,
+    * Some(Some(bounds)) = a usable range.
+    */
+  private sealed abstract class ColAcc {
+    def addFrom(row: InternalRow, i: Int): Unit
+    def render: Option[Option[(String, String)]]
+  }
+
+  /** NUMERIC accumulator. Integrals accumulate as Long (exact),
+    * floatings as Double; a NaN/±Inf poisons the column for the file
+    * (no stats emitted — non-finite values have no usable ordering for
+    * range skipping).
     *
     * Rendering precision matters for CORRECTNESS, not cosmetics: the
     * skip side compares these strings as BigDecimals against the
@@ -710,8 +902,9 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     * float column's bounds are rendered back at float precision
     * (widening is exact; `.toFloat` restores the original bits).
     */
-  private final class NumStat(val floating: Boolean,
-                              val isFloat: Boolean = false) {
+  private final class NumStat(dt: DataType) extends ColAcc {
+    private val floating = dt == DoubleType || dt == FloatType
+    private val isFloat = dt == FloatType
     var any = false; var poisoned = false
     var minL = Long.MaxValue; var maxL = Long.MinValue
     var minD = Double.PositiveInfinity; var maxD = Double.NegativeInfinity
@@ -721,8 +914,16 @@ private class PartitionedSinkWriter(path: String, partCol: String,
       if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
         poisoned = true
       else { any = true; if (v < minD) minD = v; if (v > maxD) maxD = v }
-    /** None = no stats (poisoned); Some(None) = all values NULL. */
-    def render: Option[Option[(String, String)]] =
+    override def addFrom(row: InternalRow, i: Int): Unit = dt match {
+      case LongType    => addL(row.getLong(i))
+      case IntegerType => addL(row.getInt(i).toLong)
+      case ShortType   => addL(row.getShort(i).toLong)
+      case ByteType    => addL(row.getByte(i).toLong)
+      case DoubleType  => addD(row.getDouble(i))
+      case FloatType   => addD(row.getFloat(i).toDouble)
+      case _           => ()
+    }
+    override def render: Option[Option[(String, String)]] =
       if (poisoned) None
       else if (!any) Some(None)
       else Some(Some(
@@ -731,26 +932,59 @@ private class PartitionedSinkWriter(path: String, partCol: String,
         else (minL.toString, maxL.toString)))
   }
 
-  /** Aligned with dataFields; null for non-numeric (no stats). */
-  private def newStats(): Array[NumStat] = dataFields.map { case (fld, _) =>
+  /** STRING accumulator: truncated prefix bounds ([[SinkStrBounds]]).
+    * Tracks ONLY the 16-code-point prefixes (a document-sized value
+    * never parks megabytes in writer state — prefix truncation is
+    * monotone under binary order, so min/max of prefixes ARE the
+    * prefixes of min/max), plus whether the current max holder was
+    * cut (the increment decision). A prefix containing a lone
+    * surrogate poisons the column for the file.
+    */
+  private final class StrStat extends ColAcc {
+    var any = false; var poisoned = false
+    private var minT: String = _
+    private var maxT: String = _
+    private var maxCut = false
+    override def addFrom(row: InternalRow, i: Int): Unit =
+      if (!poisoned) SinkStrBounds.truncate(row.getUTF8String(i).toString) match {
+        case None => poisoned = true
+        case Some((t, cut)) =>
+          if (!any) { any = true; minT = t; maxT = t; maxCut = cut }
+          else {
+            if (SinkStrBounds.cmp(t, minT) < 0) minT = t
+            val c = SinkStrBounds.cmp(t, maxT)
+            if (c > 0) { maxT = t; maxCut = cut }
+            // a prefix TIE with a cut value: the longer value is the
+            // real max — the bound must increment
+            else if (c == 0 && cut) maxCut = true
+          }
+      }
+    override def render: Option[Option[(String, String)]] =
+      if (poisoned) None
+      else if (!any) Some(None)
+      else SinkStrBounds.upperBound(maxT, maxCut).map(up => Some((minT, up)))
+  }
+
+  /** Aligned with dataFields; null for unsupported types (no stats). */
+  private def newStats(): Array[ColAcc] = dataFields.map { case (fld, _) =>
     fld.dataType match {
-      case LongType | IntegerType | ShortType | ByteType => new NumStat(false)
-      case DoubleType => new NumStat(true)
-      case FloatType  => new NumStat(true, isFloat = true)
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType => new NumStat(fld.dataType)
+      case StringType => new StrStat
       case _ => null
     }
   }
 
   private final class OpenOut(val w: java.io.BufferedWriter, val p: Path,
                               var rows: Long,
-                              val stats: Array[NumStat])
+                              val stats: Array[ColAcc])
 
-  private val open = scala.collection.mutable.Map[String, OpenOut]()
+  private val open = scala.collection.mutable.Map[Seq[String], OpenOut]()
 
   /** Data-cell rendering: strings go through the TsvCodec escape so
     * delimiter bytes / the NULL token / the empty string round-trip;
-    * the PARTITION value is read with [[rawStr]] instead (the manifest
-    * carries it raw; paths escape it at construction).
+    * the PARTITION values are read with [[rawStr]] instead (the
+    * manifest carries them raw; paths escape them at construction).
     */
   private def fieldStr(row: InternalRow, i: Int, dt: DataType): String = {
     if (row.isNullAt(i)) PartitionedSink.NullToken
@@ -768,18 +1002,21 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     }
   }
 
-  /** Raw (unescaped) rendering for the partition value. */
+  /** Raw (unescaped) rendering for a partition value. */
   private def rawStr(row: InternalRow, i: Int, dt: DataType): String = dt match {
     case StringType => row.getUTF8String(i).toString
     case other      => fieldStr(row, i, other)
   }
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(partIdx), s"NULL partition value in $partCol")
-    val pv = rawStr(row, partIdx, schema.fields(partIdx).dataType)
-    val o = open.getOrElseUpdate(pv, {
+    val pvs: Seq[String] = partIdxs.toSeq.map { i =>
+      require(!row.isNullAt(i),
+        s"NULL partition value in ${schema.fields(i).name}")
+      rawStr(row, i, schema.fields(i).dataType)
+    }
+    val o = open.getOrElseUpdate(pvs, {
       val f = new Path(path,
-        s"_staging/$stagingSub/part-$partitionId-$taskId-${TsvCodec.escapeDir(pv)}.tsv")
+        s"_staging/$stagingSub/part-$partitionId-$taskId-${SinkLayout.valueTag(pvs)}.tsv")
       fs.mkdirs(f.getParent)
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
@@ -793,29 +1030,21 @@ private class PartitionedSinkWriter(path: String, partCol: String,
     while (j < dataFields.length) {
       val st = o.stats(j)
       if (st != null) {
-        val (fld, i) = dataFields(j)
-        if (!row.isNullAt(i)) fld.dataType match {
-          case LongType    => st.addL(row.getLong(i))
-          case IntegerType => st.addL(row.getInt(i).toLong)
-          case ShortType   => st.addL(row.getShort(i).toLong)
-          case ByteType    => st.addL(row.getByte(i).toLong)
-          case DoubleType  => st.addD(row.getDouble(i))
-          case FloatType   => st.addD(row.getFloat(i).toDouble)
-          case _           => ()
-        }
+        val i = dataFields(j)._2
+        if (!row.isNullAt(i)) st.addFrom(row, i)
       }
       j += 1
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = open.map { case (pv, o) =>
+    val files = open.map { case (pvs, o) =>
       o.w.close()
       val colStats = dataFields.zip(o.stats).flatMap { case ((fld, _), st) =>
         if (st == null) None
         else st.render.map(mm => SinkColStat(fld.name, mm))
       }.toSeq
-      StagedFile(pv, o.p.toString, o.rows, partitionId, colStats)
+      StagedFile(pvs, o.p.toString, o.rows, partitionId, colStats)
     }.toSeq
     open.clear()
     SinkCommitMessage(files)
@@ -839,7 +1068,7 @@ private class PartitionedSinkWriter(path: String, partCol: String,
   * same stage-then-publish protocol. Two mechanisms compose:
   *
   *   - DETERMINISTIC TARGET NAMES: epoch e's files publish as
-  *     `part-e<e>-p<partitionId>-<value>.tsv` — a REPLAYED epoch (the
+  *     `part-e<e>-p<partitionId>-<tuple>.tsv` — a REPLAYED epoch (the
   *     checkpoint committed the sink write but crashed before the
   *     offset commit, so Spark re-runs the batch) overwrites its own
   *     files instead of appending duplicates. This holds because a
@@ -855,7 +1084,7 @@ private class PartitionedSinkWriter(path: String, partCol: String,
   * Dynamic = per-partition replace (the update-mode rendition for a
   * partition-grained sink).
   */
-private class PartitionedSinkStreamingWrite(path: String, partCol: String,
+private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
                                             schema: StructType, queryId: String,
                                             mode: SinkMode,
                                             versioned: Boolean = false)
@@ -866,7 +1095,7 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new PartitionedSinkStreamingWriterFactory(path, partCol, schema, queryId,
+    new PartitionedSinkStreamingWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf())
 
   override def commit(epochId: Long,
@@ -874,8 +1103,9 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
     val fs = SinkCommit.fsFor(path)
     val files = messages.collect { case m: SinkCommitMessage => m.files }.flatten
     if (!fs.exists(marker(epochId))) {
-      SinkCommit.publish(fs, path, partCol, mode, files.toSeq,
-        f => s"part-e$epochId-p${f.partitionId}-${TsvCodec.escapeDir(f.partValue)}.tsv",
+      SinkCommit.publish(fs, path, partCols, mode, files.toSeq,
+        f => s"part-e$epochId-p${f.partitionId}-" +
+          s"${SinkLayout.valueTag(f.partValues)}.tsv",
         statsToken = s"e$epochId", versioned = versioned)
       fs.mkdirs(marker(epochId).getParent)
       fs.create(marker(epochId), true).close()
@@ -893,11 +1123,11 @@ private class PartitionedSinkStreamingWrite(path: String, partCol: String,
 }
 
 private class PartitionedSinkStreamingWriterFactory(
-    path: String, partCol: String, schema: StructType, queryId: String,
+    path: String, partCols: Seq[String], schema: StructType, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new PartitionedSinkWriter(path, partCol, schema,
+    new PartitionedSinkWriter(path, partCols, schema,
       s"$queryId/epoch-$epochId", partitionId, taskId, conf)
 }

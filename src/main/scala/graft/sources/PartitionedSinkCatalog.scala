@@ -88,10 +88,13 @@ class PartitionedSinkCatalog extends TableCatalog {
     val in = fs.open(meta)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // sidecar layout: first line = partition column, rest = schema JSON
-    val (partCol, schemaJson) = json.splitAt(json.indexOf('\n'))
+    // sidecar layout: first line = partition columns (tab-separated;
+    // a pre-multi-level sidecar is the single-column special case),
+    // rest = schema JSON
+    val (partLine, schemaJson) = json.splitAt(json.indexOf('\n'))
+    val partCols = partLine.split("\t").toSeq
     val schema = DataType.fromJson(schemaJson.trim).asInstanceOf[StructType]
-    new PartitionedSinkTable(tableDir(ident).toString, partCol, schema,
+    new PartitionedSinkTable(tableDir(ident).toString, partCols, schema,
       versioned)
   }
 
@@ -112,22 +115,30 @@ class PartitionedSinkCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"version $v of $ident does not exist (expired by vacuum, or " +
           "never published — is the catalog versioned?)")
-    new PartitionedSinkTable(tableDir(ident).toString, base.partCol,
+    new PartitionedSinkTable(tableDir(ident).toString, base.partCols,
       base.schema(), versioned, asOfVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val partCol = partitions.toSeq match {
-      case Seq(t) if t.name == "identity" && t.references().length == 1 =>
+    // one or more identity transforms, in DECLARED order — the order IS
+    // the directory nesting (`partitionedBy(year, month, day)` lays out
+    // year=.../month=.../day=..., the reference lake's own 3-level
+    // shape, extract_flights.py:96-99)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames.mkString(".")
       case other => throw new UnsupportedOperationException(
-        s"PartitionedSinkCatalog tables take exactly one identity " +
-          s"partition transform, got [${other.mkString(", ")}]")
+        s"PartitionedSinkCatalog tables take identity partition " +
+          s"transforms only, got $other")
     }
-    require(schema.fieldNames.contains(partCol),
-      s"partition column $partCol not in schema ${schema.sql}")
+    require(partCols.nonEmpty,
+      "PartitionedSinkCatalog tables need at least one partition column")
+    require(partCols.distinct.length == partCols.length,
+      s"duplicate partition column in [${partCols.mkString(", ")}]")
+    partCols.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column $pc not in schema ${schema.sql}"))
     if (fs.exists(metaFile(ident))) throw new TableAlreadyExistsException(ident)
     // atomic publish of the sidecar: concurrent CREATEs race on the
     // rename, not on a half-written file
@@ -135,13 +146,14 @@ class PartitionedSinkCatalog extends TableCatalog {
     fs.mkdirs(dir)
     val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
     val out = fs.create(staged, true)
-    try out.write((partCol + "\n" + schema.json).getBytes("UTF-8"))
+    try out.write((partCols.mkString("\t") + "\n" + schema.json)
+      .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(staged, metaFile(ident))) {
       fs.delete(staged, false)
       throw new TableAlreadyExistsException(ident)
     }
-    new PartitionedSinkTable(dir.toString, partCol, schema, versioned)
+    new PartitionedSinkTable(dir.toString, partCols, schema, versioned)
   }
 
   /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
@@ -177,12 +189,13 @@ class PartitionedSinkCatalog extends TableCatalog {
     val dir = tableDir(ident)
     val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
     val out = fs.create(staged, true)
-    try out.write((current.partCol + "\n" + newSchema.json).getBytes("UTF-8"))
+    try out.write((current.partCols.mkString("\t") + "\n" + newSchema.json)
+      .getBytes("UTF-8"))
     finally out.close()
     fs.delete(metaFile(ident), false)
     if (!fs.rename(staged, metaFile(ident)))
       throw new IllegalStateException(s"sidecar update failed for $ident")
-    new PartitionedSinkTable(dir.toString, current.partCol, newSchema,
+    new PartitionedSinkTable(dir.toString, current.partCols, newSchema,
       versioned)
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read._
@@ -12,26 +12,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * cat.t` / `spark.table("cat.t")` scan the hive-style TSV layout
   * directly, with the two pushdowns that matter for this layout shape:
   *
-  *   - PARTITION PRUNING ([[SupportsPushDownFilters]]): `partCol = v`,
-  *     `partCol IN (...)` and `IsNotNull(partCol)` are consumed at
-  *     planning time — pruned partitions contribute ZERO input splits,
-  *     which at warehouse scale is the difference between scanning a
-  *     day and scanning a decade. Data-column predicates are declined
-  *     (returned as post-scan filters) — a text layout has no
-  *     row-group statistics to prune with.
+  *   - PARTITION PRUNING ([[SupportsPushDownFilters]]): `pCol = v`,
+  *     `pCol IN (...)` and `IsNotNull(pCol)` on ANY of the partition
+  *     columns are consumed at planning time — pruned subtrees
+  *     contribute ZERO input splits, and a predicate on any SUBSET of
+  *     a multi-level layout's columns prunes at its own level (a
+  *     `month = 3` filter on a year/month/day table skips eleven
+  *     twelfths of every year without touching the day listings).
+  *     Data-column predicates are declined (returned as post-scan
+  *     filters) — a text layout has no row-group statistics to prune
+  *     with.
   *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the
   *     reader still splits every line (a TSV row must be walked to be
   *     skipped) but only DECODES and materializes requested fields;
-  *     the partition column costs nothing (it comes from the dir
-  *     name, one constant per split).
+  *     partition columns cost nothing (they come from the dir names,
+  *     one constant tuple per split).
   *
   * One [[InputPartition]] per data FILE — the natural split grain of
-  * the layout (files are per-(task, partition-value) from the write
+  * the layout (files are per-(task, partition-tuple) from the write
   * side, so sizes track write parallelism). Executors get the session
   * Hadoop conf the same way the writer does.
   */
 private[sources] class PartitionedSinkScanBuilder(
-    path: String, partCol: String, fullSchema: StructType,
+    path: String, partCols: Seq[String], fullSchema: StructType,
     asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -45,9 +48,10 @@ private[sources] class PartitionedSinkScanBuilder(
     // never matches a partition dir and its rendering is undefined —
     // decline pushdown and leave such filters entirely to Spark
     val pushable = filters.filter {
-      case EqualTo(c, v) => c == partCol && v != null
-      case In(c, vs) => c == partCol && vs != null && !vs.contains(null)
-      case IsNotNull(c) => c == partCol // partition values are never null
+      case EqualTo(c, v) => partCols.contains(c) && v != null
+      case In(c, vs) =>
+        partCols.contains(c) && vs != null && !vs.contains(null)
+      case IsNotNull(c) => partCols.contains(c) // never null by contract
       case _ => false
     }
     partitionFilters = pushable
@@ -57,12 +61,13 @@ private[sources] class PartitionedSinkScanBuilder(
     // contributes zero splits — the row-group pruning a Parquet lake
     // gets from footers, recovered for the text layout
     skipFilters = filters.filter {
-      case GreaterThan(c, _) => c != partCol
-      case GreaterThanOrEqual(c, _) => c != partCol
-      case LessThan(c, _) => c != partCol
-      case LessThanOrEqual(c, _) => c != partCol
-      case EqualTo(c, v) => c != partCol && v != null
-      case In(c, vs) => c != partCol && vs != null && !vs.contains(null)
+      case GreaterThan(c, _) => !partCols.contains(c)
+      case GreaterThanOrEqual(c, _) => !partCols.contains(c)
+      case LessThan(c, _) => !partCols.contains(c)
+      case LessThanOrEqual(c, _) => !partCols.contains(c)
+      case EqualTo(c, v) => !partCols.contains(c) && v != null
+      case In(c, vs) =>
+        !partCols.contains(c) && vs != null && !vs.contains(null)
       case _ => false
     }
     // ALL filters stay residual: pruning only SKIPS dirs/files whose
@@ -81,12 +86,12 @@ private[sources] class PartitionedSinkScanBuilder(
       fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new PartitionedSinkScan(path, partCol, fullSchema, required,
+    new PartitionedSinkScan(path, partCols, fullSchema, required,
       partitionFilters, skipFilters, asOfVersion)
 }
 
 private class PartitionedSinkScan(
-    path: String, partCol: String, fullSchema: StructType,
+    path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
     skipFilters: Array[Filter] = Array.empty,
     asOfVersion: Option[Long] = None)
@@ -103,57 +108,83 @@ private class PartitionedSinkScan(
       partitionFilters.mkString("[", ", ", "]") +
       " FileSkipFilters: " + skipFilters.mkString("[", ", ", "]")
 
-  private def keepValue(v: String): Boolean = partitionFilters.forall {
-    case EqualTo(_, want) => v == want.toString
-    case In(_, vs) => vs.exists(w => v == w.toString)
-    case IsNotNull(_) => true
-    case _ => true
-  }
+  /** Do the pushed filters accept value `v` for partition column
+    * `colName`? Filters on OTHER partition columns don't constrain it.
+    */
+  private def keepAt(colName: String, v: String): Boolean =
+    partitionFilters.forall {
+      case EqualTo(c, want) => c != colName || v == want.toString
+      case In(c, vs) => c != colName || vs.exists(w => v == w.toString)
+      case _ => true
+    }
 
-  /** (value, file, recorded rows) for every partition SURVIVING the
+  private def keepTuple(values: Seq[String]): Boolean =
+    partCols.zip(values).forall { case (c, v) => keepAt(c, v) }
+
+  /** (tuple, file, recorded rows) for every partition SURVIVING the
     * pushed filters — shared by split planning and statistics, so both
-    * see the same pruned view. Membership comes from the directory
-    * listing, or — on a VERSIONED table — from the snapshot manifest
-    * (the requested `VERSION AS OF`, else the latest), which is what
-    * makes logically retired files invisible without physical deletes.
+    * see the same pruned view. Membership comes from the pruned
+    * recursive directory walk, or — on a VERSIONED table — from the
+    * snapshot manifest (the requested `VERSION AS OF`, else the
+    * latest), which is what makes logically retired files invisible
+    * without physical deletes.
     */
   private lazy val prunedFilesWithStats
-      : Seq[(String, org.apache.hadoop.fs.FileStatus, Option[Long])] = {
+      : Seq[(Seq[String], FileStatus, Option[Long])] = {
     val fs = FileSystem.get(new java.net.URI(path),
       SparkSession.active.sessionState.newHadoopConf())
     val root = new Path(path)
     if (!fs.exists(root)) Seq.empty
     else {
-      val version = asOfVersion.orElse(
-        if (SinkVersions.isVersioned(fs, path))
-          SinkVersions.latest(fs, path)
-        else None)
-      // (value, data file) after partition pruning, before file skipping
-      val candidates: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
-        version match {
-          case Some(v) =>
-            SinkVersions.read(fs, path, v)
-              .filter { case (_, value) => keepValue(value) }
-              .map { case (rel, value) =>
-                val p = new Path(path, rel)
-                if (!fs.exists(p)) throw new IllegalStateException(
-                  s"version $v of $path references $rel, which no longer " +
-                    "exists — vacuumed beyond retention?")
-                value -> fs.getFileStatus(p)
+      // resolve one manifest's entries to FileStatuses. For an EXPLICIT
+      // `VERSION AS OF` a missing file is a hard error (the user asked
+      // for a specific snapshot; serving part of it would be a silent
+      // wrong answer). For a LATEST read, a missing file means a
+      // vacuum/publish raced this scan's planning — None signals the
+      // caller to re-resolve the newest manifest and retry, rather
+      // than turning a benign race into a query failure.
+      def resolve(v: Long, strict: Boolean)
+          : Option[Seq[(Seq[String], FileStatus)]] = {
+        val entries = SinkVersions.read(fs, path, v)
+          .filter { case (_, values) => keepTuple(values) }
+        val resolved = entries.map { case (rel, values) =>
+          val p = new Path(path, rel)
+          if (fs.exists(p)) Some(values -> fs.getFileStatus(p))
+          else if (strict) throw new IllegalStateException(
+            s"version $v of $path references $rel, which no longer " +
+              "exists — vacuumed beyond retention?")
+          else None
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.flatten)
+        else None
+      }
+      // (tuple, data file) after partition pruning, before file skipping
+      val candidates: Seq[(Seq[String], FileStatus)] =
+        asOfVersion match {
+          case Some(v) => resolve(v, strict = true).get
+          case None if SinkVersions.isVersioned(fs, path) =>
+            SinkVersions.latest(fs, path) match {
+              case None => Seq.empty
+              case Some(v1) => resolve(v1, strict = false).getOrElse {
+                // raced a vacuum/publish: one retry against whatever is
+                // newest NOW; files still missing then are tolerated
+                // (replaced since) — a latest read serves latest state
+                SinkVersions.latest(fs, path).toSeq.flatMap { v2 =>
+                  SinkVersions.read(fs, path, v2)
+                    .filter { case (_, values) => keepTuple(values) }
+                    .flatMap { case (rel, values) =>
+                      val p = new Path(path, rel)
+                      if (fs.exists(p)) Some(values -> fs.getFileStatus(p))
+                      else None
+                    }
+                }
               }
+            }
           case None =>
-            fs.listStatus(root).toSeq
-              .filter(s => s.isDirectory &&
-                s.getPath.getName.startsWith(partCol + "="))
-              .map(s => TsvCodec.unescapeDir(
-                s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
-              .filter { case (v, _) => keepValue(v) } // partition pruning
-              .flatMap { case (v, dir) =>
-                fs.listStatus(dir)
-                  .filter(f => f.isFile &&
-                    !f.getPath.getName.startsWith(".") &&
-                    !f.getPath.getName.startsWith("_")) // no markers
-                  .map(v -> _)
+            SinkLayout.listLeaves(fs, root, partCols,
+              (level, v) => keepAt(partCols(level), v)) // partition pruning
+              .flatMap { case (values, leaf) =>
+                SinkLayout.dataFiles(fs, leaf).map(values -> _)
               }
         }
       // per-dir stats manifests (driver-side, small — one per publish
@@ -164,19 +195,21 @@ private class PartitionedSinkScan(
       candidates.groupBy(_._2.getPath.getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(fs, dir)
-          inDir.flatMap { case (v, f) =>
+          inDir.flatMap { case (values, f) =>
             val st = stats.get(f.getPath.getName)
             val keep = st.forall(s =>
               skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols)))
-            if (keep) Some((v, f, st.flatMap(_.rows))) else None
+            if (keep) Some((values, f, st.flatMap(_.rows))) else None
           }
         }
     }
   }
 
-  private lazy val prunedFiles
-      : Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+  private lazy val prunedFiles: Seq[(Seq[String], FileStatus)] =
     prunedFilesWithStats.map(t => (t._1, t._2))
+
+  private lazy val keyTypes: Seq[DataType] =
+    partCols.map(c => fullSchema(c).dataType)
 
   /** Byte-range split carving: a scan that cannot split a 10 GB file
     * is one task at 100 TB. The TSV codec escapes \n and \r inside
@@ -188,18 +221,14 @@ private class PartitionedSinkScan(
     * partial) line. Files at or under the threshold stay whole.
     */
   private lazy val inputSplits: Array[InputPartition] = {
-    val sess = SparkSession.active
-    val maxSplit = sess.conf.getOption("spark.graft.sink.maxSplitBytes")
-      .map(_.toLong)
-      .getOrElse(sess.sessionState.conf.filesMaxPartitionBytes)
-      .max(1L)
-    prunedFiles.flatMap { case (v, f) =>
+    val maxSplit = SinkSplitConf.maxSplitBytes(SparkSession.active)
+    prunedFiles.flatMap { case (values, f) =>
       val len = f.getLen
       if (len <= maxSplit)
-        Seq(SinkFileSplit(f.getPath.toString, v,
-          fullSchema(partCol).dataType): InputPartition)
+        Seq(SinkFileSplit(f.getPath.toString, values, keyTypes)
+          : InputPartition)
       else (0L until len by maxSplit).map(s =>
-        SinkFileSplit(f.getPath.toString, v, fullSchema(partCol).dataType,
+        SinkFileSplit(f.getPath.toString, values, keyTypes,
           s, math.min(maxSplit, len - s)): InputPartition)
     }.toArray
   }
@@ -208,7 +237,7 @@ private class PartitionedSinkScan(
 
   private lazy val carved: Boolean = inputSplits.length > prunedFiles.size
 
-  /** POST-PRUNING statistics: `partCol = v` reports only v's bytes,
+  /** POST-PRUNING statistics: `pCol = v` reports only v's bytes,
     * so a query over one partition of a huge table is
     * auto-broadcastable even though the whole table is not — exactly
     * the estimate Catalyst's join planning consumes
@@ -232,18 +261,19 @@ private class PartitionedSinkScan(
     }
 
   /** STORAGE-PARTITIONED execution: the layout IS hash-free clustered
-    * on the partition column, and saying so (KeyGroupedPartitioning +
+    * on the partition tuple, and saying so (KeyGroupedPartitioning +
     * per-split [[SinkFileSplit.partitionKey]]) lets Catalyst satisfy a
-    * ClusteredDistribution(partCol) straight from the files — a
-    * `GROUP BY partCol` or a storage-partitioned join on it plans ZERO
-    * exchanges (requires `spark.sql.sources.v2.bucketing.enabled`,
-    * on in GraftSession). At warehouse scale that removes the shuffle
-    * from exactly the queries a partitioned table exists to serve.
+    * ClusteredDistribution over the partition columns straight from
+    * the files — a `GROUP BY p1, p2` or a storage-partitioned join on
+    * the tuple plans ZERO exchanges (requires
+    * `spark.sql.sources.v2.bucketing.enabled`, on in GraftSession). At
+    * warehouse scale that removes the shuffle from exactly the queries
+    * a partitioned table exists to serve.
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    // key-grouped execution collapses each VALUE's splits into one
-    // task — exactly right when a value is a handful of files (zero-
+    // key-grouped execution collapses each TUPLE's splits into one
+    // task — exactly right when a tuple is a handful of files (zero-
     // exchange GROUP BY / joins), exactly wrong once a file was carved
     // into byte ranges for parallelism: grouping would re-serialize
     // the ranges. Report the clustering only when nothing was carved.
@@ -252,18 +282,39 @@ private class PartitionedSinkScan(
         inputSplits.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .identity(partCol)),
+        partCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
         prunedFiles.map(_._1).distinct.size)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionedSinkReaderFactory(fullSchema, required, partCol,
+    new PartitionedSinkReaderFactory(fullSchema, required, partCols,
       PartitionedSinkWriterFactory.sessionConf())
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PartitionedSinkMicroBatchStream(path, partCol, fullSchema, required,
-      partitionFilters, keepValue, checkpointLocation, skipFilters)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // mirror the write-side guard in PartitionedSinkTable: a streaming
+    // read of a pinned snapshot would otherwise silently tail LATEST
+    require(asOfVersion.isEmpty,
+      "cannot stream-read a time-travel (VERSION AS OF) table reference")
+    new PartitionedSinkMicroBatchStream(path, partCols, fullSchema, required,
+      partitionFilters, keepTuple, checkpointLocation, skipFilters)
+  }
+}
+
+/** Split-size knob shared by the batch scan and the streaming tail. */
+private object SinkSplitConf {
+  def maxSplitBytes(sess: SparkSession): Long = {
+    val v = sess.conf.getOption("spark.graft.sink.maxSplitBytes")
+      .map(_.toLong)
+      .getOrElse(sess.sessionState.conf.filesMaxPartitionBytes)
+    // reject instead of clamp: a non-positive threshold would carve one
+    // InputPartition per byte — task-count and driver-memory blowup on
+    // any real file; mirrors Spark's validation of filesMaxPartitionBytes
+    require(v > 0,
+      s"spark.graft.sink.maxSplitBytes must be positive, got $v")
+    v
+  }
 }
 
 /** Streaming READ of a sink table — `spark.readStream.table("cat.t")`
@@ -279,14 +330,18 @@ private class PartitionedSinkScan(
   * log entries s+1..e — deterministic under replay: the same offsets
   * always read the same immutable logs, across restarts too (the seen
   * set and max generation are rebuilt from the logs on construction).
-  * The old encoding carried the ENTIRE published-file list in every
-  * offset — O(files) checkpoint growth per trigger, the driver-side
-  * bottleneck class this repo eliminates elsewhere; a pre-r15
-  * checkpoint (array-form offset) is not readable by this encoding.
+  * The pre-r15 encoding carried the ENTIRE published-file list in
+  * every offset — O(files) checkpoint growth per trigger; a LEGACY
+  * (array-form) offset found in an old checkpoint is ABSORBED on first
+  * deserialize: its unseen files are written as the next generation
+  * (seeding the seen set), and the offset itself resolves to the raw
+  * file set, so a mixed (legacy, generation) batch plans exactly the
+  * delta — zero duplicated and zero lost files across the upgrade.
   * Append-only semantics — files removed by a dynamic overwrite after
   * being logged are skipped at planning (already-emitted rows are NOT
   * retracted; a reader of a table being rewritten wants a CDC log, not
-  * a file tail). Pushed partition filters drop pruned values' files
+  * a file tail — [[graft.ops.Compaction.tableChanges]] is that log).
+  * Pushed partition filters drop pruned values' files
   * at listing AND planning time, and pushed data-column comparisons
   * skip provably-excluded files at planning (same residual contract
   * as the batch scan) — with the honest caveat that Spark's streaming
@@ -297,15 +352,24 @@ private class PartitionedSinkScan(
   * because every filter is also evaluated post-scan.
   */
 private class PartitionedSinkMicroBatchStream(
-    path: String, partCol: String, fullSchema: StructType,
+    path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
-    keepValue: String => Boolean, checkpointLocation: String,
+    keepTuple: Seq[String] => Boolean, checkpointLocation: String,
     skipFilters: Array[Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private case class GenOffset(gen: Long) extends Offset {
     override def json(): String = s"""{"gen":$gen}"""
+  }
+
+  /** A pre-r15 (file-list) offset recovered from an old checkpoint.
+    * Carries the raw file set for exact delta planning; re-serializes
+    * verbatim (it only ever flows back into logs that already hold it).
+    */
+  private case class LegacyFilesOffset(files: Seq[String], raw: String)
+      extends Offset {
+    override def json(): String = raw
   }
 
   private def fs: FileSystem = FileSystem.get(new java.net.URI(path),
@@ -331,34 +395,34 @@ private class PartitionedSinkMicroBatchStream(
     (seen, new java.util.concurrent.atomic.AtomicLong(maxGen))
   }
 
-  private def readLog(f: FileSystem, p: Path): Seq[(String, String)] = {
+  private def readLog(f: FileSystem, p: Path): Seq[(String, Seq[String])] = {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
-      line.split("\t", -1) match {
-        case Array(file, v) =>
-          Some((TsvCodec.unescape(UTF8String.fromString(file)).toString,
-            TsvCodec.unescape(UTF8String.fromString(v)).toString))
-        case _ => None
-      }
+      val fields = line.split("\t", -1)
+      if (fields.length < 2) None
+      else Some((
+        TsvCodec.unescape(UTF8String.fromString(fields.head)).toString,
+        fields.tail.toSeq.map(s =>
+          TsvCodec.unescape(UTF8String.fromString(s)).toString)))
     }
   }
 
   private def writeLog(f: FileSystem, gen: Long,
-                       files: Seq[(String, String)]): Unit = {
+                       files: Seq[(String, Seq[String])]): Unit = {
     f.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-$gen-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(files.map { case (file, v) =>
-      s"${TsvCodec.escape(file)}\t${TsvCodec.escape(v)}"
+    try out.write(files.map { case (file, values) =>
+      (TsvCodec.escape(file) +: values.map(TsvCodec.escape)).mkString("\t")
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(logDir, gen.toString)))
       throw new java.io.IOException(s"file-log commit failed for gen $gen")
   }
 
-  private def listFiles(): Seq[(String, String)] = {
+  private def listFiles(): Seq[(String, Seq[String])] = {
     val f = fs
     val root = new Path(path)
     if (!f.exists(root)) Seq.empty
@@ -367,19 +431,13 @@ private class PartitionedSinkMicroBatchStream(
     else if (SinkVersions.isVersioned(f, path))
       SinkVersions.latest(f, path).toSeq
         .flatMap(SinkVersions.read(f, path, _))
-        .filter { case (_, v) => keepValue(v) }
-        .map { case (rel, v) => new Path(path, rel).toString -> v }
+        .filter { case (_, values) => keepTuple(values) }
+        .map { case (rel, values) => new Path(path, rel).toString -> values }
         .sortBy(_._1)
-    else f.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-      .map(s => TsvCodec.unescapeDir(
-        s.getPath.getName.stripPrefix(partCol + "=")) -> s.getPath)
-      .filter { case (v, _) => keepValue(v) }
-      .flatMap { case (v, dir) =>
-        f.listStatus(dir)
-          .filter(fl => fl.isFile && !fl.getPath.getName.startsWith(".") &&
-            !fl.getPath.getName.startsWith("_"))
-          .map(fl => fl.getPath.toString -> v)
+    else SinkLayout.listLeaves(f, root, partCols)
+      .filter { case (values, _) => keepTuple(values) }
+      .flatMap { case (values, leaf) =>
+        SinkLayout.dataFiles(f, leaf).map(_.getPath.toString -> values)
       }
       .sortBy(_._1)
   }
@@ -397,35 +455,114 @@ private class PartitionedSinkMicroBatchStream(
     GenOffset(maxGen.get())
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val m = """\{\s*"gen"\s*:\s*(\d+)\s*\}""".r
-    json.trim match {
-      case m(g) => GenOffset(g.toLong)
-      case _ => throw new IllegalStateException(
-        s"unreadable sink-stream offset '$json' — pre-r15 (file-list) " +
-          "checkpoints are not supported by the generation-log encoding; " +
-          "restart the query with a fresh checkpoint")
+  /** Recover the partition tuple of a legacy-offset file from its
+    * path: the last `partCols.length` directory names are the
+    * hive-escaped `col=value` segments.
+    */
+  private def valuesFromPath(file: String): Seq[String] = {
+    var p = new Path(file).getParent
+    var segs = List.empty[String]
+    var k = partCols.length
+    while (k > 0 && p != null) {
+      segs = p.getName :: segs
+      p = p.getParent
+      k -= 1
+    }
+    partCols.zip(segs).map { case (c, seg) =>
+      TsvCodec.unescapeDir(seg.stripPrefix(c + "="))
     }
   }
 
-  override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] = {
-    val s = start.asInstanceOf[GenOffset].gen
-    val e = end.asInstanceOf[GenOffset].gen
-    val f = fs
-    val live = (s + 1 to e).flatMap { g =>
-      val p = new Path(logDir, g.toString)
+  /** One-time migration of a pre-r15 checkpoint: the first time a
+    * legacy array offset is seen, its not-yet-logged files are written
+    * as the next generation, so the seen set covers everything the old
+    * checkpoint had emitted and `latestOffset` never re-emits it. A
+    * second legacy offset (the replay START of an uncommitted batch —
+    * a subset of the first) finds nothing fresh and writes nothing.
+    */
+  private def absorbLegacy(files: Seq[String]): Unit = state.synchronized {
+    val (seen, maxGen) = state
+    val fresh = files.filterNot(seen)
+    if (fresh.nonEmpty) {
+      val gen = maxGen.incrementAndGet()
+      writeLog(fs, gen, fresh.map(f => f -> valuesFromPath(f)))
+      fresh.foreach(seen += _)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{\s*"gen"\s*:\s*(\d+)\s*\}""".r
+    val t = json.trim
+    t match {
+      case m(g) => GenOffset(g.toLong)
+      case _ if t.startsWith("[") =>
+        // pre-r15 encoding: a flat JSON string array of file paths
+        val items = scala.collection.mutable.ArrayBuffer[String]()
+        val sb = new StringBuilder
+        var inStr = false; var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          if (!inStr) { if (c == '"') inStr = true }
+          else c match {
+            case '\\' => sb.append(t.charAt(i + 1)); i += 1
+            case '"'  => items += sb.toString; sb.clear(); inStr = false
+            case o    => sb.append(o)
+          }
+          i += 1
+        }
+        absorbLegacy(items.toSeq)
+        LegacyFilesOffset(items.toSeq, json)
+      case _ => throw new IllegalStateException(
+        s"unreadable sink-stream offset '$json'")
+    }
+  }
+
+  /** Cumulative (file, tuple) entries through generation g. */
+  private def entriesThrough(f: FileSystem, g: Long)
+      : Seq[(String, Seq[String])] =
+    (1L to g).flatMap { gen =>
+      val p = new Path(logDir, gen.toString)
       if (!f.exists(p)) Seq.empty else readLog(f, p)
     }
-      .filter { case (file, v) => keepValue(v) && f.exists(new Path(file)) }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val f = fs
+    // (start, end] as file sets. The all-generation fast path reads
+    // only logs s+1..e; a LEGACY endpoint (one-time, post-upgrade)
+    // resolves against raw file sets so the delta is exact whatever
+    // grain the absorb landed in.
+    val live: Seq[(String, Seq[String])] = (start, end) match {
+      case (GenOffset(s), GenOffset(e)) =>
+        (s + 1 to e).flatMap { g =>
+          val p = new Path(logDir, g.toString)
+          if (!f.exists(p)) Seq.empty else readLog(f, p)
+        }
+      case _ =>
+        val startSet: Set[String] = start match {
+          case GenOffset(s) => entriesThrough(f, s).map(_._1).toSet
+          case LegacyFilesOffset(fl, _) => fl.toSet
+          case o => throw new IllegalStateException(s"unexpected offset $o")
+        }
+        val endEntries: Seq[(String, Seq[String])] = end match {
+          case GenOffset(e) => entriesThrough(f, e)
+          case LegacyFilesOffset(fl, _) =>
+            fl.map(file => file -> valuesFromPath(file))
+          case o => throw new IllegalStateException(s"unexpected offset $o")
+        }
+        endEntries.filterNot { case (file, _) => startSet(file) }
+    }
+    val present = live
+      .filter { case (file, values) =>
+        keepTuple(values) && f.exists(new Path(file)) }
     // FILE SKIPPING on the tail, same contract as the batch scan: the
     // query's data-column comparisons stay residual, so dropping a
     // provably-excluded file removes only rows the filter would
     // discard anyway — a replay without stats (vacuumed manifests)
     // reads the file and post-scan-filters to the identical output
     val kept =
-      if (skipFilters.isEmpty) live
-      else live.groupBy(t => new Path(t._1).getParent).toSeq
+      if (skipFilters.isEmpty) present
+      else present.groupBy(t => new Path(t._1).getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(f, dir)
           inDir.filter { case (file, _) =>
@@ -438,25 +575,21 @@ private class PartitionedSinkMicroBatchStream(
     // epoch file must not become one task. Deterministic under replay
     // because published files are immutable — the same file always
     // carves into the same ranges
-    val sess = SparkSession.active
-    val maxSplit = sess.conf.getOption("spark.graft.sink.maxSplitBytes")
-      .map(_.toLong)
-      .getOrElse(sess.sessionState.conf.filesMaxPartitionBytes)
-      .max(1L)
+    val keyTypes = partCols.map(c => fullSchema(c).dataType)
+    val maxSplit = SinkSplitConf.maxSplitBytes(SparkSession.active)
     kept.sortBy(_._1)
-      .flatMap { case (file, v) =>
+      .flatMap { case (file, values) =>
         val len = f.getFileStatus(new Path(file)).getLen
         if (len <= maxSplit)
-          Seq(SinkFileSplit(file, v,
-            fullSchema(partCol).dataType): InputPartition)
+          Seq(SinkFileSplit(file, values, keyTypes): InputPartition)
         else (0L until len by maxSplit).map(s =>
-          SinkFileSplit(file, v, fullSchema(partCol).dataType,
+          SinkFileSplit(file, values, keyTypes,
             s, math.min(maxSplit, len - s)): InputPartition)
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionedSinkReaderFactory(fullSchema, required, partCol,
+    new PartitionedSinkReaderFactory(fullSchema, required, partCols,
       PartitionedSinkWriterFactory.sessionConf())
 
   override def commit(end: Offset): Unit = ()
@@ -467,33 +600,35 @@ private class PartitionedSinkMicroBatchStream(
   * `length = Long.MaxValue` means "through end of file" — the reader
   * clamps to the actual file length with saturating arithmetic.
   */
-private case class SinkFileSplit(file: String, partValue: String,
-                                 keyType: DataType,
+private case class SinkFileSplit(file: String, partValues: Seq[String],
+                                 keyTypes: Seq[DataType],
                                  start: Long = 0L,
                                  length: Long = Long.MaxValue)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    InternalRow(PartitionedSinkReader.castValue(partValue, keyType))
+    InternalRow.fromSeq(partValues.zip(keyTypes).map { case (v, t) =>
+      PartitionedSinkReader.castValue(v, t) })
 }
 
 private class PartitionedSinkReaderFactory(
-    fullSchema: StructType, required: StructType, partCol: String,
+    fullSchema: StructType, required: StructType, partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(split: InputPartition): PartitionReader[InternalRow] =
     new PartitionedSinkReader(split.asInstanceOf[SinkFileSplit],
-      fullSchema, required, partCol, conf)
+      fullSchema, required, partCols, conf)
 }
 
 /** Line reader for one staged-then-published TSV file: split on tab,
   * decode only the REQUIRED ordinals (TsvCodec unescape for strings,
   * straight parses for numerics, `\N` → null), fill the partition
-  * column from the split's constant.
+  * columns from the split's constant tuple.
   */
 private class PartitionedSinkReader(
     split: SinkFileSplit, fullSchema: StructType, required: StructType,
-    partCol: String, conf: org.apache.spark.util.SerializableConfiguration)
+    partCols: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   // Path(...).toUri, not new URI(...): the file name embeds the escaped
@@ -525,13 +660,19 @@ private class PartitionedSinkReader(
   }
   private val text = new org.apache.hadoop.io.Text
 
-  // the file carries the data fields in fullSchema order MINUS partCol
+  // the file carries the data fields in fullSchema order MINUS the
+  // partition columns
   private val dataFields =
-    fullSchema.fields.filter(_.name != partCol)
-  // required ordinal -> (file column index | -1 for the partition col)
-  private val plan: Array[(Int, DataType)] = required.fields.map { f =>
-    if (f.name == partCol) (-1, f.dataType)
-    else (dataFields.indexWhere(_.name == f.name), f.dataType)
+    fullSchema.fields.filter(f => !partCols.contains(f.name))
+  // per-partition-column constants from the split's tuple
+  private val partValues: Map[String, Any] =
+    partCols.zip(split.partValues).map { case (c, v) =>
+      c -> PartitionedSinkReader.castValue(v, fullSchema(c).dataType)
+    }.toMap
+  // required ordinal -> (file column index | -1 for a partition col)
+  private val plan: Array[(Int, DataType, Any)] = required.fields.map { f =>
+    if (partCols.contains(f.name)) (-1, f.dataType, partValues(f.name))
+    else (dataFields.indexWhere(_.name == f.name), f.dataType, null)
   }
   // column pruning, for real: the walk below materializes a String for
   // REQUIRED cells only and stops at the last one — a 2-column
@@ -543,11 +684,9 @@ private class PartitionedSinkReader(
     if (plan.exists(_._1 >= 0)) plan.map(_._1).max else -1
   private val neededCell: Array[Boolean] = {
     val a = new Array[Boolean](maxNeeded + 1)
-    plan.foreach { case (i, _) => if (i >= 0) a(i) = true }
+    plan.foreach { case (i, _, _) => if (i >= 0) a(i) = true }
     a
   }
-  private val partValue: Any =
-    PartitionedSinkReader.castValue(split.partValue, fullSchema(partCol).dataType)
 
   private def cast(s: String, dt: DataType): Any =
     PartitionedSinkReader.castValue(s, dt)
@@ -581,8 +720,8 @@ private class PartitionedSinkReader(
     // read as NULL); when the walk stopped early every needed cell was
     // seen, so the count only matters when it is small
     val cellsSeen = cellIdx
-    val values = plan.map { case (idx, dt) =>
-      if (idx < 0) partValue
+    val values = plan.map { case (idx, dt, const) =>
+      if (idx < 0) const
       else if (idx >= cellsSeen) null
       else {
         val cell = cells(idx)
@@ -606,32 +745,56 @@ private class PartitionedSinkReader(
   * contain a row matching a comparison filter, given the file's
   * per-column min/max (over non-null values). Conservative in every
   * uncertain direction — missing stats, unparseable bounds, or a
-  * non-numeric literal all answer "may match" (scan the file). The one
-  * aggressive-but-sound case: a column recorded ALL-NULL can never
-  * satisfy a comparison (SQL: NULL cmp x is not true), so the file
-  * skips for any of the handled predicates. Comparison is BigDecimal
-  * (exact for every Long and for the round-tripped Double/Float
-  * renderings the writer emits — no 2^53 float-widening trap).
+  * literal of an unhandled type all answer "may match" (scan the
+  * file). The one aggressive-but-sound case: a column recorded
+  * ALL-NULL can never satisfy a comparison (SQL: NULL cmp x is not
+  * true), so the file skips for any of the handled predicates.
+  * NUMERIC comparison is BigDecimal (exact for every Long and for the
+  * round-tripped Double/Float renderings the writer emits — no 2^53
+  * float-widening trap). STRING comparison is binary UTF-8
+  * (UTF8String — the engine's own ordering; Java's UTF-16 char order
+  * disagrees above the BMP) against the truncated prefix bounds of
+  * [[SinkStrBounds]], whose widening makes every decision here sound:
+  * the recorded min ≤ true min and recorded max ≥ true max, so a
+  * proof of exclusion against the recorded range is a proof against
+  * the true one.
   */
 private[sources] object SinkFileSkip {
   private def big(s: String): Option[java.math.BigDecimal] =
     try Some(new java.math.BigDecimal(s))
     catch { case _: NumberFormatException => None }
 
+  /** compareTo results of (recorded min vs literal, recorded max vs
+    * literal), in the literal's type system; None = incomparable
+    * (scan).
+    */
+  private def rel(mnS: String, mxS: String, v: Any): Option[(Int, Int)] =
+    v match {
+      case n: java.lang.Number =>
+        (big(mnS), big(mxS), big(n.toString)) match {
+          case (Some(mn), Some(mx), Some(b)) =>
+            Some((mn.compareTo(b), mx.compareTo(b)))
+          case _ => None
+        }
+      case s: String =>
+        val b = UTF8String.fromString(s)
+        Some((UTF8String.fromString(mnS).compareTo(b),
+          UTF8String.fromString(mxS).compareTo(b)))
+      case u: UTF8String =>
+        Some((UTF8String.fromString(mnS).compareTo(u),
+          UTF8String.fromString(mxS).compareTo(u)))
+      case _ => None
+    }
+
   private def cmp(stats: Map[String, Option[(String, String)]], c: String,
-                  v: Any)(
-      sat: (java.math.BigDecimal, java.math.BigDecimal,
-            java.math.BigDecimal) => Boolean): Boolean =
+                  v: Any)(sat: (Int, Int) => Boolean): Boolean =
     stats.get(c) match {
       case None => true // no stats for the column: must scan
       case Some(None) => false // all values NULL: no comparison matches
       case Some(Some((mnS, mxS))) =>
-        (big(mnS), big(mxS), Option(v).flatMap {
-          case n: java.lang.Number => big(n.toString)
-          case _ => None
-        }) match {
-          case (Some(mn), Some(mx), Some(b)) => sat(mn, mx, b)
-          case _ => true
+        Option(v).flatMap(rel(mnS, mxS, _)) match {
+          case Some((cMn, cMx)) => sat(cMn, cMx)
+          case None => true
         }
     }
 
@@ -639,16 +802,16 @@ private[sources] object SinkFileSkip {
   def mayMatch(f: Filter,
                stats: Map[String, Option[(String, String)]]): Boolean =
     f match {
-      case GreaterThan(c, v) => cmp(stats, c, v)((_, mx, b) => mx.compareTo(b) > 0)
-      case GreaterThanOrEqual(c, v) => cmp(stats, c, v)((_, mx, b) => mx.compareTo(b) >= 0)
-      case LessThan(c, v) => cmp(stats, c, v)((mn, _, b) => mn.compareTo(b) < 0)
-      case LessThanOrEqual(c, v) => cmp(stats, c, v)((mn, _, b) => mn.compareTo(b) <= 0)
+      case GreaterThan(c, v) => cmp(stats, c, v)((_, cMx) => cMx > 0)
+      case GreaterThanOrEqual(c, v) => cmp(stats, c, v)((_, cMx) => cMx >= 0)
+      case LessThan(c, v) => cmp(stats, c, v)((cMn, _) => cMn < 0)
+      case LessThanOrEqual(c, v) => cmp(stats, c, v)((cMn, _) => cMn <= 0)
       case EqualTo(c, v) => cmp(stats, c, v)(
-        (mn, mx, b) => mn.compareTo(b) <= 0 && mx.compareTo(b) >= 0)
+        (cMn, cMx) => cMn <= 0 && cMx >= 0)
       case In(c, vs) =>
         if (vs == null) true
         else vs.exists(v => cmp(stats, c, v)(
-          (mn, mx, b) => mn.compareTo(b) <= 0 && mx.compareTo(b) >= 0))
+          (cMn, cMx) => cMn <= 0 && cMx >= 0))
       case _ => true
     }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's self-adjudication tier. The r15 driver sweep
+  * reported `status: ok / ambient_ok: true` off the pre-sweep load
+  * sample (0.85) while its own `load_per_rep` recorded 3.7–7.4
+  * mid-sweep — the artifact contradicted itself. The tier now also
+  * reads the per-rep loads (median, minus the bench's calibrated
+  * self-load); these cases replay the real artifacts' load shapes.
+  */
+class BenchStatusSpec extends AnyFunSuite {
+
+  test("a clean sweep stays ok: per-rep loads are the bench's own work") {
+    // bench_r15_builder.json: ambient 0.89 before, per-rep median 2.12
+    val loads = Seq.fill(60)(2.1) ++ Seq.fill(30)(2.2) ++ Seq.fill(10)(2.39)
+    assert(BenchStatus.tier(invalid = false, nFailed = 0, 0.89, loads) === "ok")
+    assert(BenchStatus.ambientOk(0.89, loads))
+  }
+
+  test("the r15 driver shape flips to degraded: clean start, polluted reps") {
+    // BENCH_r15.json: load_avg_before 0.85 (reads ok under the old
+    // before-only rule) but per-rep loads 3.7–7.4, median 4.63
+    val loads = Seq.fill(40)(3.7) ++ Seq.fill(60)(4.63) ++ Seq.fill(40)(7.39)
+    val tier = BenchStatus.tier(invalid = false, nFailed = 0, 0.85, loads)
+    assert(tier.startsWith("degraded: mid-sweep load"),
+      s"polluted reps behind a clean start must read degraded, got '$tier'")
+    assert(!BenchStatus.ambientOk(0.85, loads))
+  }
+
+  test("a loud pre-sweep sample still degrades on its own") {
+    val tier = BenchStatus.tier(invalid = false, nFailed = 0, 1.61,
+      Seq.fill(10)(2.0))
+    assert(tier.startsWith("degraded: ambient load"))
+  }
+
+  test("sf1's heavier self-load does not false-flag a clean run") {
+    // bench_sf1_r15.json: ambient 1.30 before, per-rep median 3.55 —
+    // the bench's own sustained work at sf1, status must stay ok
+    val loads = Seq.fill(50)(3.4) ++ Seq.fill(50)(3.55) ++ Seq.fill(20)(4.0)
+    assert(BenchStatus.tier(invalid = false, nFailed = 0, 1.30, loads) === "ok")
+  }
+
+  test("INVALID and FAILED outrank the ambient tiers; empty loads are ok") {
+    assert(BenchStatus.tier(invalid = true, nFailed = 0, 0.5, Seq(9.0))
+      === "INVALID: load_avg>2")
+    assert(BenchStatus.tier(invalid = false, nFailed = 2, 0.5, Seq(9.0))
+      === "FAILED: 2 queries")
+    assert(BenchStatus.tier(invalid = false, nFailed = 0, 0.5, Seq.empty)
+      === "ok")
+  }
+}

@@ -370,7 +370,7 @@ class PartitionedSinkSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.toString)
     val compacted = graft.ops.Compaction.compactSinkTable(
       spark, "graft_cmp_spec", "t")
-    assert(compacted === Map("A" -> 3), "only A was fragmented")
+    assert(compacted === Map(Seq("A") -> 3), "only A was fragmented")
     assert(files("A").length === 1, "A's three files merge into one")
     assert(files("B").map(f => (f.getName, f.lastModified, f.length)).toSet
       === bBefore, "B (already compact) must be byte-untouched")
@@ -460,6 +460,85 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_spj_spec.r")
   }
 
+  test("multi-level partitioning: y/m/d nesting, subset pruning, leaf-grained dynamic overwrite") {
+    import spark.implicits._
+    val root = tmpDir("sink_multi")
+    spark.conf.set("spark.sql.catalog.graft_ml_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ml_spec.root", root)
+    // 2 years × 2 months × 2 days = 8 leaves, one row each
+    val rows = for (y <- Seq(2024, 2025); m <- Seq(1, 2); dd <- Seq(1, 2))
+      yield (y.toLong * 10000 + m * 100 + dd, y, m, dd)
+    rows.toDF("k", "y", "m", "dd")
+      .writeTo("graft_ml_spec.t")
+      .partitionedBy(col("y"), col("m"), col("dd")).create()
+    // the layout IS the reference lake's shape: nested hive dirs
+    // (extract_flights.py:96-99), outermost column first
+    assert(new File(s"$root/t/y=2024/m=1/dd=2").isDirectory,
+      "partitionedBy(y, m, dd) must nest directories in declared order")
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val t = spark.table("graft_ml_spec.t")
+    assert(splits(t) === 8, "unfiltered scan reads every leaf")
+    assert(t.collect().map(_.getLong(0)).toSet === rows.map(_._1).toSet)
+    // PREFIX pruning: y=2024 descends one year subtree only
+    assert(splits(t.filter(col("y") === 2024)) === 4)
+    // SUBSET pruning: a MIDDLE-column filter prunes at its own level
+    // in every year — the month=2 subtrees of both years survive,
+    // nothing else is even listed
+    assert(splits(t.filter(col("m") === 2)) === 4)
+    // full-tuple pruning: exactly one leaf
+    val one = t.filter(col("y") === 2025 && col("m") === 2 && col("dd") === 1)
+    assert(splits(one) === 1)
+    assert(one.head().getLong(0) === 20250201L)
+    // KeyGroupedPartitioning spans the FULL tuple: grouping by all
+    // three partition columns plans zero exchanges
+    val grouped = t.groupBy(col("y"), col("m"), col("dd"))
+      .agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("Exchange"),
+      "groupBy over the partition tuple must plan zero exchanges")
+    assert(grouped.collect().forall(_.getLong(3) === 1L))
+    // DYNAMIC overwrite at the LEAF grain: recompute one (y, m, dd)
+    // tuple; its 7 sibling leaves stay byte-untouched
+    def leafFiles(rel: String) =
+      Option(new File(s"$root/t/$rel").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val sibling = leafFiles("y=2025/m=2/dd=2")
+    Seq((99999999L, 2025, 2, 1)).toDF("k", "y", "m", "dd")
+      .writeTo("graft_ml_spec.t").overwritePartitions()
+    assert(leafFiles("y=2025/m=2/dd=2") === sibling,
+      "dynamic overwrite must not touch sibling leaves")
+    assert(spark.table("graft_ml_spec.t")
+      .filter(col("y") === 2025 && col("m") === 2 && col("dd") === 1)
+      .collect().map(_.getLong(0)).toSeq === Seq(99999999L),
+      "the rewritten leaf carries exactly the recomputed rows")
+    assert(spark.table("graft_ml_spec.t").count() === 8)
+    // SUBSET static overwrite: m=1 clears January of EVERY year (4
+    // leaves), replaced by the two rows this write carries — the
+    // equality conjunction needn't name every partition column
+    Seq((1L, 2024, 1, 1), (2L, 2025, 1, 1)).toDF("k", "y", "m", "dd")
+      .writeTo("graft_ml_spec.t").overwrite(col("m") === 1)
+    val after = spark.table("graft_ml_spec.t")
+    assert(after.filter(col("m") === 1).count() === 2,
+      "m=1 subset overwrite replaces all four January leaves")
+    assert(after.count() === 6)
+    assert(!new File(s"$root/t/y=2024/m=1/dd=2").exists,
+      "cleared leaves (and their emptied parents, if any) are gone")
+    // multi-col readBack round-trips through plain partition discovery
+    val rb = graft.sources.PartitionedSink.readBackParts(spark, s"$root/t",
+      StructType(Seq(StructField("k", LongType))),
+      Seq("y" -> IntegerType, "m" -> IntegerType, "dd" -> IntegerType))
+    assert(rb.collect().map(_.getLong(0)).toSet ===
+      after.collect().map(_.getLong(0)).toSet)
+    spark.sql("DROP TABLE graft_ml_spec.t")
+  }
+
   test("data-column min/max skipping: a selective range predicate opens strictly fewer files") {
     import spark.implicits._
     val root = tmpDir("sink_skip")
@@ -523,6 +602,159 @@ class PartitionedSinkSpec extends SparkSpec {
     val vq = spark.table("graft_skip_spec.t").filter(col("v") > 4.0)
     assert(vq.collect().map(_.getDouble(1)).forall(_ > 4.0))
     spark.sql("DROP TABLE graft_skip_spec.t")
+  }
+
+  test("string min/max skipping: prefix bounds prune string-banded files, binary UTF-8 order") {
+    import spark.implicits._
+    val root = tmpDir("sink_sskip")
+    spark.conf.set("spark.sql.catalog.graft_ss_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ss_spec.root", root)
+    def batch(ss: Seq[String]) = ss.zipWithIndex
+      .map { case (s, i) => (i.toLong, s, "A") }
+      .toDF("k", "s", "p").coalesce(1)
+    // three appends in DISJOINT string bands (one file each), plus an
+    // all-NULL band
+    batch(Seq("apple", "apricot", "avocado"))
+      .writeTo("graft_ss_spec.t").partitionedBy(col("p")).create()
+    batch(Seq("mango", "melon", "nectarine")).writeTo("graft_ss_spec.t").append()
+    batch(Seq("tomato", "ugli", "yuzu")).writeTo("graft_ss_spec.t").append()
+    batch(Seq(null, null)).writeTo("graft_ss_spec.t").append()
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val t = spark.table("graft_ss_spec.t")
+    assert(splits(t) === 4, "unfiltered scan reads every file")
+    // s > 'pear' can only live in the third band; the all-NULL file is
+    // provably excluded for any comparison
+    val hi = t.filter(col("s") > "pear")
+    assert(splits(hi) === 1,
+      "a string range predicate must open exactly the one file whose " +
+        "recorded prefix bounds intersect it")
+    assert(hi.collect().map(_.getString(1)).sorted.toSeq ===
+      Seq("tomato", "ugli", "yuzu"), "skipping must not change results")
+    // straddling, equality and IN prune the same way
+    assert(splits(t.filter(col("s") >= "avocado" && col("s") <= "melon")) === 2)
+    assert(splits(t.filter(col("s") === "mango")) === 1)
+    assert(splits(t.filter(col("s").isin("apple", "apricot"))) === 1)
+    spark.sql("DROP TABLE graft_ss_spec.t")
+  }
+
+  test("string bound truncation is exclusion-safe: a 16-code-point prefix never proves what it can't") {
+    import spark.implicits._
+    val root = tmpDir("sink_strunc")
+    spark.conf.set("spark.sql.catalog.graft_tr_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tr_spec.root", root)
+    // every value shares a 16-char prefix and differs beyond it: the
+    // recorded bounds are prefix-truncated, so naive (untruncated) max
+    // handling would record "prefix_16_chars_" + tail and equality
+    // probes between the true max and the incremented bound would
+    // wrongly skip. The writer must widen: min = prefix, max =
+    // prefix with last code point incremented.
+    val p16 = "prefix_16_chars_" // exactly 16 chars
+    Seq((1L, p16 + "aaa", "A"), (2L, p16 + "mmm", "A"), (3L, p16 + "zzz", "A"))
+      .toDF("k", "s", "p").coalesce(1)
+      .writeTo("graft_tr_spec.t").partitionedBy(col("p")).create()
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val t = spark.table("graft_tr_spec.t")
+    // values INSIDE the widened range but absent from the file: must
+    // SCAN (the truncated bound cannot prove their absence) and return
+    // zero rows post-filter — kept split, correct empty result
+    for (probe <- Seq(p16 + "zzzz", p16 + "zz{", p16 + "￿")) {
+      val q = t.filter(col("s") === probe)
+      assert(splits(q) === 1,
+        s"equality on '$probe' (beyond the true max, inside the " +
+          "widened bound) must keep the file — a skip here would be " +
+          "the truncation proving an exclusion it can't")
+      assert(q.count() === 0)
+    }
+    // a value BELOW the prefix min is provably absent: skip is sound
+    assert(splits(t.filter(col("s") === "prefix_15_nope")) === 0)
+    // and a value strictly past the INCREMENTED prefix bound
+    // ("prefix_16_chars`" — backtick = '_' + 1, which exceeds every
+    // value sharing the underscore prefix) is provably absent
+    assert(splits(t.filter(col("s") > "prefix_16_chars`")) === 0)
+    // exact-equality on present values still matches
+    assert(t.filter(col("s") === (p16 + "mmm")).count() === 1)
+    spark.sql("DROP TABLE graft_tr_spec.t")
+  }
+
+  test("clusterBy before a publish tightens file bounds: sorted publishes skip strictly more") {
+    import spark.implicits._
+    val root = tmpDir("sink_cluster")
+    spark.conf.set("spark.sql.catalog.graft_cl_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cl_spec.root", root)
+    val rows = scala.util.Random.shuffle((1L to 3000L).toList)
+      .map(k => (k, "A")).toDF("k", "p")
+    // UNSORTED publish: round-robin repartition smears k's range
+    // across every file — recorded bounds exclude nothing
+    rows.repartition(4)
+      .writeTo("graft_cl_spec.unsorted").partitionedBy(col("p")).create()
+    // CLUSTERED publish of identical data: each task (hence file)
+    // covers one narrow k band
+    graft.ops.Layout.clusterBy(rows, Seq(col("k")), Some(4))
+      .writeTo("graft_cl_spec.sorted").partitionedBy(col("p")).create()
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.head
+    val pred = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("k") > 2600L)
+    val un = splits(pred(spark.table("graft_cl_spec.unsorted")))
+    val so = splits(pred(spark.table("graft_cl_spec.sorted")))
+    assert(un === 4, s"unsorted files all straddle the predicate, got $un")
+    assert(so === 1,
+      s"the clustered publish must confine k > 2600 to one file, got $so")
+    assert(pred(spark.table("graft_cl_spec.sorted")).count() === 400)
+    assert(pred(spark.table("graft_cl_spec.unsorted")).count() === 400)
+    spark.sql("DROP TABLE graft_cl_spec.sorted")
+    spark.sql("DROP TABLE graft_cl_spec.unsorted")
+  }
+
+  test("tableChanges: a dynamic overwrite reads as delete+insert of exactly the rewritten partition") {
+    import spark.implicits._
+    val root = tmpDir("sink_cdc")
+    spark.conf.set("spark.sql.catalog.graft_cdc_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc_spec.root", root)
+    spark.conf.set("spark.sql.catalog.graft_cdc_spec.versioned", "true")
+    def df(rows: (Long, Double, String, String)*) =
+      rows.toSeq.toDF("k", "v", "s", "p")
+    df((1L, 1.0, "a", "A"), (2L, 2.0, "b", "B"), (3L, 3.0, "c", "B"))
+      .writeTo("graft_cdc_spec.t").partitionedBy(col("p")).create() // v1
+    df((9L, 9.0, "z", "B"))
+      .writeTo("graft_cdc_spec.t").overwritePartitions()            // v2
+    df((4L, 4.0, "d", "C")).writeTo("graft_cdc_spec.t").append()    // v3
+    val feed12 = graft.ops.Compaction
+      .tableChanges(spark, "graft_cdc_spec", "t", 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+      .toSet
+    assert(feed12 === Set((2L, "B", "delete"), (3L, "B", "delete"),
+      (9L, "B", "insert")),
+      "the overwrite's feed is delete+insert of partition B ONLY — " +
+        "untouched A must not appear")
+    // an append's feed is pure inserts
+    val feed23 = graft.ops.Compaction
+      .tableChanges(spark, "graft_cdc_spec", "t", 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+      .toSet
+    assert(feed23 === Set((4L, "C", "insert")))
+    // the full span composes: v1 → v3
+    val feed13 = graft.ops.Compaction
+      .tableChanges(spark, "graft_cdc_spec", "t", 1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(feed13 === Set((2L, "delete"), (3L, "delete"),
+      (9L, "insert"), (4L, "insert")))
+    spark.sql("DROP TABLE graft_cdc_spec.t")
   }
 
   test("byte-range splits: every threshold reads every row exactly once; carving drops key grouping") {
@@ -695,14 +927,37 @@ class PartitionedSinkSpec extends SparkSpec {
     // partition pruning composes with travel
     assert(spark.read.option("versionAsOf", "2").table("graft_tt_spec.t")
       .filter(col("p") === "A").count() === 2)
-    // vacuum to the latest only: two manifests expire, and exactly the
-    // two A-files retired by the overwrite (v1's create + v2's append)
-    // are reclaimed
-    val (manifests, dataFiles) = graft.ops.Compaction.vacuumVersions(
+    // vacuum to the latest only: two manifests expire — but the retired
+    // data files are YOUNGER than the publish-window age floor, so the
+    // first pass must leave them on disk (a publish renames data files
+    // BEFORE committing its manifest; deleting young unreferenced files
+    // would race that window and tear the incoming snapshot)
+    val (manifests, young) = graft.ops.Compaction.vacuumVersions(
       spark, "graft_tt_spec", "t", keepLast = 1)
-    assert(manifests === 2 && dataFiles === 2,
-      s"expected 2 manifests + 2 retired files reclaimed, " +
-        s"got ($manifests, $dataFiles)")
+    assert(manifests === 2 && young === 0,
+      s"expected 2 manifests expired and ZERO young files reclaimed, " +
+        s"got ($manifests, $young)")
+    // simulate the mid-publish window explicitly: a data file renamed
+    // into place whose manifest has not landed yet — it must survive
+    // every vacuum pass below
+    val inFlight = new File(s"$root/t/p=A/part-inflight-0-0-A.tsv")
+    java.nio.file.Files.write(inFlight.toPath, "7\t7.0\tw\n".getBytes("UTF-8"))
+    // age every OTHER data file past the floor: the two files retired
+    // by the overwrite (v1's create + v2's append) become reclaimable
+    val aged = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    for (p <- Seq("A", "B");
+         f <- Option(new File(s"$root/t/p=$p").listFiles()).toSeq.flatten
+         if f.isFile && !f.getName.startsWith(".") &&
+           !f.getName.startsWith("_") && f.getName != inFlight.getName)
+      assert(f.setLastModified(aged))
+    val (m2, reclaimed) = graft.ops.Compaction.vacuumVersions(
+      spark, "graft_tt_spec", "t", keepLast = 1)
+    assert(m2 === 0 && reclaimed === 2,
+      s"expected exactly the two AGED retired files reclaimed, " +
+        s"got ($m2, $reclaimed)")
+    assert(inFlight.exists(),
+      "a young unreferenced file (mid-publish window) must survive vacuum")
+    inFlight.delete()
     assert(latest() === Set((9L, "A"), (2L, "B")),
       "vacuum must not touch the retained snapshot's files")
     val e = intercept[Exception](at(1))

@@ -41,7 +41,7 @@ class SinkPublishSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("p",
         org.apache.spark.sql.types.StringType)))
     def ckpt(n: String) = Files.createTempDirectory(n).toString
-    val builder = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+    val builder = new PartitionedSinkScanBuilder(s"$root/t", Seq("p"), schema)
     val residual = builder.pushFilters(
       Array(org.apache.spark.sql.sources.GreaterThan("k", 25L)))
     assert(residual.length === 1,
@@ -53,7 +53,7 @@ class SinkPublishSpec extends AnyFunSuite {
       s"two band files must be SKIPPED at tail planning, " +
         s"got ${splits.length} splits")
     // the unfiltered tail plans all three
-    val b2 = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+    val b2 = new PartitionedSinkScanBuilder(s"$root/t", Seq("p"), schema)
     val s2 = b2.build().toMicroBatchStream(ckpt("stail_ck2"))
     assert(s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
       .length === 3)
@@ -61,7 +61,7 @@ class SinkPublishSpec extends AnyFunSuite {
     // rows exactly once across the ranges (batch-twin read compares)
     spark.conf.set("spark.graft.sink.maxSplitBytes", "16")
     try {
-      val b3 = new PartitionedSinkScanBuilder(s"$root/t", "p", schema)
+      val b3 = new PartitionedSinkScanBuilder(s"$root/t", Seq("p"), schema)
       val s3 = b3.build().toMicroBatchStream(ckpt("stail_ck3"))
       val ranges = s3.planInputPartitions(s3.initialOffset(), s3.latestOffset())
       assert(ranges.length > 3,
@@ -80,6 +80,86 @@ class SinkPublishSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_st_spec.t")
   }
 
+  test("legacy (pre-r15) array offsets absorb into the generation log: exact deltas, no duplicates, no loss") {
+    // a pre-r15 checkpoint's offsets are flat JSON arrays of every file
+    // ever emitted; the generation encoding must ABSORB one on first
+    // deserialize (unseen files become the next generation) and plan
+    // mixed legacy/generation batches as exact set deltas — an operator
+    // upgrading in place neither replays the whole table nor loses the
+    // files published between the old run's last offset and the upgrade
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("sink_legacy").toString
+    spark.conf.set("spark.sql.catalog.graft_lg_spec",
+      classOf[PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lg_spec.root", root)
+    def batch(ks: Seq[Long]) = ks.map(k => (k, "A")).toDF("k", "p").coalesce(1)
+    batch(Seq(1L)).writeTo("graft_lg_spec.t").partitionedBy(col("p")).create()
+    batch(Seq(2L)).writeTo("graft_lg_spec.t").append()
+    batch(Seq(3L)).writeTo("graft_lg_spec.t").append()
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    // the three published files in ROW order (batch file names carry a
+    // random query token, so lexicographic path order is meaningless —
+    // order by each one-row file's k value instead), rendered the way
+    // the tail renders paths
+    val files = fs.listStatus(new Path(s"$root/t/p=A"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val k = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong
+        finally in.close()
+        (k, s.getPath.toString)
+      }.sortBy(_._1).map(_._2).toSeq
+    assert(files.length === 3)
+    def legacyJson(fl: Seq[String]) =
+      fl.map(f => "\"" + f.replace("\\", "\\\\") + "\"")
+        .mkString("[", ",", "]")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    val ckpt = Files.createTempDirectory("legacy_ck").toString
+    def stream() = new PartitionedSinkScanBuilder(s"$root/t", Seq("p"), schema)
+      .build().toMicroBatchStream(ckpt)
+    val s1 = stream()
+    def rowsOf(splits: Array[org.apache.spark.sql.connector.read.InputPartition],
+               st: org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+        : Seq[Long] = {
+      val factory = st.createReaderFactory()
+      splits.toSeq.flatMap { sp =>
+        val r = factory.createReader(sp)
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (r.next()) buf += r.get().getLong(0)
+        r.close(); buf
+      }
+    }
+    // the old checkpoint committed through file 2; files absorb as gen 1
+    val start = s1.deserializeOffset(legacyJson(files.take(2)))
+    val end = s1.latestOffset()
+    val delta = s1.planInputPartitions(start, end)
+    assert(rowsOf(delta, s1).sorted === Seq(3L),
+      "the (legacy, latest) batch must emit exactly the post-upgrade file")
+    // an uncommitted legacy batch replays as a legacy/legacy pair —
+    // still an exact delta, whatever grain the absorb landed in
+    val s2 = stream()
+    val lStart = s2.deserializeOffset(legacyJson(files.take(1)))
+    val lEnd = s2.deserializeOffset(legacyJson(files.take(2)))
+    assert(rowsOf(s2.planInputPartitions(lStart, lEnd), s2).sorted === Seq(2L),
+      "a replayed legacy batch emits exactly its old delta")
+    // a RESTART on the migrated checkpoint rebuilds the seen set from
+    // the absorbed logs: nothing is re-logged, and a from-scratch read
+    // of the full range still sees every row exactly once
+    val s3 = stream()
+    val full = s3.planInputPartitions(s3.initialOffset(), s3.latestOffset())
+    assert(rowsOf(full, s3).sorted === Seq(1L, 2L, 3L),
+      "absorbed + fresh generations cover the table exactly once")
+    spark.sql("DROP TABLE graft_lg_spec.t")
+  }
+
   test("same-named staged files from two driver JVMs both survive publish") {
     val root = Files.createTempDirectory("sink_pub").toString
     val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
@@ -90,12 +170,12 @@ class SinkPublishSpec extends AnyFunSuite {
       fs.mkdirs(p.getParent)
       val out = fs.create(p, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      StagedFile("A", p.toString, 1, 0)
+      StagedFile(Seq("A"), p.toString, 1, 0)
     }
     // mirror PartitionedSinkBatchWrite.commit's naming exactly
     def publishAs(queryId: String, f: StagedFile): Unit = {
       val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
-      SinkCommit.publish(fs, root, "p", Append, Seq(f),
+      SinkCommit.publish(fs, root, Seq("p"), Append, Seq(f),
         sf => s"part-$qTok-" +
           new Path(sf.stagedPath).getName.stripPrefix("part-"),
         statsToken = queryId)
@@ -121,16 +201,16 @@ class SinkPublishSpec extends AnyFunSuite {
   test("version manifest commit is compare-and-swap: a taken version number is rejected, not replaced") {
     val root = Files.createTempDirectory("sink_cas").toString
     val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
-    assert(SinkVersions.tryWrite(fs, root, 1L, Seq(("p=A/f1.tsv", "A"))),
+    assert(SinkVersions.tryWrite(fs, root, 1L, Seq(("p=A/f1.tsv", Seq("A")))),
       "first writer claims version 1")
     // a racing publisher computed the same next version from the same
     // base — its commit must FAIL (plain FileSystem.rename on a local
     // FS would silently replace the file and lose the first snapshot)
-    assert(!SinkVersions.tryWrite(fs, root, 1L, Seq(("p=B/f2.tsv", "B"))),
+    assert(!SinkVersions.tryWrite(fs, root, 1L, Seq(("p=B/f2.tsv", Seq("B")))),
       "second writer's CAS on the taken version must lose")
-    assert(SinkVersions.read(fs, root, 1L) === Seq(("p=A/f1.tsv", "A")),
+    assert(SinkVersions.read(fs, root, 1L) === Seq(("p=A/f1.tsv", Seq("A"))),
       "the winning snapshot is untouched")
-    assert(SinkVersions.tryWrite(fs, root, 2L, Seq(("p=B/f2.tsv", "B"))),
+    assert(SinkVersions.tryWrite(fs, root, 2L, Seq(("p=B/f2.tsv", Seq("B")))),
       "the loser retries at the next number and lands")
     assert(SinkVersions.latest(fs, root) === Some(2L))
   }
