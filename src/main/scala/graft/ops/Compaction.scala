@@ -151,6 +151,26 @@ object Compaction {
           graft.sources.SinkStats.write(fs, d.getPath,
             s"merged-${java.util.UUID.randomUUID()}", merged)
           manifests.foreach(m => fs.delete(m.getPath, false))
+          // bloom manifests compact in the same pass (same lifecycle:
+          // merged rewrite + delete of the per-publish files)
+          val bloomManifests = fs.listStatus(d.getPath).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.startsWith("_bloom-"))
+          if (bloomManifests.size >= minManifests) {
+            val mergedBlooms = graft.sources.SinkBlooms.readDir(fs, d.getPath)
+              .filter { case (file, _) =>
+                fs.exists(new Path(d.getPath, file)) }
+              .toSeq.sortBy(_._1)
+              .map { case (file, byCol) =>
+                (file, byCol.toSeq.sortBy(_._1).map { case (c, bf) =>
+                  val out = new java.io.ByteArrayOutputStream()
+                  bf.writeTo(out)
+                  c -> out.toByteArray
+                })
+              }
+            graft.sources.SinkBlooms.write(fs, d.getPath,
+              s"merged-${java.util.UUID.randomUUID()}", mergedBlooms)
+            bloomManifests.foreach(m => fs.delete(m.getPath, false))
+          }
           true
         }
       }

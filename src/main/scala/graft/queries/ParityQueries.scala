@@ -1945,6 +1945,259 @@ object ParityQueries {
       GROUP BY 1, 2, 3
       ORDER BY o_year, o_orderpriority"""))
 
+  /** §2.9-ext: ROW-LEVEL DELETE through SQL — `DELETE FROM` on a sink
+    * table rewrites only the file GROUPS containing matches
+    * (group-based copy-on-write via SupportsRowLevelOperations;
+    * Catalyst's own RewriteDeleteFromTable plans the ReplaceData, the
+    * connector contributes the COW scan + replace commit). The seed is
+    * the three-band layout of q_dsv2_skip, so the delete's price
+    * band statically SKIPS the low band's files (min/max manifests)
+    * and runtime group filtering (`_file` IN matching-files) narrows
+    * the rest to files that truly contain matches — at 100 TB the
+    * difference between a surgical rewrite and recopying partitions.
+    * The oracle recomputes the kept rows from orders: a lost
+    * non-matching row in a rewritten file, a resurrected deleted row,
+    * or a wrongly-skipped group all flip it. Surgical-rewrite file
+    * identity is pinned in RowLevelOpsSpec.
+    */
+  val qDsv2Delete = Q(
+    "q_dsv2_delete",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.del_orders")
+      def band(lo: Double, hi: Double) = ord(s, d)
+        .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      band(0, 100000)
+        .writeTo("graft_dyn.del_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      band(100000, 200000).writeTo("graft_dyn.del_orders").append()
+      band(200000, Double.MaxValue).writeTo("graft_dyn.del_orders").append()
+      s.sql("""DELETE FROM graft_dyn.del_orders
+        WHERE o_totalprice >= 150000 AND o_totalprice < 250000
+          AND o_orderstatus = 'F'""")
+      s.table("graft_dyn.del_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_totalprice >= 150000 AND o_totalprice < 250000
+                 AND o_orderstatus = 'F')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    headline = true)
+
+  /** §2.9-ext: ROW-LEVEL UPDATE through SQL — same group-based COW
+    * machinery as q_dsv2_delete, exercised through
+    * RewriteUpdateTable: matching rows rewrite with the SET applied,
+    * non-matching rows of the same files are carried unchanged. The
+    * update arithmetic is pure IEEE double (+50000), identical on
+    * both engines, so the oracle's CASE recompute is bit-exact.
+    */
+  val qDsv2Update = Q(
+    "q_dsv2_update",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.upd_orders")
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dyn.upd_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.sql("""UPDATE graft_dyn.upd_orders
+        SET o_totalprice = o_totalprice + 50000
+        WHERE o_orderstatus = 'F' AND o_totalprice < 150000""")
+      s.table("graft_dyn.upd_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(
+               CASE WHEN o_orderstatus = 'F' AND o_totalprice < 150000
+                    THEN o_totalprice + 50000 ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** §2.9-ext: MERGE INTO through SQL — the upsert primitive of a
+    * warehouse correction job, through RewriteMergeIntoTable's
+    * group-based rewrite: target = the sub-150k orders, source = the
+    * 100k+ orders at doubled price; ON o_orderkey, matched rows take
+    * the source price, unmatched source rows INSERT. The overlap band
+    * [100k, 150k) exercises matched-update, (..100k) carry-through,
+    * and [150k..) pure insert — per-priority totals recomputed from
+    * orders by the oracle's CASE. (The dedicated upsert/SCD2 operators
+    * q_upsert / q_scd2_merge are the DataFrame renditions of this
+    * shape; this is the SQL MERGE surface on the engine's own table
+    * format.)
+    */
+  val qDsv2Merge = Q(
+    "q_dsv2_merge",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.mrg_orders")
+      ord(s, d)
+        .filter(col("o_totalprice") < 150000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dyn.mrg_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      ord(s, d)
+        .filter(col("o_totalprice") >= 100000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .createOrReplaceTempView("mrg_src")
+      s.sql("""MERGE INTO graft_dyn.mrg_orders t USING mrg_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.table("graft_dyn.mrg_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(
+               CASE WHEN o_totalprice >= 100000 THEN o_totalprice * 2
+                    ELSE o_totalprice END
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** §2.9-ext: BLOOM-FILTER file skipping on a sink table — the point-
+    * lookup pruning min/max ranges cannot give: the three appends
+    * interleave o_orderkey by residue (mod 3), so every file's
+    * [min, max] spans the whole key domain and range skipping keeps
+    * all of them, while the per-file Bloom filters
+    * (`spark.graft.sink.bloomColumns=o_orderkey`, written into
+    * `_bloom-` manifests at publish) prove two of three files free of
+    * each probed key. Bloom false positives only ever SCAN a file;
+    * false negatives are impossible — so the oracle (the same keys
+    * straight from orders) catches any wrongly-skipped file as a
+    * missing row. Fewer-splits, string-column, overflow-degrade and
+    * off-by-default pins live in BloomSkipSpec.
+    */
+  val qDsv2Bloom = Q(
+    "q_dsv2_bloom",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.bloom_orders")
+      s.conf.set(graft.sources.SinkBloomConf.ColumnsKey, "o_orderkey")
+      try {
+        def residue(r: Int) = ord(s, d)
+          .filter(pmod(col("o_orderkey"), lit(3)) === r)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderpriority"))
+        residue(0)
+          .writeTo("graft_dyn.bloom_orders")
+          .partitionedBy(col("o_orderpriority")).create()
+        residue(1).writeTo("graft_dyn.bloom_orders").append()
+        residue(2).writeTo("graft_dyn.bloom_orders").append()
+      } finally s.conf.unset(graft.sources.SinkBloomConf.ColumnsKey)
+      s.table("graft_dyn.bloom_orders")
+        .filter(col("o_orderkey").isin(7L, 1234L, 9876L))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey IN (7, 1234, 9876)
+      ORDER BY o_orderkey"""))
+
+  /** §2.9-ext: STREAMING CHANGE FEED over a versioned sink table
+    * (`graft.sources.SinkChangeFeed`) — the first oracle-gated
+    * STREAMING entry in the registry: the query creates a versioned
+    * table (v1), dynamically overwrites its R partition (v2), then
+    * TAILS the commit log through readStream (offsets = version
+    * numbers; each micro-batch is a manifest diff, so the overwrite
+    * arrives as delete+insert of exactly the rewritten partition —
+    * the CDC semantics the append-only file tail cannot express) into
+    * a memory sink and returns the collected feed. The oracle
+    * recomputes all three transitions from lineitem with their
+    * version stamps; replay/resume and startingVersion semantics are
+    * pinned in SinkChangeFeedSpec.
+    */
+  val qDsv2CdcStream = Q(
+    "q_dsv2_cdc_stream",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dynv",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dynv.root", root)
+      s.conf.set("spark.sql.catalog.graft_dynv.versioned", "true")
+      s.sql("DROP TABLE IF EXISTS graft_dynv.flags_cdcs")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      agg(li(s, d))
+        .writeTo("graft_dynv.flags_cdcs")
+        .partitionedBy(col("l_returnflag")).create()            // v1
+      agg(li(s, d).filter(col("l_returnflag") === "R" &&
+          col("l_quantity") < 25))
+        .writeTo("graft_dynv.flags_cdcs").overwritePartitions() // v2
+      // fresh memory sink + checkpoint per invocation (a reused
+      // checkpoint would correctly resume and emit nothing — replay
+      // semantics are pinned in the spec, not re-tested here)
+      s.catalog.dropTempView("cdc_stream_sink")
+      val q = s.readStream
+        .format("graft.sources.SinkChangeFeed")
+        .option("path", s"$root/flags_cdcs")
+        .load()
+        .writeStream.format("memory").queryName("cdc_stream_sink")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc_gate_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("cdc_stream_sink")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"),
+          col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_returnflag, l_linestatus
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 25
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY commit_version, change_type, l_returnflag, l_linestatus"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2193,5 +2446,6 @@ object ParityQueries {
     qTpchQ13, qTpchQ2, qTpchQ14, qTpchQ4, qTpchQ16, qTpchQ15, qTpchQ11,
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
-    qDsv2History, qDsv2Multipart, qDsv2Changes)
+    qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
+    qDsv2Merge, qDsv2Bloom, qDsv2CdcStream)
 }

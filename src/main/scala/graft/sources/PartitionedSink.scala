@@ -317,7 +317,10 @@ private[sources] class PartitionedSinkTable(path: String,
                                             versioned: Boolean = false,
                                             asOfVersion: Option[Long] = None)
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(partCols.nonEmpty, "PartitionedSink needs at least one partition column")
   override def name(): String =
     s"partitioned_sink($path by ${partCols.mkString(",")})" +
@@ -345,6 +348,66 @@ private[sources] class PartitionedSinkTable(path: String,
       options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new PartitionedSinkScanBuilder(path, partCols, schema0, asOfVersion)
+
+  /** Metadata columns: `_file` — the row's data-file path, served as a
+    * per-split constant by the reader (SELECT `_file` works on any
+    * sink table; the row-level rewrites use it for runtime group
+    * filtering). A DATA column with the same name shadows it (Spark's
+    * standard conflict rule).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(SinkMeta.FileMetaCol)
+
+  /** SQL row-level surface: DELETE / UPDATE / MERGE rewrite the file
+    * groups containing matches (copy-on-write) — see
+    * [[SinkRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOfVersion.isEmpty,
+      s"cannot ${info.command} a time-travel (VERSION AS OF) table reference")
+    () => new SinkRowLevelOperation(path, partCols, schema0, versioned,
+      info.command)
+  }
+
+  /** METADATA-ONLY deletes: a DELETE whose predicates are equality
+    * conjunctions over partition columns (or an unconditional DELETE)
+    * drops whole leaves without reading a row — Catalyst's
+    * OptimizeMetadataOnlyDeleteFromTable prefers this path and falls
+    * back to the copy-on-write rewrite for anything canDeleteWhere
+    * declines. On a versioned table the leaves retire LOGICALLY
+    * (a new manifest without them — time-travel safe), matching every
+    * other overwrite mode.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfVersion.isEmpty && filters.forall {
+      case _: AlwaysTrue => true
+      case EqualTo(c, v) => partCols.contains(c) && v != null
+      case _ => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOfVersion.isEmpty,
+      "cannot DELETE from a time-travel (VERSION AS OF) table reference")
+    val mode: SinkMode =
+      if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+        Truncate
+      else {
+        val eqs = filters.collect { case EqualTo(c, v) => c -> v.toString }
+        require(eqs.length == filters.length,
+          s"deleteWhere got non-partition filters: ${filters.mkString(", ")}")
+        // contradictory equalities on one column (`p = 1 AND p = 2`)
+        // match no rows — a no-op delete, not an error
+        if (eqs.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1))
+          return
+        OverwriteEq(eqs.toMap)
+      }
+    SinkCommit.publish(SinkCommit.fsFor(path), path, partCols, mode,
+      Seq.empty, _ => "", statsToken = java.util.UUID.randomUUID().toString,
+      versioned = versioned)
+  }
 }
 
 /** Overwrite mode resolved at build time from which mix-in Spark
@@ -482,12 +545,120 @@ private[graft] object SinkStrBounds {
   }
 }
 
-/** One staged file, as named by the task that wrote it. */
+/** One staged file, as named by the task that wrote it. `blooms` is
+  * (column, serialized [[org.apache.spark.util.sketch.BloomFilter]])
+  * for each bloom-enabled column whose per-file distinct count stayed
+  * under the cap.
+  */
 private case class StagedFile(partValues: Seq[String], stagedPath: String,
                               rows: Long, partitionId: Int,
-                              stats: Seq[SinkColStat] = Seq.empty)
+                              stats: Seq[SinkColStat] = Seq.empty,
+                              blooms: Seq[(String, Array[Byte])] = Seq.empty)
 private case class SinkCommitMessage(files: Seq[StagedFile])
     extends WriterCommitMessage
+
+/** BLOOM-FILTER file skipping for POINT lookups — the pruning min/max
+  * ranges cannot give: on a high-cardinality UNCLUSTERED column
+  * (an id column not sorted into the layout), every file's [min, max]
+  * spans the whole key domain and range skipping keeps everything,
+  * while a per-file Bloom filter answers `key = x` with "definitely
+  * absent" for ~99 % of non-containing files (fpp-bounded false
+  * POSITIVES only — a false positive scans a file needlessly, never
+  * returns a wrong row; false negatives are impossible by
+  * construction, so no matching row is ever skipped). Parquet solves
+  * the same problem with column bloom filters in the footer; the
+  * filter here is Spark's own [[org.apache.spark.util.sketch.BloomFilter]]
+  * (the sketch behind Spark's runtime bloom-join pruning).
+  *
+  * Opt-in per session: `spark.graft.sink.bloomColumns=c1,c2` names the
+  * columns (integral and string types; others are silently ineligible —
+  * float equality is a precision trap, bbee179). Writers accumulate
+  * each file's DISTINCT values (bounded: `bloomMaxDistinct` values,
+  * default 131072, strings additionally capped at 8 MB cumulative —
+  * overflow drops the filter for that file-column: degraded to a scan,
+  * never wrong) and serialize a right-sized filter at task commit
+  * (`bloomFpp`, default 1 %). Publish writes them to per-leaf
+  * `_bloom-<token>.tsv` manifests (same append-only, rename-last
+  * discipline as the stats manifests); the scan probes them for
+  * EqualTo/In skip filters after the min/max pass.
+  */
+private[graft] object SinkBloomConf {
+  final val ColumnsKey = "spark.graft.sink.bloomColumns"
+  final val FppKey = "spark.graft.sink.bloomFpp"
+  final val MaxDistinctKey = "spark.graft.sink.bloomMaxDistinct"
+  final val MaxStringBytes = 8L << 20
+
+  def eligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  /** (columns, fpp, maxDistinct) from the active session, driver-side. */
+  def fromSession(): (Seq[String], Double, Int) = {
+    val conf = SparkSession.active.conf
+    val cols = conf.getOption(ColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val fpp = conf.getOption(FppKey).map(_.toDouble).getOrElse(0.01)
+    require(fpp > 0 && fpp < 1, s"$FppKey must be in (0, 1), got $fpp")
+    val maxD = conf.getOption(MaxDistinctKey).map(_.toInt).getOrElse(131072)
+    require(maxD > 0, s"$MaxDistinctKey must be positive, got $maxD")
+    (cols, fpp, maxD)
+  }
+}
+
+/** Per-leaf bloom manifests: `_bloom-<token>.tsv`, one line per
+  * (file, column): `file \t col \t base64(filter)`. Same lifecycle as
+  * the stats manifests (publish-appended, dir-scoped, swept with the
+  * leaf); a file without an entry is scanned, never skipped.
+  */
+private[graft] object SinkBlooms {
+  def manifestName(token: String): String =
+    s"_bloom-${TsvCodec.escapeDir(token)}.tsv"
+
+  def write(fs: FileSystem, dir: Path, token: String,
+            entries: Seq[(String, Seq[(String, Array[Byte])])]): Unit = {
+    val lines = entries.flatMap { case (file, blooms) =>
+      blooms.map { case (col, bytes) =>
+        s"${TsvCodec.escape(file)}\t${TsvCodec.escape(col)}\t" +
+          java.util.Base64.getEncoder.encodeToString(bytes)
+      }
+    }
+    if (lines.nonEmpty) {
+      val out = fs.create(new Path(dir, manifestName(token)), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** file name → (column → deserialized filter). Unreadable entries
+    * are dropped (scanned, never wrong).
+    */
+  def readDir(fs: FileSystem, dir: Path)
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val manifests = Option(fs.listStatus(dir)).toSeq.flatten
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_bloom-"))
+    val u = (s: String) =>
+      TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s)).toString
+    manifests.flatMap { m =>
+      val in = fs.open(m.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(f, c, b64) =>
+            try Some((u(f), u(c), org.apache.spark.util.sketch.BloomFilter
+              .readFrom(java.util.Base64.getDecoder.decode(b64))))
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }
+    }.groupBy(_._1).map { case (f, es) =>
+      f -> es.map { case (_, c, bf) => c -> bf }.toMap
+    }
+  }
+}
 
 /** Per-file statistics as read back from the manifests: exact row
   * count (None when unrecorded) and per-column min/max over non-null
@@ -731,6 +902,8 @@ private object SinkCommit {
       val dir = new Path(path, SinkLayout.leafRel(partCols, values))
       SinkStats.write(fs, dir, statsToken,
         fsOfV.map(f => (destName(f), Some(f.rows), f.stats)))
+      SinkBlooms.write(fs, dir, statsToken,
+        fsOfV.map(f => (destName(f), f.blooms)))
     }
     if (vMode) {
       // next snapshot = previous minus cleared partitions plus this
@@ -768,6 +941,86 @@ private object SinkCommit {
     }
   }
 
+  /** FILE-GRAIN replace, the commit half of a row-level rewrite:
+    * publish the fresh files (rename + stats, the normal protocol),
+    * then retire EXACTLY `replaced` — on a versioned table atomically
+    * (one manifest CAS: next = previous minus replaced plus fresh; a
+    * concurrent publish keeps its files because the CAS recomputes
+    * from the winner's state), on an unversioned table by physical
+    * delete AFTER the renames (a racing listing-based reader can see
+    * a transient duplicate, never a loss — same window class as the
+    * overwrite rename, documented on the connector).
+    */
+  def replacePublish(fs: FileSystem, path: String, partCols: Seq[String],
+                     files: Seq[StagedFile],
+                     replaced: Seq[(String, Seq[String], String)],
+                     destName: StagedFile => String,
+                     statsToken: String, versioned: Boolean): Unit = {
+    if (files.isEmpty && replaced.isEmpty) return
+    val vMode = versioned || SinkVersions.isVersioned(fs, path)
+    files.foreach { f =>
+      val dest = new Path(path, SinkLayout.leafRel(partCols, f.partValues))
+      fs.mkdirs(dest)
+      val src = new Path(f.stagedPath)
+      val target = new Path(dest, destName(f))
+      fs.delete(target, false)
+      if (!fs.rename(src, target))
+        throw new java.io.IOException(s"replace-publish rename failed for $src")
+    }
+    files.groupBy(_.partValues).foreach { case (values, fsOfV) =>
+      val dir = new Path(path, SinkLayout.leafRel(partCols, values))
+      SinkStats.write(fs, dir, statsToken,
+        fsOfV.map(f => (destName(f), Some(f.rows), f.stats)))
+      SinkBlooms.write(fs, dir, statsToken,
+        fsOfV.map(f => (destName(f), f.blooms)))
+    }
+    if (vMode) {
+      val retired = replaced.map(_._1).toSet
+      val fresh = files.map { f =>
+        (s"${SinkLayout.leafRel(partCols, f.partValues)}/${destName(f)}",
+          f.partValues)
+      }
+      var committed = false
+      var attempts = 0
+      while (!committed) {
+        attempts += 1
+        if (attempts > 100) throw new java.io.IOException(
+          s"replace manifest commit lost the CAS race 100 times: $path")
+        val base = SinkVersions.latest(fs, path)
+        val prev = base.map(SinkVersions.read(fs, path, _))
+          .getOrElse(SinkVersions.listingEntries(fs, path, partCols))
+        // WRITE-WRITE CONFLICT CHECK (the serializable guard Delta and
+        // Iceberg apply): every file this rewrite read must still be
+        // live in the snapshot we're replacing — a concurrent commit
+        // that already replaced one means our kept-rows were computed
+        // from stale data; committing anyway would duplicate the rows
+        // both rewrites carried forward and drop the winner's edits.
+        val prevSet = prev.map(_._1).toSet
+        val gone = retired.filterNot(prevSet)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"row-level rewrite of $path conflicts with a concurrent commit: " +
+            s"${gone.take(3).mkString(", ")} no longer in the latest snapshot" +
+            " — retry the operation against current data")
+        val kept = prev.filterNot { case (rel, _) => retired(rel) }
+        val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
+        committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)
+      }
+    } else {
+      // physical retire, new files already live; prune leaf dirs a
+      // full-file delete emptied (and their now-empty ancestors)
+      val root = new Path(path)
+      replaced.foreach { case (_, _, abs) =>
+        fs.delete(new Path(abs), false)
+      }
+      replaced.map { case (_, values, _) =>
+        new Path(path, SinkLayout.leafRel(partCols, values))
+      }.distinct.foreach { leaf =>
+        if (fs.exists(leaf) && SinkLayout.dataFiles(fs, leaf).isEmpty)
+          SinkLayout.deleteLeaf(fs, root, leaf)
+      }
+    }
+  }
+
   /** Delete `dir`, then remove each ancestor up to (and including)
     * `stopAt` while empty — keeps `_staging` from accumulating empty
     * query/epoch skeletons over a long-running stream.
@@ -792,7 +1045,7 @@ private class PartitionedSinkBatchWrite(path: String, partCols: Seq[String],
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
-      PartitionedSinkWriterFactory.sessionConf())
+      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
 
   // at most one committed attempt per task partition — the scheduler
   // half of exactly-once; the manifest publish below is the other half
@@ -852,11 +1105,12 @@ private object PartitionedSinkWriterFactory {
 
 private class PartitionedSinkWriterFactory(
     path: String, partCols: Seq[String], schema: StructType, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072))
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema, queryId, partitionId,
-      taskId, conf)
+      taskId, conf, bloom)
 }
 
 /** Task-side writer: buffers one open staged file per partition TUPLE
@@ -868,7 +1122,9 @@ private class PartitionedSinkWriterFactory(
 private class PartitionedSinkWriter(path: String, partCols: Seq[String],
                                     schema: StructType, stagingSub: String,
                                     partitionId: Int, taskId: Long,
-                                    conf: org.apache.spark.util.SerializableConfiguration)
+                                    conf: org.apache.spark.util.SerializableConfiguration,
+                                    bloom: (Seq[String], Double, Int) =
+                                      (Seq.empty, 0.01, 131072))
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new java.net.URI(path), conf.value)
@@ -876,6 +1132,57 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
   private val partIdxSet = partIdxs.toSet
   private val dataFields = schema.fields.zipWithIndex
     .filter { case (_, i) => !partIdxSet.contains(i) }
+
+  private val (bloomCols, bloomFpp, bloomMaxDistinct) = bloom
+  /** (column name, schema ordinal, string?) per bloom-enabled column
+    * present in the data fields with an eligible type.
+    */
+  private val bloomPlan: Array[(String, Int, Boolean)] =
+    dataFields.collect {
+      case (fld, i) if bloomCols.contains(fld.name) &&
+        SinkBloomConf.eligible(fld.dataType) =>
+        (fld.name, i, fld.dataType == StringType)
+    }
+
+  /** Distinct values of one bloom column within one file, bounded by
+    * count (and cumulative bytes for strings). Overflow drops the
+    * filter — a file-column without a bloom is scanned, never wrong.
+    */
+  private final class BloomAcc(isString: Boolean) {
+    private val seen = new java.util.HashSet[Any]()
+    private var strBytes = 0L
+    var over = false
+    def add(row: InternalRow, i: Int): Unit = if (!over) {
+      val v: Any =
+        if (isString) row.getUTF8String(i).toString
+        else schema.fields(i).dataType match {
+          case LongType    => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case ShortType   => row.getShort(i).toLong
+          case ByteType    => row.getByte(i).toLong
+          case _           => return
+        }
+      if (seen.add(v)) {
+        if (isString) strBytes += v.asInstanceOf[String].length
+        if (seen.size > bloomMaxDistinct ||
+          strBytes > SinkBloomConf.MaxStringBytes) { over = true; seen.clear() }
+      }
+    }
+    def render: Option[Array[Byte]] =
+      if (over || seen.isEmpty) None
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(seen.size.toLong, bloomFpp)
+        seen.forEach {
+          case l: java.lang.Long => bf.putLong(l)
+          case s: String => bf.putString(s)
+          case _ => ()
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        Some(out.toByteArray)
+      }
+  }
 
   /** Running min/max over one file's non-null values of one column.
     * `addFrom` pulls the typed value straight off the row; `render`
@@ -977,7 +1284,8 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
 
   private final class OpenOut(val w: java.io.BufferedWriter, val p: Path,
                               var rows: Long,
-                              val stats: Array[ColAcc])
+                              val stats: Array[ColAcc],
+                              val blooms: Array[BloomAcc])
 
   private val open = scala.collection.mutable.Map[Seq[String], OpenOut]()
 
@@ -1020,7 +1328,8 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
       fs.mkdirs(f.getParent)
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
-      new OpenOut(out, f, 0L, newStats())
+      new OpenOut(out, f, 0L, newStats(),
+        bloomPlan.map { case (_, _, isStr) => new BloomAcc(isStr) })
     })
     o.w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
       .mkString("\t"))
@@ -1035,6 +1344,12 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
       }
       j += 1
     }
+    var b = 0
+    while (b < bloomPlan.length) {
+      val i = bloomPlan(b)._2
+      if (!row.isNullAt(i)) o.blooms(b).add(row, i)
+      b += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1044,7 +1359,10 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
         if (st == null) None
         else st.render.map(mm => SinkColStat(fld.name, mm))
       }.toSeq
-      StagedFile(pvs, o.p.toString, o.rows, partitionId, colStats)
+      val colBlooms = bloomPlan.zip(o.blooms).flatMap {
+        case ((name, _, _), acc) => acc.render.map(name -> _)
+      }.toSeq
+      StagedFile(pvs, o.p.toString, o.rows, partitionId, colStats, colBlooms)
     }.toSeq
     open.clear()
     SinkCommitMessage(files)
@@ -1096,7 +1414,7 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     new PartitionedSinkStreamingWriterFactory(path, partCols, schema, queryId,
-      PartitionedSinkWriterFactory.sessionConf())
+      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1124,10 +1442,11 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
 
 private class PartitionedSinkStreamingWriterFactory(
     path: String, partCols: Seq[String], schema: StructType, queryId: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072))
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema,
-      s"$queryId/epoch-$epochId", partitionId, taskId, conf)
+      s"$queryId/epoch-$epochId", partitionId, taskId, conf, bloom)
 }

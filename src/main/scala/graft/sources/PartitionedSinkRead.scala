@@ -43,6 +43,12 @@ private[sources] class PartitionedSinkScanBuilder(
   private var skipFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
 
+  // subclass hooks (the COW row-level scan builder reuses this
+  // builder's pushdown verbatim and only swaps the built Scan)
+  protected def requiredSchema: StructType = required
+  protected def pushedPartitionFilters: Array[Filter] = partitionFilters
+  protected def pushedSkipFilters: Array[Filter] = skipFilters
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a NULL inside the comparison (isin(lit(null), ...) / === null)
     // never matches a partition dir and its rendering is undefined —
@@ -81,16 +87,20 @@ private[sources] class PartitionedSinkScanBuilder(
     partitionFilters ++ skipFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep the table's field order (the line decoder walks by ordinal)
+    // keep the table's field order (the line decoder walks by ordinal);
+    // METADATA columns (`_file` — not in the table schema) append at
+    // the end in requested order
     required = StructType(
-      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name))
+        ++ requiredSchema.fields.filterNot(f =>
+          fullSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
     new PartitionedSinkScan(path, partCols, fullSchema, required,
       partitionFilters, skipFilters, asOfVersion)
 }
 
-private class PartitionedSinkScan(
+private[sources] class PartitionedSinkScan(
     path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
     skipFilters: Array[Filter] = Array.empty,
@@ -192,21 +202,34 @@ private class PartitionedSinkScan(
       // recorded min/max provably excludes a skip filter; files
       // without stats are always kept) and for the exact ROW COUNTS
       // estimateStatistics reports. Loaded once per dir per scan.
+      val wantBloom = SinkFileSkip.wantsBloom(skipFilters)
       candidates.groupBy(_._2.getPath.getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(fs, dir)
+          // bloom manifests load only for scans with point predicates
+          val blooms =
+            if (wantBloom) SinkBlooms.readDir(fs, dir)
+            else Map.empty[String,
+              Map[String, org.apache.spark.util.sketch.BloomFilter]]
           inDir.flatMap { case (values, f) =>
             val st = stats.get(f.getPath.getName)
             val keep = st.forall(s =>
-              skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols)))
+              skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols))) &&
+              blooms.get(f.getPath.getName).forall(bm =>
+                skipFilters.forall(SinkFileSkip.mayMatchBloom(_, bm)))
             if (keep) Some((values, f, st.flatMap(_.rows))) else None
           }
         }
     }
   }
 
-  private lazy val prunedFiles: Seq[(Seq[String], FileStatus)] =
+  /** Statically pruned (partition pruning + file skipping) file
+    * groups — the subclassable seam the COW row-level scan filters
+    * further at runtime.
+    */
+  protected lazy val staticPrunedFiles: Seq[(Seq[String], FileStatus)] =
     prunedFilesWithStats.map(t => (t._1, t._2))
+  private def prunedFiles: Seq[(Seq[String], FileStatus)] = staticPrunedFiles
 
   private lazy val keyTypes: Seq[DataType] =
     partCols.map(c => fullSchema(c).dataType)
@@ -560,15 +583,22 @@ private class PartitionedSinkMicroBatchStream(
     // provably-excluded file removes only rows the filter would
     // discard anyway — a replay without stats (vacuumed manifests)
     // reads the file and post-scan-filters to the identical output
+    val wantBloom = SinkFileSkip.wantsBloom(skipFilters)
     val kept =
       if (skipFilters.isEmpty) present
       else present.groupBy(t => new Path(t._1).getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(f, dir)
+          val blooms =
+            if (wantBloom) SinkBlooms.readDir(f, dir)
+            else Map.empty[String,
+              Map[String, org.apache.spark.util.sketch.BloomFilter]]
           inDir.filter { case (file, _) =>
             stats.get(new Path(file).getName)
               .forall(st => skipFilters.forall(
-                SinkFileSkip.mayMatch(_, st.cols)))
+                SinkFileSkip.mayMatch(_, st.cols))) &&
+              blooms.get(new Path(file).getName).forall(bm =>
+                skipFilters.forall(SinkFileSkip.mayMatchBloom(_, bm)))
           }
         }
     // byte-range carving, same contract as the batch scan: a giant
@@ -599,11 +629,16 @@ private class PartitionedSinkMicroBatchStream(
 /** One scan task: a whole file (default) or a byte range of one.
   * `length = Long.MaxValue` means "through end of file" — the reader
   * clamps to the actual file length with saturating arithmetic.
+  * `extras` are split-level CONSTANT columns beyond the partition
+  * tuple (raw string renderings, cast by the reader like partition
+  * values) — the change-feed source rides them for `_change_type` /
+  * `_commit_version`.
   */
-private case class SinkFileSplit(file: String, partValues: Seq[String],
+private[sources] case class SinkFileSplit(file: String, partValues: Seq[String],
                                  keyTypes: Seq[DataType],
                                  start: Long = 0L,
-                                 length: Long = Long.MaxValue)
+                                 length: Long = Long.MaxValue,
+                                 extras: Seq[(String, String)] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -669,10 +704,22 @@ private class PartitionedSinkReader(
     partCols.zip(split.partValues).map { case (c, v) =>
       c -> PartitionedSinkReader.castValue(v, fullSchema(c).dataType)
     }.toMap
-  // required ordinal -> (file column index | -1 for a partition col)
+  // required ordinal -> (file column index | -1 for a constant:
+  // partition cols from the split's tuple, the `_file` metadata column
+  // from the split's path — a DATA column named "_file" wins, matching
+  // Spark's conflict rule for metadata columns)
   private val plan: Array[(Int, DataType, Any)] = required.fields.map { f =>
     if (partCols.contains(f.name)) (-1, f.dataType, partValues(f.name))
-    else (dataFields.indexWhere(_.name == f.name), f.dataType, null)
+    else {
+      val di = dataFields.indexWhere(_.name == f.name)
+      lazy val extra = split.extras.find(_._1 == f.name)
+      if (di < 0 && extra.isDefined)
+        (-1, f.dataType,
+          PartitionedSinkReader.castValue(extra.get._2, f.dataType))
+      else if (di < 0 && f.name == SinkMeta.FileCol)
+        (-1, StringType, UTF8String.fromString(split.file))
+      else (di, f.dataType, null)
+    }
   }
   // column pruning, for real: the walk below materializes a String for
   // REQUIRED cells only and stops at the last one — a 2-column
@@ -797,6 +844,46 @@ private[sources] object SinkFileSkip {
           case None => true
         }
     }
+
+  /** Do any of the skip filters need a bloom probe? (Blooms answer
+    * only point predicates — load the `_bloom-` manifests for exactly
+    * the scans that can use them.)
+    */
+  def wantsBloom(filters: Array[Filter]): Boolean = filters.exists {
+    case _: EqualTo | _: In => true
+    case _ => false
+  }
+
+  /** Bloom-filter rendition of [[mayMatch]] for point predicates:
+    * false = the column's per-file filter proves the value(s) absent
+    * (no false negatives by Bloom construction — a "maybe" scans).
+    * Columns without a filter, non-point predicates, and literal
+    * types the writer never hashed all answer true (scan).
+    */
+  def mayMatchBloom(f: Filter,
+                    blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+      : Boolean = {
+    def probe(bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+      v match {
+        case null => true
+        case n: java.lang.Long => bf.mightContainLong(n)
+        case n: java.lang.Integer => bf.mightContainLong(n.longValue)
+        case n: java.lang.Short => bf.mightContainLong(n.longValue)
+        case n: java.lang.Byte => bf.mightContainLong(n.longValue)
+        case s: String => bf.mightContainString(s)
+        case u: UTF8String => bf.mightContainString(u.toString)
+        case _ => true
+      }
+    f match {
+      case EqualTo(c, v) => blooms.get(c).forall(probe(_, v))
+      case In(c, vs) => blooms.get(c) match {
+        case None => true
+        case Some(bf) =>
+          vs == null || vs.isEmpty || vs.exists(probe(bf, _))
+      }
+      case _ => true
+    }
+  }
 
   /** false = the file provably contains no matching row. */
   def mayMatch(f: Filter,

@@ -1,0 +1,261 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ROW-LEVEL operations on sink tables — SQL `DELETE FROM`, `UPDATE`
+  * and `MERGE INTO` through Spark's group-based (copy-on-write)
+  * row-level API ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]];
+  * the rewrite machinery is Catalyst's own `RewriteDeleteFromTable` /
+  * `RewriteUpdateTable` / `RewriteMergeIntoTable` → `ReplaceData`
+  * plans — the engine supplies only the two connector halves those
+  * rules need, which is the whole point of doing this Spark-first):
+  *
+  *   - a COW SCAN over the table whose job is to read ALL rows of the
+  *     file GROUPS that may contain matches (Catalyst puts the
+  *     keep/transform logic ON TOP — the pushed condition must prune
+  *     whole groups only, never rows, or rewritten files would lose
+  *     their non-matching rows). The sink's existing pushdown already
+  *     has exactly that shape: partition pruning and min/max file
+  *     skipping drop only files PROVABLY free of matches, and every
+  *     filter stays residual. On top of the static pruning, the scan
+  *     implements runtime group filtering
+  *     ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  *     on the `_file` metadata column): Catalyst runs the matching-row
+  *     subquery first and hands the scan the distinct files that
+  *     actually contain matches, so at 100 TB a DELETE touching one
+  *     hour of one day rewrites exactly that hour's files — the
+  *     difference between a surgical commit and rewriting a partition.
+  *   - a REPLACE write: the kept/updated/inserted rows stage and
+  *     publish through the sink's normal stage-then-publish protocol,
+  *     and the commit retires EXACTLY the files the scan planned — on
+  *     a versioned table atomically (next manifest = previous minus
+  *     replaced plus fresh, same CAS as every publish; time travel
+  *     and [[graft.ops.Compaction.tableChanges]] see the rewrite as
+  *     delete+insert of those files), on an unversioned table by
+  *     physical delete after the renames (transient-duplicate window,
+  *     same class as the overwrite rename window, documented).
+  *
+  * Partition-grain deletes never reach this path: the table also
+  * implements [[org.apache.spark.sql.connector.catalog.SupportsDelete]],
+  * and Catalyst's `OptimizeMetadataOnlyDeleteFromTable` turns a
+  * DELETE whose predicates are partition-column equalities into a
+  * metadata-only leaf drop (no data read, no rewrite).
+  *
+  * The reference has no row-level surface at all (its warehouse
+  * corrections are whole-partition `INSERT OVERWRITE`,
+  * load_fct_flights.py:112-116) — this is extension surface, the
+  * operation a real lake user hits the first week ("GDPR-delete these
+  * doc_ids", "backfill this column for March").
+  */
+private[graft] object SinkMeta {
+  /** Name of the file-path metadata column (Iceberg's `_file` shape). */
+  final val FileCol = "_file"
+
+  object FileMetaCol extends MetadataColumn {
+    override def name(): String = FileCol
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "path of the data file the row was read from"
+  }
+}
+
+/** One row-level operation instance: Catalyst calls `newScanBuilder`
+  * and `newWriteBuilder` on the SAME instance, which is the designed
+  * coordination channel — the scan records the file groups it planned
+  * (post static pruning AND post runtime group filtering), the write's
+  * commit replaces exactly those files.
+  */
+private[sources] class SinkRowLevelOperation(
+    path: String, partCols: Seq[String], fullSchema: StructType,
+    versioned: Boolean, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** (relative path, leaf values, absolute path) of every file group
+    * the COW scan planned — "last planning wins", matching the plan
+    * that actually executes.
+    */
+  @volatile private[sources] var plannedGroups
+      : Seq[(String, Seq[String], String)] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"SinkRowLevelOperation($cmd on $path)"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SinkMeta.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new SinkCowScanBuilder(path, partCols, fullSchema, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the replace write must carry every table column (partition
+    // columns route rows to leaves; data columns define the cell
+    // order) — and in TABLE order, because the TSV layout is
+    // positional and the readers decode by the table schema's
+    // ordinals. Catalyst's ReplaceDataProjections provides exactly
+    // that; this guard turns any drift into a loud error instead of
+    // silently transposed cells.
+    val names = info.schema().fields.map(_.name).toSeq
+    val expected = fullSchema.fields.map(_.name).toSeq
+    require(names == expected,
+      s"row-level write schema $names must match table schema $expected")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SinkReplaceBatchWrite(path, partCols, info.schema(),
+            info.queryId(), versioned, SinkRowLevelOperation.this)
+      }
+    }
+  }
+}
+
+private[sources] class SinkCowScanBuilder(
+    path: String, partCols: Seq[String], fullSchema: StructType,
+    op: SinkRowLevelOperation)
+    extends PartitionedSinkScanBuilder(path, partCols, fullSchema) {
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new SinkCowScan(path, partCols, fullSchema, requiredSchema,
+      pushedPartitionFilters, pushedSkipFilters, op)
+}
+
+/** The COW scan: the base class contributes static group pruning
+  * (partition subtrees + min/max file skipping — both prune only
+  * provably-match-free files, which is the exact soundness a
+  * group-pruning scan needs); this subclass adds runtime group
+  * filtering on `_file` and records the final planned groups into the
+  * operation. Output partitioning is NOT declared (a runtime-filtered
+  * subset's key grouping claim would mis-size the key-grouped plan,
+  * and a rewrite query gains nothing from it).
+  */
+private[sources] class SinkCowScan(
+    path: String, partCols: Seq[String], fullSchema: StructType,
+    required: StructType, partitionFilters: Array[Filter],
+    skipFilters: Array[Filter], op: SinkRowLevelOperation)
+    extends PartitionedSinkScan(path, partCols, fullSchema, required,
+      partitionFilters, skipFilters, asOfVersion = None)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** None until Catalyst's matching-row subquery runs; Some(files)
+    * after — the groups that actually contain matching rows.
+    */
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SinkMeta.FileCol))
+
+  /** Runtime predicates arrive as V2 `IN`/`=` over `_file` with the
+    * matching files as string literals. Unknown predicate shapes are
+    * IGNORED (rewrite more groups than strictly needed — never fewer:
+    * a group wrongly dropped here would resurrect its deleted rows).
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap(parseFileSet)
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
+
+  private def parseFileSet(p: Predicate): Option[Set[String]] = {
+    def refIsFile(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.toSeq == Seq(SinkMeta.FileCol)
+      case _ => false
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case u: UTF8String => Some(u.toString)
+          case s: String => Some(s)
+          case _ => None
+        }
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && refIsFile(p.children()(0)) =>
+        val vals = p.children().drop(1).toSeq.map(lit)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      case "=" if p.children().length == 2 =>
+        if (refIsFile(p.children()(0))) lit(p.children()(1)).map(Set(_))
+        else if (refIsFile(p.children()(1))) lit(p.children()(0)).map(Set(_))
+        else None
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val groups = staticPrunedFiles.filter { case (_, f) =>
+      runtimeKeep.forall(_.contains(f.getPath.toString))
+    }
+    op.plannedGroups = groups.map { case (values, f) =>
+      (s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}",
+        values, f.getPath.toString)
+    }
+    // whole files, never byte-carved: a group must be read and
+    // replaced as a unit, and carving would double-record it
+    val keyTypes = partCols.map(c => fullSchema(c).dataType)
+    groups.map { case (values, f) =>
+      SinkFileSplit(f.getPath.toString, values, keyTypes): InputPartition
+    }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      staticPrunedFiles.size)
+}
+
+/** Commit half of the rewrite: publish the fresh files through the
+  * sink's normal rename protocol, then retire exactly the scanned
+  * groups — atomically via the manifest CAS on a versioned table,
+  * by physical delete (after the renames — transient duplicates,
+  * never loss) on an unversioned one.
+  */
+private class SinkReplaceBatchWrite(
+    path: String, partCols: Seq[String], schema: StructType,
+    queryId: String, versioned: Boolean, op: SinkRowLevelOperation)
+    extends BatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
+      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SinkCommit.fsFor(path)
+    val files = messages.collect { case m: SinkCommitMessage => m.files }
+      .flatten.toSeq
+    val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+    SinkCommit.replacePublish(fs, path, partCols, files,
+      op.plannedGroups,
+      f => s"part-$qTok-" +
+        new Path(f.stagedPath).getName.stripPrefix("part-"),
+      statsToken = queryId, versioned = versioned)
+    sweepStaging(fs)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    sweepStaging(SinkCommit.fsFor(path))
+
+  private def sweepStaging(fs: FileSystem): Unit = {
+    fs.delete(stagingDir, true)
+    val parent = stagingDir.getParent
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, true)
+  }
+}

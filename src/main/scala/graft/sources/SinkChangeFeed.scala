@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING CHANGE FEED over a versioned sink table — the consumer
+  * half of the CDC story ([[graft.ops.Compaction.tableChanges]] is the
+  * two-point batch rendition; this source TAILS the commit log):
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.SinkChangeFeed")
+  *     .option("path", "<table dir>")        // a catalog table's dir
+  *     .option("startingVersion", "0")       // or "latest"
+  *     .load()
+  * }}}
+  *
+  * emits every committed snapshot transition as rows of the changed
+  * FILES only, with `_change_type` (insert | delete) and
+  * `_commit_version` columns appended to the table schema. The offset
+  * is the VERSION NUMBER — constant-size, and deterministic under
+  * replay because version manifests are immutable: batch (s, e]
+  * re-derives the same per-version manifest diffs forever (the
+  * append-only file tail cannot express overwrites; this source closes
+  * that gap — a dynamic overwrite arrives as delete+insert of exactly
+  * the rewritten partition, a row-level rewrite as delete+insert of
+  * exactly the replaced files).
+  *
+  * Schema comes from the table's `_table.json` sidecar (written by
+  * [[PartitionedSinkCatalog]]), so the stream needs no user-declared
+  * schema. Semantics notes: 'delete' rows carry the full OLD row (the
+  * retired file is still on disk — versioned tables retire logically;
+  * [[graft.ops.Compaction.vacuumVersions]] retention therefore bounds
+  * how far back a feed may start, exactly Delta CDF's contract — a
+  * vacuumed-away version fails loudly at planning, never silently
+  * skips). Compactions rewrite files without changing rows; like
+  * Delta CDF, they surface as delete+insert — a consumer needing
+  * row-level idempotence should key on the row, not the file.
+  */
+class SinkChangeFeed extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SinkChangeFeed.cdcSchema(SinkChangeFeed.readSidecar(options)._2)
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (partCols, tableSchema) = SinkChangeFeed.readSidecar(opts)
+    new SinkChangeFeedTable(opts.get("path"), partCols, tableSchema,
+      Option(opts.get("startingVersion")))
+  }
+}
+
+private[graft] object SinkChangeFeed {
+  final val ChangeTypeCol = "_change_type"
+  final val CommitVersionCol = "_commit_version"
+
+  def cdcSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+
+  /** (partition columns, table schema) from the table dir's sidecar. */
+  def readSidecar(options: CaseInsensitiveStringMap)
+      : (Seq[String], StructType) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "SinkChangeFeed needs option path=<table dir>"))
+    val fs = FileSystem.get(new java.net.URI(path),
+      SparkSession.active.sessionState.newHadoopConf())
+    val meta = new Path(path, "_table.json")
+    require(fs.exists(meta),
+      s"$path is not a sink catalog table (no _table.json sidecar)")
+    val in = fs.open(meta)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val (partLine, schemaJson) = json.splitAt(json.indexOf('\n'))
+    (partLine.split("\t").toSeq,
+      DataType.fromJson(schemaJson.trim).asInstanceOf[StructType])
+  }
+}
+
+private class SinkChangeFeedTable(path: String, partCols: Seq[String],
+                                  tableSchema: StructType,
+                                  startingVersion: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"sink_change_feed($path)"
+  override def schema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new SinkChangeFeedScan(path, partCols, tableSchema,
+      startingVersion.orElse(Option(options.get("startingVersion"))))
+}
+
+private class SinkChangeFeedScan(path: String, partCols: Seq[String],
+                                 tableSchema: StructType,
+                                 startingVersion: Option[String])
+    extends Scan {
+  override def readSchema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
+  override def description(): String = s"SinkChangeFeedScan($path)"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SinkChangeFeedStream(path, partCols, tableSchema, startingVersion)
+}
+
+/** Offsets are version numbers; batch (s, e] = the manifest diffs of
+  * versions s+1..e, one insert/delete split per changed file per
+  * version. All planning is driver-side manifest metadata — the
+  * unchanged table is never listed, let alone read.
+  */
+private class SinkChangeFeedStream(path: String, partCols: Seq[String],
+                                   tableSchema: StructType,
+                                   startingVersion: Option[String])
+    extends MicroBatchStream {
+
+  private case class VersionOffset(v: Long) extends Offset {
+    override def json(): String = s"""{"version":$v}"""
+  }
+
+  private def fs: FileSystem = FileSystem.get(new java.net.URI(path),
+    SparkSession.active.sessionState.newHadoopConf())
+
+  /** The stream starts AFTER this version (exclusive): "latest" skips
+    * history and emits only commits that land once the stream runs;
+    * a number v replays from transition v→v+1 onward; default 0 =
+    * the whole retained history. Resolved once at stream start — the
+    * checkpointed offset owns it from then on.
+    */
+  override def initialOffset(): Offset = VersionOffset(
+    startingVersion match {
+      case Some("latest") => SinkVersions.latest(fs, path).getOrElse(0L)
+      case Some(s) =>
+        val v = try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be a version number or 'latest', got '$s'")
+        }
+        require(v >= 0, s"startingVersion must be >= 0, got $v")
+        v
+      case None => 0L
+    })
+
+  override def latestOffset(): Offset = {
+    val latest = SinkVersions.latest(fs, path).getOrElse(0L)
+    VersionOffset(latest)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+    json.trim match {
+      case m(v) => VersionOffset(v.toLong)
+      case _ => throw new IllegalStateException(
+        s"unreadable change-feed offset '$json'")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v,
+      end.asInstanceOf[VersionOffset].v)
+    val f = fs
+    val keyTypes = partCols.map(c => tableSchema(c).dataType)
+    val maxSplit = SinkSplitConf.maxSplitBytes(SparkSession.active)
+    def manifest(v: Long): Map[String, Seq[String]] =
+      if (v == 0L) Map.empty
+      else SinkVersions.read(f, path, v).toMap
+    var prev = manifest(s)
+    (s + 1 to e).flatMap { v =>
+      val cur = manifest(v)
+      val changed =
+        cur.keySet.diff(prev.keySet).toSeq.sorted.map(r => (r, cur(r), "insert")) ++
+          prev.keySet.diff(cur.keySet).toSeq.sorted.map(r => (r, prev(r), "delete"))
+      prev = cur
+      changed.flatMap { case (rel, values, changeType) =>
+        val p = new Path(path, rel)
+        if (!f.exists(p)) throw new IllegalStateException(
+          s"change feed for $path needs $rel (version $v), which no " +
+            "longer exists — vacuumed beyond the feed's start?")
+        val extras = Seq(
+          SinkChangeFeed.ChangeTypeCol -> changeType,
+          SinkChangeFeed.CommitVersionCol -> v.toString)
+        val len = f.getFileStatus(p).getLen
+        if (len <= maxSplit)
+          Seq(SinkFileSplit(p.toString, values, keyTypes,
+            extras = extras): InputPartition)
+        else (0L until len by maxSplit).map(o =>
+          SinkFileSplit(p.toString, values, keyTypes,
+            o, math.min(maxSplit, len - o), extras): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionedSinkReaderFactory(tableSchema,
+      SinkChangeFeed.cdcSchema(tableSchema), partCols,
+      PartitionedSinkWriterFactory.sessionConf())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Row-level SQL operations on sink tables — DELETE / UPDATE / MERGE
+  * through Spark's group-based (copy-on-write) rewrite against
+  * graft.sources.PartitionedSink tables:
+  *
+  *   - correctness of each command end-to-end (SQL in, layout out);
+  *   - SURGICAL rewrites: runtime group filtering means a file with no
+  *     matching rows keeps its identity (same physical file, untouched
+  *     bytes) even when min/max stats cannot prove it match-free;
+  *   - the metadata-only fast path for partition-predicate deletes
+  *     (plan-pinned: DeleteFromTable, not ReplaceData);
+  *   - versioned tables: a rewrite is one atomic snapshot — time
+  *     travel reads the pre-delete rows, the change feed shows the
+  *     rewrite as delete+insert of exactly the replaced files;
+  *   - the `_file` metadata column the group filter rides on is also
+  *     a user-visible SELECT surface.
+  */
+class RowLevelOpsSpec extends SparkSpec {
+
+  private def freshCatalog(name: String,
+                           versioned: Boolean = false): String = {
+    val root = tmpDir(s"rl_$name")
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    if (versioned) spark.conf.set(s"spark.sql.catalog.$name.versioned", "true")
+    root
+  }
+
+  private def rows(t: String): Set[(Long, Double, String)] =
+    spark.table(t).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[String]("p"))).toSet
+
+  /** One data FILE per append per partition (coalesce(1)) — the specs
+    * below reason about file identity, so the fixture must control the
+    * file grain.
+    */
+  private def seed(t: String, data: Seq[(Long, Double, String)]*): Unit = {
+    import spark.implicits._
+    data.head.toDF("k", "v", "p").coalesce(1)
+      .writeTo(t).partitionedBy(col("p")).create()
+    data.tail.foreach(_.toDF("k", "v", "p").coalesce(1).writeTo(t).append())
+  }
+
+  private def dataFileNames(root: String): Set[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(root)).map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+  }
+
+  test("DELETE with a data-column predicate rewrites and keeps the rest") {
+    freshCatalog("rl1")
+    seed("rl1.t",
+      Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B"), (4L, 4.0, "B")))
+    spark.sql("DELETE FROM rl1.t WHERE k % 2 = 1")
+    assert(rows("rl1.t") === Set((2L, 2.0, "A"), (4L, 4.0, "B")))
+    // delete everything left in A the row-level way; the leaf dir must
+    // not linger as an empty skeleton
+    spark.sql("DELETE FROM rl1.t WHERE v < 3.0")
+    assert(rows("rl1.t") === Set((4L, 4.0, "B")))
+  }
+
+  test("runtime group filtering leaves matchless files physically untouched") {
+    val root = freshCatalog("rl2")
+    // two files with OVERLAPPING k ranges in one partition: min/max
+    // stats cannot clear either for k = 99, only the runtime matching-
+    // rows subquery can — file A must survive byte-identical
+    seed("rl2.t",
+      Seq((1L, 1.0, "A"), (100L, 2.0, "A")), // file A: range [1, 100]
+      Seq((2L, 3.0, "A"), (99L, 4.0, "A"))) // file B: range [2, 99]
+    val before = dataFileNames(root)
+    assert(before.size === 2)
+    spark.sql("DELETE FROM rl2.t WHERE k = 99")
+    val after = dataFileNames(root)
+    // exactly one original file replaced; the other kept its name
+    assert((before intersect after).size === 1)
+    assert(rows("rl2.t") === Set((1L, 1.0, "A"), (100L, 2.0, "A"),
+      (2L, 3.0, "A")))
+  }
+
+  test("partition-predicate DELETE takes the metadata-only path") {
+    val root = freshCatalog("rl3")
+    seed("rl3.t",
+      Seq((1L, 1.0, "A"), (2L, 2.0, "B"), (3L, 3.0, "C")))
+    val plan = spark.sql("EXPLAIN DELETE FROM rl3.t WHERE p = 'B'")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("DeleteFromTable"),
+      s"partition delete should be metadata-only, got:\n$plan")
+    assert(!plan.contains("ReplaceData"))
+    val before = dataFileNames(root)
+    spark.sql("DELETE FROM rl3.t WHERE p = 'B'")
+    assert(rows("rl3.t") === Set((1L, 1.0, "A"), (3L, 3.0, "C")))
+    // survivors kept their physical files — no rewrite anywhere: no
+    // new file names appeared, exactly one (the dropped leaf's) gone
+    val after = dataFileNames(root)
+    assert(after.subsetOf(before) && after.size === before.size - 1)
+    assert(!new File(root, "t/p=B").exists())
+    // unconditional DELETE = truncate
+    spark.sql("DELETE FROM rl3.t")
+    assert(spark.table("rl3.t").count() === 0L)
+  }
+
+  test("UPDATE rewrites matching rows in place, including partition moves") {
+    freshCatalog("rl4")
+    seed("rl4.t",
+      Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
+    spark.sql("UPDATE rl4.t SET v = v * 10 WHERE k <= 2")
+    assert(rows("rl4.t") === Set((1L, 10.0, "A"), (2L, 20.0, "A"),
+      (3L, 3.0, "B")))
+    // an UPDATE of the partition column MOVES the row to its new leaf
+    spark.sql("UPDATE rl4.t SET p = 'B' WHERE k = 1")
+    assert(rows("rl4.t") === Set((1L, 10.0, "B"), (2L, 20.0, "A"),
+      (3L, 3.0, "B")))
+  }
+
+  test("MERGE INTO updates matched rows and inserts unmatched ones") {
+    freshCatalog("rl5")
+    seed("rl5.t", Seq((1L, 1.0, "A"), (2L, 2.0, "B")))
+    import spark.implicits._
+    Seq((2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "v", "p").createOrReplaceTempView("rl5_src")
+    spark.sql("""
+      MERGE INTO rl5.t AS t USING rl5_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)""")
+    assert(rows("rl5.t") === Set((1L, 1.0, "A"), (2L, 20.0, "B"),
+      (3L, 30.0, "C")))
+    // MERGE with a DELETE branch
+    spark.sql("""
+      MERGE INTO rl5.t AS t USING rl5_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.k = 2 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = t.v + 1""")
+    assert(rows("rl5.t") === Set((1L, 1.0, "A"), (3L, 31.0, "C")))
+  }
+
+  test("versioned table: a row-level DELETE is one atomic snapshot") {
+    freshCatalog("rlv", versioned = true)
+    seed("rlv.t",
+      Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
+    spark.sql("DELETE FROM rlv.t WHERE k = 2")
+    assert(rows("rlv.t") === Set((1L, 1.0, "A"), (3L, 3.0, "B")))
+    // version 1 (pre-delete) still reads the deleted row
+    val v1 = spark.read.option("versionAsOf", "1").table("rlv.t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[String]("p"))).toSet
+    assert(v1 === Set((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
+    // the change feed shows the rewrite as delete+insert of exactly
+    // the replaced file's rows: partition B's file is in both
+    // manifests and never appears
+    val changes = graft.ops.Compaction.tableChanges(spark, "rlv", "t", 1L, 2L)
+      .select(col("k"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes === Set((1L, "delete"), (2L, "delete"), (1L, "insert")))
+  }
+
+  test("DELETE matching nothing changes nothing, including the version") {
+    freshCatalog("rlv0", versioned = true)
+    seed("rlv0.t", Seq((1L, 1.0, "A")))
+    spark.sql("DELETE FROM rlv0.t WHERE k = 999")
+    assert(rows("rlv0.t") === Set((1L, 1.0, "A")))
+    intercept[IllegalArgumentException] {
+      spark.read.option("versionAsOf", "2").table("rlv0.t").collect()
+    }
+  }
+
+  test("the _file metadata column is selectable and file-accurate") {
+    val root = freshCatalog("rl6")
+    seed("rl6.t", Seq((1L, 1.0, "A"), (2L, 2.0, "B")))
+    val byFile = spark.table("rl6.t").select(col("k"), col("_file"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byFile.keySet === Set(1L, 2L))
+    assert(byFile(1L).contains("p=A") && byFile(2L).contains("p=B"))
+    assert(dataFileNames(root).contains(new File(byFile(1L)).getName))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming CHANGE FEED over a versioned sink table
+  * (graft.sources.SinkChangeFeed): offsets are version numbers, each
+  * micro-batch is the manifest diff of the versions it spans — so an
+  * overwrite or row-level rewrite streams as delete+insert of exactly
+  * the changed files, which the append-only file tail cannot express.
+  * Pins: full-history replay (startingVersion 0) across create /
+  * dynamic overwrite / SQL DELETE, checkpointed resume emitting only
+  * the new transition, and startingVersion=latest skipping history.
+  */
+class SinkChangeFeedSpec extends SparkSpec {
+
+  private def freshTable(cat: String): String = {
+    val root = tmpDir(s"cdc_$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.versioned", "true")
+    s"$root/t"
+  }
+
+  private def collectFeed(dir: String, name: String, ckpt: String,
+                          starting: Option[String] = None)
+      : Seq[(Long, Double, String, String, Long)] = {
+    val reader = spark.readStream
+      .format("graft.sources.SinkChangeFeed")
+      .option("path", dir)
+    val q = starting.foldLeft(reader) { (r, v) =>
+      r.option("startingVersion", v) }
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).collect().map(r => (
+      r.getAs[Long]("k"), r.getAs[Double]("v"), r.getAs[String]("p"),
+      r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .toSeq
+  }
+
+  test("the feed replays create, overwrite and row-level delete as file diffs") {
+    import spark.implicits._
+    val dir = freshTable("cdcv")
+    Seq((1L, 1.0, "A"), (2L, 2.0, "B")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcv.t").partitionedBy(col("p")).create()       // v1
+    Seq((3L, 3.0, "B")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcv.t").overwritePartitions()                  // v2
+    spark.sql("DELETE FROM cdcv.t WHERE k = 1")                 // v3
+    val got = collectFeed(dir, "cdc_all", tmpDir("cdc_ck")).toSet
+    assert(got === Set(
+      (1L, 1.0, "A", "insert", 1L), (2L, 2.0, "B", "insert", 1L),
+      (2L, 2.0, "B", "delete", 2L), (3L, 3.0, "B", "insert", 2L),
+      (1L, 1.0, "A", "delete", 3L)))
+    // the row-level delete of the WHOLE file emits no insert twin —
+    // nothing was rewritten, the group just retired
+  }
+
+  test("a checkpointed resume emits only the new transition") {
+    import spark.implicits._
+    val dir = freshTable("cdcr")
+    val ckpt = tmpDir("cdcr_ck")
+    val out = tmpDir("cdcr_out")
+    // the memory sink cannot recover a checkpoint — resume semantics
+    // need a durable sink, so this test lands the feed in parquet
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.SinkChangeFeed").option("path", dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def landed(): Seq[(Long, String, Long)] =
+      spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("k"),
+          r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"))).toSeq
+    Seq((1L, 1.0, "A")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcr.t").partitionedBy(col("p")).create()       // v1
+    drain()
+    assert(landed() === Seq((1L, "insert", 1L)))
+    Seq((2L, 2.0, "A")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcr.t").overwritePartitions()                  // v2
+    // SAME checkpoint: only the v1→v2 transition arrives, exactly once
+    drain()
+    assert(landed().toSet === Set((1L, "insert", 1L),
+      (1L, "delete", 2L), (2L, "insert", 2L)))
+    assert(landed().size === 3, "no duplicate emission across the resume")
+  }
+
+  test("startingVersion=latest skips history; a number replays from it") {
+    import spark.implicits._
+    val dir = freshTable("cdcl")
+    Seq((1L, 1.0, "A")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcl.t").partitionedBy(col("p")).create()       // v1
+    Seq((2L, 2.0, "B")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcl.t").append()                               // v2
+    assert(collectFeed(dir, "cdc_l1", tmpDir("cdcl_ck1"),
+      Some("latest")).isEmpty, "latest must not replay history")
+    val fromV1 = collectFeed(dir, "cdc_l2", tmpDir("cdcl_ck2"), Some("1"))
+    assert(fromV1.map(t => (t._1, t._4, t._5)) === Seq((2L, "insert", 2L)))
+  }
+}

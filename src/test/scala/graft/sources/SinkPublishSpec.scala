@@ -214,4 +214,26 @@ class SinkPublishSpec extends AnyFunSuite {
       "the loser retries at the next number and lands")
     assert(SinkVersions.latest(fs, root) === Some(2L))
   }
+
+  test("row-level replace conflict-detects: a retired file already replaced by a concurrent commit aborts") {
+    val root = Files.createTempDirectory("sink_rl_conflict").toString
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    // snapshot 1 holds f1; a "concurrent" rewrite replaced it in
+    // snapshot 2 with f2 — our rewrite ALSO read f1, so its kept-rows
+    // are stale: the commit must abort, not silently co-publish both
+    // rewrites' carried-forward copies of f1's rows
+    assert(SinkVersions.tryWrite(fs, root, 1L, Seq(("p=A/f1.tsv", Seq("A")))))
+    assert(SinkVersions.tryWrite(fs, root, 2L, Seq(("p=A/f2.tsv", Seq("A")))))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SinkCommit.replacePublish(fs, root, Seq("p"), files = Seq.empty,
+        replaced = Seq(("p=A/f1.tsv", Seq("A"), s"$root/p=A/f1.tsv")),
+        destName = _ => "", statsToken = "t", versioned = true)
+    }
+    assert(ex.getMessage.contains("f1.tsv"))
+    // a retire of a file that IS live commits: pure-delete rewrite
+    SinkCommit.replacePublish(fs, root, Seq("p"), files = Seq.empty,
+      replaced = Seq(("p=A/f2.tsv", Seq("A"), s"$root/p=A/f2.tsv")),
+      destName = _ => "", statsToken = "t", versioned = true)
+    assert(SinkVersions.read(fs, root, 3L) === Seq.empty)
+  }
 }
