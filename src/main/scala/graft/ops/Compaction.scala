@@ -240,6 +240,57 @@ object Compaction {
     (expired.size, removed.size)
   }
 
+  /** FILES metadata table for a sink table (Iceberg's `t.files`
+    * shape): one row per LIVE data file — relative path, partition
+    * leaf, size, the exact row count the publish recorded, and the
+    * per-column min/max bounds from the skipping manifests (string
+    * renderings; absent columns had no stats, an entry mapped to NULL
+    * was all-NULL in the file). Membership is the latest version
+    * manifest on a versioned table (or `asOfVersion`), the directory
+    * listing otherwise. Driver-side manifest reads only — the ops
+    * surface for "why didn't this skip?" / "how fragmented is this
+    * partition?" questions, no data file is opened.
+    */
+  def tableFiles(spark: SparkSession, catalog: String, table: String,
+                 asOfVersion: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val t = spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, table))
+    val partCols = t.partitioning().toSeq
+      .map(_.references()(0).fieldNames.mkString("."))
+    val entries: Seq[(String, Seq[String])] =
+      if (asOfVersion.isDefined ||
+        graft.sources.SinkVersions.isVersioned(fs, dir.toString))
+        asOfVersion.orElse(graft.sources.SinkVersions.latest(fs, dir.toString))
+          .toSeq.flatMap(v =>
+            graft.sources.SinkVersions.read(fs, dir.toString, v))
+      else graft.sources.SinkVersions.listingEntries(fs, dir.toString, partCols)
+    val statsByDir = scala.collection.mutable.Map[
+      String, Map[String, graft.sources.SinkFileStats]]()
+    val rows = entries.sortBy(_._1).map { case (rel, values) =>
+      val p = new Path(dir, rel)
+      val leaf = rel.take(rel.lastIndexOf('/').max(0))
+      val st = statsByDir.getOrElseUpdate(leaf,
+        graft.sources.SinkStats.readDir(fs, p.getParent))
+        .get(p.getName)
+      val size = if (fs.exists(p)) fs.getFileStatus(p).getLen else -1L
+      (rel, leaf, size,
+        st.flatMap(_.rows).map(java.lang.Long.valueOf).orNull,
+        st.map(_.cols.collect { case (c, Some((mn, _))) => c -> mn })
+          .getOrElse(Map.empty[String, String]),
+        st.map(_.cols.collect { case (c, Some((_, mx))) => c -> mx })
+          .getOrElse(Map.empty[String, String]))
+    }
+    import spark.implicits._
+    rows.toDF("rel_path", "partition", "size_bytes", "n_rows",
+      "min_values", "max_values")
+  }
+
   /** DESCRIBE HISTORY for a versioned sink table: one row per retained
     * snapshot — (version, n_files, n_rows), rows summed EXACTLY from
     * the per-file counts the publish manifests record (NULL when any

@@ -315,7 +315,9 @@ private[sources] class PartitionedSinkTable(path: String,
                                             val partCols: Seq[String],
                                             schema0: StructType,
                                             versioned: Boolean = false,
-                                            asOfVersion: Option[Long] = None)
+                                            asOfVersion: Option[Long] = None,
+                                            val props: Map[String, String] =
+                                              Map.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -338,10 +340,12 @@ private[sources] class PartitionedSinkTable(path: String,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC).asJava
 
+  override def properties(): util.Map[String, String] = props.asJava
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty,
       "cannot write to a time-travel (VERSION AS OF) table reference")
-    new PartitionedSinkWriteBuilder(path, partCols, info, versioned)
+    new PartitionedSinkWriteBuilder(path, partCols, info, versioned, props)
   }
 
   override def newScanBuilder(
@@ -369,7 +373,7 @@ private[sources] class PartitionedSinkTable(path: String,
     require(asOfVersion.isEmpty,
       s"cannot ${info.command} a time-travel (VERSION AS OF) table reference")
     () => new SinkRowLevelOperation(path, partCols, schema0, versioned,
-      info.command)
+      info.command, props)
   }
 
   /** METADATA-ONLY deletes: a DELETE whose predicates are equality
@@ -419,7 +423,9 @@ private[sources] class PartitionedSinkTable(path: String,
   */
 private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
                                           info: LogicalWriteInfo,
-                                          versioned: Boolean = false)
+                                          versioned: Boolean = false,
+                                          props: Map[String, String] =
+                                            Map.empty)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: SinkMode = Append
@@ -453,11 +459,11 @@ private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new PartitionedSinkBatchWrite(path, partCols, info.schema(),
-        info.queryId(), mode, versioned)
+        info.queryId(), mode, versioned, props)
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
-        info.queryId(), mode, versioned)
+        info.queryId(), mode, versioned, props)
   }
 }
 
@@ -593,15 +599,29 @@ private[graft] object SinkBloomConf {
     case _ => false
   }
 
-  /** (columns, fpp, maxDistinct) from the active session, driver-side. */
-  def fromSession(): (Seq[String], Double, Int) = {
+  /** Table-property keys (persisted in the catalog sidecar —
+    * `TBLPROPERTIES ('graft.bloomColumns' = 'k')` outlives the
+    * session and binds every writer of the table; the session conf
+    * remains the path-API/global fallback).
+    */
+  final val PropColumns = "graft.bloomColumns"
+  final val PropFpp = "graft.bloomFpp"
+  final val PropMaxDistinct = "graft.bloomMaxDistinct"
+
+  /** (columns, fpp, maxDistinct), driver-side: table properties first,
+    * session conf as the fallback for each knob independently.
+    */
+  def fromSession(props: Map[String, String] = Map.empty)
+      : (Seq[String], Double, Int) = {
     val conf = SparkSession.active.conf
-    val cols = conf.getOption(ColumnsKey)
+    val cols = props.get(PropColumns).orElse(conf.getOption(ColumnsKey))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val fpp = conf.getOption(FppKey).map(_.toDouble).getOrElse(0.01)
+    val fpp = props.get(PropFpp).orElse(conf.getOption(FppKey))
+      .map(_.toDouble).getOrElse(0.01)
     require(fpp > 0 && fpp < 1, s"$FppKey must be in (0, 1), got $fpp")
-    val maxD = conf.getOption(MaxDistinctKey).map(_.toInt).getOrElse(131072)
+    val maxD = props.get(PropMaxDistinct).orElse(conf.getOption(MaxDistinctKey))
+      .map(_.toInt).getOrElse(131072)
     require(maxD > 0, s"$MaxDistinctKey must be positive, got $maxD")
     (cols, fpp, maxD)
   }
@@ -1038,14 +1058,16 @@ private object SinkCommit {
 private class PartitionedSinkBatchWrite(path: String, partCols: Seq[String],
                                         schema: StructType, queryId: String,
                                         mode: SinkMode,
-                                        versioned: Boolean = false)
+                                        versioned: Boolean = false,
+                                        props: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
-      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
+      PartitionedSinkWriterFactory.sessionConf(),
+      SinkBloomConf.fromSession(props))
 
   // at most one committed attempt per task partition — the scheduler
   // half of exactly-once; the manifest publish below is the other half
@@ -1405,7 +1427,9 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
 private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
                                             schema: StructType, queryId: String,
                                             mode: SinkMode,
-                                            versioned: Boolean = false)
+                                            versioned: Boolean = false,
+                                            props: Map[String, String] =
+                                              Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1414,7 +1438,8 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     new PartitionedSinkStreamingWriterFactory(path, partCols, schema, queryId,
-      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
+      PartitionedSinkWriterFactory.sessionConf(),
+      SinkBloomConf.fromSession(props))
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {

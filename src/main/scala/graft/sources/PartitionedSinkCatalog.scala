@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * in-memory state beyond its conf, which is what makes it safe on a
   * 1000-executor cluster with many concurrent drivers.
   */
-class PartitionedSinkCatalog extends TableCatalog {
+class PartitionedSinkCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -82,20 +83,56 @@ class PartitionedSinkCatalog extends TableCatalog {
       .map(s => Identifier.of(namespace, TsvCodec.unescapeDir(s.getPath.getName)))
   }
 
+  // sidecar layout: line 1 = partition columns (tab-separated; a
+  // pre-multi-level sidecar is the single-column special case), line 2
+  // = schema JSON (StructType.json is compact — always one line),
+  // lines 3+ (optional) = persisted TABLE PROPERTIES, one
+  // TsvCodec-escaped `key \t value` per line. Two-line sidecars (every
+  // pre-r16 table) parse with empty properties — backward compatible.
+  private def renderSidecar(partCols: Seq[String], schema: StructType,
+                            props: Map[String, String]): String =
+    partCols.mkString("\t") + "\n" + schema.json +
+      props.toSeq.sorted.map { case (k, v) =>
+        "\n" + TsvCodec.escape(k) + "\t" + TsvCodec.escape(v)
+      }.mkString
+
+  private def parseSidecar(text: String)
+      : (Seq[String], StructType, Map[String, String]) = {
+    val lines = text.split("\n", -1)
+    val u = (s: String) => TsvCodec.unescape(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    val props = lines.drop(2).filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(k, v) => Some(u(k) -> u(v))
+        case _ => None
+      }
+    }.toMap
+    (lines(0).split("\t").toSeq,
+      DataType.fromJson(lines(1).trim).asInstanceOf[StructType], props)
+  }
+
+  private def writeSidecar(ident: Identifier, partCols: Seq[String],
+                           schema: StructType,
+                           props: Map[String, String]): Unit = {
+    val dir = tableDir(ident)
+    val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
+    val out = fs.create(staged, true)
+    try out.write(renderSidecar(partCols, schema, props).getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(metaFile(ident), false)
+    if (!fs.rename(staged, metaFile(ident)))
+      throw new IllegalStateException(s"sidecar update failed for $ident")
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val meta = metaFile(ident)
     if (!fs.exists(meta)) throw new NoSuchTableException(ident)
     val in = fs.open(meta)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // sidecar layout: first line = partition columns (tab-separated;
-    // a pre-multi-level sidecar is the single-column special case),
-    // rest = schema JSON
-    val (partLine, schemaJson) = json.splitAt(json.indexOf('\n'))
-    val partCols = partLine.split("\t").toSeq
-    val schema = DataType.fromJson(schemaJson.trim).asInstanceOf[StructType]
+    val (partCols, schema, props) = parseSidecar(json)
     new PartitionedSinkTable(tableDir(ident).toString, partCols, schema,
-      versioned)
+      versioned, props = props)
   }
 
   /** Time travel: `VERSION AS OF v` / `spark.read.option("versionAsOf",
@@ -116,7 +153,8 @@ class PartitionedSinkCatalog extends TableCatalog {
         s"version $v of $ident does not exist (expired by vacuum, or " +
           "never published — is the catalog versioned?)")
     new PartitionedSinkTable(tableDir(ident).toString, base.partCols,
-      base.schema(), versioned, asOfVersion = Some(v))
+      base.schema(), versioned, asOfVersion = Some(v),
+      props = base.props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -140,20 +178,29 @@ class PartitionedSinkCatalog extends TableCatalog {
     partCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"partition column $pc not in schema ${schema.sql}"))
     if (fs.exists(metaFile(ident))) throw new TableAlreadyExistsException(ident)
+    // TABLE PROPERTIES: the engine's own (`graft.`-namespaced) keys
+    // persist in the sidecar — `TBLPROPERTIES ('graft.bloomColumns' =
+    // 'k')` survives restarts and applies to every writer of the
+    // table, unlike the session conf. Spark's bookkeeping properties
+    // (provider, owner, location...) are not ours to store.
+    val persisted = Option(properties).map(_.asScala.toMap)
+      .getOrElse(Map.empty)
+      .filter { case (k, _) => k.startsWith("graft.") }
     // atomic publish of the sidecar: concurrent CREATEs race on the
     // rename, not on a half-written file
     val dir = tableDir(ident)
     fs.mkdirs(dir)
     val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
     val out = fs.create(staged, true)
-    try out.write((partCols.mkString("\t") + "\n" + schema.json)
+    try out.write(renderSidecar(partCols, schema, persisted)
       .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(staged, metaFile(ident))) {
       fs.delete(staged, false)
       throw new TableAlreadyExistsException(ident)
     }
-    new PartitionedSinkTable(dir.toString, partCols, schema, versioned)
+    new PartitionedSinkTable(dir.toString, partCols, schema, versioned,
+      props = persisted)
   }
 
   /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
@@ -172,32 +219,46 @@ class PartitionedSinkCatalog extends TableCatalog {
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val current = loadTable(ident).asInstanceOf[PartitionedSinkTable]
-    val added = changes.map {
+    var props = current.props
+    val added = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "PartitionedSinkCatalog supports top-level columns only")
         require(a.isNullable,
           "added columns must be nullable (existing files read them as NULL)")
-        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+        Some(StructField(a.fieldNames()(0), a.dataType(), nullable = true))
+      // engine-namespaced properties are settable/unsettable DDL:
+      // `ALTER TABLE t SET TBLPROPERTIES ('graft.bloomColumns' = 'k')`
+      case p: TableChange.SetProperty =>
+        require(p.property.startsWith("graft."),
+          s"only graft.* table properties are settable, got ${p.property}")
+        props = props + (p.property -> p.value); None
+      case p: TableChange.RemoveProperty =>
+        require(p.property.startsWith("graft."),
+          s"only graft.* table properties are removable, got ${p.property}")
+        props = props - p.property; None
       case other => throw new UnsupportedOperationException(
         s"PartitionedSinkCatalog tables support only ADD COLUMNS " +
-          s"(append-at-end, nullable); got $other")
+          s"(append-at-end, nullable) and graft.* SET/UNSET " +
+          s"TBLPROPERTIES; got $other")
     }
     added.foreach(f => require(!current.schema().fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
     val newSchema = StructType(current.schema().fields ++ added)
-    val dir = tableDir(ident)
-    val staged = new Path(dir, s"_table.json.tmp-${util.UUID.randomUUID()}")
-    val out = fs.create(staged, true)
-    try out.write((current.partCols.mkString("\t") + "\n" + newSchema.json)
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(metaFile(ident), false)
-    if (!fs.rename(staged, metaFile(ident)))
-      throw new IllegalStateException(s"sidecar update failed for $ident")
-    new PartitionedSinkTable(dir.toString, current.partCols, newSchema,
-      versioned)
+    writeSidecar(ident, current.partCols, newSchema, props)
+    new PartitionedSinkTable(tableDir(ident).toString, current.partCols,
+      newSchema, versioned, props = props)
   }
+
+  /** SQL maintenance: `CALL <cat>.vacuum_versions(table => 't', ...)`
+    * etc. — see [[SinkProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SinkProcedures.load(catalogName, ident.name())
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SinkProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   override def dropTable(ident: Identifier): Boolean =
     fs.exists(metaFile(ident)) && fs.delete(tableDir(ident), true)

@@ -77,7 +77,8 @@ private[graft] object SinkMeta {
   */
 private[sources] class SinkRowLevelOperation(
     path: String, partCols: Seq[String], fullSchema: StructType,
-    versioned: Boolean, cmd: RowLevelOperation.Command)
+    versioned: Boolean, cmd: RowLevelOperation.Command,
+    props: Map[String, String] = Map.empty)
     extends RowLevelOperation {
 
   /** (relative path, leaf values, absolute path) of every file group
@@ -115,7 +116,7 @@ private[sources] class SinkRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new SinkReplaceBatchWrite(path, partCols, info.schema(),
-            info.queryId(), versioned, SinkRowLevelOperation.this)
+            info.queryId(), versioned, SinkRowLevelOperation.this, props)
       }
     }
   }
@@ -224,7 +225,8 @@ private[sources] class SinkCowScan(
   */
 private class SinkReplaceBatchWrite(
     path: String, partCols: Seq[String], schema: StructType,
-    queryId: String, versioned: Boolean, op: SinkRowLevelOperation)
+    queryId: String, versioned: Boolean, op: SinkRowLevelOperation,
+    props: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
@@ -232,7 +234,8 @@ private class SinkReplaceBatchWrite(
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
-      PartitionedSinkWriterFactory.sessionConf(), SinkBloomConf.fromSession())
+      PartitionedSinkWriterFactory.sessionConf(),
+      SinkBloomConf.fromSession(props))
 
   override def useCommitCoordinator(): Boolean = true
 

@@ -59,7 +59,8 @@ class SinkChangeFeed extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val (partCols, tableSchema) = SinkChangeFeed.readSidecar(opts)
     new SinkChangeFeedTable(opts.get("path"), partCols, tableSchema,
-      Option(opts.get("startingVersion")))
+      Option(opts.get("startingVersion")),
+      Option(opts.get("endingVersion")))
   }
 }
 
@@ -94,27 +95,53 @@ private[graft] object SinkChangeFeed {
 
 private class SinkChangeFeedTable(path: String, partCols: Seq[String],
                                   tableSchema: StructType,
-                                  startingVersion: Option[String])
+                                  startingVersion: Option[String],
+                                  endingVersion: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"sink_change_feed($path)"
   override def schema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new SinkChangeFeedScan(path, partCols, tableSchema,
-      startingVersion.orElse(Option(options.get("startingVersion"))))
+      startingVersion.orElse(Option(options.get("startingVersion"))),
+      endingVersion.orElse(Option(options.get("endingVersion"))))
 }
 
+/** Batch rendition: `spark.read.format(...).option("startingVersion",
+  * s)[.option("endingVersion", e)].load()` returns the transitions of
+  * versions (s, e] in one DataFrame (e defaults to latest) — the
+  * between-two-points answer [[graft.ops.Compaction.tableChanges]]
+  * gives for catalog tables, here straight off the table dir with the
+  * same split planning as the stream.
+  */
 private class SinkChangeFeedScan(path: String, partCols: Seq[String],
                                  tableSchema: StructType,
-                                 startingVersion: Option[String])
-    extends Scan {
+                                 startingVersion: Option[String],
+                                 endingVersion: Option[String] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
   override def description(): String = s"SinkChangeFeedScan($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new SinkChangeFeedStream(path, partCols, tableSchema, startingVersion)
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stream = new SinkChangeFeedStream(path, partCols, tableSchema,
+      startingVersion)
+    val start = stream.initialOffset()
+    val end = endingVersion.map(e => stream.versionOffset(e.toLong))
+      .getOrElse(stream.latestOffset())
+    stream.planInputPartitions(start, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionedSinkReaderFactory(tableSchema,
+      SinkChangeFeed.cdcSchema(tableSchema), partCols,
+      PartitionedSinkWriterFactory.sessionConf())
 }
 
 /** Offsets are version numbers; batch (s, e] = the manifest diffs of
@@ -130,6 +157,9 @@ private class SinkChangeFeedStream(path: String, partCols: Seq[String],
   private case class VersionOffset(v: Long) extends Offset {
     override def json(): String = s"""{"version":$v}"""
   }
+
+  /** Pinned-version offset for the batch rendition's endingVersion. */
+  private[sources] def versionOffset(v: Long): Offset = VersionOffset(v)
 
   private def fs: FileSystem = FileSystem.get(new java.net.URI(path),
     SparkSession.active.sessionState.newHadoopConf())

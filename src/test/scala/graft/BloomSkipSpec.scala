@@ -106,6 +106,51 @@ class BloomSkipSpec extends SparkSpec {
     }
   }
 
+  test("table-property blooms bind every writer, no session conf needed") {
+    import spark.implicits._
+    freshCatalog("bl5")
+    def batch(r: Int) = (0 until 300).filter(_ % 3 == r)
+      .map(k => (k.toLong, s"id_$k", "A")).toDF("k", "sid", "p").coalesce(1)
+    // the property rides the CREATE and persists in the sidecar: the
+    // later appends (fresh loads of the table, no conf set) write
+    // blooms because the TABLE says so
+    batch(0).writeTo("bl5.t")
+      .tableProperty(graft.sources.SinkBloomConf.PropColumns, "k")
+      .partitionedBy(col("p")).create()
+    batch(1).writeTo("bl5.t").append()
+    batch(2).writeTo("bl5.t").append()
+    assert(splits(spark.table("bl5.t").filter(col("k") === 31L)) === 1,
+      "a sidecar-persisted bloom property must bind conf-less writers")
+    // SQL DDL manages the property: UNSET stops new files' blooms
+    spark.sql("ALTER TABLE bl5.t UNSET TBLPROPERTIES ('graft.bloomColumns')")
+    val props = spark.sessionState.catalogManager.catalog("bl5")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, "t")).properties()
+    assert(!props.containsKey(graft.sources.SinkBloomConf.PropColumns))
+    // non-graft properties are rejected loudly, not silently dropped
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bl5.t SET TBLPROPERTIES ('foo' = 'bar')")
+    }
+  }
+
+  test("tableFiles exposes per-file rows, sizes and skip bounds") {
+    freshCatalog("bl6")
+    withBloom("k") {
+      seedInterleaved("bl6.t")
+      val files = graft.ops.Compaction.tableFiles(spark, "bl6", "t")
+        .collect()
+      assert(files.length === 3)
+      assert(files.forall(_.getAs[String]("partition") === "p=A"))
+      assert(files.map(_.getAs[Long]("n_rows")).sum === 300L,
+        "exact per-file row counts from the publish manifests")
+      assert(files.forall(_.getAs[Long]("size_bytes") > 0L))
+      val mins = files.map(_.getAs[Map[String, String]]("min_values"))
+      assert(mins.map(_("k")).toSet === Set("0", "1", "2"),
+        "per-column min bounds surface per file")
+    }
+  }
+
   test("off by default: no bloom manifests, point lookups scan all files") {
     val root = freshCatalog("bl4")
     seedInterleaved("bl4.t")

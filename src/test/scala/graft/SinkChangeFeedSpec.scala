@@ -92,6 +92,34 @@ class SinkChangeFeedSpec extends SparkSpec {
     assert(landed().size === 3, "no duplicate emission across the resume")
   }
 
+  test("batch read returns the transitions between two pinned versions") {
+    import spark.implicits._
+    val dir = freshTable("cdcb")
+    Seq((1L, 1.0, "A")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcb.t").partitionedBy(col("p")).create()       // v1
+    Seq((2L, 2.0, "B")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcb.t").append()                               // v2
+    Seq((3L, 3.0, "B")).toDF("k", "v", "p").coalesce(1)
+      .writeTo("cdcb.t").overwritePartitions()                  // v3
+    def batchFeed(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.SinkChangeFeed")
+        .option("path", dir)
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+        .collect().map(x => (x.getAs[Long]("k"),
+          x.getAs[String]("_change_type"),
+          x.getAs[Long]("_commit_version"))).toSet
+    }
+    // pinned window (1, 2]: only the v2 transition
+    assert(batchFeed("startingVersion" -> "1", "endingVersion" -> "2") ===
+      Set((2L, "insert", 2L)))
+    // open end: everything after v1
+    assert(batchFeed("startingVersion" -> "1") === Set(
+      (2L, "insert", 2L), (2L, "delete", 3L), (3L, "insert", 3L)))
+    // no options: the full retained history
+    assert(batchFeed() === Set((1L, "insert", 1L), (2L, "insert", 2L),
+      (2L, "delete", 3L), (3L, "insert", 3L)))
+  }
+
   test("startingVersion=latest skips history; a number replays from it") {
     import spark.implicits._
     val dir = freshTable("cdcl")
