@@ -456,14 +456,51 @@ private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
     mode = Dynamic; this
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new PartitionedSinkBatchWrite(path, partCols, info.schema(),
-        info.queryId(), mode, versioned, props)
-    override def toStreaming:
-        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
-        info.queryId(), mode, versioned, props)
+  override def build(): Write = {
+    // OPT-IN clustered writes (`graft.writeDistribution = 'hash'`,
+    // Iceberg's write.distribution-mode shape): request a cluster-by-
+    // partition-tuple exchange before the write, so each tuple lands
+    // in few tasks → few files, instead of one file per (task, tuple)
+    // — at 1000 executors an unclustered append fragments every
+    // partition 1000 ways. Default stays unclustered ('none'): small
+    // pipelines prefer no extra shuffle, and the compact() procedure
+    // exists for repair. The rewrite (row-level) write clusters
+    // unconditionally — see SinkRowLevelOperation.
+    val clustered = props.get("graft.writeDistribution") match {
+      case Some("hash") => true
+      case Some("none") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.writeDistribution must be 'hash' or 'none', got '$other'")
+    }
+    if (clustered) new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(partCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression)
+            .toArray)
+      override def distributionStrictlyRequired(): Boolean = false
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def toBatch: BatchWrite =
+        new PartitionedSinkBatchWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+      override def toStreaming:
+          org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+    } else new Write {
+      override def toBatch: BatchWrite =
+        new PartitionedSinkBatchWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+      override def toStreaming:
+          org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+    }
   }
 }
 

@@ -113,7 +113,28 @@ private[sources] class SinkRowLevelOperation(
     require(names == expected,
       s"row-level write schema $names must match table schema $expected")
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        // CLUSTER the rewrite on the partition tuple: without this the
+        // kept rows arrive in whatever task layout the rewrite query
+        // had, and each task opens a file per tuple it touches — a
+        // DELETE over K files in T tasks would fragment the rewritten
+        // partitions into up to K·T files. Clustering lands each tuple
+        // in few tasks (AQE sizes the exchange), so a rewrite leaves
+        // the layout no more fragmented than it found it. Not strictly
+        // required: on a single-partition rewrite Spark may skip the
+        // exchange entirely.
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(partCols.map(c =>
+              Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite =
           new SinkReplaceBatchWrite(path, partCols, info.schema(),
             info.queryId(), versioned, SinkRowLevelOperation.this, props)

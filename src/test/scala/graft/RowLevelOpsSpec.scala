@@ -171,6 +171,44 @@ class RowLevelOpsSpec extends SparkSpec {
     }
   }
 
+  test("a rewrite clusters on the partition tuple: no fragmentation") {
+    import spark.implicits._
+    val root = freshCatalog("rl7")
+    // partition A holds TWO files; the delete touches both, so both
+    // rewrite. The replace write requires a clustered distribution, so
+    // the kept rows of the tuple land in one task → ONE file, not one
+    // per scan task — at cluster scale the difference between a
+    // rewrite that heals fragmentation and one that multiplies it.
+    seed("rl7.t",
+      (1L to 50L).map(k => (k, k.toDouble, "A")),
+      (51L to 100L).map(k => (k, k.toDouble, "A")))
+    assert(dataFileNames(root).size === 2)
+    spark.sql("DELETE FROM rl7.t WHERE k % 10 = 0")
+    assert(spark.table("rl7.t").count() === 90L)
+    assert(dataFileNames(root).size === 1,
+      "both rewritten files must coalesce into one per tuple")
+  }
+
+  test("graft.writeDistribution=hash clusters regular appends") {
+    import spark.implicits._
+    val root = freshCatalog("rl8")
+    def wide = (1L to 64L).map(k => (k, k.toDouble, if (k % 2 == 0) "A" else "B"))
+      .toDF("k", "v", "p").repartition(8)
+    // default: every task writes every tuple it holds — many files
+    wide.writeTo("rl8.t").partitionedBy(col("p")).create()
+    assert(dataFileNames(root).size > 2,
+      "unclustered 8-task append fragments (the default trade)")
+    spark.sql("DROP TABLE rl8.t")
+    // property-bound: cluster-by-tuple exchange → one file per leaf
+    wide.writeTo("rl8.t")
+      .tableProperty("graft.writeDistribution", "hash")
+      .partitionedBy(col("p")).create()
+    val perLeaf = dataFileNames(root) // names unique per (task, tuple)
+    assert(spark.table("rl8.t").count() === 64L)
+    assert(perLeaf.size <= 2,
+      s"clustered append writes at most one file per tuple, got $perLeaf")
+  }
+
   test("the _file metadata column is selectable and file-accurate") {
     val root = freshCatalog("rl6")
     seed("rl6.t", Seq((1L, 1.0, "A"), (2L, 2.0, "B")))
