@@ -131,6 +131,26 @@ private[sources] class PartitionedSinkScan(
   private def keepTuple(values: Seq[String]): Boolean =
     partCols.zip(values).forall { case (c, v) => keepAt(c, v) }
 
+  // driver-side skip accounting, surfaced as CUSTOM METRICS in the SQL
+  // UI node ("why didn't this skip?" without a debugger): filled when
+  // the lazy pruning below runs, reported by reportDriverMetrics
+  @volatile private var skippedByStats = 0L
+  @volatile private var skippedByBloom = 0L
+  @volatile private var filesScanned = 0L
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    SinkScanMetrics.all
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    prunedFilesWithStats // force the pruning if nothing else has
+    SinkScanMetrics.report(
+      "filesScanned" -> filesScanned,
+      "filesSkippedStats" -> skippedByStats,
+      "filesSkippedBloom" -> skippedByBloom)
+  }
+
   /** (tuple, file, recorded rows) for every partition SURVIVING the
     * pushed filters — shared by split planning and statistics, so both
     * see the same pruned view. Membership comes from the pruned
@@ -203,7 +223,7 @@ private[sources] class PartitionedSinkScan(
       // without stats are always kept) and for the exact ROW COUNTS
       // estimateStatistics reports. Loaded once per dir per scan.
       val wantBloom = SinkFileSkip.wantsBloom(skipFilters)
-      candidates.groupBy(_._2.getPath.getParent).toSeq
+      val out = candidates.groupBy(_._2.getPath.getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(fs, dir)
           // bloom manifests load only for scans with point predicates
@@ -213,13 +233,19 @@ private[sources] class PartitionedSinkScan(
               Map[String, org.apache.spark.util.sketch.BloomFilter]]
           inDir.flatMap { case (values, f) =>
             val st = stats.get(f.getPath.getName)
-            val keep = st.forall(s =>
-              skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols))) &&
+            val keepStats = st.forall(s =>
+              skipFilters.forall(SinkFileSkip.mayMatch(_, s.cols)))
+            val keepBloom = keepStats &&
               blooms.get(f.getPath.getName).forall(bm =>
                 skipFilters.forall(SinkFileSkip.mayMatchBloom(_, bm)))
-            if (keep) Some((values, f, st.flatMap(_.rows))) else None
+            if (!keepStats) skippedByStats += 1
+            else if (!keepBloom) skippedByBloom += 1
+            if (keepStats && keepBloom)
+              Some((values, f, st.flatMap(_.rows))) else None
           }
         }
+      filesScanned = out.size
+      out
     }
   }
 
@@ -323,6 +349,35 @@ private[sources] class PartitionedSinkScan(
     new PartitionedSinkMicroBatchStream(path, partCols, fullSchema, required,
       partitionFilters, keepTuple, checkpointLocation, skipFilters)
   }
+}
+
+/** Custom scan metrics: per-mechanism file-skip counts, shown on the
+  * BatchScan node in the SQL UI (and readable from the executed plan's
+  * metrics in tests). Driver metrics — the pruning is driver-side.
+  */
+private[sources] object SinkScanMetrics {
+  private class SumMetric(metricName: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomMetric {
+    override def name(): String = metricName
+    override def description(): String = desc
+    override def aggregateTaskMetrics(values: Array[Long]): String =
+      values.sum.toString
+  }
+
+  val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new SumMetric("filesScanned", "files surviving all pruning"),
+      new SumMetric("filesSkippedStats", "files skipped by min/max stats"),
+      new SumMetric("filesSkippedBloom", "files skipped by bloom filters"))
+
+  def report(values: (String, Long)*)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    values.map { case (n, v) =>
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    }.toArray
 }
 
 /** Split-size knob shared by the batch scan and the streaming tail. */

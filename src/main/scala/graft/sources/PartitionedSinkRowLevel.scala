@@ -216,10 +216,25 @@ private[sources] class SinkCowScan(
     }
   }
 
+  /** Post-runtime-filter group count, so the ReplaceData scan node's
+    * `filesScanned` metric reflects what actually rewrites (the base
+    * class counts only static pruning).
+    */
+  @volatile private var groupsPlanned = 0L
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    super.reportDriverMetrics().map { m =>
+      if (m.name == "filesScanned") SinkScanMetrics.report(
+        "filesScanned" -> groupsPlanned).head
+      else m
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val groups = staticPrunedFiles.filter { case (_, f) =>
       runtimeKeep.forall(_.contains(f.getPath.toString))
     }
+    groupsPlanned = groups.size
     op.plannedGroups = groups.map { case (values, f) =>
       (s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}",
         values, f.getPath.toString)

@@ -75,6 +75,16 @@ class BloomSkipSpec extends SparkSpec {
         assert(spark.table("bl1.t").filter(col("k") === k.toLong)
           .count() === 1L, s"bloom skipped the file containing k=$k")
       }
+      // the skip is OBSERVABLE: custom driver metrics on the scan node
+      val df = spark.table("bl1.t").filter(col("k") === 31L)
+      df.collect()
+      val metrics = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics
+      }.head
+      assert(metrics("filesSkippedBloom").value === 2L,
+        "both non-containing files report as bloom-skipped")
+      assert(metrics("filesScanned").value === 1L)
     }
   }
 
