@@ -399,8 +399,12 @@ private[sources] class PartitionedSinkTable(path: String,
       if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
         Truncate
       else {
-        val eqs = filters.collect { case EqualTo(c, v) => c -> v.toString }
-        require(eqs.length == filters.length,
+        // AlwaysTrue conjuncts are redundant (TRUE AND p=v is p=v) —
+        // drop them before the equality check, or a mixed array that
+        // canDeleteWhere accepted would fail here at runtime
+        val nonTrivial = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+        val eqs = nonTrivial.collect { case EqualTo(c, v) => c -> v.toString }
+        require(eqs.length == nonTrivial.length,
           s"deleteWhere got non-partition filters: ${filters.mkString(", ")}")
         // contradictory equalities on one column (`p = 1 AND p = 2`)
         // match no rows — a no-op delete, not an error

@@ -39,6 +39,52 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * in-memory state beyond its conf, which is what makes it safe on a
   * 1000-executor cluster with many concurrent drivers.
   */
+/** The `_table.json` sidecar codec, shared by the catalog and every
+  * out-of-band reader of a table dir (the change feed's schema
+  * inference). Layout: line 1 = partition columns (tab-separated; a
+  * pre-multi-level sidecar is the single-column special case), line 2
+  * = schema JSON (StructType.json is compact — always one line),
+  * lines 3+ (optional) = persisted TABLE PROPERTIES, one
+  * TsvCodec-escaped `key \t value` per line. Two-line sidecars (every
+  * pre-r16 table) parse with empty properties — backward compatible.
+  */
+private[graft] object SinkSidecar {
+  def render(partCols: Seq[String], schema: StructType,
+             props: Map[String, String]): String =
+    partCols.mkString("\t") + "\n" + schema.json +
+      props.toSeq.sorted.map { case (k, v) =>
+        "\n" + TsvCodec.escape(k) + "\t" + TsvCodec.escape(v)
+      }.mkString
+
+  def parse(text: String): (Seq[String], StructType, Map[String, String]) = {
+    val lines = text.split("\n", -1)
+    val u = (s: String) => TsvCodec.unescape(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    val props = lines.drop(2).filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(k, v) => Some(u(k) -> u(v))
+        case _ => None
+      }
+    }.toMap
+    (lines(0).split("\t").toSeq,
+      DataType.fromJson(lines(1).trim).asInstanceOf[StructType], props)
+  }
+
+  /** Parse the sidecar of a table DIR (the change feed's entry point —
+    * it has a path, not a catalog identifier).
+    */
+  def readDir(fs: FileSystem, tableDir: String)
+      : (Seq[String], StructType, Map[String, String]) = {
+    val meta = new Path(tableDir, "_table.json")
+    require(fs.exists(meta),
+      s"$tableDir is not a sink catalog table (no _table.json sidecar)")
+    val in = fs.open(meta)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parse(text)
+  }
+}
+
 class PartitionedSinkCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -83,33 +129,13 @@ class PartitionedSinkCatalog extends TableCatalog
       .map(s => Identifier.of(namespace, TsvCodec.unescapeDir(s.getPath.getName)))
   }
 
-  // sidecar layout: line 1 = partition columns (tab-separated; a
-  // pre-multi-level sidecar is the single-column special case), line 2
-  // = schema JSON (StructType.json is compact — always one line),
-  // lines 3+ (optional) = persisted TABLE PROPERTIES, one
-  // TsvCodec-escaped `key \t value` per line. Two-line sidecars (every
-  // pre-r16 table) parse with empty properties — backward compatible.
   private def renderSidecar(partCols: Seq[String], schema: StructType,
                             props: Map[String, String]): String =
-    partCols.mkString("\t") + "\n" + schema.json +
-      props.toSeq.sorted.map { case (k, v) =>
-        "\n" + TsvCodec.escape(k) + "\t" + TsvCodec.escape(v)
-      }.mkString
+    SinkSidecar.render(partCols, schema, props)
 
   private def parseSidecar(text: String)
-      : (Seq[String], StructType, Map[String, String]) = {
-    val lines = text.split("\n", -1)
-    val u = (s: String) => TsvCodec.unescape(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
-    val props = lines.drop(2).filter(_.nonEmpty).flatMap { line =>
-      line.split("\t", 2) match {
-        case Array(k, v) => Some(u(k) -> u(v))
-        case _ => None
-      }
-    }.toMap
-    (lines(0).split("\t").toSeq,
-      DataType.fromJson(lines(1).trim).asInstanceOf[StructType], props)
-  }
+      : (Seq[String], StructType, Map[String, String]) =
+    SinkSidecar.parse(text)
 
   private def writeSidecar(ident: Identifier, partCols: Seq[String],
                            schema: StructType,

@@ -218,23 +218,28 @@ private[sources] class SinkCowScan(
 
   /** Post-runtime-filter group count, so the ReplaceData scan node's
     * `filesScanned` metric reflects what actually rewrites (the base
-    * class counts only static pruning).
+    * class counts only static pruning). None until planInputPartitions
+    * has run — a metrics read before execution (an EXPLAIN-driven UI)
+    * falls back to the base class's static count instead of reporting
+    * a contradictory 0 next to populated skip counters.
     */
-  @volatile private var groupsPlanned = 0L
+  @volatile private var groupsPlanned: Option[Long] = None
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     super.reportDriverMetrics().map { m =>
-      if (m.name == "filesScanned") SinkScanMetrics.report(
-        "filesScanned" -> groupsPlanned).head
-      else m
+      (m.name, groupsPlanned) match {
+        case ("filesScanned", Some(n)) =>
+          SinkScanMetrics.report("filesScanned" -> n).head
+        case _ => m
+      }
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val groups = staticPrunedFiles.filter { case (_, f) =>
       runtimeKeep.forall(_.contains(f.getPath.toString))
     }
-    groupsPlanned = groups.size
+    groupsPlanned = Some(groups.size.toLong)
     op.plannedGroups = groups.map { case (values, f) =>
       (s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}",
         values, f.getPath.toString)

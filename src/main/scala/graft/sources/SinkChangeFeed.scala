@@ -73,7 +73,11 @@ private[graft] object SinkChangeFeed {
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false)))
 
-  /** (partition columns, table schema) from the table dir's sidecar. */
+  /** (partition columns, table schema) from the table dir's sidecar —
+    * the same parser the catalog uses ([[SinkSidecar]]), so a
+    * property-bearing sidecar (lines 3+) never leaks trailing text
+    * into the schema-JSON parse.
+    */
   def readSidecar(options: CaseInsensitiveStringMap)
       : (Seq[String], StructType) = {
     val path = Option(options.get("path")).getOrElse(
@@ -81,15 +85,16 @@ private[graft] object SinkChangeFeed {
         "SinkChangeFeed needs option path=<table dir>"))
     val fs = FileSystem.get(new java.net.URI(path),
       SparkSession.active.sessionState.newHadoopConf())
-    val meta = new Path(path, "_table.json")
-    require(fs.exists(meta),
-      s"$path is not a sink catalog table (no _table.json sidecar)")
-    val in = fs.open(meta)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val (partLine, schemaJson) = json.splitAt(json.indexOf('\n'))
-    (partLine.split("\t").toSeq,
-      DataType.fromJson(schemaJson.trim).asInstanceOf[StructType])
+    val (partCols, schema, _) = SinkSidecar.readDir(fs, path)
+    // the feed's offsets are VERSION numbers: an unversioned table has
+    // no commit log to tail — latest/initial would both resolve to 0
+    // and the feed would sit silently empty forever. Fail at
+    // construction instead, pointing at the fix.
+    require(SinkVersions.isVersioned(fs, path),
+      s"$path is not versioned — the change feed tails the version " +
+        "manifest log; create the table through a catalog with " +
+        "spark.sql.catalog.<name>.versioned=true")
+    (partCols, schema)
   }
 }
 
