@@ -231,7 +231,12 @@ class PartitionedSink extends TableProvider {
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
         .getOrElse(throw new IllegalArgumentException(
           "PartitionedSink needs option partitionBy=<col>[,<col>...]")),
-      schema)
+      schema,
+      // graft.* write options ride as table properties on the path API
+      // (`.option("graft.format", "parquet")`); the path default stays
+      // TSV — only catalog-created tables flip the parquet default
+      props = properties.asScala.toMap
+        .filter { case (k, _) => k.startsWith("graft.") })
 }
 
 object PartitionedSink {
@@ -261,8 +266,13 @@ object PartitionedSink {
     if (!hasParts)
       emptyFrame(spark, dataSchema, partCols)
     else {
-      val glob = partCols.map { case (c, _) => s"$c=*" }.mkString("/")
-      readPaths(spark, root, Seq(s"$root/$glob"), dataSchema, partCols)
+      // explicit file listing (not a glob): the per-file format
+      // dispatch in readPaths needs extensions, and the pruned leaf
+      // walk already exists
+      val files = SinkLayout.listLeaves(fs, rootPath, partCols.map(_._1))
+        .flatMap { case (_, leaf) =>
+          SinkLayout.dataFiles(fs, leaf).map(_.getPath.toString) }
+      readPaths(spark, root, files, dataSchema, partCols)
     }
   }
 
@@ -286,28 +296,47 @@ object PartitionedSink {
                                partCols: Seq[(String, DataType)]): DataFrame = {
     if (paths.isEmpty) return emptyFrame(spark, dataSchema, partCols)
     import org.apache.spark.sql.functions.col
-    val raw = partCols.foldLeft(
-      spark.read
-        .schema(dataSchema)
-        .option("sep", "\t")
-        .option("nullValue", NullToken)
-        // quote handling OFF: the layout's own [[TsvCodec]] escaping is
-        // the one decode layer — a value starting with '"' must not
-        // trigger CSV quote semantics
-        .option("quote", "")
-        .option("basePath", root)
-        .csv(paths: _*)) { case (df, (c, t)) =>
-      df.withColumn(c, col(c).cast(t))
-    }
-    // decode the TsvCodec escapes on every string DATA column (the
-    // partition columns come from the dir names, hive-unescaped by
-    // partition discovery, not from the TSV payload)
-    dataSchema.fields.filter(_.dataType == StringType).foldLeft(raw) {
-      (df, f) =>
-        df.withColumn(f.name, org.apache.spark.sql.GraftColumnShim.column(
-          TsvCodec.TsvUnescape(org.apache.spark.sql.GraftColumnShim
-            .expression(col(f.name)))))
-    }
+    // per-file FORMAT dispatch by extension, mirroring the DSv2
+    // reader factory: a table whose graft.format changed mid-life
+    // reads correctly file by file
+    val (pq, tsv) = paths.partition(_.endsWith(".parquet"))
+    val sides = Seq(
+      if (tsv.isEmpty) None else Some {
+        val raw = partCols.foldLeft(
+          spark.read
+            .schema(dataSchema)
+            .option("sep", "\t")
+            .option("nullValue", NullToken)
+            // quote handling OFF: the layout's own [[TsvCodec]] escaping
+            // is the one decode layer — a value starting with '"' must
+            // not trigger CSV quote semantics
+            .option("quote", "")
+            .option("basePath", root)
+            .csv(tsv: _*)) { case (df, (c, t)) =>
+          df.withColumn(c, col(c).cast(t))
+        }
+        // decode the TsvCodec escapes on every string DATA column (the
+        // partition columns come from the dir names, hive-unescaped by
+        // partition discovery, not from the TSV payload)
+        dataSchema.fields.filter(_.dataType == StringType).foldLeft(raw) {
+          (df, f) =>
+            df.withColumn(f.name, org.apache.spark.sql.GraftColumnShim.column(
+              TsvCodec.TsvUnescape(org.apache.spark.sql.GraftColumnShim
+                .expression(col(f.name)))))
+        }
+      },
+      if (pq.isEmpty) None else Some {
+        // parquet is self-describing — no unescape layer; partition
+        // columns still come from the dir names via basePath discovery
+        partCols.foldLeft(
+          spark.read
+            .schema(dataSchema)
+            .option("basePath", root)
+            .parquet(pq: _*)) { case (df, (c, t)) =>
+          df.withColumn(c, col(c).cast(t))
+        }
+      }).flatten
+    sides.reduce(_ unionByName _)
   }
 }
 
@@ -351,17 +380,19 @@ private[sources] class PartitionedSinkTable(path: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new PartitionedSinkScanBuilder(path, partCols, schema0, asOfVersion)
+    new PartitionedSinkScanBuilder(path, partCols, schema0, asOfVersion,
+      SinkFormat.fieldIds(props))
 
-  /** Metadata columns: `_file` — the row's data-file path, served as a
-    * per-split constant by the reader (SELECT `_file` works on any
-    * sink table; the row-level rewrites use it for runtime group
-    * filtering). A DATA column with the same name shadows it (Spark's
-    * standard conflict rule).
+  /** Metadata columns: `_file` — the row's data-file path, a per-split
+    * constant (the row-level rewrites use it for runtime group
+    * filtering) — and `_pos`, the row's stable position within its
+    * file (byte offset of the line for TSV, file row index for
+    * parquet; the merge-on-read delete identity). A DATA column with
+    * the same name shadows either (Spark's standard conflict rule).
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(SinkMeta.FileMetaCol)
+    Array(SinkMeta.FileMetaCol, SinkMeta.PosMetaCol)
 
   /** SQL row-level surface: DELETE / UPDATE / MERGE rewrite the file
     * groups containing matches (copy-on-write) — see
@@ -1108,7 +1139,8 @@ private class PartitionedSinkBatchWrite(path: String, partCols: Seq[String],
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf(),
-      SinkBloomConf.fromSession(props))
+      SinkBloomConf.fromSession(props),
+      SinkFormat.fromProps(props), SinkFormat.fieldIds(props))
 
   // at most one committed attempt per task partition — the scheduler
   // half of exactly-once; the manifest publish below is the other half
@@ -1169,11 +1201,13 @@ private object PartitionedSinkWriterFactory {
 private class PartitionedSinkWriterFactory(
     path: String, partCols: Seq[String], schema: StructType, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072))
+    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072),
+    format: String = SinkFormat.Tsv,
+    fieldIds: Map[String, Int] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema, queryId, partitionId,
-      taskId, conf, bloom)
+      taskId, conf, bloom, format, fieldIds)
 }
 
 /** Task-side writer: buffers one open staged file per partition TUPLE
@@ -1187,7 +1221,9 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
                                     partitionId: Int, taskId: Long,
                                     conf: org.apache.spark.util.SerializableConfiguration,
                                     bloom: (Seq[String], Double, Int) =
-                                      (Seq.empty, 0.01, 131072))
+                                      (Seq.empty, 0.01, 131072),
+                                    format: String = SinkFormat.Tsv,
+                                    fieldIds: Map[String, Int] = Map.empty)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new java.net.URI(path), conf.value)
@@ -1345,7 +1381,42 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
     }
   }
 
-  private final class OpenOut(val w: java.io.BufferedWriter, val p: Path,
+  /** Format seam: the one per-row encode call the two formats differ
+    * in. Everything around it — staging paths, stats/bloom
+    * accumulation, the commit message — is format-independent.
+    */
+  private sealed trait RowOut {
+    def write(row: InternalRow): Unit
+    def close(): Unit
+  }
+
+  private final class TsvRowOut(w: java.io.BufferedWriter) extends RowOut {
+    override def write(row: InternalRow): Unit = {
+      w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
+        .mkString("\t"))
+      w.write("\n")
+    }
+    override def close(): Unit = w.close()
+  }
+
+  private final class ParquetRowOut(
+      pw: org.apache.parquet.hadoop.ParquetWriter[InternalRow])
+      extends RowOut {
+    override def write(row: InternalRow): Unit = pw.write(row)
+    override def close(): Unit = pw.close()
+  }
+
+  private def newRowOut(f: Path): RowOut =
+    if (format == SinkFormat.Parquet)
+      new ParquetRowOut(SinkParquetWrite.open(conf.value, f,
+        dataFields.toSeq, fieldIds))
+    else {
+      fs.mkdirs(f.getParent)
+      new TsvRowOut(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8")))
+    }
+
+  private final class OpenOut(val w: RowOut, val p: Path,
                               var rows: Long,
                               val stats: Array[ColAcc],
                               val blooms: Array[BloomAcc])
@@ -1387,16 +1458,13 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
     }
     val o = open.getOrElseUpdate(pvs, {
       val f = new Path(path,
-        s"_staging/$stagingSub/part-$partitionId-$taskId-${SinkLayout.valueTag(pvs)}.tsv")
+        s"_staging/$stagingSub/part-$partitionId-$taskId-" +
+          s"${SinkLayout.valueTag(pvs)}.${SinkFormat.extension(format)}")
       fs.mkdirs(f.getParent)
-      val out = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
-      new OpenOut(out, f, 0L, newStats(),
+      new OpenOut(newRowOut(f), f, 0L, newStats(),
         bloomPlan.map { case (_, _, isStr) => new BloomAcc(isStr) })
     })
-    o.w.write(dataFields.map { case (fld, i) => fieldStr(row, i, fld.dataType) }
-      .mkString("\t"))
-    o.w.write("\n")
+    o.w.write(row)
     o.rows += 1
     var j = 0
     while (j < dataFields.length) {
@@ -1480,7 +1548,8 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
       : StreamingDataWriterFactory =
     new PartitionedSinkStreamingWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf(),
-      SinkBloomConf.fromSession(props))
+      SinkBloomConf.fromSession(props),
+      SinkFormat.fromProps(props), SinkFormat.fieldIds(props))
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1489,7 +1558,9 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
     if (!fs.exists(marker(epochId))) {
       SinkCommit.publish(fs, path, partCols, mode, files.toSeq,
         f => s"part-e$epochId-p${f.partitionId}-" +
-          s"${SinkLayout.valueTag(f.partValues)}.tsv",
+          s"${SinkLayout.valueTag(f.partValues)}" +
+          // deterministic name, staged extension (format-dependent)
+          f.stagedPath.substring(f.stagedPath.lastIndexOf('.')),
         statsToken = s"e$epochId", versioned = versioned)
       fs.mkdirs(marker(epochId).getParent)
       fs.create(marker(epochId), true).close()
@@ -1509,10 +1580,13 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
 private class PartitionedSinkStreamingWriterFactory(
     path: String, partCols: Seq[String], schema: StructType, queryId: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072))
+    bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072),
+    format: String = SinkFormat.Tsv,
+    fieldIds: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema,
-      s"$queryId/epoch-$epochId", partitionId, taskId, conf, bloom)
+      s"$queryId/epoch-$epochId", partitionId, taskId, conf, bloom,
+      format, fieldIds)
 }

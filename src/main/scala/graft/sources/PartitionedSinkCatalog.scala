@@ -209,9 +209,24 @@ class PartitionedSinkCatalog extends TableCatalog
     // 'k')` survives restarts and applies to every writer of the
     // table, unlike the session conf. Spark's bookkeeping properties
     // (provider, owner, location...) are not ours to store.
-    val persisted = Option(properties).map(_.asScala.toMap)
+    val declared = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty)
       .filter { case (k, _) => k.startsWith("graft.") }
+    // STORAGE FORMAT: parquet is the default for NEW tables (columnar
+    // chunks + compression — the 100 TB-shaped choice); `TBLPROPERTIES
+    // ('graft.format' = 'tsv')` opts into the text layout. Existing
+    // tables (no property in their sidecar) keep reading/writing TSV.
+    val withFormat =
+      if (declared.contains(SinkFormat.PropFormat)) declared
+      else declared + (SinkFormat.PropFormat -> SinkFormat.Parquet)
+    // FIELD IDS: parquet tables carry a name→id registry so columns
+    // resolve by id across rename/drop evolution; minted once here,
+    // extended by ADD COLUMNS, never reused after a drop
+    val persisted =
+      if (SinkFormat.fromProps(withFormat) == SinkFormat.Parquet &&
+        !withFormat.contains(SinkFormat.PropFieldIds))
+        withFormat ++ SinkFormat.initialIdProps(schema, partCols)
+      else withFormat
     // atomic publish of the sidecar: concurrent CREATEs race on the
     // rename, not on a half-written file
     val dir = tableDir(ident)
@@ -229,14 +244,20 @@ class PartitionedSinkCatalog extends TableCatalog
       props = persisted)
   }
 
-  /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
-    * appends nullable atomic columns to the END of the schema — the
-    * one evolution a positional text layout supports for free, because
-    * files written before the change are simply SHORT rows and the
-    * reader fills missing trailing cells with NULL (no rewrite of
-    * existing data; the next append starts writing the new width).
-    * Everything else (drop/rename/retype/reorder) would silently
-    * re-map existing files' positions — rejected loudly.
+  /** Schema evolution. ADD COLUMNS (nullable, appended at the end)
+    * works on BOTH formats: TSV files written before the change are
+    * SHORT rows whose missing trailing cells read as NULL; parquet
+    * files simply lack the column. RENAME/DROP COLUMN work on PARQUET
+    * tables only, through the field-id registry (`graft.fieldIds`): a
+    * renamed column keeps its id, so files written before the rename
+    * still resolve; a dropped column's id is retired and never
+    * reused, so its data in old files is simply never requested. On a
+    * TSV table rename/drop would silently re-map existing files'
+    * POSITIONS — rejected loudly, as before. Retype/reorder are
+    * rejected on both. (After a rename, per-column skip stats
+    * recorded under the old name no longer match — affected files are
+    * scanned instead of skipped until rewritten: degraded, never
+    * wrong.)
     *
     * The sidecar update is last-writer-wins (staged write + delete +
     * rename): DDL here is a single-admin operation, not a concurrent
@@ -246,34 +267,87 @@ class PartitionedSinkCatalog extends TableCatalog
                           changes: TableChange*): Table = {
     val current = loadTable(ident).asInstanceOf[PartitionedSinkTable]
     var props = current.props
-    val added = changes.flatMap {
+    var schema = current.schema()
+    val isParquet = SinkFormat.fromProps(props) == SinkFormat.Parquet
+    var ids = SinkFormat.fieldIds(props)
+    val ids0 = ids
+    var nextId = props.get(SinkFormat.PropNextFieldId).map(_.toInt)
+      .getOrElse(ids.values.maxOption.getOrElse(0) + 1)
+    // the format/field-id registry is engine-managed state, not a user
+    // knob: hand-editing it would silently transpose columns
+    val reserved = Set(SinkFormat.PropFormat, SinkFormat.PropFieldIds,
+      SinkFormat.PropNextFieldId)
+    def oneLevel(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        "PartitionedSinkCatalog supports top-level columns only")
+      fieldNames(0)
+    }
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "PartitionedSinkCatalog supports top-level columns only")
+        val name = oneLevel(a.fieldNames())
         require(a.isNullable,
           "added columns must be nullable (existing files read them as NULL)")
-        Some(StructField(a.fieldNames()(0), a.dataType(), nullable = true))
+        require(!schema.fieldNames.contains(name),
+          s"column $name already exists")
+        schema = StructType(schema.fields :+
+          StructField(name, a.dataType(), nullable = true))
+        if (isParquet && ids.nonEmpty && SinkFormat.idSafe(name)) {
+          ids = ids + (name -> nextId); nextId += 1
+        }
+      case r: TableChange.RenameColumn =>
+        val from = oneLevel(r.fieldNames())
+        val to = r.newName()
+        require(!current.partCols.contains(from),
+          s"cannot rename partition column $from (it names the directory layout)")
+        require(isParquet && ids.contains(from),
+          s"RENAME COLUMN needs a parquet-format table with field ids " +
+            s"($from resolves by POSITION in the TSV layout — renames " +
+            "would re-map existing files)")
+        require(schema.fieldNames.contains(from), s"no such column $from")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        require(SinkFormat.idSafe(to),
+          s"column name '$to' cannot carry a field id (',' or ':')")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        ids = ids - from + (to -> ids(from))
+      case d: TableChange.DeleteColumn =>
+        val name = oneLevel(d.fieldNames())
+        require(!current.partCols.contains(name),
+          s"cannot drop partition column $name (it names the directory layout)")
+        if (!schema.fieldNames.contains(name)) {
+          require(d.ifExists(), s"no such column $name")
+        } else {
+          require(isParquet && ids.contains(name),
+            s"DROP COLUMN needs a parquet-format table with field ids " +
+              s"($name resolves by POSITION in the TSV layout — drops " +
+              "would shift every later column)")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          ids = ids - name // id retired, never reused (nextId unchanged)
+        }
       // engine-namespaced properties are settable/unsettable DDL:
       // `ALTER TABLE t SET TBLPROPERTIES ('graft.bloomColumns' = 'k')`
       case p: TableChange.SetProperty =>
-        require(p.property.startsWith("graft."),
-          s"only graft.* table properties are settable, got ${p.property}")
-        props = props + (p.property -> p.value); None
+        require(p.property.startsWith("graft.") && !reserved(p.property),
+          s"table property ${p.property} is not user-settable " +
+            "(graft.* keys outside the engine-managed format registry are)")
+        props = props + (p.property -> p.value)
       case p: TableChange.RemoveProperty =>
-        require(p.property.startsWith("graft."),
-          s"only graft.* table properties are removable, got ${p.property}")
-        props = props - p.property; None
+        require(p.property.startsWith("graft.") && !reserved(p.property),
+          s"table property ${p.property} is not user-removable " +
+            "(graft.* keys outside the engine-managed format registry are)")
+        props = props - p.property
       case other => throw new UnsupportedOperationException(
-        s"PartitionedSinkCatalog tables support only ADD COLUMNS " +
-          s"(append-at-end, nullable) and graft.* SET/UNSET " +
-          s"TBLPROPERTIES; got $other")
+        s"PartitionedSinkCatalog tables support ADD COLUMNS " +
+          s"(append-at-end, nullable), RENAME/DROP COLUMN (parquet " +
+          s"format only) and graft.* SET/UNSET TBLPROPERTIES; got $other")
     }
-    added.foreach(f => require(!current.schema().fieldNames.contains(f.name),
-      s"column ${f.name} already exists"))
-    val newSchema = StructType(current.schema().fields ++ added)
-    writeSidecar(ident, current.partCols, newSchema, props)
+    if (ids != ids0)
+      props = props +
+        (SinkFormat.PropFieldIds -> SinkFormat.renderIds(ids.toSeq.sortBy(_._2))) +
+        (SinkFormat.PropNextFieldId -> nextId.toString)
+    writeSidecar(ident, current.partCols, schema, props)
     new PartitionedSinkTable(tableDir(ident).toString, current.partCols,
-      newSchema, versioned, props = props)
+      schema, versioned, props = props)
   }
 
   /** SQL maintenance: `CALL <cat>.vacuum_versions(table => 't', ...)`

@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] class PartitionedSinkScanBuilder(
     path: String, partCols: Seq[String], fullSchema: StructType,
-    asOfVersion: Option[Long] = None)
+    asOfVersion: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -97,14 +98,15 @@ private[sources] class PartitionedSinkScanBuilder(
 
   override def build(): Scan =
     new PartitionedSinkScan(path, partCols, fullSchema, required,
-      partitionFilters, skipFilters, asOfVersion)
+      partitionFilters, skipFilters, asOfVersion, fieldIds)
 }
 
 private[sources] class PartitionedSinkScan(
     path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
     skipFilters: Array[Filter] = Array.empty,
-    asOfVersion: Option[Long] = None)
+    asOfVersion: Option[Long] = None,
+    fieldIds: Map[String, Int] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -338,7 +340,7 @@ private[sources] class PartitionedSinkScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
-      PartitionedSinkWriterFactory.sessionConf())
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -347,7 +349,7 @@ private[sources] class PartitionedSinkScan(
     require(asOfVersion.isEmpty,
       "cannot stream-read a time-travel (VERSION AS OF) table reference")
     new PartitionedSinkMicroBatchStream(path, partCols, fullSchema, required,
-      partitionFilters, keepTuple, checkpointLocation, skipFilters)
+      partitionFilters, keepTuple, checkpointLocation, skipFilters, fieldIds)
   }
 }
 
@@ -433,7 +435,8 @@ private class PartitionedSinkMicroBatchStream(
     path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
     keepTuple: Seq[String] => Boolean, checkpointLocation: String,
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    fieldIds: Map[String, Int] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -675,7 +678,7 @@ private class PartitionedSinkMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
-      PartitionedSinkWriterFactory.sessionConf())
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -693,7 +696,8 @@ private[sources] case class SinkFileSplit(file: String, partValues: Seq[String],
                                  keyTypes: Seq[DataType],
                                  start: Long = 0L,
                                  length: Long = Long.MaxValue,
-                                 extras: Seq[(String, String)] = Seq.empty)
+                                 extras: Seq[(String, String)] = Seq.empty,
+                                 inlineParts: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -703,11 +707,19 @@ private[sources] case class SinkFileSplit(file: String, partValues: Seq[String],
 
 private class PartitionedSinkReaderFactory(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    fieldIds: Map[String, Int] = Map.empty)
     extends PartitionReaderFactory {
-  override def createReader(split: InputPartition): PartitionReader[InternalRow] =
-    new PartitionedSinkReader(split.asInstanceOf[SinkFileSplit],
-      fullSchema, required, partCols, conf)
+  // per-FILE format dispatch (by extension): a table whose
+  // `graft.format` changed mid-life, or a feed mixing table files with
+  // spark-written change files, reads correctly file by file
+  override def createReader(split: InputPartition): PartitionReader[InternalRow] = {
+    val s = split.asInstanceOf[SinkFileSplit]
+    if (s.file.endsWith(".parquet"))
+      new SinkParquetReader(s, fullSchema, required, partCols, conf, fieldIds)
+    else
+      new PartitionedSinkReader(s, fullSchema, required, partCols, conf)
+  }
 }
 
 /** Line reader for one staged-then-published TSV file: split on tab,
@@ -751,28 +763,38 @@ private class PartitionedSinkReader(
   private val text = new org.apache.hadoop.io.Text
 
   // the file carries the data fields in fullSchema order MINUS the
-  // partition columns
+  // partition columns (ALL columns when the split says the partition
+  // values are inline — change files carry them as ordinary cells)
   private val dataFields =
-    fullSchema.fields.filter(f => !partCols.contains(f.name))
+    if (split.inlineParts) fullSchema.fields
+    else fullSchema.fields.filter(f => !partCols.contains(f.name))
   // per-partition-column constants from the split's tuple
   private val partValues: Map[String, Any] =
-    partCols.zip(split.partValues).map { case (c, v) =>
+    if (split.inlineParts) Map.empty
+    else partCols.zip(split.partValues).map { case (c, v) =>
       c -> PartitionedSinkReader.castValue(v, fullSchema(c).dataType)
     }.toMap
-  // required ordinal -> (file column index | -1 for a constant:
-  // partition cols from the split's tuple, the `_file` metadata column
-  // from the split's path — a DATA column named "_file" wins, matching
-  // Spark's conflict rule for metadata columns)
+  /** Sentinel file-column indexes in [[plan]]: -1 = split constant,
+    * -2 = the per-row `_pos` metadata value (the line's byte offset).
+    */
+  private final val ConstIdx = -1
+  private final val PosIdx = -2
+  // required ordinal -> (file column index | a sentinel: partition
+  // cols from the split's tuple, the `_file`/`_pos` metadata columns
+  // from the split/reader — a DATA column with the same name wins,
+  // matching Spark's conflict rule for metadata columns)
   private val plan: Array[(Int, DataType, Any)] = required.fields.map { f =>
-    if (partCols.contains(f.name)) (-1, f.dataType, partValues(f.name))
+    if (partValues.contains(f.name)) (ConstIdx, f.dataType, partValues(f.name))
     else {
       val di = dataFields.indexWhere(_.name == f.name)
       lazy val extra = split.extras.find(_._1 == f.name)
       if (di < 0 && extra.isDefined)
-        (-1, f.dataType,
+        (ConstIdx, f.dataType,
           PartitionedSinkReader.castValue(extra.get._2, f.dataType))
       else if (di < 0 && f.name == SinkMeta.FileCol)
-        (-1, StringType, UTF8String.fromString(split.file))
+        (ConstIdx, StringType, UTF8String.fromString(split.file))
+      else if (di < 0 && f.name == SinkMeta.PosCol)
+        (PosIdx, LongType, null)
       else (di, f.dataType, null)
     }
   }
@@ -797,6 +819,7 @@ private class PartitionedSinkReader(
 
   override def next(): Boolean = {
     if (pos > end) return false // next line starts past this range
+    val lineStart = pos // `_pos`: byte offset of the line's first byte
     val n = lineReader.readLine(text)
     if (n == 0) return false // end of file
     pos += n
@@ -823,7 +846,8 @@ private class PartitionedSinkReader(
     // seen, so the count only matters when it is small
     val cellsSeen = cellIdx
     val values = plan.map { case (idx, dt, const) =>
-      if (idx < 0) const
+      if (idx == PosIdx) lineStart
+      else if (idx < 0) const
       else if (idx >= cellsSeen) null
       else {
         val cell = cells(idx)

@@ -60,12 +60,28 @@ private[graft] object SinkMeta {
   /** Name of the file-path metadata column (Iceberg's `_file` shape). */
   final val FileCol = "_file"
 
+  /** Name of the row-position metadata column (Iceberg's `_pos`
+    * shape): the row's STABLE position within its data file — byte
+    * offset of the line for TSV files, file-level row index for
+    * parquet. (file, pos) is the row identity merge-on-read deletes
+    * key on; stability holds because published files are immutable.
+    */
+  final val PosCol = "_pos"
+
   object FileMetaCol extends MetadataColumn {
     override def name(): String = FileCol
     override def dataType(): DataType = StringType
     override def isNullable: Boolean = false
     override def comment(): String =
       "path of the data file the row was read from"
+  }
+
+  object PosMetaCol extends MetadataColumn {
+    override def name(): String = PosCol
+    override def dataType(): DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "stable position of the row within its data file"
   }
 }
 
@@ -98,7 +114,8 @@ private[sources] class SinkRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new SinkCowScanBuilder(path, partCols, fullSchema, this)
+    new SinkCowScanBuilder(path, partCols, fullSchema, this,
+      SinkFormat.fieldIds(props))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // the replace write must carry every table column (partition
@@ -145,11 +162,12 @@ private[sources] class SinkRowLevelOperation(
 
 private[sources] class SinkCowScanBuilder(
     path: String, partCols: Seq[String], fullSchema: StructType,
-    op: SinkRowLevelOperation)
-    extends PartitionedSinkScanBuilder(path, partCols, fullSchema) {
+    op: SinkRowLevelOperation, fieldIds: Map[String, Int] = Map.empty)
+    extends PartitionedSinkScanBuilder(path, partCols, fullSchema,
+      fieldIds = fieldIds) {
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new SinkCowScan(path, partCols, fullSchema, requiredSchema,
-      pushedPartitionFilters, pushedSkipFilters, op)
+      pushedPartitionFilters, pushedSkipFilters, op, fieldIds)
 }
 
 /** The COW scan: the base class contributes static group pruning
@@ -164,9 +182,10 @@ private[sources] class SinkCowScanBuilder(
 private[sources] class SinkCowScan(
     path: String, partCols: Seq[String], fullSchema: StructType,
     required: StructType, partitionFilters: Array[Filter],
-    skipFilters: Array[Filter], op: SinkRowLevelOperation)
+    skipFilters: Array[Filter], op: SinkRowLevelOperation,
+    fieldIds: Map[String, Int] = Map.empty)
     extends PartitionedSinkScan(path, partCols, fullSchema, required,
-      partitionFilters, skipFilters, asOfVersion = None)
+      partitionFilters, skipFilters, asOfVersion = None, fieldIds)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   /** None until Catalyst's matching-row subquery runs; Some(files)

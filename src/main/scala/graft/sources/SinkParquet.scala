@@ -1,0 +1,438 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.Dictionary
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordConsumer, RecordMaterializer}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PARQUET data files for the sink table format — the columnar
+  * storage tier under the format-agnostic commit protocol (staging,
+  * publish renames, CAS version manifests, stats/bloom manifests,
+  * partition layout, row-level replace and the change feed all key on
+  * FILE NAMES and never looked inside a data file; this layer is the
+  * only part that does).
+  *
+  * Selected per TABLE via the `graft.format` property: `parquet` is
+  * the default for NEW catalog tables, `tsv` remains the default for
+  * the path-based writer and for every pre-existing table (whose
+  * sidecar has no format property). Dispatch on the READ side is per
+  * FILE by extension, so a table whose property changed mid-life —
+  * or whose change files were written by Spark's own parquet writer —
+  * reads correctly file by file.
+  *
+  * Why hand-rolled read/write support instead of Spark's internal
+  * ParquetWriteSupport/VectorizedParquetRecordReader: the sink's type
+  * surface is deliberately ATOMIC-ONLY (string/boolean/int/long/
+  * float/double/short/byte — PartitionedSinkWriter.fieldStr's
+  * contract), which the public parquet-mr API covers in a few dozen
+  * lines with no dependency on Spark internals that move between
+  * releases; and owning the materializer is what makes FIELD-ID
+  * column resolution (rename/drop evolution) and row-index tracking
+  * (merge-on-read positions) possible.
+  *
+  * What this buys at 100 TB vs the TSV tier: a narrow projection
+  * reads only its columns' chunks (I/O pruning, not just decode
+  * pruning), values are dictionary/RLE-encoded and snappy-compressed
+  * (5–10× fewer bytes on disk and over the wire), and byte-range
+  * split carving maps onto row groups (the classic midpoint rule via
+  * ParquetReadOptions.withRange).
+  */
+private[graft] object SinkFormat {
+  final val PropFormat = "graft.format"
+  final val PropFieldIds = "graft.fieldIds"
+  final val PropNextFieldId = "graft.nextFieldId"
+  final val Tsv = "tsv"
+  final val Parquet = "parquet"
+
+  def fromProps(props: Map[String, String]): String =
+    props.getOrElse(PropFormat, Tsv) match {
+      case Tsv => Tsv
+      case Parquet => Parquet
+      case other => throw new IllegalArgumentException(
+        s"$PropFormat must be '$Tsv' or '$Parquet', got '$other'")
+    }
+
+  def extension(format: String): String =
+    if (format == Parquet) "parquet" else "tsv"
+
+  /** Field-id registry rendering: `<id>:<name>` pairs, comma-joined.
+    * Only assigned to names free of the two delimiters (idSafe) — a
+    * column named with ',' or ':' simply gets no id and resolves by
+    * name, exactly like a file written before ids existed.
+    */
+  def idSafe(name: String): Boolean =
+    !name.contains(',') && !name.contains(':')
+
+  def renderIds(ids: Seq[(String, Int)]): String =
+    ids.map { case (n, i) => s"$i:$n" }.mkString(",")
+
+  def fieldIds(props: Map[String, String]): Map[String, Int] =
+    props.get(PropFieldIds).map { s =>
+      s.split(",").toSeq.filter(_.nonEmpty).flatMap { pair =>
+        pair.split(":", 2) match {
+          case Array(i, n) if i.nonEmpty && i.forall(_.isDigit) =>
+            Some(n -> i.toInt)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Mint the id properties for a fresh table: ids 1..n in schema
+    * order over the DATA columns (partition columns live in directory
+    * names, never in data files — they need no ids).
+    */
+  def initialIdProps(schema: StructType,
+                     partCols: Seq[String]): Map[String, String] = {
+    val dataCols = schema.fields.map(_.name).filterNot(partCols.contains)
+    if (!dataCols.forall(idSafe)) Map.empty
+    else Map(
+      PropFieldIds -> renderIds(dataCols.zipWithIndex.map {
+        case (n, i) => n -> (i + 1) }.toSeq),
+      PropNextFieldId -> (dataCols.length + 1).toString)
+  }
+}
+
+/** Write half: a [[WriteSupport]] over [[InternalRow]] for the sink's
+  * atomic type set. One writer per (task, partition tuple), same as
+  * the TSV tier; stats/bloom accumulation stays in
+  * [[PartitionedSinkWriter]] (format-independent).
+  */
+private[graft] object SinkParquetWrite {
+
+  /** Parquet field for one atomic Catalyst column; `id` < 0 = no id. */
+  private def field(name: String, dt: DataType, id: Int): Type = {
+    val b = dt match {
+      case StringType => Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType())
+      case LongType => Types.optional(PrimitiveTypeName.INT64)
+      case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+      case ShortType => Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(16, true))
+      case ByteType => Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(8, true))
+      case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+      case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+      case other => throw new UnsupportedOperationException(
+        s"PartitionedSink supports atomic column types only, got $other")
+    }
+    (if (id >= 0) b.id(id) else b).named(name)
+  }
+
+  def messageType(dataFields: Seq[StructField],
+                  fieldIds: Map[String, Int]): MessageType =
+    new MessageType("graft_sink",
+      dataFields.map(f =>
+        field(f.name, f.dataType, fieldIds.getOrElse(f.name, -1))).asJava)
+
+  /** dataFields carry (field, ordinal in the FULL write schema). */
+  private class RowWriteSupport(schema: MessageType,
+                                dataFields: Seq[(StructField, Int)])
+      extends WriteSupport[InternalRow] {
+    private var consumer: RecordConsumer = _
+    private val plan = dataFields.toArray
+
+    override def init(configuration: Configuration)
+        : WriteSupport.WriteContext =
+      new WriteSupport.WriteContext(schema,
+        java.util.Collections.emptyMap[String, String]())
+
+    override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+
+    override def write(row: InternalRow): Unit = {
+      consumer.startMessage()
+      var i = 0
+      while (i < plan.length) {
+        val (fld, ord) = plan(i)
+        if (!row.isNullAt(ord)) {
+          consumer.startField(fld.name, i)
+          fld.dataType match {
+            case StringType => consumer.addBinary(
+              Binary.fromConstantByteArray(row.getUTF8String(ord).getBytes))
+            case LongType => consumer.addLong(row.getLong(ord))
+            case IntegerType => consumer.addInteger(row.getInt(ord))
+            case ShortType => consumer.addInteger(row.getShort(ord).toInt)
+            case ByteType => consumer.addInteger(row.getByte(ord).toInt)
+            case DoubleType => consumer.addDouble(row.getDouble(ord))
+            case FloatType => consumer.addFloat(row.getFloat(ord))
+            case BooleanType => consumer.addBoolean(row.getBoolean(ord))
+            case other => throw new UnsupportedOperationException(
+              s"PartitionedSink supports atomic column types only, got $other")
+          }
+          consumer.endField(fld.name, i)
+        }
+        i += 1
+      }
+      consumer.endMessage()
+    }
+  }
+
+  private class Builder(out: HadoopOutputFile, ws: WriteSupport[InternalRow])
+      extends ParquetWriter.Builder[InternalRow, Builder](out) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration)
+        : WriteSupport[InternalRow] = ws
+  }
+
+  def open(conf: Configuration, path: Path,
+           dataFields: Seq[(StructField, Int)],
+           fieldIds: Map[String, Int]): ParquetWriter[InternalRow] = {
+    val schema = messageType(dataFields.map(_._1), fieldIds)
+    new Builder(HadoopOutputFile.fromPath(path, conf),
+      new RowWriteSupport(schema, dataFields))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+}
+
+/** Process-wide accounting of the parquet column-chunk bytes scans
+  * PLAN to read (selected row groups × requested columns — the
+  * compressed on-disk sizes from the footer). This is the number
+  * column pruning changes: a narrow projection selects a fraction of
+  * the chunk bytes a full-width read selects. Hadoop's
+  * FileSystem.Statistics cannot see parquet's buffer-level reads, so
+  * the I/O-pruning pin (and any ops question shaped like "how many
+  * bytes did that projection touch?") reads this instead.
+  */
+private[graft] object SinkParquetIo {
+  val chunkBytesPlanned = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = chunkBytesPlanned.reset()
+  def planned: Long = chunkBytesPlanned.sum()
+}
+
+/** Read half: one split = one parquet file or a byte range of one
+  * (row groups selected by the standard midpoint rule —
+  * ParquetReadOptions.withRange — so contiguous ranges partition the
+  * file's row groups exactly). Projection is pushed to the parquet
+  * column chunks: only the REQUIRED data columns' pages are read and
+  * decoded; partition columns, `_file`/`_pos` metadata and
+  * change-feed extras are split-level constants, same contract as the
+  * TSV reader.
+  *
+  * Column resolution: by FIELD ID when both the table (via
+  * `graft.fieldIds`) and the file field carry one — which is what
+  * makes rename/drop evolution safe on parquet tables (a renamed
+  * column keeps its id; files written before the rename resolve
+  * through it) — by NAME otherwise (files written before ids existed,
+  * and Spark-written change files). A required column absent from the
+  * file reads as NULL (the ADD COLUMNS evolution, same as the TSV
+  * short-row rule).
+  */
+private[sources] class SinkParquetReader(
+    split: SinkFileSplit, fullSchema: StructType, required: StructType,
+    partCols: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    fieldIds: Map[String, Int] = Map.empty)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  private val filePath = new Path(split.file)
+  private val inputFile = HadoopInputFile.fromPath(filePath, conf.value)
+
+  private val reader: ParquetFileReader = {
+    val b = org.apache.parquet.ParquetReadOptions.builder()
+    // MaxValue length = whole file; otherwise the carved byte range
+    val opts =
+      (if (split.length == Long.MaxValue) b
+       else b.withRange(split.start, split.start + split.length)).build()
+    new ParquetFileReader(inputFile, opts)
+  }
+
+  private val fileSchema: MessageType =
+    reader.getFooter.getFileMetaData.getSchema
+
+  /** File field ids, when present. */
+  private def fileFieldId(t: Type): Option[Int] =
+    Option(t.getId).map(_.intValue)
+
+  // required ordinal -> value source: Left(slot into the materializer
+  // buffer) for file columns, Right(constant) for partition values /
+  // extras / `_file` / `_pos` (pos handled separately — it is the one
+  // per-row non-file value)
+  private val partValues: Map[String, Any] =
+    partCols.zip(split.partValues).map { case (c, v) =>
+      c -> PartitionedSinkReader.castValue(v,
+        if (split.inlineParts) StringType else fullSchema(c).dataType)
+    }.toMap
+
+  /** (file field resolved for this required column, its Catalyst type,
+    * buffer slot) — in required order, file columns only.
+    */
+  private val resolved = scala.collection.mutable.ArrayBuffer[(Type, DataType)]()
+
+  private sealed trait Source
+  private case class FromFile(slot: Int) extends Source
+  private case class Const(v: Any) extends Source
+  private case object RowPos extends Source
+
+  private val plan: Array[Source] = required.fields.map { f =>
+    if (!split.inlineParts && partCols.contains(f.name))
+      Const(partValues(f.name))
+    else {
+      lazy val extra = split.extras.find(_._1 == f.name)
+      val byId = fieldIds.get(f.name).flatMap { id =>
+        fileSchema.getFields.asScala.find(t => fileFieldId(t).contains(id))
+      }
+      val fileField = byId.orElse(
+        fileSchema.getFields.asScala.find(_.getName == f.name))
+      if (fileField.isDefined) {
+        resolved += ((fileField.get, f.dataType))
+        FromFile(resolved.length - 1)
+      }
+      else if (extra.isDefined)
+        Const(PartitionedSinkReader.castValue(extra.get._2, f.dataType))
+      else if (f.name == SinkMeta.FileCol)
+        Const(UTF8String.fromString(split.file))
+      else if (f.name == SinkMeta.PosCol) RowPos
+      else Const(null) // evolution: column newer than the file
+    }
+  }
+
+  private val nSlots = resolved.length
+  private val buffer = new Array[Any](nSlots)
+
+  /** Converter writing one file column into its buffer slot, with
+    * dictionary support for strings (decode each dictionary entry to
+    * a UTF8String ONCE per page, not once per row).
+    */
+  private final class Slot(slot: Int, dt: DataType) extends PrimitiveConverter {
+    private var dict: Array[Any] = _
+    override def hasDictionarySupport: Boolean = true
+    override def setDictionary(dictionary: Dictionary): Unit = {
+      dict = new Array[Any](dictionary.getMaxId + 1)
+      var i = 0
+      while (i < dict.length) {
+        dict(i) = dt match {
+          case StringType =>
+            UTF8String.fromBytes(dictionary.decodeToBinary(i).getBytes)
+          case LongType => dictionary.decodeToLong(i)
+          case IntegerType => dictionary.decodeToInt(i)
+          case ShortType => dictionary.decodeToInt(i).toShort
+          case ByteType => dictionary.decodeToInt(i).toByte
+          case DoubleType => dictionary.decodeToDouble(i)
+          case FloatType => dictionary.decodeToFloat(i)
+          case BooleanType => dictionary.decodeToBoolean(i)
+          case _ => null
+        }
+        i += 1
+      }
+    }
+    override def addValueFromDictionary(id: Int): Unit = buffer(slot) = dict(id)
+    override def addBinary(v: Binary): Unit =
+      buffer(slot) = UTF8String.fromBytes(v.getBytes)
+    override def addLong(v: Long): Unit = buffer(slot) = v
+    override def addInt(v: Int): Unit = buffer(slot) = (dt match {
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    })
+    override def addDouble(v: Double): Unit = buffer(slot) = v
+    override def addFloat(v: Float): Unit = buffer(slot) = v
+    override def addBoolean(v: Boolean): Unit = buffer(slot) = v
+  }
+
+  /** Requested schema = exactly the resolved FILE fields (file names,
+    * file types — a projection of the file schema, which is what
+    * ColumnIOFactory requires); materializer fills the buffer slots
+    * in the same order.
+    */
+  private val requestedSchema: MessageType =
+    new MessageType("graft_sink", resolved.map(_._1).asJava)
+
+  private val materializer = new RecordMaterializer[Array[Any]] {
+    private val converters: Array[Converter] =
+      resolved.toArray.zipWithIndex.map { case ((_, dt), slot) =>
+        new Slot(slot, dt): Converter
+      }
+    private val root = new GroupConverter {
+      override def getConverter(i: Int): Converter = converters(i)
+      override def start(): Unit = java.util.Arrays.fill(
+        buffer.asInstanceOf[Array[AnyRef]], null)
+      override def end(): Unit = ()
+    }
+    override def getCurrentRecord: Array[Any] = buffer
+    override def getRootConverter: GroupConverter = root
+  }
+
+  private val columnIO =
+    if (nSlots > 0) {
+      reader.setRequestedSchema(requestedSchema)
+      new ColumnIOFactory().getColumnIO(requestedSchema, fileSchema, false)
+    } else null
+
+  // selected row groups (post range filter), for row counting and the
+  // `_pos` offsets; COUNT-style scans (zero file columns needed) never
+  // touch a data page — the footer row counts drive the loop
+  private val rowGroups = reader.getRowGroups.asScala.toSeq
+
+  // account the chunk bytes this split selects (see SinkParquetIo)
+  locally {
+    val wanted = requestedSchema.getFields.asScala.map(_.getName).toSet
+    if (wanted.nonEmpty) {
+      val bytes = rowGroups.iterator.flatMap(_.getColumns.asScala)
+        .filter(c => wanted.contains(c.getPath.toDotString.split("\\.")(0)))
+        .map(_.getTotalSize).sum
+      SinkParquetIo.chunkBytesPlanned.add(bytes)
+    }
+  }
+
+  private var groupIdx = -1
+  private var inGroupRemaining = 0L
+  private var recordReader: org.apache.parquet.io.RecordReader[Array[Any]] = _
+  /** Global row index (within the FILE) of the NEXT row. */
+  private var rowIndex: Long = 0L
+
+  private def advanceGroup(): Boolean = {
+    groupIdx += 1
+    if (groupIdx >= rowGroups.length) return false
+    if (nSlots > 0) {
+      val pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      inGroupRemaining = pages.getRowCount
+      rowIndex = pages.getRowIndexOffset.orElse(
+        rowGroups(groupIdx).getRowIndexOffset)
+      recordReader = columnIO.getRecordReader(pages, materializer)
+    } else {
+      val block = rowGroups(groupIdx)
+      inGroupRemaining = block.getRowCount
+      // row-index offsets come from the footer (absolute within the
+      // FILE, range filtering notwithstanding)
+      rowIndex = block.getRowIndexOffset
+    }
+    true
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inGroupRemaining == 0L) {
+      if (!advanceGroup()) return false
+    }
+    if (nSlots > 0) recordReader.read() // fills buffer
+    val pos = rowIndex
+    val values = plan.map {
+      case FromFile(slot) => buffer(slot)
+      case Const(v) => v
+      case RowPos => pos
+    }
+    current = InternalRow.fromSeq(values.toIndexedSeq)
+    inGroupRemaining -= 1
+    rowIndex += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

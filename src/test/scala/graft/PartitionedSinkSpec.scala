@@ -88,14 +88,16 @@ class PartitionedSinkSpec extends SparkSpec {
   // ---- protocol-level pins: the transitions Spark schedules on real
   // clusters (speculative twin loses the commit race; job aborts) ----
 
-  private def batchWriteFor(path: String, mode: String):
+  private def batchWriteFor(path: String, mode: String,
+                            format: String = "tsv"):
       org.apache.spark.sql.connector.write.BatchWrite = {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import scala.jdk.CollectionConverters._
     val fullSchema = StructType(dataSchema.fields :+ StructField("p", StringType))
     val provider = new graft.sources.PartitionedSink
     val table = provider.getTable(fullSchema, Array.empty,
-      Map("path" -> path, "partitionBy" -> "p").asJava)
+      Map("path" -> path, "partitionBy" -> "p",
+        "graft.format" -> format).asJava)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
     val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
       override def options() = new CaseInsensitiveStringMap(java.util.Map.of())
@@ -389,8 +391,12 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_stat_spec",
       classOf[graft.sources.PartitionedSinkCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_stat_spec.root", root)
-    // partition A dwarfs B: pruned stats must see the difference
-    val rows = (1L to 200L).map(i => (i, i * 0.5, "x" * 50, "A")) ++
+    // partition A dwarfs B: pruned stats must see the difference.
+    // DISTINCT strings per row — under the parquet format a constant
+    // string dictionary-compresses A down to B's file-overhead size
+    // and the 10× pin below would measure compression, not pruning
+    val rows = (1L to 2000L).map(i =>
+      (i, i * 0.5, s"payload-$i-${i * 7919}", "A")) ++
       Seq((900L, 9.0, "tiny", "B"))
     rows.toDF("k", "v", "s", "p")
       .writeTo("graft_stat_spec.t").partitionedBy(col("p")).create()
@@ -416,7 +422,7 @@ class PartitionedSinkSpec extends SparkSpec {
           agg.queryExecution.executedPlan)
       // and the numbers are right
       assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        === Map("A" -> (1L to 200L).sum, "B" -> 900L))
+        === Map("A" -> (1L to 2000L).sum, "B" -> 900L))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     spark.sql("DROP TABLE graft_stat_spec.t")
   }
@@ -1062,13 +1068,64 @@ class PartitionedSinkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(4)))).toSet
     assert(got === Set((1L, None), (2L, Some("fresh"))),
       "pre-evolution files read the added column as NULL; no rewrite")
-    // non-additive evolution is rejected loudly
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_ev_spec.t DROP COLUMN s")
-    }
-    assert(e.getMessage.contains("ADD COLUMNS") ||
-      e.getMessage.toLowerCase.contains("unsupported"))
+    // DROP works on the (default) parquet format — the column's field
+    // id retires and old files' cells for it are simply never requested
+    spark.sql("ALTER TABLE graft_ev_spec.t DROP COLUMN s")
+    assert(spark.table("graft_ev_spec.t").columns.toSeq ===
+      Seq("k", "v", "p", "note"))
+    assert(spark.table("graft_ev_spec.t").count() === 2,
+      "pre-drop files still read after the drop")
     spark.sql("DROP TABLE graft_ev_spec.t")
+  }
+
+  test("TSV-format tables reject RENAME/DROP COLUMN loudly; parquet " +
+    "tables resolve renamed columns in pre-rename files by field id") {
+    import spark.implicits._
+    val root = tmpDir("sink_evolve_fmt")
+    spark.conf.set("spark.sql.catalog.graft_evf_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evf_spec.root", root)
+    // TSV opt-in: positional layout — rename/drop must reject
+    spark.sql("""CREATE TABLE graft_evf_spec.tsv_t
+      (k BIGINT, s STRING, p STRING) PARTITIONED BY (p)
+      TBLPROPERTIES ('graft.format' = 'tsv')""")
+    Seq((1L, "a", "A")).toDF("k", "s", "p")
+      .writeTo("graft_evf_spec.tsv_t").append()
+    val eR = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evf_spec.tsv_t RENAME COLUMN s TO s2") }
+    assert(eR.getMessage.contains("POSITION"),
+      s"TSV rename must explain the positional constraint: ${eR.getMessage}")
+    val eD = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evf_spec.tsv_t DROP COLUMN s") }
+    assert(eD.getMessage.contains("POSITION"))
+    // the TSV files really are TSV (path default unchanged by the
+    // catalog's parquet default)
+    val tsvFiles = new java.io.File(s"$root/tsv_t/p=A").listFiles()
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(tsvFiles.nonEmpty && tsvFiles.forall(_.endsWith(".tsv")), tsvFiles.toSeq)
+    // parquet (default): rename, then read back PRE-rename files via id
+    Seq((1L, "before", 1.0, "A"), (2L, "before2", 2.0, "B"))
+      .toDF("k", "s", "v", "p")
+      .writeTo("graft_evf_spec.pq_t").partitionedBy(col("p")).create()
+    spark.sql("ALTER TABLE graft_evf_spec.pq_t RENAME COLUMN s TO label")
+    Seq((3L, "after", 3.0, "A")).toDF("k", "label", "v", "p")
+      .writeTo("graft_evf_spec.pq_t").append()
+    val all = spark.table("graft_evf_spec.pq_t")
+      .select("k", "label").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(all === Set((1L, "before"), (2L, "before2"), (3L, "after")),
+      "pre-rename files must serve the renamed column through its field id")
+    // partition columns anchor the directory layout — never renameable
+    val eP = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evf_spec.pq_t RENAME COLUMN p TO q") }
+    assert(eP.getMessage.contains("partition column"))
+    // the engine-managed registry is not a user knob
+    val eProp = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_evf_spec.pq_t SET TBLPROPERTIES " +
+        "('graft.fieldIds' = '1:boom')") }
+    assert(eProp.getMessage.contains("not user-settable"))
+    spark.sql("DROP TABLE graft_evf_spec.tsv_t")
+    spark.sql("DROP TABLE graft_evf_spec.pq_t")
   }
 
   test("vacuumStaging removes only crashed-driver orphans past the age threshold") {
@@ -1168,5 +1225,140 @@ class PartitionedSinkSpec extends SparkSpec {
         "(even though the mode was truncate — truncation happens at " +
         "commit time, not submit time)")
     assert(!new File(path, "_staging").exists(), "staging swept on abort")
+  }
+
+  // ---- parquet storage tier: the same commit protocol over columnar
+  // data files (graft.format = 'parquet') ----
+
+  test("parquet format: round-trip (delimiters, NULLs, empty string), " +
+    "zombie-twin exactly-once, and job abort — same protocol, columnar files") {
+    val path = tmpDir("sink_pq_proto")
+    val bw = batchWriteFor(path, "append", format = "parquet")
+    val factory = bw.createBatchWriterFactory(null)
+    val winner = factory.createWriter(0, 300L)
+    val zombie = factory.createWriter(0, 301L)
+    winner.write(internalRow(1L, 1.0, "tab\there", "A"))
+    winner.write(internalRow(2L, 0.1 + 0.2, null, "A"))
+    winner.write(internalRow(3L, -7.25, "", "B"))
+    zombie.write(internalRow(1L, 1.0, "tab\there", "A"))
+    zombie.write(internalRow(99L, 9.9, "dup", "C"))
+    val winnerMsg = winner.commit()
+    val _ = zombie.commit() // DENIED by the coordinator in real runs
+    bw.commit(Array(winnerMsg))
+    assert(readBack(path) === Set(
+      (1L, 1.0, "tab\there", "A"), (2L, 0.1 + 0.2, null, "A"),
+      (3L, -7.25, "", "B")),
+      "parquet publish must carry exactly the winner's rows, bytes intact")
+    assert(!new File(path, "_staging").exists(), "staging swept at commit")
+    val dataFiles = new File(path).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.endsWith(".parquet")),
+      s"data files must be parquet: ${dataFiles.toSeq}")
+    // job abort leaves the published layout untouched
+    val bw2 = batchWriteFor(path, "truncate", format = "parquet")
+    val f2 = bw2.createBatchWriterFactory(null)
+    val w = f2.createWriter(0, 310L)
+    w.write(internalRow(7L, 7.0, "gone", "A"))
+    val m = w.commit()
+    bw2.abort(Array(m))
+    assert(readBack(path).map(_._1) === Set(1L, 2L, 3L),
+      "abort must leave the parquet layout exactly as before")
+  }
+
+  test("parquet format: a narrow projection reads a fraction of the " +
+    "full-width bytes (column-chunk I/O pruning), and the layout is " +
+    "smaller on disk than TSV for the same rows") {
+    import spark.implicits._
+    val root = tmpDir("sink_pq_io")
+    spark.conf.set("spark.sql.catalog.graft_pqio_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pqio_spec.root", root)
+    // wide rows: one narrow key column, several bulky HIGH-ENTROPY
+    // payload columns (a repetitive payload dictionary-compresses to
+    // ~nothing and the pin would measure compression, not pruning)
+    def junk(seed: Long): String = (0 until 8)
+      .map(j => java.lang.Long.toHexString(
+        (seed * 8 + j + 1) * 0x9E3779B97F4A7C15L)).mkString
+    val rows = (1L to 5000L).map { i =>
+      (i, junk(i), junk(i + 1000000), junk(i + 2000000),
+        i * 1.5, (i % 3).toString)
+    }
+    val d = rows.toDF("k", "pa", "pb", "pc", "v", "p")
+    d.writeTo("graft_pqio_spec.wide").partitionedBy(col("p")).create()
+    // Hadoop FileSystem.Statistics cannot see parquet's buffer-level
+    // reads — measure the reader's own chunk accounting instead (the
+    // compressed column-chunk bytes each scan selects)
+    graft.sources.SinkParquetIo.reset()
+    spark.table("graft_pqio_spec.wide").select("k")
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()
+    val narrow = graft.sources.SinkParquetIo.planned
+    graft.sources.SinkParquetIo.reset()
+    spark.table("graft_pqio_spec.wide")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("pa")) +
+          org.apache.spark.sql.functions.length(col("pb")) +
+          org.apache.spark.sql.functions.length(col("pc")))).collect()
+    val full = graft.sources.SinkParquetIo.planned
+    assert(narrow > 0 && full > 0)
+    assert(narrow * 2 < full,
+      s"narrow projection must read < half the full-width bytes " +
+        s"(I/O pruning, not just decode pruning): narrow=$narrow full=$full")
+    // storage: REALISTIC (repetitive, categorical) rows — where
+    // dictionary/RLE + snappy earn their keep — occupy a fraction of
+    // the TSV bytes for the same data (the entropy rows above are the
+    // worst case for compression, deliberately: that pin isolates
+    // projection I/O, this one isolates encoding)
+    val catRows = (1L to 5000L).map { i =>
+      (i, s"status-${i % 7}", s"category-${i % 23}",
+        s"region-${i % 11}", (i % 100) * 1.0, (i % 3).toString)
+    }
+    val cat = catRows.toDF("k", "pa", "pb", "pc", "v", "p")
+    cat.writeTo("graft_pqio_spec.cat").partitionedBy(col("p")).create()
+    val tsvPath = tmpDir("sink_pq_io_tsv")
+    cat.write.format("graft.sources.PartitionedSink")
+      .option("partitionBy", "p").mode("append").save(tsvPath)
+    def layoutBytes(dir: String, ext: String): Long =
+      new File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(f => f.getName.endsWith(ext))
+        .map(_.length()).sum
+    val pqBytes = layoutBytes(s"$root/cat", ".parquet")
+    val tsvBytes = layoutBytes(tsvPath, ".tsv")
+    assert(pqBytes > 0 && tsvBytes > 0)
+    assert(pqBytes * 2 < tsvBytes,
+      s"parquet layout must compress below half the TSV bytes " +
+        s"(pq=$pqBytes tsv=$tsvBytes)")
+    spark.sql("DROP TABLE graft_pqio_spec.wide")
+    spark.sql("DROP TABLE graft_pqio_spec.cat")
+  }
+
+  test("parquet format: byte-range carving maps to row groups — every " +
+    "split threshold reads every row exactly once") {
+    import spark.implicits._
+    val root = tmpDir("sink_pq_carve")
+    spark.conf.set("spark.sql.catalog.graft_pqcv_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pqcv_spec.root", root)
+    // small row groups so one file holds several (carvable units)
+    val rows = (1L to 20000L).map(i => (i, s"v-$i-${"w" * 30}", "A"))
+    rows.toDF("k", "s", "p").coalesce(1)
+      .writeTo("graft_pqcv_spec.t").partitionedBy(col("p")).create()
+    val expected = rows.map(_._1).sum
+    val prev = spark.conf.getOption("spark.graft.sink.maxSplitBytes")
+    try {
+      for (threshold <- Seq(1L << 14, 1L << 16, 1L << 20, Long.MaxValue / 2)) {
+        spark.conf.set("spark.graft.sink.maxSplitBytes", threshold.toString)
+        val got = spark.table("graft_pqcv_spec.t")
+          .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+        assert(got === expected,
+          s"threshold $threshold must read every row exactly once")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.sink.maxSplitBytes", v)
+        case None => spark.conf.unset("spark.graft.sink.maxSplitBytes")
+      }
+    }
+    spark.sql("DROP TABLE graft_pqcv_spec.t")
   }
 }
