@@ -1035,21 +1035,28 @@ private object SinkCommit {
 
   /** FILE-GRAIN replace, the commit half of a row-level rewrite:
     * publish the fresh files (rename + stats, the normal protocol),
-    * then retire EXACTLY `replaced` — on a versioned table atomically
-    * (one manifest CAS: next = previous minus replaced plus fresh; a
+    * then retire EXACTLY `replaced` — always atomically, via the
+    * manifest CAS (next = previous minus replaced plus fresh; a
     * concurrent publish keeps its files because the CAS recomputes
-    * from the winner's state), on an unversioned table by physical
-    * delete AFTER the renames (a racing listing-based reader can see
-    * a transient duplicate, never a loss — same window class as the
-    * overwrite rename, documented on the connector).
+    * from the winner's state). A table that was not yet versioned is
+    * UPGRADED by its first row-level commit: the seed snapshot is the
+    * post-rewrite state (the directory listing at commit time minus
+    * the replaced files plus the fresh ones), after which every
+    * publish maintains manifests and reads are manifest-driven. The
+    * alternative — physical delete after the renames — gave a racing
+    * listing-based reader a transient-duplicate window; versioning is
+    * the only publish that retires files atomically, so row-level ops
+    * simply require it. Retired files stay on disk until
+    * [[graft.ops.Compaction.vacuumVersions]] reclaims them.
+    *
+    * Returns the committed version (None for the no-op commit).
     */
   def replacePublish(fs: FileSystem, path: String, partCols: Seq[String],
                      files: Seq[StagedFile],
                      replaced: Seq[(String, Seq[String], String)],
                      destName: StagedFile => String,
-                     statsToken: String, versioned: Boolean): Unit = {
-    if (files.isEmpty && replaced.isEmpty) return
-    val vMode = versioned || SinkVersions.isVersioned(fs, path)
+                     statsToken: String, versioned: Boolean): Option[Long] = {
+    if (files.isEmpty && replaced.isEmpty) return None
     files.foreach { f =>
       val dest = new Path(path, SinkLayout.leafRel(partCols, f.partValues))
       fs.mkdirs(dest)
@@ -1066,51 +1073,41 @@ private object SinkCommit {
       SinkBlooms.write(fs, dir, statsToken,
         fsOfV.map(f => (destName(f), f.blooms)))
     }
-    if (vMode) {
-      val retired = replaced.map(_._1).toSet
-      val fresh = files.map { f =>
-        (s"${SinkLayout.leafRel(partCols, f.partValues)}/${destName(f)}",
-          f.partValues)
-      }
-      var committed = false
-      var attempts = 0
-      while (!committed) {
-        attempts += 1
-        if (attempts > 100) throw new java.io.IOException(
-          s"replace manifest commit lost the CAS race 100 times: $path")
-        val base = SinkVersions.latest(fs, path)
-        val prev = base.map(SinkVersions.read(fs, path, _))
-          .getOrElse(SinkVersions.listingEntries(fs, path, partCols))
-        // WRITE-WRITE CONFLICT CHECK (the serializable guard Delta and
-        // Iceberg apply): every file this rewrite read must still be
-        // live in the snapshot we're replacing — a concurrent commit
-        // that already replaced one means our kept-rows were computed
-        // from stale data; committing anyway would duplicate the rows
-        // both rewrites carried forward and drop the winner's edits.
-        val prevSet = prev.map(_._1).toSet
-        val gone = retired.filterNot(prevSet)
-        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
-          s"row-level rewrite of $path conflicts with a concurrent commit: " +
-            s"${gone.take(3).mkString(", ")} no longer in the latest snapshot" +
-            " — retry the operation against current data")
-        val kept = prev.filterNot { case (rel, _) => retired(rel) }
-        val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
-        committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)
-      }
-    } else {
-      // physical retire, new files already live; prune leaf dirs a
-      // full-file delete emptied (and their now-empty ancestors)
-      val root = new Path(path)
-      replaced.foreach { case (_, _, abs) =>
-        fs.delete(new Path(abs), false)
-      }
-      replaced.map { case (_, values, _) =>
-        new Path(path, SinkLayout.leafRel(partCols, values))
-      }.distinct.foreach { leaf =>
-        if (fs.exists(leaf) && SinkLayout.dataFiles(fs, leaf).isEmpty)
-          SinkLayout.deleteLeaf(fs, root, leaf)
-      }
+    val retired = replaced.map(_._1).toSet
+    val fresh = files.map { f =>
+      (s"${SinkLayout.leafRel(partCols, f.partValues)}/${destName(f)}",
+        f.partValues)
     }
+    var committed: Option[Long] = None
+    var attempts = 0
+    while (committed.isEmpty) {
+      attempts += 1
+      if (attempts > 100) throw new java.io.IOException(
+        s"replace manifest commit lost the CAS race 100 times: $path")
+      val base = SinkVersions.latest(fs, path)
+      // no prior manifest = the table's FIRST row-level commit upgrades
+      // it to versioned: seed from the listing (which already includes
+      // this publish's renamed files — the map union below dedups)
+      val prev = base.map(SinkVersions.read(fs, path, _))
+        .getOrElse(SinkVersions.listingEntries(fs, path, partCols))
+      // WRITE-WRITE CONFLICT CHECK (the serializable guard Delta and
+      // Iceberg apply): every file this rewrite read must still be
+      // live in the snapshot we're replacing — a concurrent commit
+      // that already replaced one means our kept-rows were computed
+      // from stale data; committing anyway would duplicate the rows
+      // both rewrites carried forward and drop the winner's edits.
+      val prevSet = prev.map(_._1).toSet
+      val gone = retired.filterNot(prevSet)
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"row-level rewrite of $path conflicts with a concurrent commit: " +
+          s"${gone.take(3).mkString(", ")} no longer in the latest snapshot" +
+          " — retry the operation against current data")
+      val kept = prev.filterNot { case (rel, _) => retired(rel) }
+      val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
+      val v = base.getOrElse(0L) + 1
+      if (SinkVersions.tryWrite(fs, path, v, next)) committed = Some(v)
+    }
+    committed
   }
 
   /** Delete `dir`, then remove each ancestor up to (and including)

@@ -36,13 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     difference between a surgical commit and rewriting a partition.
   *   - a REPLACE write: the kept/updated/inserted rows stage and
   *     publish through the sink's normal stage-then-publish protocol,
-  *     and the commit retires EXACTLY the files the scan planned — on
-  *     a versioned table atomically (next manifest = previous minus
-  *     replaced plus fresh, same CAS as every publish; time travel
-  *     and [[graft.ops.Compaction.tableChanges]] see the rewrite as
-  *     delete+insert of those files), on an unversioned table by
-  *     physical delete after the renames (transient-duplicate window,
-  *     same class as the overwrite rename window, documented).
+  *     and the commit retires EXACTLY the files the scan planned —
+  *     ALWAYS atomically, via the version-manifest CAS (next manifest
+  *     = previous minus replaced plus fresh; time travel and
+  *     [[graft.ops.Compaction.tableChanges]] see the rewrite as
+  *     delete+insert of those files). A table that was not yet
+  *     versioned is UPGRADED by its first row-level commit (seed
+  *     snapshot = the post-rewrite state): physical retirement would
+  *     give racing readers a transient-duplicate window, so the
+  *     atomic publish is simply required, not optional.
   *
   * Partition-grain deletes never reach this path: the table also
   * implements [[org.apache.spark.sql.connector.catalog.SupportsDelete]],
@@ -279,9 +281,8 @@ private[sources] class SinkCowScan(
 
 /** Commit half of the rewrite: publish the fresh files through the
   * sink's normal rename protocol, then retire exactly the scanned
-  * groups — atomically via the manifest CAS on a versioned table,
-  * by physical delete (after the renames — transient duplicates,
-  * never loss) on an unversioned one.
+  * groups atomically via the manifest CAS (auto-upgrading a
+  * not-yet-versioned table — see [[SinkCommit.replacePublish]]).
   */
 private class SinkReplaceBatchWrite(
     path: String, partCols: Seq[String], schema: StructType,

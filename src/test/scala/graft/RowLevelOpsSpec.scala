@@ -56,6 +56,21 @@ class RowLevelOpsSpec extends SparkSpec {
       .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
   }
 
+  /** LIVE data files: the latest version manifest's names when the
+    * table is versioned (row-level commits auto-upgrade — retired
+    * files stay on disk until vacuum), the physical listing otherwise.
+    */
+  private def liveFileNames(root: String, table: String): Set[String] = {
+    val dir = s"$root/$table"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (graft.sources.SinkVersions.isVersioned(fs, dir))
+      graft.sources.SinkVersions.latest(fs, dir).toSeq
+        .flatMap(graft.sources.SinkVersions.read(fs, dir, _))
+        .map { case (rel, _) => rel.drop(rel.lastIndexOf('/') + 1) }.toSet
+    else dataFileNames(dir)
+  }
+
   test("DELETE with a data-column predicate rewrites and keeps the rest") {
     freshCatalog("rl1")
     seed("rl1.t",
@@ -79,9 +94,12 @@ class RowLevelOpsSpec extends SparkSpec {
     val before = dataFileNames(root)
     assert(before.size === 2)
     spark.sql("DELETE FROM rl2.t WHERE k = 99")
-    val after = dataFileNames(root)
-    // exactly one original file replaced; the other kept its name
+    // LIVE set: the delete auto-versioned the table, so retirement is
+    // logical — the matchless file must keep its identity in the
+    // snapshot, the matching one must be replaced
+    val after = liveFileNames(root, "t")
     assert((before intersect after).size === 1)
+    assert(after.size === 2)
     assert(rows("rl2.t") === Set((1L, 1.0, "A"), (100L, 2.0, "A"),
       (2L, 3.0, "A")))
   }
@@ -185,8 +203,33 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(dataFileNames(root).size === 2)
     spark.sql("DELETE FROM rl7.t WHERE k % 10 = 0")
     assert(spark.table("rl7.t").count() === 90L)
-    assert(dataFileNames(root).size === 1,
+    assert(liveFileNames(root, "t").size === 1,
       "both rewritten files must coalesce into one per tuple")
+  }
+
+  test("a row-level op on an unversioned table upgrades it to versioned: " +
+    "the commit is atomic, retired files are vacuum-fodder, never served") {
+    import spark.implicits._
+    val root = freshCatalog("rl9") // NOT versioned
+    seed("rl9.t", Seq((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!graft.sources.SinkVersions.isVersioned(fs, s"$root/t"))
+    spark.sql("DELETE FROM rl9.t WHERE k = 2")
+    // upgraded: version 1 exists and IS the post-rewrite state
+    assert(graft.sources.SinkVersions.isVersioned(fs, s"$root/t"))
+    assert(rows("rl9.t") === Set((1L, 1.0, "A"), (3L, 3.0, "B")))
+    val v1 = spark.read.option("versionAsOf", "1").table("rl9.t")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(v1 === Set(1L, 3L), "the seed snapshot is post-rewrite")
+    // the retired file is still on disk (vacuum's job) but never read
+    assert(dataFileNames(s"$root/t").size >
+      liveFileNames(root, "t").size,
+      "retirement is logical until vacuumVersions")
+    // subsequent appends keep maintaining manifests (sticky)
+    Seq((9L, 9.0, "B")).toDF("k", "v", "p").writeTo("rl9.t").append()
+    assert(graft.sources.SinkVersions.latest(fs, s"$root/t") === Some(2L))
+    assert(rows("rl9.t") === Set((1L, 1.0, "A"), (3L, 3.0, "B"), (9L, 9.0, "B")))
   }
 
   test("graft.writeDistribution=hash clusters regular appends") {
