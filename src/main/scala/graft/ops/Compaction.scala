@@ -324,7 +324,11 @@ object Compaction {
         if (counts.nonEmpty && counts.forall(_.isDefined))
           counts.flatten.sum
         else if (counts.isEmpty) 0L
-        else null)
+        else null,
+        // commit wall clock (epoch millis); NULL on manifests written
+        // before timestamp headers existed
+        graft.sources.SinkVersions.readTimestamp(fs, dir.toString, v)
+          .map(java.lang.Long.valueOf).orNull)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -334,6 +338,8 @@ object Compaction {
         org.apache.spark.sql.types.StructField("n_files",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("commit_ts_millis",
           org.apache.spark.sql.types.LongType, nullable = true))))
   }
 

@@ -875,9 +875,13 @@ private[graft] object SinkVersions {
     }
   }
 
-  /** Manifest v: (relative data-file path, raw partition tuple). */
-  def read(fs: FileSystem, root: String,
-           v: Long): Seq[(String, Seq[String])] = {
+  /** Header lines start with a bare `#` FIELD (collision-free: a data
+    * line's first field is a relative path, which always contains
+    * '/'). `#\tts\t<epoch-millis>` records the commit wall clock —
+    * the resolution target of `TIMESTAMP AS OF`. Pre-header manifests
+    * (older tables) parse unchanged and simply carry no timestamp.
+    */
+  private def rawLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val p = new Path(dir(root), v.toString)
     if (!fs.exists(p)) throw new IllegalArgumentException(
       s"version $v of $root does not exist (expired by vacuum, or never " +
@@ -885,12 +889,54 @@ private[graft] object SinkVersions {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Manifest v: (relative data-file path, raw partition tuple). */
+  def read(fs: FileSystem, root: String,
+           v: Long): Seq[(String, Seq[String])] = {
     val u = (s: String) => TsvCodec.unescape(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
-    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    rawLines(fs, root, v).filterNot(_.startsWith("#\t")).map { line =>
       val fields = line.split("\t", -1)
       require(fields.length >= 2, s"malformed version manifest line: $line")
       (u(fields.head), fields.tail.toSeq.map(u))
+    }
+  }
+
+  /** Commit wall clock of manifest v (epoch millis); None on manifests
+    * written before timestamps existed.
+    */
+  def readTimestamp(fs: FileSystem, root: String, v: Long): Option[Long] =
+    rawLines(fs, root, v).collectFirst {
+      case line if line.startsWith("#\tts\t") =>
+        line.split("\t", -1) match {
+          case Array("#", "ts", ms) if ms.nonEmpty && ms.forall(_.isDigit) =>
+            Some(ms.toLong)
+          case _ => None
+        }
+    }.flatten
+
+  /** Newest version whose commit timestamp is ≤ `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution (Delta's contract). Fails loudly
+    * when the table has no timestamped commit at or before the asked
+    * instant (travel before the first commit), and ignores
+    * pre-timestamp manifests (they cannot prove their wall clock).
+    */
+  def resolveTimestamp(fs: FileSystem, root: String, tsMillis: Long): Long = {
+    val d = dir(root)
+    val versions =
+      if (!fs.exists(d)) Seq.empty[Long]
+      else Option(fs.listStatus(d)).toSeq.flatten
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+        .map(_.getPath.getName.toLong).sorted
+    val stamped = versions.flatMap(v =>
+      readTimestamp(fs, root, v).map(v -> _))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+      throw new IllegalArgumentException(
+        s"no version of $root committed at or before epoch-millis " +
+          s"$tsMillis (earliest timestamped commit: " +
+          s"${stamped.headOption.map(_._2).getOrElse("none")})")
     }
   }
 
@@ -920,9 +966,12 @@ private[graft] object SinkVersions {
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-$v-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(entries.map { case (rel, values) =>
+    // commit wall clock rides the SAME CAS-renamed file as the entries
+    // (a sibling written after the rename could be torn off by a crash)
+    val header = s"#\tts\t${System.currentTimeMillis()}\n"
+    try out.write((header + entries.map { case (rel, values) =>
       (TsvCodec.escape(rel) +: values.map(TsvCodec.escape)).mkString("\t")
-    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       d.toUri, fs.getConf)

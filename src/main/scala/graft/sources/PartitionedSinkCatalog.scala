@@ -162,10 +162,7 @@ class PartitionedSinkCatalog extends TableCatalog
   }
 
   /** Time travel: `VERSION AS OF v` / `spark.read.option("versionAsOf",
-    * v).table(...)` — plans exactly snapshot v's files. Only numbered
-    * versions exist (no timestamp travel: manifests are not
-    * wall-clock-stamped, deliberately — see DetMath's no-ambient-time
-    * discipline).
+    * v).table(...)` — plans exactly snapshot v's files.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = loadTable(ident).asInstanceOf[PartitionedSinkTable]
@@ -181,6 +178,23 @@ class PartitionedSinkCatalog extends TableCatalog
     new PartitionedSinkTable(tableDir(ident).toString, base.partCols,
       base.schema(), versioned, asOfVersion = Some(v),
       props = base.props)
+  }
+
+  /** `TIMESTAMP AS OF t` / `spark.read.option("timestampAsOf", t)` —
+    * resolves to the NEWEST version whose commit wall clock (the
+    * `#\tts` manifest header every publish records) is ≤ t, then
+    * plans exactly that snapshot. Spark hands the instant in
+    * MICROseconds since the epoch. Travel before the first commit —
+    * or on a table whose retained manifests predate timestamps —
+    * fails loudly rather than serving a snapshot it can't prove.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[PartitionedSinkTable]
+    val dirStr = tableDir(ident).toString
+    val v = SinkVersions.resolveTimestamp(fs, dirStr,
+      Math.floorDiv(timestampMicros, 1000L))
+    new PartitionedSinkTable(dirStr, base.partCols, base.schema(),
+      versioned, asOfVersion = Some(v), props = base.props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

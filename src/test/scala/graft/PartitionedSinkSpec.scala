@@ -972,6 +972,53 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tt_spec.t")
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at-or-before the " +
+    "instant — SQL and reader-option renditions; pre-history travel fails loudly") {
+    import spark.implicits._
+    val root = tmpDir("sink_ts_travel")
+    spark.conf.set("spark.sql.catalog.graft_ts_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ts_spec.root", root)
+    spark.conf.set("spark.sql.catalog.graft_ts_spec.versioned", "true")
+    Seq((1L, "A"), (2L, "B")).toDF("k", "p")
+      .writeTo("graft_ts_spec.t").partitionedBy(col("p")).create() // v1
+    Thread.sleep(5) // distinct wall clocks at millis grain
+    Seq((3L, "A")).toDF("k", "p").writeTo("graft_ts_spec.t").append() // v2
+    val hist = graft.ops.Compaction.tableHistory(spark, "graft_ts_spec", "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[java.lang.Long](3)).toMap
+    assert(hist.keySet === Set(1L, 2L))
+    val (ts1, ts2) = (hist(1L).longValue, hist(2L).longValue)
+    assert(ts1 < ts2, "commit timestamps must be increasing")
+    def render(ms: Long): String = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    // exact instant of v1 → v1; exact instant of v2 (and later) → v2
+    assert(ks(spark.sql(
+      s"SELECT * FROM graft_ts_spec.t TIMESTAMP AS OF '${render(ts1)}'"))
+      === Set(1L, 2L))
+    assert(ks(spark.sql(
+      s"SELECT * FROM graft_ts_spec.t TIMESTAMP AS OF '${render(ts2)}'"))
+      === Set(1L, 2L, 3L))
+    // reader-option rendition
+    assert(ks(spark.read.option("timestampAsOf", render(ts1))
+      .table("graft_ts_spec.t")) === Set(1L, 2L))
+    // between the two commits → still v1
+    if (ts2 - ts1 > 1)
+      assert(ks(spark.read.option("timestampAsOf", render(ts1 + 1))
+        .table("graft_ts_spec.t")) === Set(1L, 2L))
+    // before the first commit → loud failure, not an empty table
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ts_spec.t TIMESTAMP AS OF " +
+        s"'${render(ts1 - 1000)}'").collect()
+    }
+    assert(e.getMessage.contains("at or before"),
+      s"pre-history travel must fail loudly: ${e.getMessage}")
+    spark.sql("DROP TABLE graft_ts_spec.t")
+  }
+
   test("streaming READ of a VERSIONED table: tail follows the manifest, retired files never re-enter") {
     import spark.implicits._
     val root = tmpDir("sink_vtail")
