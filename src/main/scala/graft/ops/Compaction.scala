@@ -237,6 +237,21 @@ object Compaction {
           }
           .map { f => fs.delete(f.getPath, false); f.getPath.toString }
       }
+    // position-delete manifests and row-grain change dirs retire with
+    // the last snapshot referencing them (same age floor)
+    val keptDels = kept.flatMap(v =>
+      graft.sources.SinkVersions.readDeletes(fs, dir.toString, v)).toSet
+    val keptChanges = kept.flatMap(v =>
+      graft.sources.SinkVersions.readChangesDir(fs, dir.toString, v)).toSet
+    def sweepAux(sub: String, keep: Set[String]): Unit = {
+      val d = new Path(dir, sub)
+      if (fs.exists(d)) fs.listStatus(d).toSeq
+        .filter(st => !keep(st.getPath.getName) &&
+          st.getModificationTime < ageCutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    sweepAux("_deletes", keptDels)
+    sweepAux("_changes", keptChanges)
     (expired.size, removed.size)
   }
 
@@ -363,36 +378,27 @@ object Compaction {
   def tableChanges(spark: SparkSession, catalog: String, table: String,
                    fromVersion: Long, toVersion: Long)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     require(fromVersion < toVersion,
       s"change feed needs fromVersion < toVersion, got $fromVersion → $toVersion")
-    val catalogPlugin = spark.sessionState.catalogManager.catalog(catalog)
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-    val ident = org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array.empty, table)
-    val t = catalogPlugin.loadTable(ident)
-    val partCols = t.partitioning().toSeq
-      .map(_.references()(0).fieldNames.mkString("."))
-    val schema = t.schema()
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-    val partTyped = partCols.map(c => c -> schema(c).dataType)
     val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
     val dir = new Path(s"$root/${graft.sources.TsvCodec.escapeDir(table)}")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val from = graft.sources.SinkVersions.read(fs, dir.toString, fromVersion)
-      .map(_._1).toSet
-    val to = graft.sources.SinkVersions.read(fs, dir.toString, toVersion)
-      .map(_._1).toSet
-    def side(rels: Set[String], changeType: String) =
-      graft.sources.PartitionedSink.readPaths(spark, dir.toString,
-        rels.toSeq.sorted.map(rel => new Path(dir, rel).toString),
-        dataSchema, partTyped)
-        .withColumn("_change_type", lit(changeType))
-    val ordered = schema.fieldNames.map(col).toSeq :+ col("_change_type")
-    side(to.diff(from), "insert")
-      .unionByName(side(from.diff(to), "delete"))
-      .select(ordered: _*)
+    // delegate to the change-feed source's batch rendition: one
+    // manifest diff per VERSION transition (Delta CDF grain), emitting
+    // ROW-GRAIN deltas where the commit recorded them (merge-on-read
+    // position deletes; graft.rowChanges change files) and the
+    // file-grain diff otherwise — then drop the version stamp to keep
+    // this API's two-point shape
+    val schemaCols = spark.read
+      .format("graft.sources.SinkChangeFeed")
+      .option("path", dir.toString)
+      .option("startingVersion", fromVersion.toString)
+      .option("endingVersion", toVersion.toString)
+      .load()
+    val ordered = schemaCols.columns.toSeq
+      .filterNot(_ == graft.sources.SinkChangeFeed.CommitVersionCol)
+      .map(col)
+    schemaCols.select(ordered: _*)
   }
 
   /** Sweep ORPHANED staging from a sink table: the commit protocol

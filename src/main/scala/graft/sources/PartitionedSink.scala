@@ -403,8 +403,12 @@ private[sources] class PartitionedSinkTable(path: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOfVersion.isEmpty,
       s"cannot ${info.command} a time-travel (VERSION AS OF) table reference")
-    () => new SinkRowLevelOperation(path, partCols, schema0, versioned,
-      info.command, props)
+    SinkFormat.deleteMode(props) match {
+      case "mor" => () => new SinkRowLevelDeltaOperation(path, partCols,
+        schema0, versioned, info.command, props)
+      case _ => () => new SinkRowLevelOperation(path, partCols, schema0,
+        versioned, info.command, props)
+    }
   }
 
   /** METADATA-ONLY deletes: a DELETE whose predicates are equality
@@ -917,6 +921,32 @@ private[graft] object SinkVersions {
         }
     }.flatten
 
+  /** ACTIVE position-delete manifests of snapshot v (`#\tdel\t<name>`
+    * headers): file names under `_deletes/`, in header order. Carried
+    * forward by every publish until a truncate clears them or vacuum
+    * retires them with their last referencing snapshot; a scan of
+    * snapshot v anti-filters its rows through exactly these.
+    */
+  def readDeletes(fs: FileSystem, root: String, v: Long): Seq[String] =
+    rawLines(fs, root, v).collect {
+      case line if line.startsWith("#\tdel\t") =>
+        TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
+          .fromString(line.split("\t", -1)(2))).toString
+    }
+
+  /** Row-grain CHANGE directory of the commit that produced snapshot v
+    * (`#\tchanges\t<dirname>` header): a dir name under `_changes/`
+    * holding per-change-type parquet subdirs — written by row-level
+    * commits when `graft.rowChanges` is on; the change feed emits its
+    * rows instead of the file-grain manifest diff for that transition.
+    */
+  def readChangesDir(fs: FileSystem, root: String, v: Long): Option[String] =
+    rawLines(fs, root, v).collectFirst {
+      case line if line.startsWith("#\tchanges\t") =>
+        TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
+          .fromString(line.split("\t", -1)(2))).toString
+    }
+
   /** Newest version whose commit timestamp is ≤ `tsMillis` — the
     * `TIMESTAMP AS OF` resolution (Delta's contract). Fails loudly
     * when the table has no timestamped commit at or before the asked
@@ -961,14 +991,20 @@ private[graft] object SinkVersions {
     * would lose the racing publisher's snapshot).
     */
   def tryWrite(fs: FileSystem, root: String, v: Long,
-               entries: Seq[(String, Seq[String])]): Boolean = {
+               entries: Seq[(String, Seq[String])],
+               dels: Seq[String] = Seq.empty,
+               changesDir: Option[String] = None): Boolean = {
     val d = dir(root)
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-$v-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    // commit wall clock rides the SAME CAS-renamed file as the entries
-    // (a sibling written after the rename could be torn off by a crash)
-    val header = s"#\tts\t${System.currentTimeMillis()}\n"
+    // commit wall clock + delete/changes linkage ride the SAME
+    // CAS-renamed file as the entries (a sibling written after the
+    // rename could be torn off by a crash)
+    val header = s"#\tts\t${System.currentTimeMillis()}\n" +
+      dels.map(n => s"#\tdel\t${TsvCodec.escape(n)}\n").mkString +
+      changesDir.map(n => s"#\tchanges\t${TsvCodec.escape(n)}\n")
+        .getOrElse("")
     try out.write((header + entries.map { case (rel, values) =>
       (TsvCodec.escape(rel) +: values.map(TsvCodec.escape)).mkString("\t")
     }.mkString("", "\n", "\n")).getBytes("UTF-8"))
@@ -982,6 +1018,68 @@ private[graft] object SinkVersions {
            _: org.apache.hadoop.fs.ParentNotDirectoryException =>
         fs.delete(tmp, false); false
     }
+  }
+}
+
+/** POSITION-DELETE manifests (Iceberg v2's merge-on-read shape): one
+  * file per MOR commit under `_deletes/`, one line per deleted row —
+  * `escaped(relPath) \t pos` (pos = the `_pos` row identity: byte
+  * offset for TSV rows, file row index for parquet). A snapshot's
+  * ACTIVE manifests are the `#\tdel` headers of its version manifest;
+  * scans anti-filter through them, `compact` folds them into
+  * rewritten files, vacuum reclaims manifests no retained snapshot
+  * references. The 100 TB posture: a 1-row GDPR delete writes O(1)
+  * bytes instead of rewriting its file; readers pay one small
+  * manifest read per split (manifests are per-commit, bounded by the
+  * compaction cadence).
+  */
+private[graft] object SinkDeletes {
+  def dir(root: String): Path = new Path(root, "_deletes")
+
+  def write(fs: FileSystem, root: String, name: String,
+            entries: Seq[(String, Long)]): Unit = {
+    val d = dir(root)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sortBy(e => (e._1, e._2)).map { case (rel, pos) =>
+      s"${TsvCodec.escape(rel)}\t$pos"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(d, name)))
+      throw new java.io.IOException(s"delete-manifest commit failed: $name")
+  }
+
+  def read(fs: FileSystem, p: Path): Seq[(String, Long)] = {
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"position-delete manifest $p no longer exists — vacuumed beyond " +
+        "retention?")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(rel, pos) if pos.nonEmpty && pos.forall(_.isDigit) =>
+          Some((TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
+            .fromString(rel)).toString, pos.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** The positions deleted from ONE file, across the given manifests
+    * (absolute paths) — the executor-side load behind a split's
+    * anti-filter.
+    */
+  def positionsFor(fs: FileSystem, manifests: Seq[String],
+                   rel: String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    manifests.foreach { m =>
+      read(fs, new Path(m)).foreach { case (r, pos) =>
+        if (r == rel) set.add(pos)
+      }
+    }
+    set
   }
 }
 
@@ -1077,7 +1175,16 @@ private object SinkCommit {
           .getOrElse(SinkVersions.listingEntries(fs, path, partCols))
         val kept = prev.filterNot { case (_, values) => clearMatch(values) }
         val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
-        committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1, next)
+        // position-delete manifests CARRY FORWARD across ordinary
+        // publishes (their rows stay deleted); a truncate clears them
+        // with everything else. Stale entries for retired files are
+        // harmless — positions only ever apply to files a scan reads.
+        val dels =
+          if (mode == Truncate) Seq.empty
+          else base.map(SinkVersions.readDeletes(fs, path, _))
+            .getOrElse(Seq.empty)
+        committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1,
+          next, dels)
       }
     }
   }
@@ -1098,14 +1205,41 @@ private object SinkCommit {
     * simply require it. Retired files stay on disk until
     * [[graft.ops.Compaction.vacuumVersions]] reclaims them.
     *
+    * `newDeleteManifest` is the merge-on-read commit's position-delete
+    * manifest (its name under `_deletes/`, plus the rel paths of the
+    * data files it touches — those join the conflict check: a
+    * concurrent rewrite of one means our positions are stale).
+    * `changesDir` links a pre-written row-grain change directory (see
+    * [[SinkVersions.readChangesDir]]) into the committed snapshot.
+    *
     * Returns the committed version (None for the no-op commit).
     */
   def replacePublish(fs: FileSystem, path: String, partCols: Seq[String],
                      files: Seq[StagedFile],
                      replaced: Seq[(String, Seq[String], String)],
                      destName: StagedFile => String,
-                     statsToken: String, versioned: Boolean): Option[Long] = {
-    if (files.isEmpty && replaced.isEmpty) return None
+                     statsToken: String, versioned: Boolean,
+                     newDeleteManifest: Option[(String, Seq[String])] = None,
+                     changesDir: Option[String] = None): Option[Long] = {
+    if (files.isEmpty && replaced.isEmpty && newDeleteManifest.isEmpty)
+      return None
+    val fresh = replaceStage(fs, path, partCols, files, destName, statsToken)
+    replaceCommit(fs, path, partCols, fresh, replaced.map(_._1),
+      newDeleteManifest, changesDir)
+  }
+
+  /** First half of the replace: rename the staged files into the
+    * layout and write their stats/bloom manifests. Returns the fresh
+    * (relative path, partition tuple) entries. A crash after this
+    * leaves renamed-but-unreferenced files — invisible to every
+    * manifest-driven reader, reclaimed by vacuum. Split from the CAS
+    * half so a commit can compute row-grain CHANGE FILES between the
+    * two (the fresh files are readable in their final partitioned
+    * locations, but nothing references them yet).
+    */
+  def replaceStage(fs: FileSystem, path: String, partCols: Seq[String],
+                   files: Seq[StagedFile], destName: StagedFile => String,
+                   statsToken: String): Seq[(String, Seq[String])] = {
     files.foreach { f =>
       val dest = new Path(path, SinkLayout.leafRel(partCols, f.partValues))
       fs.mkdirs(dest)
@@ -1122,11 +1256,21 @@ private object SinkCommit {
       SinkBlooms.write(fs, dir, statsToken,
         fsOfV.map(f => (destName(f), f.blooms)))
     }
-    val retired = replaced.map(_._1).toSet
-    val fresh = files.map { f =>
+    files.map { f =>
       (s"${SinkLayout.leafRel(partCols, f.partValues)}/${destName(f)}",
         f.partValues)
     }
+  }
+
+  /** Second half: the CAS manifest commit retiring `retiredSeq` and
+    * adding `fresh` — see [[replacePublish]] for the contract.
+    */
+  def replaceCommit(fs: FileSystem, path: String, partCols: Seq[String],
+                    fresh: Seq[(String, Seq[String])],
+                    retiredSeq: Seq[String],
+                    newDeleteManifest: Option[(String, Seq[String])] = None,
+                    changesDir: Option[String] = None): Option[Long] = {
+    val retired = retiredSeq.toSet
     var committed: Option[Long] = None
     var attempts = 0
     while (committed.isEmpty) {
@@ -1146,15 +1290,19 @@ private object SinkCommit {
       // from stale data; committing anyway would duplicate the rows
       // both rewrites carried forward and drop the winner's edits.
       val prevSet = prev.map(_._1).toSet
-      val gone = retired.filterNot(prevSet)
+      val mustBeLive = retired ++ newDeleteManifest.toSeq.flatMap(_._2)
+      val gone = mustBeLive.filterNot(prevSet)
       if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"row-level rewrite of $path conflicts with a concurrent commit: " +
           s"${gone.take(3).mkString(", ")} no longer in the latest snapshot" +
           " — retry the operation against current data")
       val kept = prev.filterNot { case (rel, _) => retired(rel) }
       val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
+      val dels = base.map(SinkVersions.readDeletes(fs, path, _))
+        .getOrElse(Seq.empty) ++ newDeleteManifest.map(_._1).toSeq
       val v = base.getOrElse(0L) + 1
-      if (SinkVersions.tryWrite(fs, path, v, next)) committed = Some(v)
+      if (SinkVersions.tryWrite(fs, path, v, next, dels, changesDir))
+        committed = Some(v)
     }
     committed
   }

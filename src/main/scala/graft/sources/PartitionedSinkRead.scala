@@ -139,6 +139,11 @@ private[sources] class PartitionedSinkScan(
   @volatile private var skippedByStats = 0L
   @volatile private var skippedByBloom = 0L
   @volatile private var filesScanned = 0L
+  /** Active position-delete manifests (absolute paths) of the snapshot
+    * being read — every split anti-filters its rows through them.
+    * Filled by the pruning walk (versioned tables only).
+    */
+  @volatile protected var activeDeleteManifests: Seq[String] = Seq.empty
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -177,6 +182,8 @@ private[sources] class PartitionedSinkScan(
       // than turning a benign race into a query failure.
       def resolve(v: Long, strict: Boolean)
           : Option[Seq[(Seq[String], FileStatus)]] = {
+        activeDeleteManifests = SinkVersions.readDeletes(fs, path, v)
+          .map(n => new Path(root, s"_deletes/$n").toString)
         val entries = SinkVersions.read(fs, path, v)
           .filter { case (_, values) => keepTuple(values) }
         val resolved = entries.map { case (rel, values) =>
@@ -202,6 +209,9 @@ private[sources] class PartitionedSinkScan(
                 // newest NOW; files still missing then are tolerated
                 // (replaced since) — a latest read serves latest state
                 SinkVersions.latest(fs, path).toSeq.flatMap { v2 =>
+                  activeDeleteManifests = SinkVersions
+                    .readDeletes(fs, path, v2)
+                    .map(n => new Path(root, s"_deletes/$n").toString)
                   SinkVersions.read(fs, path, v2)
                     .filter { case (_, values) => keepTuple(values) }
                     .flatMap { case (rel, values) =>
@@ -275,12 +285,16 @@ private[sources] class PartitionedSinkScan(
     val maxSplit = SinkSplitConf.maxSplitBytes(SparkSession.active)
     prunedFiles.flatMap { case (values, f) =>
       val len = f.getLen
+      val rel = s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}"
       if (len <= maxSplit)
-        Seq(SinkFileSplit(f.getPath.toString, values, keyTypes)
+        Seq(SinkFileSplit(f.getPath.toString, values, keyTypes,
+          relPath = rel, delManifests = activeDeleteManifests)
           : InputPartition)
       else (0L until len by maxSplit).map(s =>
         SinkFileSplit(f.getPath.toString, values, keyTypes,
-          s, math.min(maxSplit, len - s)): InputPartition)
+          s, math.min(maxSplit, len - s),
+          relPath = rel, delManifests = activeDeleteManifests)
+          : InputPartition)
     }.toArray
   }
 
@@ -303,8 +317,12 @@ private[sources] class PartitionedSinkScan(
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(prunedFiles.map(_._2.getLen).sum)
       override def numRows(): java.util.OptionalLong =
+        // exact only while no position deletes are active (recorded
+        // per-file counts would overestimate — worse for the CBO than
+        // no estimate)
         if (prunedFilesWithStats.nonEmpty &&
-            prunedFilesWithStats.forall(_._3.isDefined))
+            prunedFilesWithStats.forall(_._3.isDefined) &&
+            activeDeleteManifests.isEmpty)
           java.util.OptionalLong.of(prunedFilesWithStats.flatMap(_._3).sum)
         else if (prunedFilesWithStats.isEmpty)
           java.util.OptionalLong.of(0L)
@@ -358,19 +376,9 @@ private[sources] class PartitionedSinkScan(
   * metrics in tests). Driver metrics — the pruning is driver-side.
   */
 private[sources] object SinkScanMetrics {
-  private class SumMetric(metricName: String, desc: String)
-      extends org.apache.spark.sql.connector.metric.CustomMetric {
-    override def name(): String = metricName
-    override def description(): String = desc
-    override def aggregateTaskMetrics(values: Array[Long]): String =
-      values.sum.toString
-  }
-
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(
-      new SumMetric("filesScanned", "files surviving all pruning"),
-      new SumMetric("filesSkippedStats", "files skipped by min/max stats"),
-      new SumMetric("filesSkippedBloom", "files skipped by bloom filters"))
+    Array(new FilesScannedMetric, new FilesSkippedStatsMetric,
+      new FilesSkippedBloomMetric)
 
   def report(values: (String, Long)*)
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -381,6 +389,25 @@ private[sources] object SinkScanMetrics {
       }
     }.toArray
 }
+
+/** Top-level, zero-arg-constructible metric classes: Spark's SQL
+  * status listener re-instantiates CustomMetric classes reflectively
+  * when aggregating, and rejects nested/parameterized constructors.
+  */
+private[sources] sealed abstract class SinkSumMetric(
+    metricName: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+  override def aggregateTaskMetrics(values: Array[Long]): String =
+    values.sum.toString
+}
+private[sources] final class FilesScannedMetric
+    extends SinkSumMetric("filesScanned", "files surviving all pruning")
+private[sources] final class FilesSkippedStatsMetric
+    extends SinkSumMetric("filesSkippedStats", "files skipped by min/max stats")
+private[sources] final class FilesSkippedBloomMetric
+    extends SinkSumMetric("filesSkippedBloom", "files skipped by bloom filters")
 
 /** Split-size knob shared by the batch scan and the streaming tail. */
 private object SinkSplitConf {
@@ -697,12 +724,23 @@ private[sources] case class SinkFileSplit(file: String, partValues: Seq[String],
                                  start: Long = 0L,
                                  length: Long = Long.MaxValue,
                                  extras: Seq[(String, String)] = Seq.empty,
-                                 inlineParts: Boolean = false)
+                                 inlineParts: Boolean = false,
+                                 relPath: String = "",
+                                 delManifests: Seq[String] = Seq.empty,
+                                 invertDeletes: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow.fromSeq(partValues.zip(keyTypes).map { case (v, t) =>
       PartitionedSinkReader.castValue(v, t) })
+}
+
+/** Readers expose the CURRENT row's stable in-file position (the
+  * `_pos` identity) so the position-delete anti-filter can wrap any
+  * format's reader without knowing its decode.
+  */
+private[sources] trait HasRowPos {
+  def currentRowPos: Long
 }
 
 private class PartitionedSinkReaderFactory(
@@ -715,11 +753,41 @@ private class PartitionedSinkReaderFactory(
   // spark-written change files, reads correctly file by file
   override def createReader(split: InputPartition): PartitionReader[InternalRow] = {
     val s = split.asInstanceOf[SinkFileSplit]
-    if (s.file.endsWith(".parquet"))
-      new SinkParquetReader(s, fullSchema, required, partCols, conf, fieldIds)
-    else
-      new PartitionedSinkReader(s, fullSchema, required, partCols, conf)
+    val base: PartitionReader[InternalRow] with HasRowPos =
+      if (s.file.endsWith(".parquet"))
+        new SinkParquetReader(s, fullSchema, required, partCols, conf, fieldIds)
+      else
+        new PartitionedSinkReader(s, fullSchema, required, partCols, conf)
+    if (s.delManifests.isEmpty) base
+    else new PositionFilterReader(base, s, conf)
   }
+}
+
+/** MERGE-ON-READ anti-filter: drop the rows whose (file, pos) identity
+  * appears in the split's active position-delete manifests (or — in
+  * the change feed's `invertDeletes` mode — emit EXACTLY those rows).
+  * Executor-side: each split loads only its own file's positions from
+  * the per-commit manifests, so the driver never holds delete state.
+  */
+private class PositionFilterReader(
+    inner: PartitionReader[InternalRow] with HasRowPos,
+    split: SinkFileSplit,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  private lazy val positions: java.util.HashSet[java.lang.Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new Path(split.file).toUri, conf.value)
+    SinkDeletes.positionsFor(fs, split.delManifests, split.relPath)
+  }
+  override def next(): Boolean = {
+    while (inner.next()) {
+      if (positions.contains(inner.currentRowPos) == split.invertDeletes)
+        return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Line reader for one staged-then-published TSV file: split on tab,
@@ -731,7 +799,11 @@ private class PartitionedSinkReader(
     split: SinkFileSplit, fullSchema: StructType, required: StructType,
     partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with HasRowPos {
+
+  /** `_pos` of the current row: byte offset of its line's first byte. */
+  private var lastPos: Long = -1L
+  override def currentRowPos: Long = lastPos
 
   // Path(...).toUri, not new URI(...): the file name embeds the escaped
   // partition VALUE, which hive escaping leaves spaces (and other
@@ -823,6 +895,7 @@ private class PartitionedSinkReader(
     val n = lineReader.readLine(text)
     if (n == 0) return false // end of file
     pos += n
+    lastPos = lineStart
     val line = new String(text.getBytes, 0, text.getLength, "UTF-8")
     // one pass, required cells only, stop after the last needed one.
     // End-of-line terminates the final cell (split("\t", -1) parity:

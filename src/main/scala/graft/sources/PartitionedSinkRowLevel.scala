@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -266,10 +267,15 @@ private[sources] class SinkCowScan(
         values, f.getPath.toString)
     }
     // whole files, never byte-carved: a group must be read and
-    // replaced as a unit, and carving would double-record it
+    // replaced as a unit, and carving would double-record it. The
+    // splits carry the snapshot's position-delete manifests: a COW
+    // rewrite of a file with MOR deletes FOLDS them in (the rewritten
+    // file omits those rows; the stale positions retire with it).
     val keyTypes = partCols.map(c => fullSchema(c).dataType)
     groups.map { case (values, f) =>
-      SinkFileSplit(f.getPath.toString, values, keyTypes): InputPartition
+      SinkFileSplit(f.getPath.toString, values, keyTypes,
+        relPath = s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}",
+        delManifests = activeDeleteManifests): InputPartition
     }.toArray
   }
 
@@ -277,6 +283,265 @@ private[sources] class SinkCowScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
       staticPrunedFiles.size)
+}
+
+/** Row-grain change files for COW rewrites (`graft.rowChanges`):
+  * `_changes/<dir>/<change_type>/part-*.parquet`, each file carrying
+  * FULL table rows (partition columns inline — change files are not
+  * partitioned). Computed as the multiset difference (exceptAll both
+  * ways) between the replaced groups' rows and the fresh files' rows,
+  * run driver-side between the replace's rename and CAS halves — a
+  * 10-row DELETE from a 1M-row file costs one re-read of the changed
+  * files and persists 10 rows, and the feed then emits exactly those
+  * instead of ~2M file-grain rows. Caveat: rows already MOR-deleted
+  * in the old files are not re-subtracted here (mixing deleteMode
+  * within one table is the unusual path; the feed stays file-exact
+  * for the common ones).
+  */
+private[sources] object SinkCowChanges {
+  def write(path: String, partCols: Seq[String], schema: StructType,
+            oldAbs: Seq[String], newAbs: Seq[String],
+            cmd: RowLevelOperation.Command,
+            qTok: String): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val partTyped = partCols.map(c => c -> schema(c).dataType)
+    def side(paths: Seq[String]) =
+      PartitionedSink.readPaths(spark, path, paths, dataSchema, partTyped)
+        .select(schema.fieldNames.toSeq.map(col): _*)
+    val before = side(oldAbs)
+    val after = side(newAbs)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+    val byType: Seq[(String, org.apache.spark.sql.DataFrame)] = cmd match {
+      case DELETE => Seq("delete" -> before.exceptAll(after))
+      case UPDATE => Seq(
+        "update_preimage" -> before.exceptAll(after),
+        "update_postimage" -> after.exceptAll(before))
+      case _ => Seq(
+        "delete" -> before.exceptAll(after),
+        "insert" -> after.exceptAll(before))
+    }
+    val dirName = s"chg-$qTok-${java.util.UUID.randomUUID()}"
+    val tmp = new Path(path, s"_changes/.tmp-$dirName")
+    byType.foreach { case (changeType, df) =>
+      df.write.mode("overwrite")
+        .parquet(new Path(tmp, changeType).toString)
+    }
+    val fs = SinkCommit.fsFor(path)
+    val dest = new Path(path, s"_changes/$dirName")
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"change-dir publish failed: $dest")
+    Some(dirName)
+  }
+}
+
+/** MERGE-ON-READ rendition of the row-level operation
+  * (`graft.deleteMode = 'mor'`), through Spark's delta-based API
+  * ([[SupportsDelta]] → Catalyst plans WriteDelta instead of
+  * ReplaceData): matching rows arrive at the writer as per-row DELETE
+  * operations carrying their (`_file`, `_pos`) identity; the commit
+  * writes a POSITION-DELETE manifest instead of rewriting any group.
+  * Updates are represented as delete+insert
+  * (representUpdateAsDeleteAndInsert), so MERGE/UPDATE compose from
+  * the same two primitives: inserts stage through the normal writer,
+  * deletes accumulate as positions. The scale trade vs COW: a 1-row
+  * delete writes O(1) bytes (the hot-file rewrite churn of a daily
+  * GDPR trickle disappears), paid for by a small per-split manifest
+  * read at scan time until `compact` folds the deletes in.
+  */
+private[sources] class SinkRowLevelDeltaOperation(
+    path: String, partCols: Seq[String], fullSchema: StructType,
+    versioned: Boolean, cmd: RowLevelOperation.Command,
+    props: Map[String, String] = Map.empty)
+    extends SinkRowLevelOperation(path, partCols, fullSchema, versioned,
+      cmd, props)
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def description(): String =
+    s"SinkRowLevelDeltaOperation($cmd on $path, merge-on-read)"
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(SinkMeta.FileCol),
+    Expressions.column(SinkMeta.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array(
+    Expressions.column(SinkMeta.FileCol),
+    Expressions.column(SinkMeta.PosCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    // rowId projection ordinals, read from the declared schema rather
+    // than assumed: (file, pos)
+    val idSchema = info.rowIdSchema.orElseThrow(() =>
+      new IllegalStateException("delta write without a rowId schema"))
+    val fileOrd = idSchema.fieldIndex(SinkMeta.FileCol)
+    val posOrd = idSchema.fieldIndex(SinkMeta.PosCol)
+    // a pure DELETE projects no row schema (positions only); anything
+    // carrying inserts/updates must match the table layout exactly
+    val names = info.schema().fields.map(_.name).toSeq
+    val expected = fullSchema.fields.map(_.name).toSeq
+    require(names.isEmpty || names == expected,
+      s"row-level write schema $names must match table schema $expected")
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        if (names.isEmpty)
+          // delete-only: the incoming projection is (operation, rowId)
+          // — no partition columns to cluster on, nothing staged
+          new org.apache.spark.sql.connector.write.DeltaWrite {
+            override def toBatch
+                : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+              new SinkDeltaBatchWrite(path, partCols, info.schema(),
+                info.queryId(), versioned, props, fileOrd, posOrd,
+                cmd, SinkRowLevelDeltaOperation.this)
+          }
+        else new org.apache.spark.sql.connector.write.DeltaWrite
+            with RequiresDistributionAndOrdering {
+          // cluster INSERTED rows by partition tuple, same anti-
+          // fragmentation trade as the COW rewrite
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(partCols.map(c =>
+                Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                .toArray)
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new SinkDeltaBatchWrite(path, partCols, info.schema(),
+              info.queryId(), versioned, props, fileOrd, posOrd,
+              cmd, SinkRowLevelDeltaOperation.this)
+        }
+    }
+  }
+}
+
+/** Per-task delta writer: inserts ride the ordinary staged-file
+  * writer; deletes accumulate as (absolute file path, position) pairs
+  * in the commit message. `update` never fires —
+  * representUpdateAsDeleteAndInsert splits it upstream.
+  */
+private class SinkDeltaWriter(
+    inner: DataWriter[InternalRow], fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val deletes =
+    scala.collection.mutable.ArrayBuffer[(String, Long)]()
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(fileOrd).toString, id.getLong(posOrd)))
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "updates are represented as delete+insert")
+
+  override def commit(): WriterCommitMessage =
+    SinkDeltaCommitMessage(
+      inner.commit().asInstanceOf[SinkCommitMessage],
+      deletes.toSeq)
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+private case class SinkDeltaCommitMessage(
+    inserts: SinkCommitMessage,
+    deletes: Seq[(String, Long)]) extends WriterCommitMessage
+
+private class SinkDeltaWriterFactory(
+    inner: Option[PartitionedSinkWriterFactory], fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
+    val innerWriter = inner
+      .map(_.createWriter(partitionId, taskId))
+      .getOrElse(new DataWriter[InternalRow] {
+        override def write(row: InternalRow): Unit =
+          throw new IllegalStateException(
+            "delete-only delta write received an insert row")
+        override def commit(): WriterCommitMessage =
+          SinkCommitMessage(Seq.empty)
+        override def abort(): Unit = ()
+        override def close(): Unit = ()
+      })
+    new SinkDeltaWriter(innerWriter, fileOrd, posOrd)
+  }
+}
+
+private class SinkDeltaBatchWrite(
+    path: String, partCols: Seq[String], schema: StructType,
+    queryId: String, versioned: Boolean, props: Map[String, String],
+    fileOrd: Int, posOrd: Int, cmd: RowLevelOperation.Command,
+    op: SinkRowLevelOperation)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    // pure DELETE (empty schema): no insert rows can arrive — the
+    // factory stages nothing and only accumulates positions
+    val innerFactory =
+      if (schema.isEmpty) None
+      else Some(new PartitionedSinkWriterFactory(path, partCols,
+        schema, queryId, PartitionedSinkWriterFactory.sessionConf(),
+        SinkBloomConf.fromSession(props),
+        SinkFormat.fromProps(props), SinkFormat.fieldIds(props)))
+    new SinkDeltaWriterFactory(innerFactory, fileOrd, posOrd)
+  }
+
+  override def useCommitCoordinator(): Boolean = true
+
+  /** Absolute data-file path → table-relative path: the leaf layout is
+    * exactly `partCols.length` directories plus the file name.
+    */
+  private def relOf(abs: String): String = {
+    val segs = abs.split("/").filter(_.nonEmpty)
+    segs.takeRight(partCols.length + 1).mkString("/")
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SinkCommit.fsFor(path)
+    val deltas = messages.collect { case m: SinkDeltaCommitMessage => m }
+    val files = deltas.flatMap(_.inserts.files).toSeq
+    val deletes = deltas.flatMap(_.deletes).toSeq
+      .map { case (abs, pos) => (relOf(abs), pos) }
+    val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
+    val manifest =
+      if (deletes.isEmpty) None
+      else {
+        val name = s"del-$qTok-${java.util.UUID.randomUUID()}.tsv"
+        SinkDeletes.write(fs, path, name, deletes)
+        Some((name, deletes.map(_._1).distinct))
+      }
+    SinkCommit.replacePublish(fs, path, partCols, files,
+      replaced = Seq.empty,
+      f => s"part-$qTok-" +
+        new Path(f.stagedPath).getName.stripPrefix("part-"),
+      statsToken = queryId, versioned = versioned,
+      newDeleteManifest = manifest,
+      changesDir = None)
+    sweepStaging(fs)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    sweepStaging(SinkCommit.fsFor(path))
+
+  private def sweepStaging(fs: FileSystem): Unit = {
+    fs.delete(stagingDir, true)
+    val parent = stagingDir.getParent
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+      fs.delete(parent, true)
+  }
 }
 
 /** Commit half of the rewrite: publish the fresh files through the
@@ -305,11 +570,29 @@ private class SinkReplaceBatchWrite(
     val files = messages.collect { case m: SinkCommitMessage => m.files }
       .flatten.toSeq
     val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
-    SinkCommit.replacePublish(fs, path, partCols, files,
-      op.plannedGroups,
-      f => s"part-$qTok-" +
-        new Path(f.stagedPath).getName.stripPrefix("part-"),
-      statsToken = queryId, versioned = versioned)
+    val destName = (f: StagedFile) => s"part-$qTok-" +
+      new Path(f.stagedPath).getName.stripPrefix("part-")
+    if (files.isEmpty && op.plannedGroups.isEmpty) return
+    val fresh = SinkCommit.replaceStage(fs, path, partCols, files,
+      destName, statsToken = queryId)
+    // ROW-GRAIN CHANGE FILES (`graft.rowChanges`): the multiset
+    // difference between the replaced groups' rows and the fresh ones
+    // is exactly what the rewrite changed — carried-forward rows
+    // cancel. Written BEFORE the CAS under a uuid dir and linked by
+    // the manifest's `#\tchanges` header, so a feed either sees the
+    // commit with its change rows or not at all (a crash in between
+    // leaves an unreferenced dir for vacuum). Labels come from the
+    // command: DELETE emits 'delete'; UPDATE emits
+    // 'update_preimage'/'update_postimage'; MERGE emits
+    // 'delete'/'insert' (its updates and inserts are not separable at
+    // this grain — documented).
+    val changesDir =
+      if (!SinkFormat.rowChanges(props)) None
+      else SinkCowChanges.write(path, partCols, schema,
+        op.plannedGroups.map(_._3), fresh.map { case (rel, _) =>
+          new Path(path, rel).toString }, op.command(), qTok)
+    SinkCommit.replaceCommit(fs, path, partCols, fresh,
+      op.plannedGroups.map(_._1), changesDir = changesDir)
     sweepStaging(fs)
   }
 

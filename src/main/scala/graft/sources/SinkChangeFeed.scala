@@ -212,29 +212,86 @@ private class SinkChangeFeedStream(path: String, partCols: Seq[String],
     def manifest(v: Long): Map[String, Seq[String]] =
       if (v == 0L) Map.empty
       else SinkVersions.read(f, path, v).toMap
+    def dels(v: Long): Seq[String] =
+      if (v == 0L) Seq.empty else SinkVersions.readDeletes(f, path, v)
+    def carve(file: Path, values: Seq[String], kts: Seq[DataType],
+              extras: Seq[(String, String)], inline: Boolean = false,
+              rel: String = "", delManifests: Seq[String] = Seq.empty,
+              invert: Boolean = false): Seq[InputPartition] = {
+      if (!f.exists(file)) throw new IllegalStateException(
+        s"change feed for $path needs $file (version range ($s, $e]), " +
+          "which no longer exists — vacuumed beyond the feed's start?")
+      val len = f.getFileStatus(file).getLen
+      if (len <= maxSplit)
+        Seq(SinkFileSplit(file.toString, values, kts, extras = extras,
+          inlineParts = inline, relPath = rel, delManifests = delManifests,
+          invertDeletes = invert))
+      else (0L until len by maxSplit).map(o =>
+        SinkFileSplit(file.toString, values, kts,
+          o, math.min(maxSplit, len - o), extras, inlineParts = inline,
+          relPath = rel, delManifests = delManifests,
+          invertDeletes = invert))
+    }
     var prev = manifest(s)
+    var prevDels = dels(s).toSet
     (s + 1 to e).flatMap { v =>
       val cur = manifest(v)
-      val changed =
-        cur.keySet.diff(prev.keySet).toSeq.sorted.map(r => (r, cur(r), "insert")) ++
-          prev.keySet.diff(cur.keySet).toSeq.sorted.map(r => (r, prev(r), "delete"))
+      val curDels = dels(v).toSet
+      val extras = (t: String) => Seq(
+        SinkChangeFeed.ChangeTypeCol -> t,
+        SinkChangeFeed.CommitVersionCol -> v.toString)
+      val out: Seq[InputPartition] =
+        SinkVersions.readChangesDir(f, path, v) match {
+          case Some(dirName) =>
+            // ROW-GRAIN: the commit persisted its exact change rows
+            // (graft.rowChanges) — emit those INSTEAD of the
+            // file-grain manifest diff. Change files carry full table
+            // rows with partition columns inline; the type is the
+            // subdirectory name.
+            val base = new Path(path, s"_changes/$dirName")
+            Option(f.listStatus(base)).toSeq.flatten
+              .filter(_.isDirectory)
+              .flatMap { typeDir =>
+                val changeType = typeDir.getPath.getName
+                Option(f.listStatus(typeDir.getPath)).toSeq.flatten
+                  .filter(st => st.isFile &&
+                    st.getPath.getName.endsWith(".parquet"))
+                  .sortBy(_.getPath.getName)
+                  .flatMap(st => carve(st.getPath, Seq.empty, Seq.empty,
+                    extras(changeType), inline = true))
+              }
+          case None =>
+            // FILE-GRAIN manifest diff, plus — for merge-on-read
+            // commits — the rows of any NEW position-delete manifests
+            // (a MOR delete changes no file membership; its deleted
+            // rows surface by reading the affected files in
+            // invertDeletes mode: emit EXACTLY the deleted positions)
+            val changed =
+              cur.keySet.diff(prev.keySet).toSeq.sorted
+                .map(r => (r, cur(r), "insert")) ++
+                prev.keySet.diff(cur.keySet).toSeq.sorted
+                  .map(r => (r, prev(r), "delete"))
+            val fileGrain = changed.flatMap { case (rel, values, t) =>
+              carve(new Path(path, rel), values, keyTypes, extras(t))
+            }
+            val newDels = curDels.diff(prevDels).toSeq.sorted
+            val posGrain = newDels.flatMap { m =>
+              val abs = new Path(path, s"_deletes/$m")
+              SinkDeletes.read(f, abs).map(_._1).distinct.sorted
+                .flatMap { rel =>
+                  val values = rel.split("/").dropRight(1).toSeq
+                    .map(seg => TsvCodec.unescapeDir(
+                      seg.drop(seg.indexOf('=') + 1)))
+                  carve(new Path(path, rel), values, keyTypes,
+                    extras("delete"), rel = rel,
+                    delManifests = Seq(abs.toString), invert = true)
+                }
+            }
+            fileGrain ++ posGrain
+        }
       prev = cur
-      changed.flatMap { case (rel, values, changeType) =>
-        val p = new Path(path, rel)
-        if (!f.exists(p)) throw new IllegalStateException(
-          s"change feed for $path needs $rel (version $v), which no " +
-            "longer exists — vacuumed beyond the feed's start?")
-        val extras = Seq(
-          SinkChangeFeed.ChangeTypeCol -> changeType,
-          SinkChangeFeed.CommitVersionCol -> v.toString)
-        val len = f.getFileStatus(p).getLen
-        if (len <= maxSplit)
-          Seq(SinkFileSplit(p.toString, values, keyTypes,
-            extras = extras): InputPartition)
-        else (0L until len by maxSplit).map(o =>
-          SinkFileSplit(p.toString, values, keyTypes,
-            o, math.min(maxSplit, len - o), extras): InputPartition)
-      }
+      prevDels = curDels
+      out
     }.toArray
   }
 

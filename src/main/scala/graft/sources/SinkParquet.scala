@@ -53,8 +53,30 @@ private[graft] object SinkFormat {
   final val PropFormat = "graft.format"
   final val PropFieldIds = "graft.fieldIds"
   final val PropNextFieldId = "graft.nextFieldId"
+  /** Row-level rewrite strategy: 'cow' (default — rewrite the file
+    * groups containing matches) or 'mor' (merge-on-read: commit
+    * position-delete manifests, anti-filtered at scan time, folded in
+    * by compact/COW rewrites).
+    */
+  final val PropDeleteMode = "graft.deleteMode"
+  /** 'true' = row-level commits also persist row-grain change files
+    * (`_changes/<dir>`), which the change feed emits instead of the
+    * file-grain manifest diff.
+    */
+  final val PropRowChanges = "graft.rowChanges"
   final val Tsv = "tsv"
   final val Parquet = "parquet"
+
+  def deleteMode(props: Map[String, String]): String =
+    props.getOrElse(PropDeleteMode, "cow") match {
+      case "cow" => "cow"
+      case "mor" => "mor"
+      case other => throw new IllegalArgumentException(
+        s"$PropDeleteMode must be 'cow' or 'mor', got '$other'")
+    }
+
+  def rowChanges(props: Map[String, String]): Boolean =
+    props.get(PropRowChanges).exists(_.toBoolean)
 
   def fromProps(props: Map[String, String]): String =
     props.getOrElse(PropFormat, Tsv) match {
@@ -236,7 +258,12 @@ private[sources] class SinkParquetReader(
     partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
     fieldIds: Map[String, Int] = Map.empty)
-    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow]
+    with HasRowPos {
+
+  /** `_pos` of the current row: its row index within the FILE. */
+  private var lastPos: Long = -1L
+  override def currentRowPos: Long = lastPos
 
   private val filePath = new Path(split.file)
   private val inputFile = HadoopInputFile.fromPath(filePath, conf.value)
@@ -422,6 +449,7 @@ private[sources] class SinkParquetReader(
     }
     if (nSlots > 0) recordReader.read() // fills buffer
     val pos = rowIndex
+    lastPos = pos
     val values = plan.map {
       case FromFile(slot) => buffer(slot)
       case Const(v) => v
