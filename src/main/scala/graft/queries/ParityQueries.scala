@@ -2198,6 +2198,144 @@ object ParityQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY commit_version, change_type, l_returnflag, l_linestatus"""))
 
+  /** §2.9-ext: MERGE-ON-READ row-level DELETE (`graft.deleteMode =
+    * 'mor'`) — the same three-band seed and predicate as q_dsv2_delete,
+    * but the commit writes a POSITION-DELETE manifest instead of
+    * rewriting any file group (Spark's delta-based row-level API;
+    * deleted rows are identified by their (_file, _pos) row identity
+    * and anti-filtered at scan time). Same oracle as the COW
+    * rendition — the two strategies must agree on WHAT is deleted and
+    * differ only in HOW it's persisted; the O(1)-bytes write pin and
+    * the fold-on-compact semantics live in RowLevelOpsSpec.
+    */
+  val qDsv2DeleteMor = Q(
+    "q_dsv2_delete_mor",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.delm_orders")
+      def band(lo: Double, hi: Double) = ord(s, d)
+        .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      band(0, 100000)
+        .writeTo("graft_dyn.delm_orders")
+        .tableProperty("graft.deleteMode", "mor")
+        .partitionedBy(col("o_orderpriority")).create()
+      band(100000, 200000).writeTo("graft_dyn.delm_orders").append()
+      band(200000, Double.MaxValue).writeTo("graft_dyn.delm_orders").append()
+      s.sql("""DELETE FROM graft_dyn.delm_orders
+        WHERE o_totalprice >= 150000 AND o_totalprice < 250000
+          AND o_orderstatus = 'F'""")
+      s.table("graft_dyn.delm_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_totalprice >= 150000 AND o_totalprice < 250000
+                 AND o_orderstatus = 'F')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    headline = true)
+
+  /** §2.9-ext: ROW-GRAIN CDC (`graft.rowChanges`) — COW row-level
+    * commits persist their exact change rows (multiset diff of the
+    * replaced groups vs the fresh files, written between the replace's
+    * rename and CAS halves and linked by a manifest header), and the
+    * change feed emits those instead of the file-grain diff: the
+    * DELETE below streams exactly its matched rows (not the rewritten
+    * files' thousands), the UPDATE streams update_preimage /
+    * update_postimage pairs. The arithmetic (+1000) is pure IEEE
+    * double, bit-identical on both engines.
+    */
+  val qDsv2CdcRows = Q(
+    "q_dsv2_cdc_rows",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dynv",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dynv.root", root)
+      s.conf.set("spark.sql.catalog.graft_dynv.versioned", "true")
+      s.sql("DROP TABLE IF EXISTS graft_dynv.cdcr_orders")
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dynv.cdcr_orders")
+        .tableProperty("graft.rowChanges", "true")
+        .partitionedBy(col("o_orderpriority")).create()            // v1
+      s.sql("DELETE FROM graft_dynv.cdcr_orders WHERE o_orderkey % 100 = 7") // v2
+      s.sql("""UPDATE graft_dynv.cdcr_orders
+        SET o_totalprice = o_totalprice + 1000
+        WHERE o_orderkey % 100 = 11""")                             // v3
+      s.read.format("graft.sources.SinkChangeFeed")
+        .option("path", s"$root/cdcr_orders")
+        .option("startingVersion", "1").option("endingVersion", "3")
+        .load()
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy(col("commit_version"), col("change_type"),
+          col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, 'delete' AS change_type,
+             CAST(2 AS BIGINT) AS commit_version
+      FROM orders WHERE o_orderkey % 100 = 7
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'update_preimage', 3
+      FROM orders WHERE o_orderkey % 100 = 11
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1000, 'update_postimage', 3
+      FROM orders WHERE o_orderkey % 100 = 11
+      ORDER BY commit_version, change_type, o_orderkey"""))
+
+  /** §2.9-ext: SCHEMA EVOLUTION on a parquet-format table — RENAME
+    * COLUMN keeps the column's FIELD ID, so files written before the
+    * rename resolve through it; DROP COLUMN retires an id that is
+    * never reused. The query renames mid-life (half the rows written
+    * under each name), drops an unrelated column, and aggregates
+    * across both generations of files — a broken id mapping loses the
+    * pre-rename half or transposes columns, flipping the oracle.
+    */
+  val qDsv2Evolve = Q(
+    "q_dsv2_evolve",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.evo_orders")
+      ord(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dyn.evo_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.sql("ALTER TABLE graft_dyn.evo_orders RENAME COLUMN o_totalprice TO price")
+      ord(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dyn.evo_orders").append()
+      s.sql("ALTER TABLE graft_dyn.evo_orders DROP COLUMN o_orderstatus")
+      s.table("graft_dyn.evo_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("price")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2447,5 +2585,6 @@ object ParityQueries {
     qTpchQ6, qTpchQ7, qTpchQ9, qTpchQ10, qTpchQ12, qDsv2Roundtrip,
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
-    qDsv2Merge, qDsv2Bloom, qDsv2CdcStream)
+    qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
+    qDsv2Evolve)
 }

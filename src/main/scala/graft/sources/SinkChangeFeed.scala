@@ -266,13 +266,22 @@ private class SinkChangeFeedStream(path: String, partCols: Seq[String],
             // (a MOR delete changes no file membership; its deleted
             // rows surface by reading the affected files in
             // invertDeletes mode: emit EXACTLY the deleted positions)
+            // file-grain rows are the rows VISIBLE at the relevant
+            // snapshot: a retired file's emitted deletes anti-filter
+            // through the v-1 active position manifests (rows already
+            // MOR-deleted were never visible and must not re-delete),
+            // an inserted file's rows through v's
+            def manifestPaths(names: Set[String]): Seq[String] =
+              names.toSeq.sorted.map(n =>
+                new Path(path, s"_deletes/$n").toString)
             val changed =
               cur.keySet.diff(prev.keySet).toSeq.sorted
-                .map(r => (r, cur(r), "insert")) ++
+                .map(r => (r, cur(r), "insert", manifestPaths(curDels))) ++
                 prev.keySet.diff(cur.keySet).toSeq.sorted
-                  .map(r => (r, prev(r), "delete"))
-            val fileGrain = changed.flatMap { case (rel, values, t) =>
-              carve(new Path(path, rel), values, keyTypes, extras(t))
+                  .map(r => (r, prev(r), "delete", manifestPaths(prevDels)))
+            val fileGrain = changed.flatMap { case (rel, values, t, dm) =>
+              carve(new Path(path, rel), values, keyTypes, extras(t),
+                rel = rel, delManifests = dm)
             }
             val newDels = curDels.diff(prevDels).toSeq.sorted
             val posGrain = newDels.flatMap { m =>

@@ -252,6 +252,62 @@ class RowLevelOpsSpec extends SparkSpec {
       s"clustered append writes at most one file per tuple, got $perLeaf")
   }
 
+  test("merge-on-read DELETE writes O(1) bytes while COW rewrites the " +
+    "file; MOR deletes fold on compact; vacuum + time travel stay consistent") {
+    import spark.implicits._
+    val root = freshCatalog("rlm")
+    def mk(t: String, mode: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS rlm.$t")
+      (1L to 5000L).map(k => (k, k.toDouble, "A")).toDF("k", "v", "p")
+        .coalesce(1).writeTo(s"rlm.$t")
+        .tableProperty("graft.deleteMode", mode)
+        .partitionedBy(col("p")).create()
+    }
+    def dataBytes(t: String): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(s"$root/$t"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .filterNot(_.getPath.contains("/_"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    mk("mor", "mor"); mk("cow", "cow")
+    val morBefore = dataBytes("mor"); val cowBefore = dataBytes("cow")
+    spark.sql("DELETE FROM rlm.mor WHERE k = 2500")
+    spark.sql("DELETE FROM rlm.cow WHERE k = 2500")
+    // MOR: the single data file is byte-identical; only a tiny
+    // position manifest appeared. COW: the file was rewritten.
+    assert(dataBytes("mor") === morBefore,
+      "a MOR 1-row delete must not touch any data file")
+    assert(dataBytes("cow") !== cowBefore,
+      "the COW rendition rewrites the containing file")
+    val delFiles = new File(s"$root/mor/_deletes").listFiles()
+      .filter(f => !f.getName.startsWith("."))
+    assert(delFiles.length === 1 && delFiles(0).length() < 256,
+      s"one O(1)-byte position manifest, got ${delFiles.toSeq}")
+    // both agree on WHAT was deleted
+    assert(spark.table("rlm.mor").count() === 4999L)
+    assert(spark.table("rlm.cow").count() === 4999L)
+    assert(spark.table("rlm.mor").filter(col("k") === 2500).count() === 0L)
+    // version 1 (pre-delete seed... the delete auto-versioned, so v1
+    // IS the delete commit on this table) and current stay consistent
+    // through compaction: compact folds the positions into a rewritten
+    // file, and the table reads identically before and after
+    val beforeCompact = spark.table("rlm.mor")
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+    graft.ops.Compaction.compactSinkTable(spark, "rlm", "mor", 0)
+    assert(spark.table("rlm.mor")
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+      === beforeCompact, "compact must fold MOR deletes, not lose/revive rows")
+    // vacuum retires the superseded snapshot's delete manifest only
+    // once no retained version references it (age-floored here, so the
+    // manifest file survives this immediate run — never a torn read)
+    graft.ops.Compaction.vacuumVersions(spark, "rlm", "mor", keepLast = 1)
+    assert(spark.table("rlm.mor").count() === 4999L,
+      "vacuum must not change the live read")
+    spark.sql("DROP TABLE rlm.mor"); spark.sql("DROP TABLE rlm.cow")
+  }
+
   test("the _file metadata column is selectable and file-accurate") {
     val root = freshCatalog("rl6")
     seed("rl6.t", Seq((1L, 1.0, "A"), (2L, 2.0, "B")))

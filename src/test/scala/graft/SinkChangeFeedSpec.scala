@@ -120,6 +120,63 @@ class SinkChangeFeedSpec extends SparkSpec {
       (2L, "delete", 3L), (3L, "insert", 3L)))
   }
 
+  test("row-grain feed: MOR deletes stream exactly the deleted rows; " +
+    "compaction streams as balanced delete+insert (a row-grain wash)") {
+    import spark.implicits._
+    val dir = freshTable("cdcm")
+    spark.sql("""CREATE TABLE cdcm.t (k BIGINT, v DOUBLE, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+    (1L to 1000L).map(i => (i, i * 1.0, if (i % 2 == 0) "A" else "B"))
+      .toDF("k", "v", "p").coalesce(1).writeTo("cdcm.t").append()   // v1
+    spark.sql("DELETE FROM cdcm.t WHERE k IN (3, 14, 159)")          // v2
+    val feed = collectFeed(dir, "cdcm_sink",
+      java.nio.file.Files.createTempDirectory("cdcm_ck").toString)
+    val v2 = feed.filter(_._5 == 2L)
+    assert(v2.map(t => (t._1, t._4)).sorted ===
+      Seq((3L, "delete"), (14L, "delete"), (159L, "delete")),
+      s"a 3-row MOR delete must stream exactly 3 delete rows, got $v2")
+    // compaction folds the deletes and rewrites files — at FILE grain
+    // that is delete+insert; at ROW grain it must be a wash: the
+    // deleted multiset equals the inserted multiset
+    graft.ops.Compaction.compactSinkTable(spark, "cdcm", "t", 0)
+    val after = collectFeed(dir, "cdcm_sink2",
+      java.nio.file.Files.createTempDirectory("cdcm_ck2").toString)
+    val v3 = after.filter(_._5 == 3L)
+    assert(v3.nonEmpty, "compaction must surface in the feed")
+    def multiset(t: String) = v3.filter(_._4 == t)
+      .map(x => (x._1, x._2, x._3)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(multiset("delete") === multiset("insert"),
+      "compaction must be a row-grain no-op: deletes == inserts")
+    // and the folded snapshot never revives the MOR-deleted rows
+    assert(v3.filter(_._4 == "insert").map(_._1).toSet
+      .intersect(Set(3L, 14L, 159L)) === Set.empty)
+    spark.sql("DROP TABLE cdcm.t")
+  }
+
+  test("COW rowChanges: UPDATE streams update_preimage/update_postimage " +
+    "pairs; DELETE streams only its matched rows") {
+    import spark.implicits._
+    val dir = freshTable("cdcw")
+    spark.sql("""CREATE TABLE cdcw.t (k BIGINT, v DOUBLE, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('graft.rowChanges' = 'true')""")
+    (1L to 1000L).map(i => (i, i * 1.0, if (i % 2 == 0) "A" else "B"))
+      .toDF("k", "v", "p").coalesce(1).writeTo("cdcw.t").append()   // v1
+    spark.sql("DELETE FROM cdcw.t WHERE k IN (8, 88)")               // v2
+    spark.sql("UPDATE cdcw.t SET v = v * -1 WHERE k = 500")          // v3
+    val feed = collectFeed(dir, "cdcw_sink",
+      java.nio.file.Files.createTempDirectory("cdcw_ck").toString)
+    val v2 = feed.filter(_._5 == 2L)
+    assert(v2.map(t => (t._1, t._4)).sorted ===
+      Seq((8L, "delete"), (88L, "delete")),
+      s"the COW delete must stream its 2 matched rows only, got $v2")
+    val v3 = feed.filter(_._5 == 3L).map(t => (t._1, t._2, t._4)).sorted
+    assert(v3 === Seq((500L, -500.0, "update_postimage"),
+      (500L, 500.0, "update_preimage")),
+      s"the UPDATE must stream a pre/postimage pair, got $v3")
+    spark.sql("DROP TABLE cdcw.t")
+  }
+
   test("startingVersion=latest skips history; a number replays from it") {
     import spark.implicits._
     val dir = freshTable("cdcl")
