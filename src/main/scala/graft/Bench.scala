@@ -61,6 +61,17 @@ private[graft] object BenchStatus {
     loadBefore <= AmbientThreshold &&
       medianRepLoad(perRepLoads) - SelfLoad <= AmbientThreshold
 
+  /** PER-QUERY ambient verdict (the r16 adjudication gap: a sweep's
+    * MEDIAN rep load was clean while individual tail queries ran at
+    * load 5.6–6.0, and the artifact said "ok" — only a sibling sweep
+    * could adjudicate them). A query is ambient-clean when its WORST
+    * rep load minus the bench's self-load stays under the threshold;
+    * a single polluted query flags itself without flipping the sweep
+    * tier, so one artifact answers "is THIS number trustworthy?".
+    */
+  def queryAmbientOk(repLoads: Seq[Double]): Boolean =
+    repLoads.isEmpty || repLoads.max - SelfLoad <= AmbientThreshold
+
   /** The status string (unquoted). */
   def tier(invalid: Boolean, nFailed: Int, loadBefore: Double,
            perRepLoads: Seq[Double]): String = {
@@ -261,6 +272,17 @@ object Bench {
     // labels itself degraded instead of ok (see BenchStatus).
     val allRepLoads = repLoads.values.flatten.toSeq
     val ambientOk = BenchStatus.ambientOk(loadBefore, allRepLoads)
+    // per-query verdicts: the summary line carries only the FLAGGED
+    // names (usually none — 52 `true`s would blow the 2000-char tail
+    // window); the durable artifact carries the full map
+    val ambientFlagged = repLoads.collect {
+      case (k, loads) if !BenchStatus.queryAmbientOk(loads) => k
+    }.toSeq
+    val flaggedJson = ambientFlagged.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val ambientPerQueryJson = repLoads.map { case (k, loads) =>
+      "\"" + k + "\":" + BenchStatus.queryAmbientOk(loads)
+    }.mkString("{", ",", "}")
     val status =
       "\"" + BenchStatus.tier(invalid, nFailed, loadBefore, allRepLoads) + "\""
     // Three lines, bulky detail FIRST: the driver records only the last
@@ -291,7 +313,7 @@ object Bench {
     println(s"""{"detail":"shuffle_read_mb","queries":$sh,"load_avg_before":$loadBefore,"load_avg":$load}""")
     println(s"""{"detail":"spill_mb","queries":$sp}""")
     println(s"""{"detail":"peak_task_mem_mb","queries":$pm}""")
-    println(s"""{"total":$total,"status":$status,"ambient_ok":$ambientOk,"origin":"$origin","total_core":$totalCore,"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
+    println(s"""{"total":$total,"status":$status,"ambient_ok":$ambientOk,"ambient_flagged":$flaggedJson,"origin":"$origin","total_core":$totalCore,"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cc_rounds":$ccRounds}""")
     // Durable artifact: the driver records only the last ~2000 chars of
     // stdout, so the per-rep times and shuffle bytes that make
     // ambient-load vs regression adjudicable have been lost every round
@@ -304,6 +326,8 @@ object Bench {
     // bench_latest.json so they can never clobber a round artifact.
     val full =
       s"""{"total":$total,"total_core":$totalCore,"status":$status,"ambient_ok":$ambientOk,
+         |"ambient_flagged":$flaggedJson,
+         |"ambient_ok_per_query":$ambientPerQueryJson,
          |"origin":"$origin","sf":"$sfDir","reps":$reps,
          |"load_avg_before":$loadBefore,"load_avg_after":$load,
          |"cc_rounds":$ccRounds,

@@ -41,6 +41,35 @@ class BenchStatusSpec extends AnyFunSuite {
     assert(BenchStatus.tier(invalid = false, nFailed = 0, 1.30, loads) === "ok")
   }
 
+  test("per-query flags catch a polluted tail behind a clean median " +
+    "(the r16 q_dedup_minhash shape)") {
+    // BENCH_r16.json: sweep median 3.6 (self-load absorbs it → tier
+    // ok) while q_dedup_minhash's reps ran at [5.95, 5.63, 5.63] —
+    // only a sibling sweep could adjudicate it. The per-query verdict
+    // reads each query's WORST rep load.
+    val cleanQuery = Seq(2.1, 2.3, 2.2)
+    val pollutedTail = Seq(5.95, 5.63, 5.63)
+    assert(BenchStatus.queryAmbientOk(cleanQuery))
+    assert(!BenchStatus.queryAmbientOk(pollutedTail),
+      "a query whose reps all ran at load ~5.6+ must flag itself")
+    // one spiked rep among clean ones flags too (max, not median:
+    // the median of 3 keeps the TIME honest, but the artifact must
+    // say the sample was contaminated)
+    assert(!BenchStatus.queryAmbientOk(Seq(2.1, 6.7, 2.2)))
+    // ...while the sweep-level tier (median across ALL reps of a
+    // mostly-clean sweep) correctly stays ok — the two verdicts are
+    // independent by design
+    val sweep = Seq.fill(150)(2.2) ++ pollutedTail
+    assert(BenchStatus.tier(invalid = false, nFailed = 0, 0.9, sweep) === "ok")
+    // empty loads (no reps ran) cannot flag
+    assert(BenchStatus.queryAmbientOk(Seq.empty))
+  }
+
+  test("sf1 self-load does not false-flag per-query verdicts") {
+    // clean sf1 reps sustain ~3.4–4.0 of the bench's own load
+    assert(BenchStatus.queryAmbientOk(Seq(3.4, 3.55, 4.0)))
+  }
+
   test("INVALID and FAILED outrank the ambient tiers; empty loads are ok") {
     assert(BenchStatus.tier(invalid = true, nFailed = 0, 0.5, Seq(9.0))
       === "INVALID: load_avg>2")
