@@ -2274,9 +2274,13 @@ object ParityQueries {
       s.sql("""UPDATE graft_dynv.cdcr_orders
         SET o_totalprice = o_totalprice + 1000
         WHERE o_orderkey % 100 = 11""")                             // v3
+      // endingVersion defaults to LATEST: on real input the three
+      // commits above always land (v3); on an EMPTY seed the DELETE
+      // and UPDATE match nothing, commit nothing, and the feed of
+      // (1, latest=1] is a schema-correct empty frame, not an error
       s.read.format("graft.sources.SinkChangeFeed")
         .option("path", s"$root/cdcr_orders")
-        .option("startingVersion", "1").option("endingVersion", "3")
+        .option("startingVersion", "1")
         .load()
         .select(col("o_orderkey"), col("o_totalprice"),
           col("_change_type").as("change_type"),

@@ -572,7 +572,7 @@ private class SinkReplaceBatchWrite(
     val qTok = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
     val destName = (f: StagedFile) => s"part-$qTok-" +
       new Path(f.stagedPath).getName.stripPrefix("part-")
-    if (files.isEmpty && op.plannedGroups.isEmpty) return
+    if (files.isEmpty && op.plannedGroups.isEmpty) { sweepStaging(fs); return }
     val fresh = SinkCommit.replaceStage(fs, path, partCols, files,
       destName, statsToken = queryId)
     // ROW-GRAIN CHANGE FILES (`graft.rowChanges`): the multiset

@@ -95,7 +95,12 @@ class SinkPublishSpec extends AnyFunSuite {
       classOf[PartitionedSinkCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_lg_spec.root", root)
     def batch(ks: Seq[Long]) = ks.map(k => (k, "A")).toDF("k", "p").coalesce(1)
-    batch(Seq(1L)).writeTo("graft_lg_spec.t").partitionedBy(col("p")).create()
+    // a table with a pre-r15 checkpoint is by definition a TSV-era
+    // table (and the file ordering below reads the one-row files as
+    // text) — pin the legacy format explicitly
+    batch(Seq(1L)).writeTo("graft_lg_spec.t")
+      .tableProperty("graft.format", "tsv")
+      .partitionedBy(col("p")).create()
     batch(Seq(2L)).writeTo("graft_lg_spec.t").append()
     batch(Seq(3L)).writeTo("graft_lg_spec.t").append()
     val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
