@@ -1050,14 +1050,33 @@ private[graft] object SinkDeletes {
       throw new java.io.IOException(s"delete-manifest commit failed: $name")
   }
 
+  /** Process-level cache of parsed manifests: they are IMMUTABLE
+    * (uuid-named, written once, only ever deleted by vacuum), so on an
+    * executor running many splits of one table the manifest is read
+    * once, not once per split. Bounded LRU-ish (insertion-ordered,
+    * oldest evicted) — delete manifests are per-commit and small, but
+    * a long-lived executor must not accumulate every table's history.
+    */
+  private val cache =
+    new java.util.LinkedHashMap[String, Seq[(String, Long)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(String, Long)]]): Boolean =
+        size() > 64
+    }
+
   def read(fs: FileSystem, p: Path): Seq[(String, Long)] = {
+    val key = p.toString
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
     if (!fs.exists(p)) throw new IllegalStateException(
       s"position-delete manifest $p no longer exists — vacuumed beyond " +
         "retention?")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+    val parsed = text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
       line.split("\t", -1) match {
         case Array(rel, pos) if pos.nonEmpty && pos.forall(_.isDigit) =>
           Some((TsvCodec.unescape(org.apache.spark.unsafe.types.UTF8String
@@ -1065,6 +1084,8 @@ private[graft] object SinkDeletes {
         case _ => None
       }
     }
+    cache.synchronized { cache.put(key, parsed) }
+    parsed
   }
 
   /** The positions deleted from ONE file, across the given manifests
