@@ -1355,7 +1355,8 @@ private class PartitionedSinkBatchWrite(path: String, partCols: Seq[String],
     new PartitionedSinkWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf(),
       SinkBloomConf.fromSession(props),
-      SinkFormat.fromProps(props), SinkFormat.fieldIds(props))
+      SinkFormat.fromProps(props), SinkFormat.fieldIds(props),
+      SinkParquetWrite.rowGroupBytesFromSession())
 
   // at most one committed attempt per task partition — the scheduler
   // half of exactly-once; the manifest publish below is the other half
@@ -1418,11 +1419,13 @@ private class PartitionedSinkWriterFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
     bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072),
     format: String = SinkFormat.Tsv,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    rowGroupBytes: Long =
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema, queryId, partitionId,
-      taskId, conf, bloom, format, fieldIds)
+      taskId, conf, bloom, format, fieldIds, rowGroupBytes)
 }
 
 /** Task-side writer: buffers one open staged file per partition TUPLE
@@ -1438,7 +1441,10 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
                                     bloom: (Seq[String], Double, Int) =
                                       (Seq.empty, 0.01, 131072),
                                     format: String = SinkFormat.Tsv,
-                                    fieldIds: Map[String, Int] = Map.empty)
+                                    fieldIds: Map[String, Int] = Map.empty,
+                                    rowGroupBytes: Long =
+                                      org.apache.parquet.hadoop.ParquetWriter
+                                        .DEFAULT_BLOCK_SIZE.toLong)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new java.net.URI(path), conf.value)
@@ -1624,7 +1630,7 @@ private class PartitionedSinkWriter(path: String, partCols: Seq[String],
   private def newRowOut(f: Path): RowOut =
     if (format == SinkFormat.Parquet)
       new ParquetRowOut(SinkParquetWrite.open(conf.value, f,
-        dataFields.toSeq, fieldIds))
+        dataFields.toSeq, fieldIds, rowGroupBytes))
     else {
       fs.mkdirs(f.getParent)
       new TsvRowOut(new java.io.BufferedWriter(
@@ -1764,7 +1770,8 @@ private class PartitionedSinkStreamingWrite(path: String, partCols: Seq[String],
     new PartitionedSinkStreamingWriterFactory(path, partCols, schema, queryId,
       PartitionedSinkWriterFactory.sessionConf(),
       SinkBloomConf.fromSession(props),
-      SinkFormat.fromProps(props), SinkFormat.fieldIds(props))
+      SinkFormat.fromProps(props), SinkFormat.fieldIds(props),
+      SinkParquetWrite.rowGroupBytesFromSession())
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1797,11 +1804,13 @@ private class PartitionedSinkStreamingWriterFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
     bloom: (Seq[String], Double, Int) = (Seq.empty, 0.01, 131072),
     format: String = SinkFormat.Tsv,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    rowGroupBytes: Long =
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PartitionedSinkWriter(path, partCols, schema,
       s"$queryId/epoch-$epochId", partitionId, taskId, conf, bloom,
-      format, fieldIds)
+      format, fieldIds, rowGroupBytes)
 }

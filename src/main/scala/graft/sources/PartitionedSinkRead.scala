@@ -357,8 +357,14 @@ private[sources] class PartitionedSinkScan(
         prunedFiles.map(_._1).distinct.size)
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // the pushed data-column comparisons ride to the parquet readers
+    // for ROW-GROUP footer-stats skipping (the grain below the
+    // manifest-level file skip); sound because every filter stays
+    // residual. The COW row-level scan overrides this with NO skip
+    // filters — group rewrites read their files whole.
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
-      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds,
+      skipFilters.toSeq)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -705,7 +711,8 @@ private class PartitionedSinkMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
-      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds,
+      skipFilters.toSeq)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -746,7 +753,8 @@ private[sources] trait HasRowPos {
 private class PartitionedSinkReaderFactory(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    skipFilters: Seq[Filter] = Seq.empty)
     extends PartitionReaderFactory {
   // per-FILE format dispatch (by extension): a table whose
   // `graft.format` changed mid-life, or a feed mixing table files with
@@ -755,7 +763,8 @@ private class PartitionedSinkReaderFactory(
     val s = split.asInstanceOf[SinkFileSplit]
     val base: PartitionReader[InternalRow] with HasRowPos =
       if (s.file.endsWith(".parquet"))
-        new SinkParquetReader(s, fullSchema, required, partCols, conf, fieldIds)
+        new SinkParquetReader(s, fullSchema, required, partCols, conf,
+          fieldIds, skipFilters)
       else
         new PartitionedSinkReader(s, fullSchema, required, partCols, conf)
     if (s.delManifests.isEmpty) base

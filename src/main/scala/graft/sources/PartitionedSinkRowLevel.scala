@@ -283,6 +283,15 @@ private[sources] class SinkCowScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
       staticPrunedFiles.size)
+
+  /** NO row-group skipping on a group-based rewrite scan: the files it
+    * plans must be read WHOLE — a skipped row group's non-matching
+    * rows would silently vanish from the rewritten file.
+    */
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new PartitionedSinkReaderFactory(fullSchema, required, partCols,
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
 }
 
 /** Row-grain change files for COW rewrites (`graft.rowChanges`):
@@ -495,7 +504,8 @@ private class SinkDeltaBatchWrite(
       else Some(new PartitionedSinkWriterFactory(path, partCols,
         schema, queryId, PartitionedSinkWriterFactory.sessionConf(),
         SinkBloomConf.fromSession(props),
-        SinkFormat.fromProps(props), SinkFormat.fieldIds(props)))
+        SinkFormat.fromProps(props), SinkFormat.fieldIds(props),
+        SinkParquetWrite.rowGroupBytesFromSession()))
     new SinkDeltaWriterFactory(innerFactory, fileOrd, posOrd)
   }
 

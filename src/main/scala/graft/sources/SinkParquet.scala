@@ -208,14 +208,31 @@ private[graft] object SinkParquetWrite {
         : WriteSupport[InternalRow] = ws
   }
 
+  /** Row-group size knob (session conf, driver-resolved): smaller
+    * groups = finer row-group skipping and lower task memory, larger
+    * = better scan throughput. Parquet's 128 MB default otherwise.
+    */
+  final val RowGroupBytesKey = "spark.graft.sink.parquet.rowGroupBytes"
+
+  def rowGroupBytesFromSession(): Long = {
+    val v = org.apache.spark.sql.SparkSession.active.conf
+      .getOption(RowGroupBytesKey).map(_.toLong)
+      .getOrElse(ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+    require(v > 0, s"$RowGroupBytesKey must be positive, got $v")
+    v
+  }
+
   def open(conf: Configuration, path: Path,
            dataFields: Seq[(StructField, Int)],
-           fieldIds: Map[String, Int]): ParquetWriter[InternalRow] = {
+           fieldIds: Map[String, Int],
+           rowGroupBytes: Long = ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+      : ParquetWriter[InternalRow] = {
     val schema = messageType(dataFields.map(_._1), fieldIds)
     new Builder(HadoopOutputFile.fromPath(path, conf),
       new RowWriteSupport(schema, dataFields))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(rowGroupBytes)
       .build()
   }
 }
@@ -253,11 +270,107 @@ private[graft] object SinkParquetIo {
   * file reads as NULL (the ADD COLUMNS evolution, same as the TSV
   * short-row rule).
   */
+/** ROW-GROUP skipping for the parquet tier: evaluate the scan's
+  * pushed data-column comparisons against each selected row group's
+  * footer statistics and skip groups PROVABLY free of matches — the
+  * grain below the manifest-level file skipping (a 1 GB file holds ~8
+  * row groups; banded data skips 7 of them). Sound by the same
+  * residual contract as every other skip tier: Spark re-evaluates all
+  * filters post-scan, so a wrong KEEP costs decode time, and a skip
+  * needs proof. Conservative on every doubt — absent column (resolved
+  * by field id first, so a renamed column's old files still prove),
+  * empty/truncation-adjusted stats (parquet guarantees adjusted
+  * bounds remain valid bounds), non-finite doubles, unknown types all
+  * answer "keep". Comparison semantics mirror [[SinkFileSkip]]:
+  * BigDecimal for numerics, binary UTF-8 for strings. Never applied
+  * to row-level (COW group) scans — a group-based rewrite must read
+  * its files WHOLE or carried-forward rows would be lost.
+  */
+private[sources] object SinkParquetGroupSkip {
+  import org.apache.parquet.hadoop.metadata.BlockMetaData
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+
+  private def big(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Long => Some(java.math.BigDecimal.valueOf(n))
+    case n: java.lang.Float =>
+      if (n.isNaN || n.isInfinite) None
+      else Some(new java.math.BigDecimal(n.toString))
+    case n: java.lang.Double =>
+      if (n.isNaN || n.isInfinite) None
+      else Some(new java.math.BigDecimal(n.toString))
+    case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+    case _ => None
+  }
+
+  /** (cmp(min, lit), cmp(max, lit)); None = incomparable → keep. */
+  private def rel(min: Any, max: Any, lit: Any): Option[(Int, Int)] =
+    (min, max, lit) match {
+      case (bMin: Binary, bMax: Binary, _) =>
+        val l = lit match {
+          case s: String => Some(UTF8String.fromString(s))
+          case u: UTF8String => Some(u)
+          case _ => None
+        }
+        l.map { u =>
+          (UTF8String.fromBytes(bMin.getBytes).compareTo(u),
+            UTF8String.fromBytes(bMax.getBytes).compareTo(u))
+        }
+      case _ =>
+        for (mn <- big(min); mx <- big(max); l <- big(lit))
+          yield (mn.compareTo(l), mx.compareTo(l))
+    }
+
+  /** May any row of the block match the filter? Column names resolve
+    * through `resolve` (current name → the FILE's field name).
+    */
+  private def mayMatch(block: BlockMetaData, f: Filter,
+                       resolve: String => Option[String]): Boolean = {
+    def stats(col: String): Option[(Any, Any)] =
+      resolve(col).flatMap { fileName =>
+        import scala.jdk.CollectionConverters._
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == fileName)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else Some((st.genericGetMin, st.genericGetMax))
+          }
+      }
+    def cmp(col: String, lit: Any)(sat: (Int, Int) => Boolean): Boolean =
+      stats(col) match {
+        case None => true // no usable stats: keep
+        case Some((mn, mx)) =>
+          Option(lit).flatMap(rel(mn, mx, _)) match {
+            case Some((cMn, cMx)) => sat(cMn, cMx)
+            case None => true
+          }
+      }
+    f match {
+      case GreaterThan(c, v) => cmp(c, v)((_, cMx) => cMx > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v)((_, cMx) => cMx >= 0)
+      case LessThan(c, v) => cmp(c, v)((cMn, _) => cMn < 0)
+      case LessThanOrEqual(c, v) => cmp(c, v)((cMn, _) => cMn <= 0)
+      case EqualTo(c, v) => cmp(c, v)((cMn, cMx) => cMn <= 0 && cMx >= 0)
+      case In(c, vs) =>
+        if (vs == null) true
+        else vs.exists(v => cmp(c, v)((cMn, cMx) => cMn <= 0 && cMx >= 0))
+      case _ => true
+    }
+  }
+
+  /** true = the block may contain matches (read it). */
+  def keep(block: BlockMetaData, filters: Seq[Filter],
+           resolve: String => Option[String]): Boolean =
+    filters.forall(mayMatch(block, _, resolve))
+}
+
 private[sources] class SinkParquetReader(
     split: SinkFileSplit, fullSchema: StructType, required: StructType,
     partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow]
     with HasRowPos {
 
@@ -404,11 +517,31 @@ private[sources] class SinkParquetReader(
   // touch a data page — the footer row counts drive the loop
   private val rowGroups = reader.getRowGroups.asScala.toSeq
 
-  // account the chunk bytes this split selects (see SinkParquetIo)
+  /** Row-group skip verdicts against the pushed data-column
+    * comparisons (see [[SinkParquetGroupSkip]]); filter columns
+    * resolve by field id first, so renamed columns' old files prove.
+    */
+  private val keepGroup: Array[Boolean] = {
+    if (skipFilters.isEmpty) Array.fill(rowGroups.length)(true)
+    else {
+      val resolve: String => Option[String] = name =>
+        fieldIds.get(name).flatMap { id =>
+          fileSchema.getFields.asScala.find(t => fileFieldId(t).contains(id))
+        }.orElse(fileSchema.getFields.asScala.find(_.getName == name))
+          .map(_.getName)
+      rowGroups.map(b =>
+        SinkParquetGroupSkip.keep(b, skipFilters, resolve)).toArray
+    }
+  }
+
+  // account the chunk bytes this split selects (see SinkParquetIo) —
+  // KEPT groups only, so the counter also observes row-group skipping
   locally {
     val wanted = requestedSchema.getFields.asScala.map(_.getName).toSet
     if (wanted.nonEmpty) {
-      val bytes = rowGroups.iterator.flatMap(_.getColumns.asScala)
+      val bytes = rowGroups.zipWithIndex.iterator
+        .filter { case (_, i) => keepGroup(i) }
+        .flatMap(_._1.getColumns.asScala)
         .filter(c => wanted.contains(c.getPath.toDotString.split("\\.")(0)))
         .map(_.getTotalSize).sum
       SinkParquetIo.chunkBytesPlanned.add(bytes)
@@ -424,6 +557,14 @@ private[sources] class SinkParquetReader(
   private def advanceGroup(): Boolean = {
     groupIdx += 1
     if (groupIdx >= rowGroups.length) return false
+    if (!keepGroup(groupIdx)) {
+      // provably match-free: skip the group's pages wholesale. `_pos`
+      // stays correct because every kept group's offset comes from
+      // its own footer metadata, never from a running count.
+      if (nSlots > 0) reader.skipNextRowGroup()
+      inGroupRemaining = 0L
+      return advanceGroup()
+    }
     if (nSlots > 0) {
       val pages = reader.readNextRowGroup()
       if (pages == null) return false

@@ -1379,6 +1379,49 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_pqio_spec.cat")
   }
 
+  test("parquet format: row-group footer stats skip provably-excluded " +
+    "groups inside kept files — fewer chunk bytes, identical rows") {
+    import spark.implicits._
+    val root = tmpDir("sink_pq_rgskip")
+    spark.conf.set("spark.sql.catalog.graft_rgs_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rgs_spec.root", root)
+    // ONE file, many small row groups, k naturally banded by write
+    // order — the manifest-level file skip cannot help (one file spans
+    // the whole range); only the row-group grain can
+    spark.conf.set(graft.sources.SinkParquetWrite.RowGroupBytesKey, "65536")
+    try {
+      (1L to 60000L).map(i => (i, s"v-$i-${"w" * 20}", "A"))
+        .toDF("k", "s", "p").coalesce(1)
+        .writeTo("graft_rgs_spec.t").partitionedBy(col("p")).create()
+    } finally spark.conf.unset(graft.sources.SinkParquetWrite.RowGroupBytesKey)
+    // several row groups actually materialized?
+    val file = new File(s"$root/t/p=A").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    graft.sources.SinkParquetIo.reset()
+    val full = spark.table("graft_rgs_spec.t")
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+    val fullBytes = graft.sources.SinkParquetIo.planned
+    graft.sources.SinkParquetIo.reset()
+    val band = spark.table("graft_rgs_spec.t")
+      .filter(col("k") >= 55000L && col("k") <= 56000L)
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+    val bandBytes = graft.sources.SinkParquetIo.planned
+    assert(full === (1L to 60000L).sum)
+    assert(band === (55000L to 56000L).sum,
+      "row-group skipping must never drop a matching row")
+    assert(bandBytes * 2 < fullBytes,
+      s"a narrow band over a banded file must skip most row groups " +
+        s"(band=$bandBytes full=$fullBytes, file=${file.length()} bytes)")
+    // point lookup composes with the same machinery
+    graft.sources.SinkParquetIo.reset()
+    val one = spark.table("graft_rgs_spec.t").filter(col("k") === 123L)
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(one === Seq(s"v-123-${"w" * 20}"))
+    assert(graft.sources.SinkParquetIo.planned * 2 < fullBytes)
+    spark.sql("DROP TABLE graft_rgs_spec.t")
+  }
+
   test("parquet format: byte-range carving maps to row groups — every " +
     "split threshold reads every row exactly once") {
     import spark.implicits._
