@@ -65,12 +65,19 @@ private[graft] object BenchStatus {
     * MEDIAN rep load was clean while individual tail queries ran at
     * load 5.6–6.0, and the artifact said "ok" — only a sibling sweep
     * could adjudicate them). A query is ambient-clean when its WORST
-    * rep load minus the bench's self-load stays under the threshold;
-    * a single polluted query flags itself without flipping the sweep
-    * tier, so one artifact answers "is THIS number trustworthy?".
+    * rep load stays within the threshold of the sweep's OWN baseline —
+    * the larger of the calibrated self-load constant and the sweep's
+    * median rep load. Self-calibrating across scale factors: an sf1
+    * sweep sustains ~3.5–4.0 of its own load, which a fixed 2.5
+    * constant would mass-flag, while its median absorbs it; a sweep
+    * polluted THROUGHOUT has a high median and flags nothing here, but
+    * the sweep-level tier (median − SelfLoad) catches exactly that
+    * case — the two verdicts compose.
     */
-  def queryAmbientOk(repLoads: Seq[Double]): Boolean =
-    repLoads.isEmpty || repLoads.max - SelfLoad <= AmbientThreshold
+  def queryAmbientOk(repLoads: Seq[Double],
+                     sweepMedianLoad: Double = 0.0): Boolean =
+    repLoads.isEmpty ||
+      repLoads.max - math.max(SelfLoad, sweepMedianLoad) <= AmbientThreshold
 
   /** The status string (unquoted). */
   def tier(invalid: Boolean, nFailed: Int, loadBefore: Double,
@@ -275,13 +282,15 @@ object Bench {
     // per-query verdicts: the summary line carries only the FLAGGED
     // names (usually none — 52 `true`s would blow the 2000-char tail
     // window); the durable artifact carries the full map
+    val sweepMedianLoad = BenchStatus.medianRepLoad(allRepLoads)
     val ambientFlagged = repLoads.collect {
-      case (k, loads) if !BenchStatus.queryAmbientOk(loads) => k
+      case (k, loads)
+        if !BenchStatus.queryAmbientOk(loads, sweepMedianLoad) => k
     }.toSeq
     val flaggedJson = ambientFlagged.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val ambientPerQueryJson = repLoads.map { case (k, loads) =>
-      "\"" + k + "\":" + BenchStatus.queryAmbientOk(loads)
+      "\"" + k + "\":" + BenchStatus.queryAmbientOk(loads, sweepMedianLoad)
     }.mkString("{", ",", "}")
     val status =
       "\"" + BenchStatus.tier(invalid, nFailed, loadBefore, allRepLoads) + "\""

@@ -49,25 +49,38 @@ class BenchStatusSpec extends AnyFunSuite {
     // reads each query's WORST rep load.
     val cleanQuery = Seq(2.1, 2.3, 2.2)
     val pollutedTail = Seq(5.95, 5.63, 5.63)
-    assert(BenchStatus.queryAmbientOk(cleanQuery))
-    assert(!BenchStatus.queryAmbientOk(pollutedTail),
+    val sweepMedian = 2.2 // the r16 sweep's clean bulk
+    assert(BenchStatus.queryAmbientOk(cleanQuery, sweepMedian))
+    assert(!BenchStatus.queryAmbientOk(pollutedTail, sweepMedian),
       "a query whose reps all ran at load ~5.6+ must flag itself")
     // one spiked rep among clean ones flags too (max, not median:
     // the median of 3 keeps the TIME honest, but the artifact must
     // say the sample was contaminated)
-    assert(!BenchStatus.queryAmbientOk(Seq(2.1, 6.7, 2.2)))
+    assert(!BenchStatus.queryAmbientOk(Seq(2.1, 6.7, 2.2), sweepMedian))
     // ...while the sweep-level tier (median across ALL reps of a
     // mostly-clean sweep) correctly stays ok — the two verdicts are
     // independent by design
     val sweep = Seq.fill(150)(2.2) ++ pollutedTail
     assert(BenchStatus.tier(invalid = false, nFailed = 0, 0.9, sweep) === "ok")
     // empty loads (no reps ran) cannot flag
-    assert(BenchStatus.queryAmbientOk(Seq.empty))
+    assert(BenchStatus.queryAmbientOk(Seq.empty, sweepMedian))
   }
 
-  test("sf1 self-load does not false-flag per-query verdicts") {
-    // clean sf1 reps sustain ~3.4–4.0 of the bench's own load
-    assert(BenchStatus.queryAmbientOk(Seq(3.4, 3.55, 4.0)))
+  test("per-query flags self-calibrate on the sweep median: sf1's " +
+    "heavier sustained self-load does not mass-flag a clean sweep") {
+    // clean sf1 reps sustain ~3.4–4.2 of the bench's own load — the
+    // fixed sf0.1 self-load constant alone would flag half the sweep
+    // (the r17 first-cut mistake: 19 of 52 queries flagged on a
+    // status-ok run whose median was 3.72)
+    val sf1Median = 3.72
+    assert(BenchStatus.queryAmbientOk(Seq(3.4, 3.55, 4.0), sf1Median))
+    assert(BenchStatus.queryAmbientOk(Seq(4.0, 4.4, 5.2), sf1Median))
+    // a genuinely polluted query still flags against the sf1 baseline
+    assert(!BenchStatus.queryAmbientOk(Seq(3.5, 7.9, 3.6), sf1Median))
+    // and a sweep polluted THROUGHOUT flags at the SWEEP tier instead
+    val allPolluted = Seq.fill(60)(4.63)
+    assert(BenchStatus.tier(invalid = false, nFailed = 0, 0.9, allPolluted)
+      .startsWith("degraded"))
   }
 
   test("INVALID and FAILED outrank the ambient tiers; empty loads are ok") {
