@@ -106,10 +106,29 @@ object Compaction {
           .map { case (c, v) => col(c) === lit(v) }
           .reduce(_ && _)
       }.reduce(_ || _)
-      spark.table(s"$catalog.$table")
-        .filter(cond)
-        .repartition(partCols.map(col): _*) // one tuple's rows per task
-        .writeTo(s"$catalog.$table").overwritePartitions()
+      // ARM the read-snapshot guard around the rewrite: compaction's
+      // output is DERIVED from reading the fragmented partitions, so a
+      // merge-on-read delete that lands on those files after this
+      // point (and before the publish) must abort the commit — the
+      // compacted files were computed without it and would resurrect
+      // the deleted rows. The commit runs driver-side on this thread
+      // (V2 write exec), which is what makes the thread-local sound.
+      val dirStr = dir.toString
+      val snap = if (!graft.sources.SinkVersions.isVersioned(fs, dirStr)) None
+        else graft.sources.SinkVersions.latest(fs, dirStr).map { v =>
+          val readRels = graft.sources.SinkVersions.read(fs, dirStr, v)
+            .filter { case (_, values) => fragmented.contains(values) }
+            .map(_._1).toSet
+          graft.sources.SinkGuard.snapshot(
+            graft.sources.SinkVersions.readDeletes(fs, dirStr, v).toSet,
+            readRels)
+        }
+      graft.sources.SinkGuard.armed(snap) {
+        spark.table(s"$catalog.$table")
+          .filter(cond)
+          .repartition(partCols.map(col): _*) // one tuple's rows per task
+          .writeTo(s"$catalog.$table").overwritePartitions()
+      }
     }
     fragmented
   }
@@ -278,13 +297,30 @@ object Compaction {
         .of(Array.empty, table))
     val partCols = t.partitioning().toSeq
       .map(_.references()(0).fieldNames.mkString("."))
-    val entries: Seq[(String, Seq[String])] =
+    val version: Option[Long] =
       if (asOfVersion.isDefined ||
         graft.sources.SinkVersions.isVersioned(fs, dir.toString))
         asOfVersion.orElse(graft.sources.SinkVersions.latest(fs, dir.toString))
-          .toSeq.flatMap(v =>
-            graft.sources.SinkVersions.read(fs, dir.toString, v))
-      else graft.sources.SinkVersions.listingEntries(fs, dir.toString, partCols)
+      else None
+    val entries: Seq[(String, Seq[String])] = version match {
+      case Some(v) => graft.sources.SinkVersions.read(fs, dir.toString, v)
+      case None =>
+        graft.sources.SinkVersions.listingEntries(fs, dir.toString, partCols)
+    }
+    // MERGE-ON-READ density signal: active position deletes per file,
+    // from the snapshot's manifests (driver-side metadata only). Every
+    // scan of a file pays its delete set until `compactSinkTable`
+    // folds the positions in — so `deleted_positions / n_rows` is the
+    // "compact me" signal a MOR-heavy table's operator watches.
+    val deletedByRel: Map[String, Long] = version.toSeq
+      .flatMap(v => graft.sources.SinkVersions.readDeletes(fs, dir.toString, v))
+      .flatMap(m => graft.sources.SinkDeletes.read(fs,
+        new Path(dir, s"_deletes/$m")))
+      .groupBy(_._1).map { case (rel, es) =>
+        // distinct positions: the same row deleted by two manifests
+        // (idempotent concurrent deletes) counts once
+        rel -> es.map(_._2).distinct.size.toLong
+      }
     val statsByDir = scala.collection.mutable.Map[
       String, Map[String, graft.sources.SinkFileStats]]()
     val rows = entries.sortBy(_._1).map { case (rel, values) =>
@@ -299,11 +335,12 @@ object Compaction {
         st.map(_.cols.collect { case (c, Some((mn, _))) => c -> mn })
           .getOrElse(Map.empty[String, String]),
         st.map(_.cols.collect { case (c, Some((_, mx))) => c -> mx })
-          .getOrElse(Map.empty[String, String]))
+          .getOrElse(Map.empty[String, String]),
+        deletedByRel.getOrElse(rel, 0L))
     }
     import spark.implicits._
     rows.toDF("rel_path", "partition", "size_bytes", "n_rows",
-      "min_values", "max_values")
+      "min_values", "max_values", "deleted_positions")
   }
 
   /** DESCRIBE HISTORY for a versioned sink table: one row per retained
@@ -368,7 +405,18 @@ object Compaction {
     * a dynamic overwrite therefore reads as delete+insert of exactly
     * the rewritten partition, which closes the streaming tail's
     * documented append-only caveat (a reader of a table being
-    * rewritten wants this CDC log, not a file tail). Both manifests
+    * rewritten wants this CDC log, not a file tail).
+    *
+    * GRAIN NOTE (semantic change in r17): the diff is PER TRANSITION
+    * (Delta CDF's grain — one manifest diff per version s+1..e, via
+    * the change-feed source), not the two-point NET diff of earlier
+    * rounds. A file added then removed strictly inside (fromVersion,
+    * toVersion] therefore emits both its insert and its delete rows,
+    * where the old net diff emitted nothing; consumers folding the
+    * feed into state are unaffected (the rows cancel), consumers
+    * counting transitions see the true history.
+    *
+    * Both manifests
     * must still be retained (vacuumVersions keeps the retired files on
     * disk for exactly as long as a manifest references them). Scales
     * as a scan of the CHANGED files only — the manifest diff is

@@ -2340,6 +2340,103 @@ object ParityQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** §2.9-ext: TYPE-WIDENING schema evolution — `ALTER COLUMN ... TYPE
+    * BIGINT` on a parquet table whose files were written as INT32:
+    * readers resolve by field id and decode-cast old files, so the
+    * aggregate spans both generations with no rewrite. A growing
+    * table's int key overflowing into long is the first widening a
+    * real lake hits; narrows and TSV tables keep rejecting loudly
+    * (spec-pinned).
+    */
+  val qDsv2Widen = Q(
+    "q_dsv2_widen",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.wid_orders")
+      def half(parity: Int) = ord(s, d)
+        .filter(col("o_orderkey") % 2 === parity)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast(IntegerType).as("o_year"),
+          col("o_totalprice").cast(FloatType).as("price_f"),
+          col("o_orderpriority"))
+      half(0)
+        .writeTo("graft_dyn.wid_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.sql("ALTER TABLE graft_dyn.wid_orders ALTER COLUMN o_year TYPE BIGINT")
+      s.sql("ALTER TABLE graft_dyn.wid_orders ALTER COLUMN price_f TYPE DOUBLE")
+      half(1)
+        .select(col("o_orderkey"), col("o_year").cast(LongType),
+          col("price_f").cast(DoubleType), col("o_orderpriority"))
+        .writeTo("graft_dyn.wid_orders").append()
+      // the aggregate spans pre-widen (INT32/FLOAT files) and
+      // post-widen (INT64/DOUBLE files) generations: the LONG sum
+      // proves int-file values decode into the widened column; the
+      // float-widened doubles pin via min/max (IEEE widening is exact
+      // and order-free, so both engines hold identical bits — a
+      // decimal-cast SUM would instead diverge on rounding-tie
+      // semantics for float-granular values)
+      s.table("graft_dyn.wid_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_year")).as("sum_year"),
+          min(col("price_f")).as("min_price"),
+          max(col("price_f")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS sum_year,
+             CAST(min(CAST(o_totalprice AS FLOAT)) AS DOUBLE) AS min_price,
+             CAST(max(CAST(o_totalprice AS FLOAT)) AS DOUBLE) AS max_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** §2.9-ext: BINARY data columns on a parquet sink table — the
+    * multimodal payload shape (opaque bytes under typed metadata):
+    * write UTF-8 renderings of comments as BLOBs, read back length
+    * and per-priority totals. Stats/bloom manifests never record the
+    * binary column (skipping bytes by min/max is meaningless —
+    * spec-pinned), TSV tables reject binary at DDL time.
+    */
+  val qDsv2Binary = Q(
+    "q_dsv2_binary",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.bin_orders")
+      ord(s, d)
+        .select(col("o_orderkey"),
+          encode(concat(col("o_orderstatus"), lit("-"),
+            col("o_orderkey").cast(StringType), lit("-"),
+            col("o_orderpriority")), "UTF-8").as("payload"),
+          col("o_orderpriority"))
+        .writeTo("graft_dyn.bin_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.table("graft_dyn.bin_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("total_bytes"),
+          count(when(length(col("payload")) > 18, lit(1))).as("long_payloads"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(octet_length(encode(
+               o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR) || '-'
+               || o_orderpriority))) AS BIGINT) AS total_bytes,
+             count(CASE WHEN octet_length(encode(
+               o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR) || '-'
+               || o_orderpriority)) > 18 THEN 1 END) AS long_payloads
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2590,5 +2687,5 @@ object ParityQueries {
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
-    qDsv2Evolve)
+    qDsv2Evolve, qDsv2Widen, qDsv2Binary)
 }

@@ -470,6 +470,11 @@ private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
   private var mode: SinkMode = Append
   partCols.foreach(pc => require(info.schema().fieldNames.contains(pc),
     s"partition column $pc not in written schema ${info.schema().sql}"))
+  // loud at plan time: binary columns need the parquet format (the
+  // path API's default is TSV) and can never partition
+  info.schema().fields.foreach(f => SinkFormat.validateColumnType(
+    SinkFormat.fromProps(props), f.name, f.dataType,
+    partCols.contains(f.name)))
 
   override def truncate(): WriteBuilder = { mode = Truncate; this }
 
@@ -1113,10 +1118,77 @@ private[graft] object SinkDeletes {
   * streaming passes an (epoch, partition)-deterministic name so an
   * epoch REPLAY overwrites its own files instead of duplicating them.
   */
+/** Read-snapshot guard for commits whose CONTENT was derived from
+  * reading the table (row-level rewrites, compaction): `scanDels` =
+  * the position-delete manifest names active when the operation READ,
+  * `readRels` = the rel paths it read. A commit must abort when the
+  * base snapshot has since gained a delete manifest touching any file
+  * the operation read — MOR commits never retire files, so the
+  * retired-files-live check cannot see them, and committing anyway
+  * would resurrect the newly-deleted rows in the rewritten files (or
+  * duplicate a concurrently-updated row's post-image).
+  */
+private[graft] case class SinkReadSnapshot(scanDels: Set[String],
+                                           readRels: Set[String])
+
+/** Thread-local carrier for derived commits that flow through the
+  * PUBLIC write API (compaction = a dynamic partition overwrite driven
+  * by a read of the same table): the V2 write exec commits driver-side
+  * on the calling thread, so the maintenance op arms the guard around
+  * its action. Row-level commits pass their snapshot explicitly.
+  */
+private[graft] object SinkGuard {
+  private[sources] val current = new ThreadLocal[Option[SinkReadSnapshot]] {
+    override def initialValue(): Option[SinkReadSnapshot] = None
+  }
+
+  def snapshot(scanDels: Set[String], readRels: Set[String]): SinkReadSnapshot =
+    SinkReadSnapshot(scanDels, readRels)
+
+  def armed[A](snap: Option[SinkReadSnapshot])(f: => A): A = {
+    current.set(snap)
+    try f finally current.set(None)
+  }
+}
+
 private object SinkCommit {
   def fsFor(path: String): FileSystem =
     FileSystem.get(new java.net.URI(path),
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+
+  /** Throw when `baseDels` gained a manifest (vs the operation's scan
+    * snapshot) that deletes positions in any file the operation read.
+    */
+  private def checkDeleteConflicts(fs: FileSystem, path: String,
+                                   baseDels: Seq[String],
+                                   snap: SinkReadSnapshot): Unit = {
+    if (snap.readRels.isEmpty) return
+    val conflicting = baseDels.filterNot(snap.scanDels).filter { m =>
+      SinkDeletes.read(fs, new Path(path, s"_deletes/$m"))
+        .exists { case (rel, _) => snap.readRels(rel) }
+    }
+    if (conflicting.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"rewrite of $path conflicts with a concurrent merge-on-read " +
+          s"commit: position-delete manifest(s) " +
+          s"${conflicting.take(3).mkString(", ")} landed after this " +
+          "operation read — its output was computed without those " +
+          "deletes; retry against current data")
+  }
+
+  /** Position-delete manifest GC at commit time: a carried-forward
+    * manifest none of whose rel paths survive in the NEXT snapshot's
+    * file set can no longer affect any scan of that snapshot — drop it
+    * from the headers so per-split manifest lists stay bounded and
+    * vacuum can reclaim the file once older snapshots expire.
+    */
+  private def liveDeleteManifests(fs: FileSystem, path: String,
+                                  dels: Seq[String],
+                                  nextRels: Set[String]): Seq[String] =
+    dels.filter { m =>
+      SinkDeletes.read(fs, new Path(path, s"_deletes/$m"))
+        .exists { case (rel, _) => nextRels(rel) }
+    }
 
   def publish(fs: FileSystem, path: String, partCols: Seq[String],
               mode: SinkMode, files: Seq[StagedFile],
@@ -1198,12 +1270,20 @@ private object SinkCommit {
         val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
         // position-delete manifests CARRY FORWARD across ordinary
         // publishes (their rows stay deleted); a truncate clears them
-        // with everything else. Stale entries for retired files are
-        // harmless — positions only ever apply to files a scan reads.
-        val dels =
+        // with everything else; manifests whose every target file
+        // retired with this publish GC out of the headers (they can no
+        // longer affect any scan of the new snapshot).
+        val carried =
           if (mode == Truncate) Seq.empty
           else base.map(SinkVersions.readDeletes(fs, path, _))
             .getOrElse(Seq.empty)
+        // a derived commit (compaction) arms the thread-local guard:
+        // abort when a merge-on-read delete landed on files it read
+        // after it read them — its output lacks those deletes
+        SinkGuard.current.get().foreach(snap =>
+          checkDeleteConflicts(fs, path, carried, snap))
+        val dels = liveDeleteManifests(fs, path, carried,
+          next.map(_._1).toSet)
         committed = SinkVersions.tryWrite(fs, path, base.getOrElse(0L) + 1,
           next, dels)
       }
@@ -1241,12 +1321,14 @@ private object SinkCommit {
                      destName: StagedFile => String,
                      statsToken: String, versioned: Boolean,
                      newDeleteManifest: Option[(String, Seq[String])] = None,
-                     changesDir: Option[String] = None): Option[Long] = {
+                     changesDir: Option[String] = None,
+                     readSnapshot: Option[SinkReadSnapshot] = None)
+      : Option[Long] = {
     if (files.isEmpty && replaced.isEmpty && newDeleteManifest.isEmpty)
       return None
     val fresh = replaceStage(fs, path, partCols, files, destName, statsToken)
     replaceCommit(fs, path, partCols, fresh, replaced.map(_._1),
-      newDeleteManifest, changesDir)
+      newDeleteManifest, changesDir, readSnapshot)
   }
 
   /** First half of the replace: rename the staged files into the
@@ -1290,7 +1372,8 @@ private object SinkCommit {
                     fresh: Seq[(String, Seq[String])],
                     retiredSeq: Seq[String],
                     newDeleteManifest: Option[(String, Seq[String])] = None,
-                    changesDir: Option[String] = None): Option[Long] = {
+                    changesDir: Option[String] = None,
+                    readSnapshot: Option[SinkReadSnapshot] = None): Option[Long] = {
     val retired = retiredSeq.toSet
     var committed: Option[Long] = None
     var attempts = 0
@@ -1317,10 +1400,19 @@ private object SinkCommit {
         s"row-level rewrite of $path conflicts with a concurrent commit: " +
           s"${gone.take(3).mkString(", ")} no longer in the latest snapshot" +
           " — retry the operation against current data")
+      val baseDels = base.map(SinkVersions.readDeletes(fs, path, _))
+        .getOrElse(Seq.empty)
+      // the MOR half of the conflict check: a concurrent merge-on-read
+      // commit retires no files, so `gone` cannot see it — compare the
+      // base's delete manifests against the operation's READ snapshot
+      readSnapshot.foreach(snap =>
+        checkDeleteConflicts(fs, path, baseDels, snap))
       val kept = prev.filterNot { case (rel, _) => retired(rel) }
       val next = (kept.toMap ++ fresh.toMap).toSeq.sortBy(_._1)
-      val dels = base.map(SinkVersions.readDeletes(fs, path, _))
-        .getOrElse(Seq.empty) ++ newDeleteManifest.map(_._1).toSeq
+      // GC carried manifests whose files all retired with this commit
+      // (a COW rewrite FOLDS their deletes into the fresh files)
+      val dels = liveDeleteManifests(fs, path, baseDels,
+        next.map(_._1).toSet) ++ newDeleteManifest.map(_._1).toSeq
       val v = base.getOrElse(0L) + 1
       if (SinkVersions.tryWrite(fs, path, v, next, dels, changesDir))
         committed = Some(v)

@@ -241,6 +241,11 @@ class PartitionedSinkCatalog extends TableCatalog
         !withFormat.contains(SinkFormat.PropFieldIds))
         withFormat ++ SinkFormat.initialIdProps(schema, partCols)
       else withFormat
+    // loud at CREATE, not at first-row write: binary columns need the
+    // parquet format and can never partition
+    schema.fields.foreach(f => SinkFormat.validateColumnType(
+      SinkFormat.fromProps(withFormat), f.name, f.dataType,
+      partCols.contains(f.name)))
     // atomic publish of the sidecar: concurrent CREATEs race on the
     // rename, not on a half-written file
     val dir = tableDir(ident)
@@ -303,6 +308,8 @@ class PartitionedSinkCatalog extends TableCatalog
           "added columns must be nullable (existing files read them as NULL)")
         require(!schema.fieldNames.contains(name),
           s"column $name already exists")
+        SinkFormat.validateColumnType(SinkFormat.fromProps(props),
+          name, a.dataType(), isPartition = false)
         schema = StructType(schema.fields :+
           StructField(name, a.dataType(), nullable = true))
         if (isParquet && ids.nonEmpty && SinkFormat.idSafe(name)) {
@@ -324,6 +331,24 @@ class PartitionedSinkCatalog extends TableCatalog
         schema = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
         ids = ids - from + (to -> ids(from))
+      case u: TableChange.UpdateColumnType =>
+        val name = oneLevel(u.fieldNames())
+        require(schema.fieldNames.contains(name), s"no such column $name")
+        require(!current.partCols.contains(name),
+          s"cannot retype partition column $name (its rendered values " +
+            "name the directory layout and key the split planning)")
+        require(isParquet && ids.contains(name),
+          s"ALTER COLUMN ... TYPE needs a parquet-format table with " +
+            s"field ids (old files decode-cast through the id registry; " +
+            "the TSV layout re-parses by POSITION and is not retypable)")
+        val from = schema(name).dataType
+        require(SinkFormat.safeWiden(from, u.newDataType()),
+          s"only safe widenings are supported " +
+            s"(byte/short/int→wider integral, float→double); " +
+            s"got ${from.simpleString} → ${u.newDataType().simpleString} " +
+            s"on $name")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = u.newDataType()) else f))
       case d: TableChange.DeleteColumn =>
         val name = oneLevel(d.fieldNames())
         require(!current.partCols.contains(name),
@@ -352,8 +377,9 @@ class PartitionedSinkCatalog extends TableCatalog
         props = props - p.property
       case other => throw new UnsupportedOperationException(
         s"PartitionedSinkCatalog tables support ADD COLUMNS " +
-          s"(append-at-end, nullable), RENAME/DROP COLUMN (parquet " +
-          s"format only) and graft.* SET/UNSET TBLPROPERTIES; got $other")
+          s"(append-at-end, nullable), RENAME/DROP COLUMN and safe " +
+          s"type widening (parquet format only) and graft.* SET/UNSET " +
+          s"TBLPROPERTIES; got $other")
     }
     if (ids != ids0)
       props = props +

@@ -361,10 +361,16 @@ private[sources] class PartitionedSinkScan(
     // for ROW-GROUP footer-stats skipping (the grain below the
     // manifest-level file skip); sound because every filter stays
     // residual. The COW row-level scan overrides this with NO skip
-    // filters — group rewrites read their files whole.
+    // filters — group rewrites read their files whole. COLUMNAR when
+    // every split qualifies (all-parquet, no MOR deletes): batches +
+    // ColumnarToRow beat row materialization by the per-value decode
+    // cost — see SinkParquetColumnarReader.
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
       PartitionedSinkWriterFactory.sessionConf(), fieldIds,
-      skipFilters.toSeq)
+      skipFilters.toSeq,
+      columnar = SinkParquetColumnar.enabledInSession() &&
+        inputSplits.nonEmpty && SinkParquetColumnar.splitsEligible(
+          inputSplits.toSeq.map(_.asInstanceOf[SinkFileSplit])))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -754,7 +760,8 @@ private class PartitionedSinkReaderFactory(
     fullSchema: StructType, required: StructType, partCols: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
     fieldIds: Map[String, Int] = Map.empty,
-    skipFilters: Seq[Filter] = Seq.empty)
+    skipFilters: Seq[Filter] = Seq.empty,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   // per-FILE format dispatch (by extension): a table whose
   // `graft.format` changed mid-life, or a feed mixing table files with
@@ -769,6 +776,19 @@ private class PartitionedSinkReaderFactory(
         new PartitionedSinkReader(s, fullSchema, required, partCols, conf)
     if (s.delManifests.isEmpty) base
     else new PositionFilterReader(base, s, conf)
+  }
+
+  // VECTORIZED path: Spark requires all partitions of a scan to agree
+  // on columnar-vs-row, so the SCAN decides once (every split a
+  // parquet file with no merge-on-read deletes) and the factory
+  // answers uniformly
+  override def supportColumnarReads(split: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(split: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val s = split.asInstanceOf[SinkFileSplit]
+    new SinkParquetColumnarReader(s, fullSchema, required, partCols, conf,
+      fieldIds, skipFilters)
   }
 }
 

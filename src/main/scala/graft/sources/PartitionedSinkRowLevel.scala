@@ -107,6 +107,15 @@ private[sources] class SinkRowLevelOperation(
   @volatile private[sources] var plannedGroups
       : Seq[(String, Seq[String], String)] = Seq.empty
 
+  /** Position-delete manifest NAMES active in the snapshot the scan
+    * read (None until planning ran): the commit compares the base
+    * snapshot's manifests against these — a manifest that landed
+    * in between and touches a file this operation read is a
+    * write-write conflict the retired-files check cannot see (MOR
+    * commits retire nothing).
+    */
+  @volatile private[sources] var scanDeleteManifests: Option[Set[String]] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -266,6 +275,8 @@ private[sources] class SinkCowScan(
       (s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}",
         values, f.getPath.toString)
     }
+    op.scanDeleteManifests = Some(activeDeleteManifests
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet)
     // whole files, never byte-carved: a group must be read and
     // replaced as a unit, and carving would double-record it. The
     // splits carry the snapshot's position-delete manifests: a COW
@@ -297,48 +308,87 @@ private[sources] class SinkCowScan(
 /** Row-grain change files for COW rewrites (`graft.rowChanges`):
   * `_changes/<dir>/<change_type>/part-*.parquet`, each file carrying
   * FULL table rows (partition columns inline — change files are not
-  * partitioned). Computed as the multiset difference (exceptAll both
-  * ways) between the replaced groups' rows and the fresh files' rows,
-  * run driver-side between the replace's rename and CAS halves — a
-  * 10-row DELETE from a 1M-row file costs one re-read of the changed
-  * files and persists 10 rows, and the feed then emits exactly those
-  * instead of ~2M file-grain rows. Caveat: rows already MOR-deleted
-  * in the old files are not re-subtracted here (mixing deleteMode
-  * within one table is the unusual path; the feed stays file-exact
-  * for the common ones).
+  * partitioned). Computed as ONE Spark job between the replace's
+  * rename and CAS halves: the replaced groups (tag +1) union the
+  * fresh files (tag −1), hash-aggregate on the full row, and the NET
+  * count per distinct row is the multiset difference both ways at
+  * once — net>0 rows left (preimage/delete, with multiplicity), net<0
+  * rows arrived (postimage/insert). Each side is read EXACTLY ONCE
+  * (the old exceptAll-per-type rendition re-read both sides per
+  * change type — up to 4 scans of the rewritten data on an UPDATE;
+  * spec-pinned via SinkParquetIo). Reads go through the engine's own
+  * split readers ([[SinkSplitsRead]]), so the before side resolves
+  * renamed columns by FIELD ID and anti-filters the snapshot's
+  * merge-on-read position deletes — a table mixing deleteMode streams
+  * the exact live-row delta, and a post-rename table streams correct
+  * values for pre-rename files.
+  *
+  * MERGE labels stay 'delete'/'insert' at this grain: Spark's
+  * group-based ReplaceData hands the connector only the final rows of
+  * each group — no per-row operation labels reach the write path (a
+  * matched-update and an unmatched-insert are indistinguishable
+  * without the MERGE key, which the connector never sees). Delta CDF
+  * separates them because its own rewrite job plans the labels; the
+  * documented contract here is: DELETE → 'delete', UPDATE →
+  * 'update_preimage'/'update_postimage', MERGE → 'delete'/'insert'.
   */
 private[sources] object SinkCowChanges {
   def write(path: String, partCols: Seq[String], schema: StructType,
-            oldAbs: Seq[String], newAbs: Seq[String],
+            oldGroups: Seq[(String, Seq[String], String)],
+            fresh: Seq[(String, Seq[String])],
             cmd: RowLevelOperation.Command,
-            qTok: String): Option[String] = {
-    import org.apache.spark.sql.functions.col
+            qTok: String,
+            fieldIds: Map[String, Int],
+            scanDelManifests: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.active
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
-    val partTyped = partCols.map(c => c -> schema(c).dataType)
-    def side(paths: Seq[String]) =
-      PartitionedSink.readPaths(spark, path, paths, dataSchema, partTyped)
-        .select(schema.fieldNames.toSeq.map(col): _*)
-    val before = side(oldAbs)
-    val after = side(newAbs)
-    import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
-    val byType: Seq[(String, org.apache.spark.sql.DataFrame)] = cmd match {
-      case DELETE => Seq("delete" -> before.exceptAll(after))
-      case UPDATE => Seq(
-        "update_preimage" -> before.exceptAll(after),
-        "update_postimage" -> after.exceptAll(before))
-      case _ => Seq(
-        "delete" -> before.exceptAll(after),
-        "insert" -> after.exceptAll(before))
+    val keyTypes = partCols.map(c => schema(c).dataType)
+    // before = the replaced groups as the SCAN saw them: whole files,
+    // anti-filtered through the snapshot's position-delete manifests
+    val beforeSplits = oldGroups.map { case (rel, values, abs) =>
+      SinkFileSplit(abs, values, keyTypes, relPath = rel,
+        delManifests = scanDelManifests)
     }
+    val afterSplits = fresh.map { case (rel, values) =>
+      SinkFileSplit(new Path(path, rel).toString, values, keyTypes,
+        relPath = rel)
+    }
+    def side(splits: Seq[SinkFileSplit], tag: Int) =
+      SinkSplitsRead.dataFrame(spark, splits, schema, partCols, fieldIds)
+        .withColumn("_side", lit(tag.toLong))
+    val cols = schema.fieldNames.toSeq
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+    val (goneLabel, arrivedLabel) = cmd match {
+      case UPDATE => ("update_preimage", "update_postimage")
+      case _ => ("delete", "insert")
+    }
+    val changes = side(beforeSplits, 1).unionAll(side(afterSplits, -1))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_side")).as("_net"))
+      .filter(col("_net") =!= 0L) // carried-forward rows cancel here
+      .withColumn(SinkChangeFeed.ChangeTypeCol,
+        when(col("_net") > 0, lit(goneLabel)).otherwise(lit(arrivedLabel)))
+      // |net| > 1 = the row appeared with multiplicity; re-expand
+      .withColumn("_dup",
+        explode(sequence(lit(1L), abs(col("_net")))))
+      .select(cols.map(col) :+ col(SinkChangeFeed.ChangeTypeCol): _*)
     val dirName = s"chg-$qTok-${java.util.UUID.randomUUID()}"
     val tmp = new Path(path, s"_changes/.tmp-$dirName")
-    byType.foreach { case (changeType, df) =>
-      df.write.mode("overwrite")
-        .parquet(new Path(tmp, changeType).toString)
-    }
+    // ONE write, partitioned by change type; the hive-style
+    // `_change_type=<t>` dirs rename to the feed's plain `<t>` layout
+    changes.write.mode("overwrite")
+      .partitionBy(SinkChangeFeed.ChangeTypeCol).parquet(tmp.toString)
     val fs = SinkCommit.fsFor(path)
+    Option(fs.listStatus(tmp)).toSeq.flatten
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(SinkChangeFeed.ChangeTypeCol + "="))
+      .foreach { st =>
+        val plain = st.getPath.getName
+          .stripPrefix(SinkChangeFeed.ChangeTypeCol + "=")
+        if (!fs.rename(st.getPath, new Path(tmp, plain)))
+          throw new java.io.IOException(
+            s"change-type dir rename failed: ${st.getPath}")
+      }
     val dest = new Path(path, s"_changes/$dirName")
     fs.mkdirs(dest.getParent)
     if (!fs.rename(tmp, dest))
@@ -533,13 +583,24 @@ private class SinkDeltaBatchWrite(
         SinkDeletes.write(fs, path, name, deletes)
         Some((name, deletes.map(_._1).distinct))
       }
+    // conflict guard: an UPDATE/MERGE (carries inserts) derived its
+    // post-image rows from reading the deleted positions' files — a
+    // delete manifest that landed since the scan and touches them
+    // means a concurrent update of the same rows (duplicate
+    // post-image hazard). A pure DELETE commits without the guard:
+    // concurrent position deletes are idempotent by construction.
+    val readSnapshot =
+      if (files.isEmpty) None
+      else op.scanDeleteManifests.map(seen =>
+        SinkReadSnapshot(seen, deletes.map(_._1).toSet))
     SinkCommit.replacePublish(fs, path, partCols, files,
       replaced = Seq.empty,
       f => s"part-$qTok-" +
         new Path(f.stagedPath).getName.stripPrefix("part-"),
       statsToken = queryId, versioned = versioned,
       newDeleteManifest = manifest,
-      changesDir = None)
+      changesDir = None,
+      readSnapshot = readSnapshot)
     sweepStaging(fs)
   }
 
@@ -585,24 +646,25 @@ private class SinkReplaceBatchWrite(
     if (files.isEmpty && op.plannedGroups.isEmpty) { sweepStaging(fs); return }
     val fresh = SinkCommit.replaceStage(fs, path, partCols, files,
       destName, statsToken = queryId)
-    // ROW-GRAIN CHANGE FILES (`graft.rowChanges`): the multiset
-    // difference between the replaced groups' rows and the fresh ones
-    // is exactly what the rewrite changed — carried-forward rows
-    // cancel. Written BEFORE the CAS under a uuid dir and linked by
-    // the manifest's `#\tchanges` header, so a feed either sees the
+    // ROW-GRAIN CHANGE FILES (`graft.rowChanges`): the one-job net
+    // diff between the replaced groups' rows and the fresh ones is
+    // exactly what the rewrite changed — carried-forward rows cancel.
+    // Written BEFORE the CAS under a uuid dir and linked by the
+    // manifest's `#\tchanges` header, so a feed either sees the
     // commit with its change rows or not at all (a crash in between
     // leaves an unreferenced dir for vacuum). Labels come from the
-    // command: DELETE emits 'delete'; UPDATE emits
-    // 'update_preimage'/'update_postimage'; MERGE emits
-    // 'delete'/'insert' (its updates and inserts are not separable at
-    // this grain — documented).
+    // command — see [[SinkCowChanges]] for the MERGE caveat.
     val changesDir =
       if (!SinkFormat.rowChanges(props)) None
       else SinkCowChanges.write(path, partCols, schema,
-        op.plannedGroups.map(_._3), fresh.map { case (rel, _) =>
-          new Path(path, rel).toString }, op.command(), qTok)
+        op.plannedGroups, fresh, op.command(), qTok,
+        SinkFormat.fieldIds(props),
+        op.scanDeleteManifests.getOrElse(Set.empty).toSeq.sorted
+          .map(n => new Path(path, s"_deletes/$n").toString))
     SinkCommit.replaceCommit(fs, path, partCols, fresh,
-      op.plannedGroups.map(_._1), changesDir = changesDir)
+      op.plannedGroups.map(_._1), changesDir = changesDir,
+      readSnapshot = op.scanDeleteManifests.map(seen =>
+        SinkReadSnapshot(seen, op.plannedGroups.map(_._1).toSet)))
     sweepStaging(fs)
   }
 

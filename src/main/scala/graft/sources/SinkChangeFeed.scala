@@ -57,10 +57,10 @@ class SinkChangeFeed extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (partCols, tableSchema) = SinkChangeFeed.readSidecar(opts)
+    val (partCols, tableSchema, fieldIds) = SinkChangeFeed.readSidecar(opts)
     new SinkChangeFeedTable(opts.get("path"), partCols, tableSchema,
       Option(opts.get("startingVersion")),
-      Option(opts.get("endingVersion")))
+      Option(opts.get("endingVersion")), fieldIds)
   }
 }
 
@@ -73,19 +73,22 @@ private[graft] object SinkChangeFeed {
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false)))
 
-  /** (partition columns, table schema) from the table dir's sidecar —
-    * the same parser the catalog uses ([[SinkSidecar]]), so a
-    * property-bearing sidecar (lines 3+) never leaks trailing text
-    * into the schema-JSON parse.
+  /** (partition columns, table schema, field-id registry) from the
+    * table dir's sidecar — the same parser the catalog uses
+    * ([[SinkSidecar]]), so a property-bearing sidecar (lines 3+) never
+    * leaks trailing text into the schema-JSON parse. The registry
+    * rides to the feed's readers so a RENAMEd column's pre-rename
+    * files emit correct change rows (name-based reads would serve
+    * NULL for them).
     */
   def readSidecar(options: CaseInsensitiveStringMap)
-      : (Seq[String], StructType) = {
+      : (Seq[String], StructType, Map[String, Int]) = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "SinkChangeFeed needs option path=<table dir>"))
     val fs = FileSystem.get(new java.net.URI(path),
       SparkSession.active.sessionState.newHadoopConf())
-    val (partCols, schema, _) = SinkSidecar.readDir(fs, path)
+    val (partCols, schema, props) = SinkSidecar.readDir(fs, path)
     // the feed's offsets are VERSION numbers: an unversioned table has
     // no commit log to tail — latest/initial would both resolve to 0
     // and the feed would sit silently empty forever. Fail at
@@ -94,14 +97,15 @@ private[graft] object SinkChangeFeed {
       s"$path is not versioned — the change feed tails the version " +
         "manifest log; create the table through a catalog with " +
         "spark.sql.catalog.<name>.versioned=true")
-    (partCols, schema)
+    (partCols, schema, SinkFormat.fieldIds(props))
   }
 }
 
 private class SinkChangeFeedTable(path: String, partCols: Seq[String],
                                   tableSchema: StructType,
                                   startingVersion: Option[String],
-                                  endingVersion: Option[String] = None)
+                                  endingVersion: Option[String] = None,
+                                  fieldIds: Map[String, Int] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"sink_change_feed($path)"
   override def schema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
@@ -111,7 +115,7 @@ private class SinkChangeFeedTable(path: String, partCols: Seq[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new SinkChangeFeedScan(path, partCols, tableSchema,
       startingVersion.orElse(Option(options.get("startingVersion"))),
-      endingVersion.orElse(Option(options.get("endingVersion"))))
+      endingVersion.orElse(Option(options.get("endingVersion"))), fieldIds)
 }
 
 /** Batch rendition: `spark.read.format(...).option("startingVersion",
@@ -124,19 +128,21 @@ private class SinkChangeFeedTable(path: String, partCols: Seq[String],
 private class SinkChangeFeedScan(path: String, partCols: Seq[String],
                                  tableSchema: StructType,
                                  startingVersion: Option[String],
-                                 endingVersion: Option[String] = None)
+                                 endingVersion: Option[String] = None,
+                                 fieldIds: Map[String, Int] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkChangeFeed.cdcSchema(tableSchema)
   override def description(): String = s"SinkChangeFeedScan($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SinkChangeFeedStream(path, partCols, tableSchema, startingVersion)
+    new SinkChangeFeedStream(path, partCols, tableSchema, startingVersion,
+      fieldIds)
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stream = new SinkChangeFeedStream(path, partCols, tableSchema,
-      startingVersion)
+      startingVersion, fieldIds)
     val start = stream.initialOffset()
     val end = endingVersion.map(e => stream.versionOffset(e.toLong))
       .getOrElse(stream.latestOffset())
@@ -156,7 +162,8 @@ private class SinkChangeFeedScan(path: String, partCols: Seq[String],
   */
 private class SinkChangeFeedStream(path: String, partCols: Seq[String],
                                    tableSchema: StructType,
-                                   startingVersion: Option[String])
+                                   startingVersion: Option[String],
+                                   fieldIds: Map[String, Int] = Map.empty)
     extends MicroBatchStream {
 
   private case class VersionOffset(v: Long) extends Offset {
@@ -307,7 +314,7 @@ private class SinkChangeFeedStream(path: String, partCols: Seq[String],
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionedSinkReaderFactory(tableSchema,
       SinkChangeFeed.cdcSchema(tableSchema), partCols,
-      PartitionedSinkWriterFactory.sessionConf())
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

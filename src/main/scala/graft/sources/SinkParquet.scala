@@ -89,6 +89,41 @@ private[graft] object SinkFormat {
   def extension(format: String): String =
     if (format == Parquet) "parquet" else "tsv"
 
+  /** Iceberg-legal type WIDENING: every old file's physical values
+    * embed exactly into the new type, so readers only need a decode
+    * cast (resolved through the field-id registry — which is why the
+    * evolution requires a parquet table with ids). Everything else —
+    * narrows, integral↔floating, string↔anything — is rejected.
+    */
+  def safeWiden(from: org.apache.spark.sql.types.DataType,
+                to: org.apache.spark.sql.types.DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Create/evolve-time type gate: BINARY data columns are
+    * parquet-only (the TSV text encoding has no lossless binary
+    * rendering) and never partition columns (their rendered values
+    * name directories). Loud at DDL time, not first-row write time.
+    */
+  def validateColumnType(format: String, name: String,
+                         dt: org.apache.spark.sql.types.DataType,
+                         isPartition: Boolean): Unit = dt match {
+    case BinaryType =>
+      require(!isPartition,
+        s"partition column $name cannot be BINARY (its rendered values " +
+          "name the directory layout)")
+      require(format == Parquet,
+        s"BINARY column $name needs a parquet-format table " +
+          "(the TSV layout is positional text with no lossless binary " +
+          "rendering)")
+    case _ => ()
+  }
+
   /** Field-id registry rendering: `<id>:<name>` pairs, comma-joined.
     * Only assigned to names free of the two delimiters (idSafe) — a
     * column named with ',' or ':' simply gets no id and resolves by
@@ -147,6 +182,10 @@ private[graft] object SinkParquetWrite {
       case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
       case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
       case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+      // opaque bytes — the multimodal payload column: parquet BINARY
+      // with NO string annotation (stats/bloom manifests never record
+      // it; skipping a 1 MB image by min/max is meaningless)
+      case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
       case other => throw new UnsupportedOperationException(
         s"PartitionedSink supports atomic column types only, got $other")
     }
@@ -190,6 +229,8 @@ private[graft] object SinkParquetWrite {
             case DoubleType => consumer.addDouble(row.getDouble(ord))
             case FloatType => consumer.addFloat(row.getFloat(ord))
             case BooleanType => consumer.addBoolean(row.getBoolean(ord))
+            case BinaryType => consumer.addBinary(
+              Binary.fromConstantByteArray(row.getBinary(ord)))
             case other => throw new UnsupportedOperationException(
               s"PartitionedSink supports atomic column types only, got $other")
           }
@@ -365,6 +406,45 @@ private[sources] object SinkParquetGroupSkip {
     filters.forall(mayMatch(block, _, resolve))
 }
 
+/** Column resolution against one parquet FILE's schema, shared by the
+  * value decode and the row-group-skip stats lookup so both see the
+  * same column (or the same absence). The rule is Iceberg's:
+  *
+  *   - When the table column carries a field id, resolve by ID; fall
+  *     back to NAME only against file fields that carry NO id (files
+  *     written before ids existed). A file field whose id DIFFERS from
+  *     the table column's is a retired column that happens to share
+  *     the name (DROP then re-ADD, or RENAME then re-ADD of the old
+  *     name) — matching it by name would silently serve the retired
+  *     column's data; it must read as absent (NULL, and no stats).
+  *   - When the REGISTRY knows ids but this column has none (a
+  *     non-idSafe name), match by name against id-less file fields
+  *     only, for the same reason: within an id-carrying table, every
+  *     id-carrying file field belongs to some id-carrying column.
+  *   - A reader with NO registry at all (a raw path/feed read of files
+  *     that happen to carry ids) resolves purely by name — it has no
+  *     id authority to contradict.
+  */
+private[sources] object SinkParquetResolve {
+  import org.apache.parquet.schema.{MessageType, Type}
+
+  private def idOf(t: Type): Option[Int] = Option(t.getId).map(_.intValue)
+
+  def field(fileSchema: MessageType, fieldIds: Map[String, Int],
+            name: String): Option[Type] = {
+    val fields = fileSchema.getFields.asScala
+    fieldIds.get(name) match {
+      case Some(id) =>
+        fields.find(t => idOf(t).contains(id))
+          .orElse(fields.find(t => t.getName == name && idOf(t).isEmpty))
+      case None if fieldIds.isEmpty =>
+        fields.find(_.getName == name)
+      case None =>
+        fields.find(t => t.getName == name && idOf(t).isEmpty)
+    }
+  }
+}
+
 private[sources] class SinkParquetReader(
     split: SinkFileSplit, fullSchema: StructType, required: StructType,
     partCols: Seq[String],
@@ -393,10 +473,6 @@ private[sources] class SinkParquetReader(
   private val fileSchema: MessageType =
     reader.getFooter.getFileMetaData.getSchema
 
-  /** File field ids, when present. */
-  private def fileFieldId(t: Type): Option[Int] =
-    Option(t.getId).map(_.intValue)
-
   // required ordinal -> value source: Left(slot into the materializer
   // buffer) for file columns, Right(constant) for partition values /
   // extras / `_file` / `_pos` (pos handled separately — it is the one
@@ -422,11 +498,7 @@ private[sources] class SinkParquetReader(
       Const(partValues(f.name))
     else {
       lazy val extra = split.extras.find(_._1 == f.name)
-      val byId = fieldIds.get(f.name).flatMap { id =>
-        fileSchema.getFields.asScala.find(t => fileFieldId(t).contains(id))
-      }
-      val fileField = byId.orElse(
-        fileSchema.getFields.asScala.find(_.getName == f.name))
+      val fileField = SinkParquetResolve.field(fileSchema, fieldIds, f.name)
       if (fileField.isDefined) {
         resolved += ((fileField.get, f.dataType))
         FromFile(resolved.length - 1)
@@ -445,41 +517,65 @@ private[sources] class SinkParquetReader(
 
   /** Converter writing one file column into its buffer slot, with
     * dictionary support for strings (decode each dictionary entry to
-    * a UTF8String ONCE per page, not once per row).
+    * a UTF8String ONCE per page, not once per row). `dt` is the
+    * TABLE's current type, which may be WIDER than the file's physical
+    * type after an `ALTER COLUMN ... TYPE` evolution — the decode
+    * casts (int→long, float→double) so old files serve the widened
+    * column directly.
     */
-  private final class Slot(slot: Int, dt: DataType) extends PrimitiveConverter {
+  private final class Slot(slot: Int, dt: DataType,
+                           phys: PrimitiveTypeName) extends PrimitiveConverter {
     private var dict: Array[Any] = _
     override def hasDictionarySupport: Boolean = true
     override def setDictionary(dictionary: Dictionary): Unit = {
       dict = new Array[Any](dictionary.getMaxId + 1)
       var i = 0
       while (i < dict.length) {
-        dict(i) = dt match {
-          case StringType =>
+        // decode by the FILE's physical type, then widen to the
+        // table's — a dictionary written as INT32 must not be read
+        // through decodeToLong
+        dict(i) = (phys, dt) match {
+          case (PrimitiveTypeName.BINARY, StringType) =>
             UTF8String.fromBytes(dictionary.decodeToBinary(i).getBytes)
-          case LongType => dictionary.decodeToLong(i)
-          case IntegerType => dictionary.decodeToInt(i)
-          case ShortType => dictionary.decodeToInt(i).toShort
-          case ByteType => dictionary.decodeToInt(i).toByte
-          case DoubleType => dictionary.decodeToDouble(i)
-          case FloatType => dictionary.decodeToFloat(i)
-          case BooleanType => dictionary.decodeToBoolean(i)
+          case (PrimitiveTypeName.BINARY, BinaryType) =>
+            dictionary.decodeToBinary(i).getBytes
+          case (PrimitiveTypeName.INT64, LongType) => dictionary.decodeToLong(i)
+          case (PrimitiveTypeName.INT32, LongType) =>
+            dictionary.decodeToInt(i).toLong
+          case (PrimitiveTypeName.INT32, IntegerType) => dictionary.decodeToInt(i)
+          case (PrimitiveTypeName.INT32, ShortType) =>
+            dictionary.decodeToInt(i).toShort
+          case (PrimitiveTypeName.INT32, ByteType) =>
+            dictionary.decodeToInt(i).toByte
+          case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+            dictionary.decodeToDouble(i)
+          case (PrimitiveTypeName.FLOAT, DoubleType) =>
+            dictionary.decodeToFloat(i).toDouble
+          case (PrimitiveTypeName.FLOAT, FloatType) => dictionary.decodeToFloat(i)
+          case (PrimitiveTypeName.BOOLEAN, BooleanType) =>
+            dictionary.decodeToBoolean(i)
           case _ => null
         }
         i += 1
       }
     }
     override def addValueFromDictionary(id: Int): Unit = buffer(slot) = dict(id)
-    override def addBinary(v: Binary): Unit =
-      buffer(slot) = UTF8String.fromBytes(v.getBytes)
+    override def addBinary(v: Binary): Unit = buffer(slot) = (dt match {
+      case BinaryType => v.getBytes
+      case _ => UTF8String.fromBytes(v.getBytes)
+    })
     override def addLong(v: Long): Unit = buffer(slot) = v
     override def addInt(v: Int): Unit = buffer(slot) = (dt match {
       case ShortType => v.toShort
       case ByteType => v.toByte
+      case LongType => v.toLong // widened int → long
       case _ => v
     })
     override def addDouble(v: Double): Unit = buffer(slot) = v
-    override def addFloat(v: Float): Unit = buffer(slot) = v
+    override def addFloat(v: Float): Unit = buffer(slot) = (dt match {
+      case DoubleType => v.toDouble // widened float → double
+      case _ => v
+    })
     override def addBoolean(v: Boolean): Unit = buffer(slot) = v
   }
 
@@ -493,8 +589,9 @@ private[sources] class SinkParquetReader(
 
   private val materializer = new RecordMaterializer[Array[Any]] {
     private val converters: Array[Converter] =
-      resolved.toArray.zipWithIndex.map { case ((_, dt), slot) =>
-        new Slot(slot, dt): Converter
+      resolved.toArray.zipWithIndex.map { case ((ff, dt), slot) =>
+        new Slot(slot, dt,
+          ff.asPrimitiveType().getPrimitiveTypeName): Converter
       }
     private val root = new GroupConverter {
       override def getConverter(i: Int): Converter = converters(i)
@@ -525,10 +622,7 @@ private[sources] class SinkParquetReader(
     if (skipFilters.isEmpty) Array.fill(rowGroups.length)(true)
     else {
       val resolve: String => Option[String] = name =>
-        fieldIds.get(name).flatMap { id =>
-          fileSchema.getFields.asScala.find(t => fileFieldId(t).contains(id))
-        }.orElse(fileSchema.getFields.asScala.find(_.getName == name))
-          .map(_.getName)
+        SinkParquetResolve.field(fileSchema, fieldIds, name).map(_.getName)
       rowGroups.map(b =>
         SinkParquetGroupSkip.keep(b, skipFilters, resolve)).toArray
     }

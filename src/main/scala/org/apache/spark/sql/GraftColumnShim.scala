@@ -21,3 +21,17 @@ object GraftColumnShim {
   def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 }
+
+/** Bridge to the `private[sql]` InternalRow-RDD → DataFrame endpoint,
+  * for engine-internal reads that already produce Catalyst rows
+  * (graft.sources.SinkSplitsRead). Same access-only pattern as
+  * [[GraftColumnShim]].
+  */
+object GraftRowShim {
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+}

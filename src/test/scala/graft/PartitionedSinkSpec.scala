@@ -1175,6 +1175,144 @@ class PartitionedSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_evf_spec.pq_t")
   }
 
+  test("DROP then re-ADD of a column name: old files read NULL, never the retired column's data") {
+    import spark.implicits._
+    val root = tmpDir("sink_evolve_readd")
+    spark.conf.set("spark.sql.catalog.graft_evr_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_evr_spec.root", root)
+    Seq((1L, "retired", "A")).toDF("k", "s", "p")
+      .writeTo("graft_evr_spec.t").partitionedBy(col("p")).create()
+    spark.sql("ALTER TABLE graft_evr_spec.t DROP COLUMN s")
+    spark.sql("ALTER TABLE graft_evr_spec.t ADD COLUMNS (s STRING)")
+    Seq((2L, "A", "fresh")).toDF("k", "p", "s")
+      .writeTo("graft_evr_spec.t").append()
+    // the old file's `s` cells belong to the RETIRED field id — a
+    // by-name fallback would resurrect "retired" into the new column
+    val got = spark.table("graft_evr_spec.t")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, None), (2L, Some("fresh"))),
+      "re-added column must read NULL from pre-drop files (ids differ)")
+    // and the row-group skipper must not prove exclusions off the
+    // retired column's footer stats: an equality on the OLD value
+    // keeps nothing (decode reads NULL), an equality on the new value
+    // still finds the fresh row
+    assert(spark.table("graft_evr_spec.t")
+      .filter(col("s") === "retired").count() === 0L)
+    assert(spark.table("graft_evr_spec.t")
+      .filter(col("s") === "fresh").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    // RENAME away, then re-ADD the old name: same rule through the
+    // rename path (the old files' `v` id now belongs to `v2`)
+    spark.sql("ALTER TABLE graft_evr_spec.t RENAME COLUMN s TO s2")
+    spark.sql("ALTER TABLE graft_evr_spec.t ADD COLUMNS (s STRING)")
+    val after = spark.table("graft_evr_spec.t")
+      .select("k", "s2", "s").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet
+    assert(after === Set((1L, None, None), (2L, Some("fresh"), None)),
+      "renamed column keeps serving via its id; the re-added name is NULL everywhere")
+    spark.sql("DROP TABLE graft_evr_spec.t")
+  }
+
+  test("ALTER COLUMN TYPE: safe widens span file generations; narrows, partition cols and TSV reject") {
+    import spark.implicits._
+    val root = tmpDir("sink_widen")
+    spark.conf.set("spark.sql.catalog.graft_wid_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wid_spec.root", root)
+    Seq((1, 1.5f, "A"), (2, 2.5f, "B")).toDF("k", "v", "p")
+      .writeTo("graft_wid_spec.t").partitionedBy(col("p")).create()
+    spark.sql("ALTER TABLE graft_wid_spec.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_wid_spec.t ALTER COLUMN v TYPE DOUBLE")
+    // post-widen files carry INT64/DOUBLE; pre-widen files decode-cast
+    Seq((3000000000L, 3.5d, "A")).toDF("k", "v", "p")
+      .writeTo("graft_wid_spec.t").append()
+    def readAll() = spark.table("graft_wid_spec.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = Set((1L, 1.5), (2L, 2.5), (3000000000L, 3.5))
+    assert(readAll() === want, "widened reads span both file generations")
+    spark.conf.set(graft.sources.SinkParquetColumnar.EnabledKey, "false")
+    try assert(readAll() === want, "row path agrees on widened decode")
+    finally spark.conf.unset(graft.sources.SinkParquetColumnar.EnabledKey)
+    // file-skip/row-group stats still prove through the widened type
+    assert(spark.table("graft_wid_spec.t")
+      .filter(col("k") > 2000000000L).count() === 1L)
+    // narrows reject in Catalyst's own upcast gate before reaching the
+    // catalog; cross-kind retypes Catalyst allows (double→string is an
+    // upcast) reject in the catalog's safe-widen gate
+    val eN = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wid_spec.t ALTER COLUMN k TYPE INT") }
+    assert(eN.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eN.getMessage)
+    val eX = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wid_spec.t ALTER COLUMN v TYPE STRING") }
+    assert(eX.getMessage.contains("safe widening"), eX.getMessage)
+    // partition columns anchor the layout (their rendered values name
+    // directories and key split planning)
+    Seq((1, 7)).toDF("k", "p")
+      .writeTo("graft_wid_spec.t2").partitionedBy(col("p")).create()
+    val eP = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wid_spec.t2 ALTER COLUMN p TYPE BIGINT") }
+    assert(eP.getMessage.contains("partition column"), eP.getMessage)
+    spark.sql("DROP TABLE graft_wid_spec.t2")
+    // TSV tables re-parse by position — not retypable
+    spark.sql("""CREATE TABLE graft_wid_spec.tsv_t (k INT, p STRING)
+      PARTITIONED BY (p) TBLPROPERTIES ('graft.format' = 'tsv')""")
+    val eT = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wid_spec.tsv_t ALTER COLUMN k TYPE BIGINT") }
+    assert(eT.getMessage.contains("parquet-format"), eT.getMessage)
+    spark.sql("DROP TABLE graft_wid_spec.t")
+    spark.sql("DROP TABLE graft_wid_spec.tsv_t")
+  }
+
+  test("BINARY data columns: exact roundtrip on parquet; stats exclude them; TSV and partitioning reject") {
+    import spark.implicits._
+    val root = tmpDir("sink_binary")
+    spark.conf.set("spark.sql.catalog.graft_bin_spec",
+      classOf[graft.sources.PartitionedSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bin_spec.root", root)
+    // payloads exercise delimiter bytes, zero bytes, empties and NULL
+    val payloads: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, Array[Byte](0, 9, 10, 13, 92, -1, 127), "A"),
+      (2L, Array.emptyByteArray, "A"),
+      (3L, null, "B"),
+      (4L, Array.tabulate(4096)(i => (i % 251).toByte), "B"))
+    payloads.toDF("k", "payload", "p")
+      .writeTo("graft_bin_spec.t").partitionedBy(col("p")).create()
+    def readAll() = spark.table("graft_bin_spec.t").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq)))
+      .toMap
+    val want = payloads.map { case (k, b, _) =>
+      k -> Option(b).map(_.toSeq) }.toMap
+    assert(readAll() === want, "binary payloads roundtrip byte-exactly")
+    spark.conf.set(graft.sources.SinkParquetColumnar.EnabledKey, "false")
+    try assert(readAll() === want, "row path agrees on binary decode")
+    finally spark.conf.unset(graft.sources.SinkParquetColumnar.EnabledKey)
+    // stats manifests never record the binary column (a MB-sized image
+    // has no meaningful min/max; k still skips)
+    val statsText = new java.io.File(s"$root/t/p=A").listFiles()
+      .filter(_.getName.startsWith("_stats-"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString("\n")
+    assert(statsText.contains("\tk\t"), "numeric columns keep their stats")
+    assert(!statsText.contains("\tpayload\t"),
+      s"binary columns must carry no stats, got:\n$statsText")
+    // TSV rejects at DDL time, loudly
+    val eT = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_bin_spec.tsv_t (k BIGINT, b BINARY,
+        p STRING) PARTITIONED BY (p)
+        TBLPROPERTIES ('graft.format' = 'tsv')""") }
+    assert(eT.getMessage.contains("parquet-format"), eT.getMessage)
+    // binary can never partition (its rendering would name directories)
+    val eP = intercept[Exception] {
+      Seq((1L, Array[Byte](1))).toDF("k", "pb")
+        .writeTo("graft_bin_spec.t2").partitionedBy(col("pb")).create() }
+    assert(eP.getMessage.contains("cannot be BINARY"), eP.getMessage)
+    spark.sql("DROP TABLE graft_bin_spec.t")
+  }
+
   test("vacuumStaging removes only crashed-driver orphans past the age threshold") {
     import spark.implicits._
     val root = tmpDir("sink_vacuum")

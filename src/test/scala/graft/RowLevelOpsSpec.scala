@@ -295,10 +295,30 @@ class RowLevelOpsSpec extends SparkSpec {
     // file, and the table reads identically before and after
     val beforeCompact = spark.table("rlm.mor")
       .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+    // the MAINTENANCE SIGNAL: tableFiles surfaces the per-file count of
+    // active position deletes (driver metadata only) — the
+    // "deletes-per-scan tax, compact me" number a MOR table's operator
+    // watches
+    val signal = graft.ops.Compaction.tableFiles(spark, "rlm", "mor")
+      .select("rel_path", "deleted_positions").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(signal.values.sum === 1L,
+      s"one active deleted position must surface in tableFiles, got $signal")
     graft.ops.Compaction.compactSinkTable(spark, "rlm", "mor", 0)
     assert(spark.table("rlm.mor")
       .agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
       === beforeCompact, "compact must fold MOR deletes, not lose/revive rows")
+    // commit-time GC: the compacted snapshot retires the folded
+    // manifest from its headers (scans stop paying it immediately;
+    // vacuum reclaims the file once older snapshots expire)
+    val fsm = new org.apache.hadoop.fs.Path(s"$root/mor").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val latestV = graft.sources.SinkVersions.latest(fsm, s"$root/mor").get
+    assert(graft.sources.SinkVersions.readDeletes(fsm, s"$root/mor", latestV)
+      .isEmpty, "the folded position manifest must GC out of the new snapshot")
+    assert(graft.ops.Compaction.tableFiles(spark, "rlm", "mor")
+      .select("deleted_positions").collect().map(_.getLong(0)).sum === 0L,
+      "the density signal drops to zero after compaction")
     // vacuum retires the superseded snapshot's delete manifest only
     // once no retained version references it (age-floored here, so the
     // manifest file survives this immediate run — never a torn read)

@@ -17,6 +17,71 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SinkPublishSpec extends AnyFunSuite {
 
+  test("a merge-on-read delete landing after the rewrite's scan aborts the commit") {
+    val root = Files.createTempDirectory("sink_mor_conflict").toString
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    assert(SinkVersions.tryWrite(fs, root, 1L,
+      Seq(("p=A/f1.tsv", Seq("A")), ("p=A/f2.tsv", Seq("A")))))
+    // our rewrite READ f1 at v1 (no delete manifests active); a
+    // concurrent MOR delete then landed positions in f1 as v2
+    SinkDeletes.write(fs, root, "del-race.tsv", Seq(("p=A/f1.tsv", 0L)))
+    assert(SinkVersions.tryWrite(fs, root, 2L,
+      Seq(("p=A/f1.tsv", Seq("A")), ("p=A/f2.tsv", Seq("A"))),
+      dels = Seq("del-race.tsv")))
+    // f1 is still live, so the retired-files check alone would pass —
+    // the read-snapshot guard must catch the unseen manifest
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SinkCommit.replaceCommit(fs, root, Seq("p"),
+        fresh = Seq.empty, retiredSeq = Seq("p=A/f1.tsv"),
+        readSnapshot = Some(SinkReadSnapshot(
+          scanDels = Set.empty, readRels = Set("p=A/f1.tsv"))))
+    }
+    assert(ex.getMessage.contains("del-race.tsv"))
+    // a rewrite whose SCAN already saw the manifest (and anti-filtered
+    // through it) commits fine
+    SinkCommit.replaceCommit(fs, root, Seq("p"),
+      fresh = Seq.empty, retiredSeq = Seq("p=A/f1.tsv"),
+      readSnapshot = Some(SinkReadSnapshot(
+        scanDels = Set("del-race.tsv"), readRels = Set("p=A/f1.tsv"))))
+    assert(SinkVersions.read(fs, root, 3L).map(_._1) === Seq("p=A/f2.tsv"))
+    // and one reading OTHER files than the manifest touches is no
+    // conflict either
+    SinkDeletes.write(fs, root, "del-other.tsv", Seq(("p=A/f9.tsv", 4L)))
+    assert(SinkVersions.tryWrite(fs, root, 4L,
+      Seq(("p=A/f2.tsv", Seq("A")), ("p=A/f9.tsv", Seq("A"))),
+      dels = Seq("del-other.tsv")))
+    SinkCommit.replaceCommit(fs, root, Seq("p"),
+      fresh = Seq.empty, retiredSeq = Seq("p=A/f2.tsv"),
+      readSnapshot = Some(SinkReadSnapshot(
+        scanDels = Set.empty, readRels = Set("p=A/f2.tsv"))))
+  }
+
+  test("commit-time GC drops position manifests whose every target file retired") {
+    val root = Files.createTempDirectory("sink_del_gc").toString
+    val fs = FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    SinkDeletes.write(fs, root, "del-f1.tsv", Seq(("p=A/f1.tsv", 0L)))
+    SinkDeletes.write(fs, root, "del-f2.tsv", Seq(("p=A/f2.tsv", 7L)))
+    assert(SinkVersions.tryWrite(fs, root, 1L,
+      Seq(("p=A/f1.tsv", Seq("A")), ("p=A/f2.tsv", Seq("A"))),
+      dels = Seq("del-f1.tsv", "del-f2.tsv")))
+    // a COW rewrite retires f1 (folding del-f1's positions in): the
+    // carried manifest list must drop del-f1 — nothing it touches
+    // survives — and keep del-f2, whose file lives on
+    SinkCommit.replaceCommit(fs, root, Seq("p"),
+      fresh = Seq(("p=A/f1b.tsv", Seq("A"))), retiredSeq = Seq("p=A/f1.tsv"),
+      readSnapshot = Some(SinkReadSnapshot(
+        scanDels = Set("del-f1.tsv", "del-f2.tsv"),
+        readRels = Set("p=A/f1.tsv"))))
+    assert(SinkVersions.readDeletes(fs, root, 2L) === Seq("del-f2.tsv"),
+      "fully-folded manifests must GC out of the headers")
+    // the ordinary publish path GCs the same way (here: a truncate-free
+    // dynamic-style commit that retires f2 via the replace path)
+    SinkCommit.replaceCommit(fs, root, Seq("p"),
+      fresh = Seq.empty, retiredSeq = Seq("p=A/f2.tsv"))
+    assert(SinkVersions.readDeletes(fs, root, 3L) === Seq.empty,
+      "the last manifest retires with its file")
+  }
+
   test("streaming tail skips provably-excluded files when filters are pushed") {
     // Spark's streaming planner does NOT run V2ScanRelationPushDown
     // (it is batch-only), so a `.filter` above readStream.table never
