@@ -45,9 +45,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Chosen per SCAN, not per split: Spark requires every partition of
   * a scan to agree on columnar-vs-row, so the scan enables this path
-  * only when every split is a parquet file with no merge-on-read
-  * position deletes (the anti-filter is a row-grain wrapper). MOR
-  * tables read row-based until `compact` folds their deletes in.
+  * only when every split is a parquet file. Merge-on-read position
+  * deletes apply at BATCH grain: a per-batch keep mask compacts kept
+  * rows to the vector front while dropped rows' values are skipped
+  * in-stream (never decoded) — a MOR table keeps the vectorized
+  * decode, paying only the mask walk on batches that contain deletes.
   */
 private[graft] object SinkParquetColumnar {
   /** Escape hatch + bench A/B: `false` forces the row-materialized
@@ -65,9 +67,12 @@ private[graft] object SinkParquetColumnar {
     */
   final val BatchRows = 4096
 
-  /** Can the scan serve these splits as batches? */
+  /** Can the scan serve these splits as batches? (Merge-on-read
+    * position deletes are handled INSIDE the columnar reader via a
+    * per-batch keep mask, so they don't demote the scan.)
+    */
   def splitsEligible(splits: Seq[SinkFileSplit]): Boolean =
-    splits.forall(s => s.file.endsWith(".parquet") && s.delManifests.isEmpty)
+    splits.forall(_.file.endsWith(".parquet"))
 
   /** Encodings the page-level decode understands; anything else (e.g.
     * DELTA_*) falls back to the triplet API per column chunk.
@@ -213,10 +218,16 @@ private[sources] class SinkParquetColumnarReader(
   private val descriptors: Array[ColumnDescriptor] =
     requestedSchema.getColumns.asScala.toArray
 
-  /** Fills `vec[0, n)` from one column of the current row group. */
+  /** Fills from one column of the current row group: `fill(n)` decodes
+    * the next n rows into `vec[0, n)`; `fillMasked(n, keep)` decodes n
+    * rows but lands only the kept ones, COMPACTED to the front of the
+    * vector (deleted rows' values are skipped in-stream, never
+    * materialized) — the merge-on-read anti-filter at batch grain.
+    */
   private abstract class ColFiller {
     val vec: OnHeapColumnVector
     def fill(n: Int): Unit
+    def fillMasked(n: Int, keep: Array[Boolean]): Unit
   }
 
   // ------------------------------------------------------------------
@@ -325,6 +336,27 @@ private[sources] class SinkParquetColumnarReader(
         remaining -= took
       }
     }
+
+    final def fillMasked(n: Int, keep: Array[Boolean]): Unit = {
+      var i = 0
+      var out = 0
+      while (i < n) {
+        if (remaining == 0) advancePage()
+        val end = i + math.min(n - i, remaining)
+        val took = end - i
+        while (i < end) {
+          val present = maxDef == 0 || defs.readInteger() == maxDef
+          if (keep(i)) {
+            if (!present) vec.putNull(out)
+            else if (dictIds) putFromDict(out, values.readValueDictionaryId())
+            else put(out)
+            out += 1
+          } else if (present) values.skip() // dropped value: never decode
+          i += 1
+        }
+        remaining -= took
+      }
+    }
   }
 
   /** Headerless-RLE definition-level reader for DataPageV2 (exposed
@@ -416,6 +448,19 @@ private[sources] class SinkParquetColumnarReader(
           i += 1
         }
       }
+      final def fillMasked(n: Int, keep: Array[Boolean]): Unit = {
+        var i = 0
+        var out = 0
+        while (i < n) {
+          if (keep(i)) {
+            if (cr.getCurrentDefinitionLevel < maxDef) vec.putNull(out)
+            else put(out)
+            out += 1
+          } // dropped row: consume() skips without materializing
+          cr.consume()
+          i += 1
+        }
+      }
     }
     val phys = ff.asPrimitiveType().getPrimitiveTypeName
     (phys, dt) match {
@@ -493,24 +538,61 @@ private[sources] class SinkParquetColumnarReader(
     true
   }
 
+  /** Active MERGE-ON-READ positions for this file (or the feed's
+    * invert mode): loaded once per split, executor-side.
+    */
+  private lazy val deletePositions: java.util.HashSet[java.lang.Long] =
+    if (split.delManifests.isEmpty) new java.util.HashSet[java.lang.Long]()
+    else SinkDeletes.positionsFor(
+      org.apache.hadoop.fs.FileSystem.get(filePath.toUri, conf.value),
+      split.delManifests, split.relPath)
+
+  private val filtering: Boolean =
+    split.delManifests.nonEmpty || split.invertDeletes
+
+  // reused keep mask (one flag per batch row)
+  private val keepMask: Array[Boolean] =
+    if (filtering) new Array[Boolean](SinkParquetColumnar.BatchRows) else null
+
   override def next(): Boolean = {
     while (inGroupRemaining == 0L) {
       if (!advanceGroup()) return false
     }
     val n = math.min(SinkParquetColumnar.BatchRows.toLong,
       inGroupRemaining).toInt
+    // merge-on-read anti-filter at BATCH grain: a row is kept when its
+    // (file, pos) identity is absent from the active delete manifests
+    // (or present, in the feed's invertDeletes mode); kept rows
+    // compact to the batch front, dropped values are skipped in-stream
+    var kept = n
+    if (filtering) {
+      kept = 0
+      var i = 0
+      while (i < n) {
+        val k = deletePositions.contains(rowIndex + i) == split.invertDeletes
+        keepMask(i) = k
+        if (k) kept += 1
+        i += 1
+      }
+    }
+    val masked = kept != n
     var j = 0
     while (j < nSlots) {
       fillers(j).vec.reset()
-      fillers(j).fill(n)
+      if (masked) fillers(j).fillMasked(n, keepMask)
+      else fillers(j).fill(n)
       j += 1
     }
     posVec.foreach { pv =>
       pv.reset()
       var i = 0
-      while (i < n) { pv.putLong(i, rowIndex + i); i += 1 }
+      var out = 0
+      while (i < n) {
+        if (!masked || keepMask(i)) { pv.putLong(out, rowIndex + i); out += 1 }
+        i += 1
+      }
     }
-    batch.setNumRows(n)
+    batch.setNumRows(kept)
     inGroupRemaining -= n
     rowIndex += n
     true

@@ -103,10 +103,12 @@ class SinkParquetColumnarSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_colnr2.t")
   }
 
-  test("MOR position deletes force the row path (anti-filter is row-grain) and stay correct") {
+  test("MOR position deletes stay columnar: the batch-grain keep mask filters, compacts and agrees with the row path") {
     import spark.implicits._
     setupCatalog("graft_colnr3")
-    spark.range(0, 1000).select(col("id").as("k"),
+    spark.range(0, 10000).select(col("id").as("k"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2).as("l"),
+      concat(lit("s-"), col("id")).as("s"),
       (col("id") % 3).cast("string").as("p"))
       .writeTo("graft_colnr3.t")
       .tableProperty("graft.deleteMode", "mor")
@@ -114,9 +116,21 @@ class SinkParquetColumnarSpec extends SparkSpec {
     assert(scanIsColumnar(spark.table("graft_colnr3.t")),
       "pre-delete the table is all-parquet and batches")
     spark.sql("DELETE FROM graft_colnr3.t WHERE k % 10 = 3")
-    assert(!scanIsColumnar(spark.table("graft_colnr3.t")),
-      "active position deletes demote the scan to rows")
-    assert(spark.table("graft_colnr3.t").count() === 900L)
+    assert(scanIsColumnar(spark.table("graft_colnr3.t")),
+      "position deletes must NOT demote the scan — the mask filters batches")
+    def snap(): Seq[String] = spark.table("graft_colnr3.t")
+      .select(col("k"), col("l"), col("s"), col("_pos"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    val colnr = withColumnar(true)(snap())
+    val rows = withColumnar(false)(snap())
+    assert(colnr === rows, "masked batches must equal the row-path read")
+    assert(colnr.size === 9000)
+    assert(spark.table("graft_colnr3.t").filter(col("k") % 10 === 3)
+      .count() === 0L)
+    // a second delete (two manifests) composes
+    spark.sql("DELETE FROM graft_colnr3.t WHERE k % 10 = 4")
+    assert(spark.table("graft_colnr3.t").count() === 8000L)
+    assert(withColumnar(true)(snap()) === withColumnar(false)(snap()))
     spark.sql("DROP TABLE graft_colnr3.t")
   }
 
