@@ -2437,6 +2437,43 @@ object ParityQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** §2.9-ext: METADATA-ONLY AGGREGATE PUSHDOWN — a filterless
+    * COUNT(*)/MIN/MAX over a sink table answers from the publish
+    * manifests as a one-row driver-side LocalScan (exact per-file row
+    * counts, exact numeric bounds; zero data splits planned). At
+    * warehouse scale this is `count(*)` over a petabyte as a metadata
+    * read. The oracle recomputes from raw orders; the LocalScan plan
+    * shape, zero-chunk-bytes pin and every exactness-gate fallback
+    * (filters / MOR deletes / string bounds / NaN stats) live in
+    * SinkAggPushdownSpec.
+    */
+  val qDsv2AggPush = Q(
+    "q_dsv2_agg_push",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.agg_orders")
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .writeTo("graft_dyn.agg_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.table("graft_dyn.agg_orders")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+    Some("""
+      SELECT count(*) AS n,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2687,5 +2724,5 @@ object ParityQueries {
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
-    qDsv2Evolve, qDsv2Widen, qDsv2Binary)
+    qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush)
 }

@@ -38,11 +38,41 @@ private[sources] class PartitionedSinkScanBuilder(
     asOfVersion: Option[Long] = None,
     fieldIds: Map[String, Int] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var partitionFilters: Array[Filter] = Array.empty
   private var skipFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var pushedAgg: Option[(StructType, InternalRow, String)] = None
+
+  /** METADATA-ONLY aggregates: a filterless `COUNT(*)` / `MIN(col)` /
+    * `MAX(col)` answers from the publish manifests (exact per-file row
+    * counts; exact numeric bounds) without planning a single data
+    * split — at warehouse scale the difference between a driver-side
+    * manifest read and a full-table scan. COMPLETE pushdown only (the
+    * answer is final), and only when it is provably exact: no residual
+    * filters (this sink keeps every filter residual, so Spark only
+    * attempts the pushdown on filterless plans; double-checked here),
+    * no active merge-on-read deletes (a deleted row may be the min, and
+    * counts would overstate), every live file carrying the needed
+    * stats, numeric columns only (string bounds are TRUNCATED by
+    * design — a prefix is not the true min). Anything else declines
+    * and the normal scan runs.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (pushedAgg.isEmpty)
+      pushedAgg = SinkAggPushdown.compute(path, partCols, fullSchema,
+        asOfVersion, agg,
+        noFilters = partitionFilters.isEmpty && skipFilters.isEmpty)
+    pushedAgg.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = supportCompletePushDown(agg)
 
   // subclass hooks (the COW row-level scan builder reuses this
   // builder's pushdown verbatim and only swaps the built Scan)
@@ -96,9 +126,157 @@ private[sources] class PartitionedSinkScanBuilder(
         ++ requiredSchema.fields.filterNot(f =>
           fullSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new PartitionedSinkScan(path, partCols, fullSchema, required,
-      partitionFilters, skipFilters, asOfVersion, fieldIds)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row, desc)) => new SinkLocalAggScan(schema, row, desc)
+    case None =>
+      new PartitionedSinkScan(path, partCols, fullSchema, required,
+        partitionFilters, skipFilters, asOfVersion, fieldIds)
+  }
+}
+
+/** The one-row driver-side scan a complete aggregate pushdown plans —
+  * no input partitions, no executors, no data files.
+  */
+private[sources] class SinkLocalAggScan(schema: StructType,
+                                        row: InternalRow, desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = desc
+}
+
+/** Driver-side evaluation of a pushed aggregation against the sink's
+  * manifests. Returns None whenever exactness cannot be PROVEN —
+  * the caller then falls back to the ordinary scan.
+  */
+private[sources] object SinkAggPushdown {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def numeric(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType => true
+    case _ => false
+  }
+
+  def compute(path: String, partCols: Seq[String], fullSchema: StructType,
+              asOfVersion: Option[Long], agg: Aggregation,
+              noFilters: Boolean): Option[(StructType, InternalRow, String)] = {
+    if (!noFilters || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return None
+    // every requested function must be answerable before any IO beyond
+    // the (small, driver-side) manifest reads below
+    val wanted: Seq[Either[Unit, (String, Boolean)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Left(())
+        case m: Min => colOf(m.column) match {
+          case Some(c) if fullSchema.fieldNames.contains(c) &&
+            !partCols.contains(c) &&
+            numeric(fullSchema(c).dataType) => Right((c, false))
+          case _ => return None
+        }
+        case m: Max => colOf(m.column) match {
+          case Some(c) if fullSchema.fieldNames.contains(c) &&
+            !partCols.contains(c) &&
+            numeric(fullSchema(c).dataType) => Right((c, true))
+          case _ => return None
+        }
+        case _ => return None
+      }
+    val fs = FileSystem.get(new java.net.URI(path),
+      SparkSession.active.sessionState.newHadoopConf())
+    val root = new Path(path)
+    // live membership: pinned/latest snapshot on a versioned table,
+    // the listing otherwise; ACTIVE POSITION DELETES disqualify (a
+    // deleted row may hold the min; counts would overstate)
+    val entries: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else asOfVersion match {
+        case Some(v) =>
+          if (SinkVersions.readDeletes(fs, path, v).nonEmpty) return None
+          SinkVersions.read(fs, path, v).map(_._1)
+        case None if SinkVersions.isVersioned(fs, path) =>
+          SinkVersions.latest(fs, path) match {
+            case None => Seq.empty
+            case Some(v) =>
+              if (SinkVersions.readDeletes(fs, path, v).nonEmpty) return None
+              SinkVersions.read(fs, path, v).map(_._1)
+          }
+        case None =>
+          SinkLayout.listLeaves(fs, root, partCols).flatMap {
+            case (values, leaf) =>
+              val rel = SinkLayout.leafRel(partCols, values)
+              SinkLayout.dataFiles(fs, leaf).map(f =>
+                s"$rel/${f.getPath.getName}")
+          }
+      }
+    // per-dir stats manifests, loaded once per dir
+    val statsByDir = scala.collection.mutable.Map[
+      String, Map[String, SinkFileStats]]()
+    val perFile: Seq[SinkFileStats] = entries.map { rel =>
+      val slash = rel.lastIndexOf('/')
+      val (dir, name) = (rel.take(math.max(slash, 0)), rel.drop(slash + 1))
+      statsByDir.getOrElseUpdate(dir,
+        SinkStats.readDir(fs, new Path(path, rel).getParent))
+        .get(name) match {
+        case Some(st) => st
+        case None => return None // a file without stats: cannot prove
+      }
+    }
+    val values: Seq[Any] = wanted.map {
+      case Left(()) =>
+        val counts = perFile.map(_.rows)
+        if (!counts.forall(_.isDefined)) return None
+        counts.flatten.sum
+      case Right((c, wantMax)) =>
+        val dt = fullSchema(c).dataType
+        // every file must CARRY an entry for the column (Some(None) =
+        // provably all-NULL contributes nothing; a MISSING entry —
+        // poisoned NaN/Inf stats or a pre-stats file — is unprovable)
+        val bounds = perFile.map { st =>
+          st.cols.get(c) match {
+            case Some(b) => b
+            case None => return None
+          }
+        }
+        val picked = bounds.flatten.map { case (mn, mx) =>
+          PartitionedSinkReader.castValue(if (wantMax) mx else mn, dt)
+        }
+        if (picked.isEmpty) null // zero rows / all NULL: SQL min = NULL
+        else dt match {
+          // exact for the sink's numeric renderings: integrals fit a
+          // double only to 2^53 — compare longs as longs instead
+          case LongType | IntegerType | ShortType | ByteType =>
+            val ls = picked.map(_.asInstanceOf[java.lang.Number].longValue)
+            val win = if (wantMax) ls.max else ls.min
+            PartitionedSinkReader.castValue(win.toString, dt)
+          case _ => // Double/Float only (the numeric() gate above)
+            val sel = picked.map(v =>
+              (v, v.asInstanceOf[java.lang.Number].doubleValue))
+              .sortBy(_._2)
+            if (wantMax) sel.last._1 else sel.head._1
+        }
+    }
+    val schema = StructType(wanted.zipWithIndex.map {
+      case (Left(()), i) => StructField(s"count_star_$i", LongType,
+        nullable = false)
+      case (Right((c, wantMax)), i) =>
+        StructField(s"${if (wantMax) "max" else "min"}_${c}_$i",
+          fullSchema(c).dataType, nullable = true)
+    })
+    Some((schema,
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq),
+      s"SinkLocalAggScan($path, ${agg.aggregateExpressions.toSeq
+        .mkString(", ")})"))
+  }
 }
 
 private[sources] class PartitionedSinkScan(
