@@ -2460,19 +2460,26 @@ object ParityQueries {
           col("o_orderpriority"))
         .writeTo("graft_dyn.agg_orders")
         .partitionedBy(col("o_orderpriority")).create()
+      // grouped rendition: GROUP BY a partition column also answers
+      // from the manifests (per-leaf counts/bounds) — the rollup a
+      // partitioned table exists to serve
       s.table("graft_dyn.agg_orders")
+        .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
     },
     Some("""
-      SELECT count(*) AS n,
+      SELECT o_orderpriority, count(*) AS n,
              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              CAST(min(o_totalprice) AS DOUBLE) AS min_price,
              CAST(max(o_totalprice) AS DOUBLE) AS max_price
-      FROM orders"""))
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
 
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,

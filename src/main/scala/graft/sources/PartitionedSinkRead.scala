@@ -44,7 +44,7 @@ private[sources] class PartitionedSinkScanBuilder(
   private var partitionFilters: Array[Filter] = Array.empty
   private var skipFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var pushedAgg: Option[(StructType, InternalRow, String)] = None
+  private var pushedAgg: Option[(StructType, Array[InternalRow], String)] = None
 
   /** METADATA-ONLY aggregates: a filterless `COUNT(*)` / `MIN(col)` /
     * `MAX(col)` answers from the publish manifests (exact per-file row
@@ -127,7 +127,7 @@ private[sources] class PartitionedSinkScanBuilder(
           fullSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row, desc)) => new SinkLocalAggScan(schema, row, desc)
+    case Some((schema, rows, desc)) => new SinkLocalAggScan(schema, rows, desc)
     case None =>
       new PartitionedSinkScan(path, partCols, fullSchema, required,
         partitionFilters, skipFilters, asOfVersion, fieldIds)
@@ -138,10 +138,11 @@ private[sources] class PartitionedSinkScanBuilder(
   * no input partitions, no executors, no data files.
   */
 private[sources] class SinkLocalAggScan(schema: StructType,
-                                        row: InternalRow, desc: String)
+                                        aggRows: Array[InternalRow],
+                                        desc: String)
     extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = aggRows
   override def description(): String = desc
 }
 
@@ -169,9 +170,19 @@ private[sources] object SinkAggPushdown {
 
   def compute(path: String, partCols: Seq[String], fullSchema: StructType,
               asOfVersion: Option[Long], agg: Aggregation,
-              noFilters: Boolean): Option[(StructType, InternalRow, String)] = {
-    if (!noFilters || agg.groupByExpressions.nonEmpty ||
-      agg.aggregateExpressions.isEmpty) return None
+              noFilters: Boolean)
+      : Option[(StructType, Array[InternalRow], String)] = {
+    if (!noFilters || agg.aggregateExpressions.isEmpty) return None
+    // GROUP BY is answerable when every group key is a PARTITION
+    // column (any subset, any order): the manifests carry the full
+    // tuple per file, so groups aggregate per key driver-side —
+    // `count(*) GROUP BY p` over a petabyte as a metadata read
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map { e =>
+      colOf(e) match {
+        case Some(c) if partCols.contains(c) => c
+        case _ => return None
+      }
+    }
     // every requested function must be answerable before any IO beyond
     // the (small, driver-side) manifest reads below
     val wanted: Seq[Either[Unit, (String, Boolean)]] =
@@ -197,43 +208,47 @@ private[sources] object SinkAggPushdown {
     // live membership: pinned/latest snapshot on a versioned table,
     // the listing otherwise; ACTIVE POSITION DELETES disqualify (a
     // deleted row may hold the min; counts would overstate)
-    val entries: Seq[String] =
+    val entries: Seq[(String, Seq[String])] =
       if (!fs.exists(root)) Seq.empty
       else asOfVersion match {
         case Some(v) =>
           if (SinkVersions.readDeletes(fs, path, v).nonEmpty) return None
-          SinkVersions.read(fs, path, v).map(_._1)
+          SinkVersions.read(fs, path, v)
         case None if SinkVersions.isVersioned(fs, path) =>
           SinkVersions.latest(fs, path) match {
             case None => Seq.empty
             case Some(v) =>
               if (SinkVersions.readDeletes(fs, path, v).nonEmpty) return None
-              SinkVersions.read(fs, path, v).map(_._1)
+              SinkVersions.read(fs, path, v)
           }
         case None =>
           SinkLayout.listLeaves(fs, root, partCols).flatMap {
             case (values, leaf) =>
               val rel = SinkLayout.leafRel(partCols, values)
               SinkLayout.dataFiles(fs, leaf).map(f =>
-                s"$rel/${f.getPath.getName}")
+                (s"$rel/${f.getPath.getName}", values))
           }
       }
     // per-dir stats manifests, loaded once per dir
     val statsByDir = scala.collection.mutable.Map[
       String, Map[String, SinkFileStats]]()
-    val perFile: Seq[SinkFileStats] = entries.map { rel =>
-      val slash = rel.lastIndexOf('/')
-      val (dir, name) = (rel.take(math.max(slash, 0)), rel.drop(slash + 1))
-      statsByDir.getOrElseUpdate(dir,
-        SinkStats.readDir(fs, new Path(path, rel).getParent))
-        .get(name) match {
-        case Some(st) => st
-        case None => return None // a file without stats: cannot prove
-      }
+    val perFile: Seq[(Seq[String], SinkFileStats)] = entries.map {
+      case (rel, values) =>
+        val slash = rel.lastIndexOf('/')
+        val name = rel.drop(slash + 1)
+        val dir = rel.take(math.max(slash, 0))
+        statsByDir.getOrElseUpdate(dir,
+          SinkStats.readDir(fs, new Path(path, rel).getParent))
+          .get(name) match {
+          case Some(st) => (values, st)
+          case None => return None // a file without stats: cannot prove
+        }
     }
-    val values: Seq[Any] = wanted.map {
+    val groupIdx = groupCols.map(partCols.indexOf)
+
+    def aggValues(files: Seq[SinkFileStats]): Option[Seq[Any]] = Some(wanted.map {
       case Left(()) =>
-        val counts = perFile.map(_.rows)
+        val counts = files.map(_.rows)
         if (!counts.forall(_.isDefined)) return None
         counts.flatten.sum
       case Right((c, wantMax)) =>
@@ -241,7 +256,7 @@ private[sources] object SinkAggPushdown {
         // every file must CARRY an entry for the column (Some(None) =
         // provably all-NULL contributes nothing; a MISSING entry —
         // poisoned NaN/Inf stats or a pre-stats file — is unprovable)
-        val bounds = perFile.map { st =>
+        val bounds = files.map { st =>
           st.cols.get(c) match {
             case Some(b) => b
             case None => return None
@@ -264,18 +279,36 @@ private[sources] object SinkAggPushdown {
               .sortBy(_._2)
             if (wantMax) sel.last._1 else sel.head._1
         }
-    }
-    val schema = StructType(wanted.zipWithIndex.map {
-      case (Left(()), i) => StructField(s"count_star_$i", LongType,
-        nullable = false)
-      case (Right((c, wantMax)), i) =>
-        StructField(s"${if (wantMax) "max" else "min"}_${c}_$i",
-          fullSchema(c).dataType, nullable = true)
     })
-    Some((schema,
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toIndexedSeq),
+
+    val rows: Array[InternalRow] =
+      if (groupCols.isEmpty)
+        Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          aggValues(perFile.map(_._2)).getOrElse(return None).toIndexedSeq))
+      else perFile.groupBy { case (values, _) => groupIdx.map(values) }
+        .toSeq.sortBy(_._1.mkString(" "))
+        .map { case (key, files) =>
+          val keyVals = groupCols.zip(key).map { case (c, raw) =>
+            PartitionedSinkReader.castValue(raw, fullSchema(c).dataType)
+          }
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            (keyVals ++ aggValues(files.map(_._2)).getOrElse(return None))
+              .toIndexedSeq)
+        }.toArray
+    val schema = StructType(
+      groupCols.map(c => StructField(c, fullSchema(c).dataType,
+        nullable = false)) ++
+      wanted.zipWithIndex.map {
+        case (Left(()), i) => StructField(s"count_star_$i", LongType,
+          nullable = false)
+        case (Right((c, wantMax)), i) =>
+          StructField(s"${if (wantMax) "max" else "min"}_${c}_$i",
+            fullSchema(c).dataType, nullable = true)
+      })
+    Some((schema, rows,
       s"SinkLocalAggScan($path, ${agg.aggregateExpressions.toSeq
-        .mkString(", ")})"))
+        .mkString(", ")}${if (groupCols.isEmpty) ""
+        else groupCols.mkString(" GROUP BY ", ", ", "")})"))
   }
 }
 

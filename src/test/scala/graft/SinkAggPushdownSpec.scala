@@ -94,7 +94,7 @@ class SinkAggPushdownSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_apd2.t")
   }
 
-  test("TSV tables answer too (stats are format-independent); GROUP BY declines") {
+  test("TSV tables answer too; GROUP BY partition columns answers per leaf, data columns decline") {
     import spark.implicits._
     setupCatalog("graft_apd3")
     spark.sql("""CREATE TABLE graft_apd3.t (k BIGINT, p STRING)
@@ -105,10 +105,21 @@ class SinkAggPushdownSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
     assert(isLocal(q), "stats manifests serve the TSV tier identically")
     assert(q.collect().head.toSeq === Seq(2L, 20L))
+    // GROUP BY a PARTITION column answers from the manifests too:
+    // per-leaf counts/bounds, one output row per live tuple
     val grouped = spark.table("graft_apd3.t")
-      .groupBy(col("p")).agg(count(lit(1)).as("n")).orderBy(col("p"))
-    assert(!isLocal(grouped), "grouped aggregates take the normal scan")
-    assert(grouped.collect().map(_.getLong(1)).toSeq === Seq(1L, 1L))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn")).orderBy(col("p"))
+    assert(isLocal(grouped),
+      s"partition-keyed GROUP BY must answer from manifests:\n${grouped.queryExecution}")
+    assert(grouped.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("A", 1L, 10L), ("B", 1L, 20L)))
+    // GROUP BY a DATA column cannot (per-group stats don't exist)
+    val dataGrouped = spark.table("graft_apd3.t")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(!isLocal(dataGrouped), "data-column grouping takes the normal scan")
+    assert(dataGrouped.collect().length === 2)
     spark.sql("DROP TABLE graft_apd3.t")
   }
 }
