@@ -39,12 +39,33 @@ private[sources] class PartitionedSinkScanBuilder(
     fieldIds: Map[String, Int] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var partitionFilters: Array[Filter] = Array.empty
   private var skipFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedAgg: Option[(StructType, Array[InternalRow], String)] = None
+  private var limitHint: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL by contract (Spark keeps its own limit on
+    * top, so serving extra rows is fine; serving fewer than
+    * min(limit, total) would not be): Spark only plans this pushdown
+    * when the limit sits DIRECTLY on the scan — every filter of this
+    * sink stays residual as a Filter node, so a filtered query never
+    * reaches here — and the scan uses the hint to plan a file PREFIX
+    * whose manifest-recorded row counts already cover the limit: a
+    * `LIMIT 10` over a million-file table plans one split. The hint is
+    * ignored (all files planned) whenever exactness of the trim cannot
+    * be proven: a file without a recorded count, or active
+    * merge-on-read deletes (recorded counts overstate live rows —
+    * trimming could undershoot).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    limitHint = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** METADATA-ONLY aggregates: a filterless `COUNT(*)` / `MIN(col)` /
     * `MAX(col)` answers from the publish manifests (exact per-file row
@@ -130,7 +151,7 @@ private[sources] class PartitionedSinkScanBuilder(
     case Some((schema, rows, desc)) => new SinkLocalAggScan(schema, rows, desc)
     case None =>
       new PartitionedSinkScan(path, partCols, fullSchema, required,
-        partitionFilters, skipFilters, asOfVersion, fieldIds)
+        partitionFilters, skipFilters, asOfVersion, fieldIds, limitHint)
   }
 }
 
@@ -317,7 +338,8 @@ private[sources] class PartitionedSinkScan(
     required: StructType, partitionFilters: Array[Filter],
     skipFilters: Array[Filter] = Array.empty,
     asOfVersion: Option[Long] = None,
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    limitHint: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -492,9 +514,30 @@ private[sources] class PartitionedSinkScan(
     * it, and every split with start > 0 discards its first (possibly
     * partial) line. Files at or under the threshold stay whole.
     */
+  /** LIMIT-driven file trimming: the shortest deterministic PREFIX of
+    * files whose recorded rows cover the pushed limit. Only when
+    * provable: every surviving file carries a count and no position
+    * deletes are active (they make counts overstate live rows).
+    */
+  private lazy val limitedFiles: Seq[(Seq[String], FileStatus)] =
+    limitHint match {
+      case Some(n) if activeDeleteManifests.isEmpty &&
+        prunedFilesWithStats.nonEmpty &&
+        prunedFilesWithStats.forall(_._3.isDefined) =>
+        val sorted = prunedFilesWithStats.sortBy(_._2.getPath.toString)
+        var acc = 0L
+        val taken = sorted.takeWhile { t =>
+          val need = acc < n
+          acc += t._3.get
+          need
+        }
+        taken.map(t => (t._1, t._2))
+      case _ => prunedFiles
+    }
+
   private lazy val inputSplits: Array[InputPartition] = {
     val maxSplit = SinkSplitConf.maxSplitBytes(SparkSession.active)
-    prunedFiles.flatMap { case (values, f) =>
+    limitedFiles.flatMap { case (values, f) =>
       val len = f.getLen
       val rel = s"${SinkLayout.leafRel(partCols, values)}/${f.getPath.getName}"
       if (len <= maxSplit)
@@ -511,7 +554,7 @@ private[sources] class PartitionedSinkScan(
 
   override def planInputPartitions(): Array[InputPartition] = inputSplits
 
-  private lazy val carved: Boolean = inputSplits.length > prunedFiles.size
+  private lazy val carved: Boolean = inputSplits.length > limitedFiles.size
 
   /** POST-PRUNING statistics: `pCol = v` reports only v's bytes,
     * so a query over one partition of a huge table is
@@ -565,7 +608,7 @@ private[sources] class PartitionedSinkScan(
         partCols.map(c => org.apache.spark.sql.connector.expressions
           .Expressions.identity(c)
           : org.apache.spark.sql.connector.expressions.Expression).toArray,
-        prunedFiles.map(_._1).distinct.size)
+        limitedFiles.map(_._1).distinct.size)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // the pushed data-column comparisons ride to the parquet readers

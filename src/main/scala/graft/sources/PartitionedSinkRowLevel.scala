@@ -297,12 +297,21 @@ private[sources] class SinkCowScan(
 
   /** NO row-group skipping on a group-based rewrite scan: the files it
     * plans must be read WHOLE — a skipped row group's non-matching
-    * rows would silently vanish from the rewritten file.
+    * rows would silently vanish from the rewritten file. COLUMNAR when
+    * every candidate group is parquet (decided on the STATIC set so
+    * runtime filtering — a subset — can never break Spark's
+    * all-or-nothing columnar requirement): the rewrite's read half
+    * gets the vectorized decode, ColumnarToRow feeds the ReplaceData
+    * projection, and merge-on-read positions fold via the reader's
+    * batch-grain mask.
     */
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
-      PartitionedSinkWriterFactory.sessionConf(), fieldIds)
+      PartitionedSinkWriterFactory.sessionConf(), fieldIds,
+      columnar = SinkParquetColumnar.enabledInSession() &&
+        staticPrunedFiles.nonEmpty &&
+        staticPrunedFiles.forall(_._2.getPath.getName.endsWith(".parquet")))
 }
 
 /** Row-grain change files for COW rewrites (`graft.rowChanges`):

@@ -94,6 +94,38 @@ class SinkAggPushdownSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_apd2.t")
   }
 
+  test("LIMIT pushdown plans a file prefix by recorded counts; MOR deletes disable the trim") {
+    import spark.implicits._
+    setupCatalog("graft_apd4")
+    def batch(ks: Range) = ks.map(k => (k.toLong, s"v-$k", "A"))
+      .toDF("k", "s", "p").coalesce(1)
+    batch(0 until 1000)
+      .writeTo("graft_apd4.t")
+      .tableProperty("graft.deleteMode", "mor")
+      .partitionedBy(col("p")).create()
+    batch(1000 until 2000).writeTo("graft_apd4.t").append()
+    batch(2000 until 3000).writeTo("graft_apd4.t").append()
+    def planned(f: => Unit): Long = {
+      graft.sources.SinkParquetIo.reset(); f
+      graft.sources.SinkParquetIo.planned
+    }
+    val full = planned { spark.table("graft_apd4.t").collect() }
+    val limited = planned {
+      assert(spark.table("graft_apd4.t").limit(5).collect().length === 5) }
+    assert(limited > 0 && limited <= full / 2,
+      s"LIMIT 5 must plan a one-file prefix (planned $limited of $full)")
+    // a filtered limit never reaches the pushdown (filters stay
+    // residual) — and stays correct
+    assert(spark.table("graft_apd4.t").filter(col("k") >= 2995)
+      .limit(10).collect().length === 5)
+    // MOR deletes: recorded counts overstate live rows — the trim must
+    // disable, or a limit covering the whole table would undershoot
+    spark.sql("DELETE FROM graft_apd4.t WHERE k < 950")
+    assert(spark.table("graft_apd4.t").limit(3000).collect().length === 2050,
+      "with active deletes the limit must not trim files")
+    spark.sql("DROP TABLE graft_apd4.t")
+  }
+
   test("TSV tables answer too; GROUP BY partition columns answers per leaf, data columns decline") {
     import spark.implicits._
     setupCatalog("graft_apd3")
