@@ -2481,6 +2481,52 @@ object ParityQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** §2.9-ext: DYNAMIC PARTITION PRUNING on a sink table
+    * (`SupportsRuntimeV2Filtering`): a fact partitioned on the join
+    * key, joined to a dimension whose FILTER decides which partitions
+    * matter — static pushdown can't see through the join, so the dim
+    * side runs first and delivers the surviving keys to the scan,
+    * which drops whole partitions before a fact byte is read. The
+    * 100 TB star-join shape; file-skip observability and the
+    * LIMIT-interplay opt-out are pinned in SinkDppSpec.
+    */
+  val qDsv2Dpp = Q(
+    "q_dsv2_dpp",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.dpp_orders")
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .writeTo("graft_dyn.dpp_orders")
+        .partitionedBy(col("o_orderpriority")).create()
+      // parquet-backed dim with a selective predicate (a local
+      // relation's filter would constant-fold away before the DPP
+      // rule looks for it)
+      val dim = ord(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+        .select(col("o_orderpriority").as("prio")).distinct()
+      s.table("graft_dyn.dpp_orders")
+        .join(dim, col("o_orderpriority") === col("prio"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o.o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders o
+      JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders
+            WHERE o_orderpriority IN ('1-URGENT','3-MEDIUM')) p
+        ON o.o_orderpriority = p.prio
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority"""),
+    headline = true)
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2731,5 +2777,5 @@ object ParityQueries {
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
-    qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush)
+    qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush, qDsv2Dpp)
 }

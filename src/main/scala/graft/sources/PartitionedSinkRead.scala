@@ -342,7 +342,8 @@ private[sources] class PartitionedSinkScan(
     limitHint: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -372,6 +373,61 @@ private[sources] class PartitionedSinkScan(
   @volatile private var skippedByStats = 0L
   @volatile private var skippedByBloom = 0L
   @volatile private var filesScanned = 0L
+  @volatile private var skippedByRuntime = 0L
+
+  /** RUNTIME partition pruning (DPP through
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]):
+    * when a join's key is one of this scan's PARTITION columns,
+    * Catalyst plans a DynamicPruning subquery on the other side (the
+    * classic star shape — a filtered dim, usually an already-built
+    * broadcast, decides which fact partitions matter at all) and
+    * delivers the surviving keys here as an `IN` predicate between
+    * physical planning and execution. At warehouse scale this is the
+    * difference between scanning a 100 TB fact table's every
+    * partition and scanning the three the dim filter actually joins.
+    *
+    * The keys land as a per-column allow-set of RENDERED partition
+    * values (the writer's own string rendering, so comparison is
+    * exact), applied in [[planInputPartitions]] ON TOP of the cached
+    * static plan — planning may have forced the lazy pruning walk
+    * long before the runtime filter arrives, and re-walking would
+    * race the snapshot. Runtime pruning only ever DROPS splits, so
+    * every static guarantee (manifest snapshot, delete manifests,
+    * key-grouped output — Spark backfills empty groups for dropped
+    * keys) still holds. Unknown predicate shapes are IGNORED: scan
+    * more than strictly needed, never less.
+    */
+  @volatile private var runtimeTupleKeep
+      : Option[Map[String, Set[String]]] = None
+
+  /** A LIMIT-trimmed scan must not runtime-filter: the trimmed file
+    * prefix covers the limit by ROW COUNT, and dropping any of its
+    * files afterwards could undershoot the limit. Declaring no filter
+    * attributes keeps Catalyst from planning the subquery at all.
+    *
+    * Only partition columns SURVIVING column pruning are declared:
+    * Spark's PartitionPruning rule resolves the declared attributes
+    * against the scan relation's (pruned) output and THROWS on a miss
+    * — e.g. the matching-files subquery a MERGE plans projects just
+    * (join key, `_file`), and declaring a projected-away partition
+    * column there kills the whole statement at analysis.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (limitHint.isDefined) Array.empty
+    else partCols.filter(required.fieldNames.contains)
+      .map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.column(c)).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val parsed = predicates.toSeq
+      .flatMap(SinkRuntimePrune.parse(partCols.toSet, _))
+    if (parsed.nonEmpty)
+      runtimeTupleKeep = Some(parsed.groupBy(_._1)
+        .map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) })
+  }
   /** Active position-delete manifests (absolute paths) of the snapshot
     * being read — every split anti-filters its rows through them.
     * Filled by the pruning walk (versioned tables only).
@@ -386,9 +442,11 @@ private[sources] class PartitionedSinkScan(
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     prunedFilesWithStats // force the pruning if nothing else has
     SinkScanMetrics.report(
-      "filesScanned" -> filesScanned,
+      // post-runtime-filter view: what actually scanned
+      "filesScanned" -> (filesScanned - skippedByRuntime),
       "filesSkippedStats" -> skippedByStats,
-      "filesSkippedBloom" -> skippedByBloom)
+      "filesSkippedBloom" -> skippedByBloom,
+      "filesSkippedRuntime" -> skippedByRuntime)
   }
 
   /** (tuple, file, recorded rows) for every partition SURVIVING the
@@ -552,7 +610,21 @@ private[sources] class PartitionedSinkScan(
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = inputSplits
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeTupleKeep match {
+      case None => inputSplits
+      case Some(keep) =>
+        val kept = inputSplits.filter { p =>
+          val s = p.asInstanceOf[SinkFileSplit]
+          partCols.zip(s.partValues).forall { case (c, v) =>
+            keep.get(c).forall(_.contains(v)) }
+        }
+        // count FILES, not splits (giant files may be byte-carved)
+        def files(a: Array[InputPartition]) =
+          a.map(_.asInstanceOf[SinkFileSplit].file).distinct.length
+        skippedByRuntime = (files(inputSplits) - files(kept)).toLong
+        kept
+    }
 
   private lazy val carved: Boolean = inputSplits.length > limitedFiles.size
 
@@ -644,7 +716,7 @@ private[sources] class PartitionedSinkScan(
 private[sources] object SinkScanMetrics {
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new FilesScannedMetric, new FilesSkippedStatsMetric,
-      new FilesSkippedBloomMetric)
+      new FilesSkippedBloomMetric, new FilesSkippedRuntimeMetric)
 
   def report(values: (String, Long)*)
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -674,6 +746,64 @@ private[sources] final class FilesSkippedStatsMetric
     extends SinkSumMetric("filesSkippedStats", "files skipped by min/max stats")
 private[sources] final class FilesSkippedBloomMetric
     extends SinkSumMetric("filesSkippedBloom", "files skipped by bloom filters")
+private[sources] final class FilesSkippedRuntimeMetric
+    extends SinkSumMetric("filesSkippedRuntime",
+      "files skipped by runtime (dynamic) partition pruning")
+
+/** Parses the runtime predicates Catalyst delivers through
+  * SupportsRuntimeV2Filtering — `IN`/`=` over a partition column with
+  * literal values — into a per-column allow-set of RENDERED partition
+  * values. Rendering mirrors the writer's `rawStr` exactly (strings
+  * raw, numerics/booleans via toString — the strings the layout and
+  * the version manifests store), so membership compares byte-equal.
+  * NULL literals drop out of the set (the writer rejects NULL
+  * partition values, so no stored tuple can match one); any other
+  * unparseable shape makes the whole predicate parse to None, which
+  * the caller treats as "keep everything" — sound, never wrong.
+  */
+private[sources] object SinkRuntimePrune {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def render(v: Any): Option[Option[String]] = v match {
+    case null => Some(None)
+    case u: UTF8String => Some(Some(u.toString))
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+         _: java.lang.Boolean => Some(Some(v.toString))
+    case _ => None
+  }
+
+  private def lit(e: V2Expr): Option[Option[String]] = e match {
+    case l: V2Literal[_] => render(l.value)
+    case _ => None
+  }
+
+  private def ref(cols: Set[String], e: V2Expr): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+      cols.contains(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  def parse(cols: Set[String], p: Predicate)
+      : Option[(String, Set[String])] = p.name() match {
+    case "IN" if p.children().nonEmpty =>
+      ref(cols, p.children()(0)).flatMap { c =>
+        val vals = p.children().drop(1).toSeq.map(lit)
+        if (vals.forall(_.isDefined)) Some(c -> vals.flatten.flatten.toSet)
+        else None
+      }
+    case "=" if p.children().length == 2 =>
+      (ref(cols, p.children()(0)), ref(cols, p.children()(1))) match {
+        case (Some(c), None) =>
+          lit(p.children()(1)).map(v => c -> v.toSet)
+        case (None, Some(c)) =>
+          lit(p.children()(0)).map(v => c -> v.toSet)
+        case _ => None
+      }
+    case _ => None
+  }
+}
 
 /** Split-size knob shared by the batch scan and the streaming tail. */
 private object SinkSplitConf {
