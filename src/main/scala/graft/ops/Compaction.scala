@@ -68,10 +68,21 @@ object Compaction {
     * Only partitions with more than `maxFilesPerPartition` data files
     * are rewritten. Returns (partitionValue → filesBefore) for the
     * compacted set; empty when nothing was fragmented.
+    *
+    * `recluster = true` rewrites EVERY partition regardless of file
+    * count — the pass that applies a newly-set `graft.sortOrder` to
+    * existing data (interleaved historical files come out as disjoint
+    * sort-column ranges the min/max manifests can skip on). With a
+    * sort order in effect the rewrite also skips the explicit
+    * tuple-repartition: the write's own required (ordered)
+    * distribution range-clusters on (tuple, sort columns), and a hash
+    * exchange in front of it would just be a second, wasted shuffle.
     */
   def compactSinkTable(spark: SparkSession, catalog: String, table: String,
-                       maxFilesPerPartition: Int = 1): Map[Seq[String], Int] = {
+                       maxFilesPerPartition: Int = 1,
+                       recluster: Boolean = false): Map[Seq[String], Int] = {
     import org.apache.spark.sql.functions.{col, lit}
+    import scala.jdk.CollectionConverters._
     val catalogPlugin = spark.sessionState.catalogManager.catalog(catalog)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier
@@ -96,7 +107,8 @@ object Compaction {
         .map { case (values, leaf) =>
           values -> graft.sources.SinkLayout.dataFiles(fs, leaf).size
         })
-      .filter(_._2 > maxFilesPerPartition).toMap
+      .filter { case (_, n) => recluster || n > maxFilesPerPartition }
+      .toMap
     if (fragmented.nonEmpty) {
       // predicate = OR over the fragmented tuples of per-column ANDs —
       // dimension-sized (one term per fragmented partition), never a
@@ -123,10 +135,14 @@ object Compaction {
             graft.sources.SinkVersions.readDeletes(fs, dirStr, v).toSet,
             readRels)
         }
+      val sorted = t.properties().asScala
+        .get(graft.sources.SinkFormat.PropSortOrder).exists(_.nonEmpty)
       graft.sources.SinkGuard.armed(snap) {
-        spark.table(s"$catalog.$table")
-          .filter(cond)
-          .repartition(partCols.map(col): _*) // one tuple's rows per task
+        val base = spark.table(s"$catalog.$table").filter(cond)
+        // with a sort order the WRITE range-clusters on (tuple, sort
+        // cols) itself; a hash exchange here would be a second shuffle
+        (if (sorted) base
+         else base.repartition(partCols.map(col): _*)) // one tuple per task
           .writeTo(s"$catalog.$table").overwritePartitions()
       }
     }

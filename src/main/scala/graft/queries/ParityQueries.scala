@@ -2527,6 +2527,52 @@ object ParityQueries {
       ORDER BY o.o_orderpriority"""),
     headline = true)
 
+  /** §2.9-ext: SORT-ORDER CLUSTERING (`graft.sortOrder` +
+    * `compact(recluster => true)`): three interleaved appends leave
+    * every file spanning the whole key domain (min/max skipping
+    * useless); the recluster pass range-redistributes on (partition,
+    * key) so files carve disjoint key ranges and the subsequent range
+    * scan opens a fraction of the table. Partitioning burns one
+    * low-cardinality column — clustering is what makes every OTHER
+    * selective predicate cheap at 100 TB. Disjointness and file-skip
+    * pins live in SinkClusterSpec.
+    */
+  val qDsv2Cluster = Q(
+    "q_dsv2_cluster",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.clus_orders")
+      def residue(r: Int) = ord(s, d)
+        .filter(pmod(col("o_orderkey"), lit(3)) === r)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      residue(0)
+        .writeTo("graft_dyn.clus_orders")
+        .tableProperty("graft.format", "parquet")
+        .tableProperty("graft.sortOrder", "o_orderkey")
+        .partitionedBy(col("o_orderpriority")).create()
+      residue(1).writeTo("graft_dyn.clus_orders").append()
+      residue(2).writeTo("graft_dyn.clus_orders").append()
+      s.sql("CALL graft_dyn.compact(table => 'clus_orders', recluster => true)")
+      s.table("graft_dyn.clus_orders")
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    headline = true)
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2777,5 +2823,6 @@ object ParityQueries {
     qDsv2Dynamic, qDsv2CatalogRead, qDsv2Compact, qDsv2Skip, qDsv2TimeTravel,
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
-    qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush, qDsv2Dpp)
+    qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush, qDsv2Dpp,
+    qDsv2Cluster)
 }

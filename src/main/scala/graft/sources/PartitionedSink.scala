@@ -516,7 +516,38 @@ private class PartitionedSinkWriteBuilder(path: String, partCols: Seq[String],
       case Some(other) => throw new IllegalArgumentException(
         s"graft.writeDistribution must be 'hash' or 'none', got '$other'")
     }
-    if (clustered) new Write with RequiresDistributionAndOrdering {
+    // SORT-ORDER CLUSTERING (`graft.sortOrder`): range-distribute on
+    // (partition tuple, sort columns) and sort within tasks — files in
+    // a partition then carve the sort domain into DISJOINT ranges, so
+    // the stats manifests' min/max skip files on a non-partition
+    // column and parquet row groups carry tight bounds. Subsumes the
+    // 'hash' mode when both are set (an ordered distribution is
+    // clustered on its prefix).
+    val sortCols = SinkFormat.sortOrder(props, partCols, info.schema())
+    if (sortCols.nonEmpty) new Write with RequiresDistributionAndOrdering {
+      private def orders
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        (partCols ++ sortCols).map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+          : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(orders)
+      override def distributionStrictlyRequired(): Boolean = false
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        orders
+      override def toBatch: BatchWrite =
+        new PartitionedSinkBatchWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+      override def toStreaming:
+          org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new PartitionedSinkStreamingWrite(path, partCols, info.schema(),
+          info.queryId(), mode, versioned, props)
+    } else if (clustered) new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions

@@ -64,6 +64,16 @@ private[graft] object SinkFormat {
     * file-grain manifest diff.
     */
   final val PropRowChanges = "graft.rowChanges"
+  /** Comma-separated DATA columns to cluster writes on (Iceberg's
+    * write sort-order shape): every batch write range-distributes on
+    * (partition tuple, sort columns) and sorts within tasks, so files
+    * within a partition carve the sort columns' domain into DISJOINT
+    * ranges — min/max file skipping starts working on a non-partition
+    * column, and parquet row groups inside each file get tight
+    * bounds. `Compaction.compactSinkTable(recluster = true)` applies
+    * a newly-set order to existing data.
+    */
+  final val PropSortOrder = "graft.sortOrder"
   final val Tsv = "tsv"
   final val Parquet = "parquet"
 
@@ -77,6 +87,26 @@ private[graft] object SinkFormat {
 
   def rowChanges(props: Map[String, String]): Boolean =
     props.get(PropRowChanges).exists(_.toBoolean)
+
+  /** Parsed + validated sort order: data columns only (a partition
+    * column is constant within its leaf — "sorting" on it is a
+    * misconfiguration worth failing loudly on).
+    */
+  def sortOrder(props: Map[String, String], partCols: Seq[String],
+                schema: org.apache.spark.sql.types.StructType)
+      : Seq[String] =
+    props.get(PropSortOrder).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map { c =>
+        require(schema.fieldNames.contains(c),
+          s"$PropSortOrder column '$c' is not in the table schema " +
+            s"[${schema.fieldNames.mkString(", ")}]")
+        require(!partCols.contains(c),
+          s"$PropSortOrder column '$c' is a partition column — " +
+            "partition values are constant within a leaf; cluster on " +
+            "data columns")
+        c
+      }
 
   def fromProps(props: Map[String, String]): String =
     props.getOrElse(PropFormat, Tsv) match {

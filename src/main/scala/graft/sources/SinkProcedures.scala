@@ -54,11 +54,13 @@ private[graft] object SinkProcedures {
           Array(InternalRow(removed.size))
         })
       case "compact" => unbound(proc,
-        Seq(required("table"), optionalInt("max_files_per_partition", 1)),
+        Seq(required("table"), optionalInt("max_files_per_partition", 1),
+          optionalBool("recluster", false)),
         StructType(Seq(StructField("partitions_compacted", IntegerType))),
         (spark, args) => {
           val byPart = graft.ops.Compaction.compactSinkTable(spark,
-            catalogName, argString(args, 0), argInt(args, 1, 1))
+            catalogName, argString(args, 0), argInt(args, 1, 1),
+            recluster = argBool(args, 2, dflt = false))
           Array(InternalRow(byPart.size))
         })
       case "compact_stats" => unbound(proc,
@@ -81,6 +83,9 @@ private[graft] object SinkProcedures {
   private def optionalLong(name: String, dflt: Long): ProcedureParameter =
     ProcedureParameter.in(name, LongType)
       .defaultValue(dflt.toString).build()
+  private def optionalBool(name: String, dflt: Boolean): ProcedureParameter =
+    ProcedureParameter.in(name, BooleanType)
+      .defaultValue(dflt.toString).build()
 
   private def argString(args: InternalRow, i: Int): String = {
     require(!args.isNullAt(i), s"procedure argument $i must not be NULL")
@@ -90,6 +95,8 @@ private[graft] object SinkProcedures {
     if (args.numFields <= i || args.isNullAt(i)) dflt else args.getInt(i)
   private def argLong(args: InternalRow, i: Int, dflt: Long): Long =
     if (args.numFields <= i || args.isNullAt(i)) dflt else args.getLong(i)
+  private def argBool(args: InternalRow, i: Int, dflt: Boolean): Boolean =
+    if (args.numFields <= i || args.isNullAt(i)) dflt else args.getBoolean(i)
 
   private def unbound(procName: String, params: Seq[ProcedureParameter],
                       outSchema: StructType,
