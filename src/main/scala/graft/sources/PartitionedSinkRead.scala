@@ -400,39 +400,73 @@ private[sources] class PartitionedSinkScan(
   @volatile private var runtimeTupleKeep
       : Option[Map[String, Set[String]]] = None
 
+  /** Runtime DATA-column predicates, kept as v1 `In` filters for
+    * [[SinkFileSkip.mayMatch]] against the per-file min/max retained
+    * from the pruning walk — a join keyed on a CLUSTERED (or
+    * naturally ordered) column then skips whole files at runtime,
+    * the same way DPP skips whole partitions. Bounded: an IN-set
+    * beyond [[SinkRuntimePrune.MaxSkipValues]] is ignored (the
+    * per-file probe is values × files driver work, and a join wide
+    * enough to carry 10k+ distinct keys rarely skips anything).
+    */
+  @volatile private var runtimeSkipFilters: Seq[Filter] = Seq.empty
+
   /** A LIMIT-trimmed scan must not runtime-filter: the trimmed file
     * prefix covers the limit by ROW COUNT, and dropping any of its
     * files afterwards could undershoot the limit. Declaring no filter
     * attributes keeps Catalyst from planning the subquery at all.
     *
-    * Only partition columns SURVIVING column pruning are declared:
-    * Spark's PartitionPruning rule resolves the declared attributes
-    * against the scan relation's (pruned) output and THROWS on a miss
-    * — e.g. the matching-files subquery a MERGE plans projects just
+    * Only columns SURVIVING column pruning are declared: Spark's
+    * PartitionPruning rule resolves the declared attributes against
+    * the scan relation's (pruned) output and THROWS on a miss — e.g.
+    * the matching-files subquery a MERGE plans projects just
     * (join key, `_file`), and declaring a projected-away partition
-    * column there kills the whole statement at analysis.
+    * column there kills the whole statement at analysis. Declared:
+    * the partition columns (whole-partition pruning) plus every
+    * atomic non-binary data column (file-grain min/max pruning;
+    * binary columns carry no stats by design, and the metadata
+    * `_file`/`_pos` never describe row content).
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (limitHint.isDefined) Array.empty
-    else partCols.filter(required.fieldNames.contains)
-      .map(c => org.apache.spark.sql.connector.expressions
-        .Expressions.column(c)).toArray
+    else required.fields
+      .filter(f => partCols.contains(f.name) ||
+        (SinkRuntimePrune.statsEligible(f.dataType) &&
+          f.name != SinkMeta.FileCol && f.name != SinkMeta.PosCol))
+      .map(f => org.apache.spark.sql.connector.expressions
+        .Expressions.column(f.name)).toArray
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions
         .filter.Predicate]): Unit = {
+    val declared = filterAttributes().map(_.fieldNames()(0)).toSet
     val parsed = predicates.toSeq
-      .flatMap(SinkRuntimePrune.parse(partCols.toSet, _))
-    if (parsed.nonEmpty)
-      runtimeTupleKeep = Some(parsed.groupBy(_._1)
-        .map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) })
+      .flatMap(SinkRuntimePrune.parse(declared, _))
+    val (onPart, onData) = parsed.partition(p => partCols.contains(p._1))
+    if (onPart.nonEmpty)
+      runtimeTupleKeep = Some(onPart.groupBy(_._1)
+        .map { case (c, vs) =>
+          c -> vs.map(_._2.map(_.toString).toSet).reduce(_ intersect _) })
+    runtimeSkipFilters = onData.collect {
+      case (c, vs) if vs.nonEmpty &&
+        vs.length <= SinkRuntimePrune.MaxSkipValues =>
+        In(c, vs.toArray): Filter
+    }
   }
   /** Active position-delete manifests (absolute paths) of the snapshot
     * being read — every split anti-filters its rows through them.
     * Filled by the pruning walk (versioned tables only).
     */
   @volatile protected var activeDeleteManifests: Seq[String] = Seq.empty
+
+  /** Surviving files' recorded column bounds (abs path → col →
+    * min/max), retained from the pruning walk for runtime file
+    * skipping. Files without a stats entry are absent — and always
+    * kept.
+    */
+  @volatile private var fileStatsForRuntime
+      : Map[String, Map[String, Option[(String, String)]]] = Map.empty
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -526,6 +560,8 @@ private[sources] class PartitionedSinkScan(
       // without stats are always kept) and for the exact ROW COUNTS
       // estimateStatistics reports. Loaded once per dir per scan.
       val wantBloom = SinkFileSkip.wantsBloom(skipFilters)
+      val statsAcc = Map.newBuilder[String,
+        Map[String, Option[(String, String)]]]
       val out = candidates.groupBy(_._2.getPath.getParent).toSeq
         .flatMap { case (dir, inDir) =>
           val stats = SinkStats.readDir(fs, dir)
@@ -543,10 +579,16 @@ private[sources] class PartitionedSinkScan(
                 skipFilters.forall(SinkFileSkip.mayMatchBloom(_, bm)))
             if (!keepStats) skippedByStats += 1
             else if (!keepBloom) skippedByBloom += 1
-            if (keepStats && keepBloom)
-              Some((values, f, st.flatMap(_.rows))) else None
+            if (keepStats && keepBloom) {
+              // retain surviving files' column bounds for RUNTIME
+              // file skipping (join-key IN-sets arriving after static
+              // planning probe these without re-reading a manifest)
+              st.foreach(s => statsAcc += f.getPath.toString -> s.cols)
+              Some((values, f, st.flatMap(_.rows)))
+            } else None
           }
         }
+      fileStatsForRuntime = statsAcc.result()
       filesScanned = out.size
       out
     }
@@ -611,19 +653,22 @@ private[sources] class PartitionedSinkScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeTupleKeep match {
-      case None => inputSplits
-      case Some(keep) =>
-        val kept = inputSplits.filter { p =>
-          val s = p.asInstanceOf[SinkFileSplit]
+    if (runtimeTupleKeep.isEmpty && runtimeSkipFilters.isEmpty) inputSplits
+    else {
+      val kept = inputSplits.filter { p =>
+        val s = p.asInstanceOf[SinkFileSplit]
+        val tupleOk = runtimeTupleKeep.forall(keep =>
           partCols.zip(s.partValues).forall { case (c, v) =>
-            keep.get(c).forall(_.contains(v)) }
-        }
-        // count FILES, not splits (giant files may be byte-carved)
-        def files(a: Array[InputPartition]) =
-          a.map(_.asInstanceOf[SinkFileSplit].file).distinct.length
-        skippedByRuntime = (files(inputSplits) - files(kept)).toLong
-        kept
+            keep.get(c).forall(_.contains(v)) })
+        // stats-less files always pass (mayMatch's own contract)
+        tupleOk && fileStatsForRuntime.get(s.file).forall(st =>
+          runtimeSkipFilters.forall(SinkFileSkip.mayMatch(_, st)))
+      }
+      // count FILES, not splits (giant files may be byte-carved)
+      def files(a: Array[InputPartition]) =
+        a.map(_.asInstanceOf[SinkFileSplit].file).distinct.length
+      skippedByRuntime = (files(inputSplits) - files(kept)).toLong
+      kept
     }
 
   private lazy val carved: Boolean = inputSplits.length > limitedFiles.size
@@ -751,31 +796,49 @@ private[sources] final class FilesSkippedRuntimeMetric
       "files skipped by runtime (dynamic) partition pruning")
 
 /** Parses the runtime predicates Catalyst delivers through
-  * SupportsRuntimeV2Filtering — `IN`/`=` over a partition column with
-  * literal values — into a per-column allow-set of RENDERED partition
-  * values. Rendering mirrors the writer's `rawStr` exactly (strings
-  * raw, numerics/booleans via toString — the strings the layout and
-  * the version manifests store), so membership compares byte-equal.
-  * NULL literals drop out of the set (the writer rejects NULL
-  * partition values, so no stored tuple can match one); any other
-  * unparseable shape makes the whole predicate parse to None, which
-  * the caller treats as "keep everything" — sound, never wrong.
+  * SupportsRuntimeV2Filtering — `IN`/`=` over a declared column with
+  * literal values — into (column, EXTERNAL values). External means
+  * the v1-Filter value space (String not UTF8String, boxed numerics),
+  * so the result feeds both consumers directly: partition-tuple
+  * membership renders each value via `toString`, which mirrors the
+  * writer's `rawStr` rendering exactly (strings raw, numerics and
+  * booleans via toString — the strings the layout and manifests
+  * store), and data-column file skipping wraps the values as a
+  * v1 `In` for [[SinkFileSkip.mayMatch]]. NULL literals drop out of
+  * the set (the writer rejects NULL partition values, and a stats
+  * comparison with NULL never matches); any other unparseable shape
+  * makes the whole predicate parse to None, which the caller treats
+  * as "keep everything" — sound, never wrong.
   */
 private[sources] object SinkRuntimePrune {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  private def render(v: Any): Option[Option[String]] = v match {
+  /** IN-sets larger than this skip nothing (values × files of driver
+    * probing for a join already too wide to prune much).
+    */
+  final val MaxSkipValues = 1000
+
+  /** Types the stats manifests record bounds for — the data columns
+    * worth declaring as runtime-filterable.
+    */
+  def statsEligible(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | FloatType |
+         BooleanType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def external(v: Any): Option[Option[Any]] = v match {
     case null => Some(None)
     case u: UTF8String => Some(Some(u.toString))
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
          _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
-         _: java.lang.Boolean => Some(Some(v.toString))
+         _: java.lang.Boolean => Some(Some(v))
     case _ => None
   }
 
-  private def lit(e: V2Expr): Option[Option[String]] = e match {
-    case l: V2Literal[_] => render(l.value)
+  private def lit(e: V2Expr): Option[Option[Any]] = e match {
+    case l: V2Literal[_] => external(l.value)
     case _ => None
   }
 
@@ -786,19 +849,19 @@ private[sources] object SinkRuntimePrune {
   }
 
   def parse(cols: Set[String], p: Predicate)
-      : Option[(String, Set[String])] = p.name() match {
+      : Option[(String, Seq[Any])] = p.name() match {
     case "IN" if p.children().nonEmpty =>
       ref(cols, p.children()(0)).flatMap { c =>
         val vals = p.children().drop(1).toSeq.map(lit)
-        if (vals.forall(_.isDefined)) Some(c -> vals.flatten.flatten.toSet)
+        if (vals.forall(_.isDefined)) Some(c -> vals.flatten.flatten)
         else None
       }
     case "=" if p.children().length == 2 =>
       (ref(cols, p.children()(0)), ref(cols, p.children()(1))) match {
         case (Some(c), None) =>
-          lit(p.children()(1)).map(v => c -> v.toSet)
+          lit(p.children()(1)).map(v => c -> v.toSeq)
         case (None, Some(c)) =>
-          lit(p.children()(0)).map(v => c -> v.toSet)
+          lit(p.children()(0)).map(v => c -> v.toSeq)
         case _ => None
       }
     case _ => None

@@ -139,6 +139,53 @@ class SinkDppSpec extends SparkSpec {
     assert(rows(0).getLong(1) === expected)
   }
 
+  test("a join keyed on a DATA column runtime-skips files via min/max stats") {
+    // three appends with DISJOINT k ranges (the layout clustering
+    // produces); a dim filtered to a handful of keys in the first
+    // range must drop the other two files at runtime — file-grain
+    // pruning where partition-grain DPP can't see anything
+    freshCatalog("dpp7")
+    import spark.implicits._
+    def band(lo: Int) = (lo until lo + 100)
+      .map(k => (k.toLong, s"p${k % 2}")).toDF("k", "prio").coalesce(1)
+    band(0).writeTo("dpp7.fact").partitionedBy(col("prio")).create()
+    band(100).writeTo("dpp7.fact").append()
+    band(200).writeTo("dpp7.fact").append()
+    val dimDir = tmpDir("dpp7_dim")
+    (0 until 300).map(k => (k.toLong, if (k < 40 && k % 10 == 3) "keep" else "drop"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val q = spark.table("dpp7.fact")
+      .join(dim, col("k") === col("dk"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+    val row = q.collect()(0)
+    assert(row.getLong(0) === 4L) // k = 3, 13, 23, 33
+    assert(row.getLong(1) === 72L)
+    val scan = sinkScans(q).head
+    // bands 100-199 and 200-299 provably exclude every key — each
+    // band is one file per partition value (2 values × 2 bands)
+    assert(scan.metrics("filesSkippedRuntime").value === 4L,
+      "both non-matching k bands must be runtime-skipped")
+  }
+
+  test("oversized runtime IN-sets skip nothing, results stay exact") {
+    freshCatalog("dpp8")
+    import spark.implicits._
+    (0 until 100).map(k => (k.toLong, "A")).toDF("k", "prio").coalesce(1)
+      .writeTo("dpp8.fact").partitionedBy(col("prio")).create()
+    val dimDir = tmpDir("dpp8_dim")
+    // 1500 distinct keys > MaxSkipValues — the probe is declined
+    (0 until 1500).map(k => (k.toLong, "keep")).toDF("dk", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val q = spark.table("dpp8.fact").join(dim, col("k") === col("dk"))
+      .agg(count(lit(1)).as("n"))
+    assert(q.collect()(0).getLong(0) === 100L)
+    sinkScans(q).foreach { scan =>
+      assert(scan.metrics("filesSkippedRuntime").value === 0L)
+    }
+  }
+
   test("filter attributes follow column pruning — MERGE's matching-files subquery stays plannable") {
     // Spark's PartitionPruning rule resolves declared filter
     // attributes against the scan's PRUNED output and throws on a
@@ -161,8 +208,9 @@ class SinkDppSpec extends SparkSpec {
     val pruned = spark.table("dpp6.t").select(col("k"))
     assert(sinkScans(pruned).head.scan
       .asInstanceOf[SupportsRuntimeV2Filtering]
-      .filterAttributes().isEmpty,
-      "a projection without the partition column must declare no filter attributes")
+      .filterAttributes().map(_.fieldNames()(0)).toSeq === Seq("k"),
+      "a projection without the partition column declares only the " +
+        "surviving data column, never the projected-away partition column")
   }
 
   test("LIMIT-trimmed scans opt out of runtime filtering") {
@@ -171,9 +219,11 @@ class SinkDppSpec extends SparkSpec {
     import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     def scanOf(df: DataFrame) = sinkScans(df).head.scan
       .asInstanceOf[SupportsRuntimeV2Filtering]
-    // plain scan: every partition column is runtime-filterable
+    // plain scan: partition AND stats-eligible data columns are
+    // runtime-filterable
     assert(scanOf(spark.table("dpp5.fact"))
-      .filterAttributes().map(_.fieldNames()(0)).toSeq === Seq("prio"))
+      .filterAttributes().map(_.fieldNames()(0)).toSet ===
+      Set("k", "v", "prio"))
     // pushed LIMIT: no filter attributes — DPP never planned on it
     val limited = spark.table("dpp5.fact").limit(3)
     assert(limited.queryExecution.optimizedPlan.toString
