@@ -2573,6 +2573,50 @@ object ParityQueries {
       ORDER BY o_orderpriority"""),
     headline = true)
 
+  /** §2.9-ext: NESTED column types (struct / array / array-of-struct)
+    * on a parquet sink table — typed payload records and list columns
+    * (the embedding/token shapes) living inside the versioned table
+    * format: write nested values derived from orders, read them back
+    * through the sink's own record-assembly readers, aggregate over
+    * nested FIELD ACCESS and array elements. Roundtrip/null/evolution
+    * pins live in SinkNestedSpec.
+    */
+  val qDsv2Nested = Q(
+    "q_dsv2_nested",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.nest_orders")
+      ord(s, d)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("price")).as("info"),
+          array(pmod(col("o_orderkey"), lit(7)),
+            pmod(col("o_orderkey"), lit(11))).as("res"),
+          col("o_orderpriority"))
+        .writeTo("graft_dyn.nest_orders")
+        .tableProperty("graft.format", "parquet")
+        .partitionedBy(col("o_orderpriority")).create()
+      s.table("graft_dyn.nest_orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("info.price")))).as("sum_price"),
+          sum(element_at(col("res"), 1) + element_at(col("res"), 2))
+            .as("sum_res"),
+          count(when(col("info.st") === "F", lit(1))).as("n_f"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(sum(o_orderkey % 7 + o_orderkey % 11) AS BIGINT) AS sum_res,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2824,5 +2868,5 @@ object ParityQueries {
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
     qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush, qDsv2Dpp,
-    qDsv2Cluster)
+    qDsv2Cluster, qDsv2Nested)
 }

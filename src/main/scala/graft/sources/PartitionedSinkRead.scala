@@ -740,6 +740,7 @@ private[sources] class PartitionedSinkScan(
       PartitionedSinkWriterFactory.sessionConf(), fieldIds,
       skipFilters.toSeq,
       columnar = SinkParquetColumnar.enabledInSession() &&
+        SinkParquetColumnar.schemaEligible(required) &&
         inputSplits.nonEmpty && SinkParquetColumnar.splitsEligible(
           inputSplits.toSeq.map(_.asInstanceOf[SinkFileSplit])))
 

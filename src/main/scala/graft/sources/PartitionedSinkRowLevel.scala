@@ -310,6 +310,7 @@ private[sources] class SinkCowScan(
     new PartitionedSinkReaderFactory(fullSchema, required, partCols,
       PartitionedSinkWriterFactory.sessionConf(), fieldIds,
       columnar = SinkParquetColumnar.enabledInSession() &&
+        SinkParquetColumnar.schemaEligible(required) &&
         staticPrunedFiles.nonEmpty &&
         staticPrunedFiles.forall(_._2.getPath.getName.endsWith(".parquet")))
 }

@@ -14,6 +14,8 @@ import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveCo
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,13 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why hand-rolled read/write support instead of Spark's internal
   * ParquetWriteSupport/VectorizedParquetRecordReader: the sink's type
-  * surface is deliberately ATOMIC-ONLY (string/boolean/int/long/
-  * float/double/short/byte — PartitionedSinkWriter.fieldStr's
-  * contract), which the public parquet-mr API covers in a few dozen
-  * lines with no dependency on Spark internals that move between
-  * releases; and owning the materializer is what makes FIELD-ID
-  * column resolution (rename/drop evolution) and row-index tracking
-  * (merge-on-read positions) possible.
+  * surface is deliberately small — the atomic set (string/boolean/
+  * int/long/float/double/short/byte), opaque BINARY, and NESTED
+  * struct/array compositions of those (parquet's standard group and
+  * 3-level LIST shapes; the TSV tier stays atomic-only —
+  * PartitionedSinkWriter.fieldStr's contract) — which the public
+  * parquet-mr API covers compactly with no dependency on Spark
+  * internals that move between releases; and owning the materializer
+  * is what makes FIELD-ID column resolution (rename/drop evolution)
+  * and row-index tracking (merge-on-read positions) possible.
   *
   * What this buys at 100 TB vs the TSV tier: a narrow projection
   * reads only its columns' chunks (I/O pruning, not just decode
@@ -135,10 +139,12 @@ private[graft] object SinkFormat {
       case _ => false
     }
 
-  /** Create/evolve-time type gate: BINARY data columns are
-    * parquet-only (the TSV text encoding has no lossless binary
-    * rendering) and never partition columns (their rendered values
-    * name directories). Loud at DDL time, not first-row write time.
+  /** Create/evolve-time type gate: BINARY and NESTED (struct / array
+    * / map) data columns are parquet-only (the TSV text encoding is
+    * flat positional text) and never partition columns (partition
+    * values name directories). Loud at DDL time, not first-row write
+    * time. Nested element types recurse — a struct of decimals is as
+    * unsupported as a top-level decimal.
     */
   def validateColumnType(format: String, name: String,
                          dt: org.apache.spark.sql.types.DataType,
@@ -151,6 +157,30 @@ private[graft] object SinkFormat {
         s"BINARY column $name needs a parquet-format table " +
           "(the TSV layout is positional text with no lossless binary " +
           "rendering)")
+    case _: StructType | _: ArrayType =>
+      require(!isPartition,
+        s"partition column $name cannot be nested (its rendered values " +
+          "name the directory layout)")
+      require(format == Parquet,
+        s"nested column $name needs a parquet-format table " +
+          "(the TSV layout is flat positional text)")
+      def walk(n: String, t: org.apache.spark.sql.types.DataType): Unit =
+        t match {
+          case s: StructType =>
+            s.fields.foreach(f => walk(s"$n.${f.name}", f.dataType))
+          case a: ArrayType => walk(s"$n.element", a.elementType)
+          case StringType | LongType | IntegerType | DoubleType |
+               FloatType | BooleanType | ShortType | ByteType |
+               BinaryType => ()
+          case other => throw new IllegalArgumentException(
+            s"nested field $n has unsupported type $other (atomic " +
+              "types, binary, struct and array only)")
+        }
+      walk(name, dt)
+    case m: MapType => throw new IllegalArgumentException(
+      s"column $name: MAP columns are not supported — model the " +
+        s"${m.keyType.simpleString}→${m.valueType.simpleString} pairs " +
+        "as array<struct<key,value>>")
     case _ => ()
   }
 
@@ -198,28 +228,46 @@ private[graft] object SinkFormat {
   */
 private[graft] object SinkParquetWrite {
 
-  /** Parquet field for one atomic Catalyst column; `id` < 0 = no id. */
-  private def field(name: String, dt: DataType, id: Int): Type = {
-    val b = dt match {
+  /** Parquet field for one Catalyst column; `id` < 0 = no id (ids
+    * attach to TOP-LEVEL fields only — nested fields are not
+    * independently renameable). Nested types use the standard
+    * shapes readers interoperate on: struct = plain group, array =
+    * 3-level LIST (`group (LIST) { repeated group list { <element> } }`),
+    * map = `group (MAP) { repeated group key_value { required key; value } }`.
+    */
+  private[sources] def field(name: String, dt: DataType, id: Int): Type = {
+    val t: Type = dt match {
       case StringType => Types.optional(PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.stringType())
-      case LongType => Types.optional(PrimitiveTypeName.INT64)
-      case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case LongType => Types.optional(PrimitiveTypeName.INT64).named(name)
+      case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
       case ShortType => Types.optional(PrimitiveTypeName.INT32)
-        .as(LogicalTypeAnnotation.intType(16, true))
+        .as(LogicalTypeAnnotation.intType(16, true)).named(name)
       case ByteType => Types.optional(PrimitiveTypeName.INT32)
-        .as(LogicalTypeAnnotation.intType(8, true))
-      case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-      case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        .as(LogicalTypeAnnotation.intType(8, true)).named(name)
+      case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
+      case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
+      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
       // opaque bytes — the multimodal payload column: parquet BINARY
       // with NO string annotation (stats/bloom manifests never record
       // it; skipping a 1 MB image by min/max is meaningless)
-      case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+      case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(name)
+      case s: StructType =>
+        s.fields.foldLeft(Types.optionalGroup()) {
+          (g, f) => g.addField(field(f.name, f.dataType, -1))
+        }.named(name)
+      case a: ArrayType =>
+        Types.optionalGroup()
+          .as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(field("element", a.elementType, -1))
+            .named("list"))
+          .named(name)
       case other => throw new UnsupportedOperationException(
-        s"PartitionedSink supports atomic column types only, got $other")
+        s"PartitionedSink supports atomic, binary and nested " +
+          s"(struct/array) column types only, got $other")
     }
-    (if (id >= 0) b.id(id) else b).named(name)
+    if (id >= 0) t.withId(id) else t
   }
 
   def messageType(dataFields: Seq[StructField],
@@ -242,6 +290,61 @@ private[graft] object SinkParquetWrite {
 
     override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
 
+    /** One NON-NULL value from any row-shaped container (InternalRow
+      * and ArrayData share SpecializedGetters), recursing into
+      * struct/array groups with the standard start/end protocol.
+      */
+    private def writeValue(
+        g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+        ord: Int, dt: DataType): Unit = dt match {
+      case StringType => consumer.addBinary(
+        Binary.fromConstantByteArray(g.getUTF8String(ord).getBytes))
+      case LongType => consumer.addLong(g.getLong(ord))
+      case IntegerType => consumer.addInteger(g.getInt(ord))
+      case ShortType => consumer.addInteger(g.getShort(ord).toInt)
+      case ByteType => consumer.addInteger(g.getByte(ord).toInt)
+      case DoubleType => consumer.addDouble(g.getDouble(ord))
+      case FloatType => consumer.addFloat(g.getFloat(ord))
+      case BooleanType => consumer.addBoolean(g.getBoolean(ord))
+      case BinaryType => consumer.addBinary(
+        Binary.fromConstantByteArray(g.getBinary(ord)))
+      case s: StructType =>
+        val nested = g.getStruct(ord, s.fields.length)
+        consumer.startGroup()
+        var j = 0
+        while (j < s.fields.length) {
+          if (!nested.isNullAt(j)) {
+            consumer.startField(s.fields(j).name, j)
+            writeValue(nested, j, s.fields(j).dataType)
+            consumer.endField(s.fields(j).name, j)
+          }
+          j += 1
+        }
+        consumer.endGroup()
+      case a: ArrayType =>
+        val arr = g.getArray(ord)
+        consumer.startGroup()
+        if (arr.numElements() > 0) {
+          consumer.startField("list", 0)
+          var j = 0
+          while (j < arr.numElements()) {
+            consumer.startGroup()
+            if (!arr.isNullAt(j)) {
+              consumer.startField("element", 0)
+              writeValue(arr, j, a.elementType)
+              consumer.endField("element", 0)
+            }
+            consumer.endGroup()
+            j += 1
+          }
+          consumer.endField("list", 0)
+        }
+        consumer.endGroup()
+      case other => throw new UnsupportedOperationException(
+        s"PartitionedSink supports atomic, binary and nested " +
+          s"(struct/array) column types only, got $other")
+    }
+
     override def write(row: InternalRow): Unit = {
       consumer.startMessage()
       var i = 0
@@ -249,21 +352,7 @@ private[graft] object SinkParquetWrite {
         val (fld, ord) = plan(i)
         if (!row.isNullAt(ord)) {
           consumer.startField(fld.name, i)
-          fld.dataType match {
-            case StringType => consumer.addBinary(
-              Binary.fromConstantByteArray(row.getUTF8String(ord).getBytes))
-            case LongType => consumer.addLong(row.getLong(ord))
-            case IntegerType => consumer.addInteger(row.getInt(ord))
-            case ShortType => consumer.addInteger(row.getShort(ord).toInt)
-            case ByteType => consumer.addInteger(row.getByte(ord).toInt)
-            case DoubleType => consumer.addDouble(row.getDouble(ord))
-            case FloatType => consumer.addFloat(row.getFloat(ord))
-            case BooleanType => consumer.addBoolean(row.getBoolean(ord))
-            case BinaryType => consumer.addBinary(
-              Binary.fromConstantByteArray(row.getBinary(ord)))
-            case other => throw new UnsupportedOperationException(
-              s"PartitionedSink supports atomic column types only, got $other")
-          }
+          writeValue(row, ord, fld.dataType)
           consumer.endField(fld.name, i)
         }
         i += 1
@@ -553,7 +642,7 @@ private[sources] class SinkParquetReader(
     * casts (int→long, float→double) so old files serve the widened
     * column directly.
     */
-  private final class Slot(slot: Int, dt: DataType,
+  private final class Slot(set: Any => Unit, dt: DataType,
                            phys: PrimitiveTypeName) extends PrimitiveConverter {
     private var dict: Array[Any] = _
     override def hasDictionarySupport: Boolean = true
@@ -589,39 +678,93 @@ private[sources] class SinkParquetReader(
         i += 1
       }
     }
-    override def addValueFromDictionary(id: Int): Unit = buffer(slot) = dict(id)
-    override def addBinary(v: Binary): Unit = buffer(slot) = (dt match {
+    override def addValueFromDictionary(id: Int): Unit = set(dict(id))
+    override def addBinary(v: Binary): Unit = set(dt match {
       case BinaryType => v.getBytes
       case _ => UTF8String.fromBytes(v.getBytes)
     })
-    override def addLong(v: Long): Unit = buffer(slot) = v
-    override def addInt(v: Int): Unit = buffer(slot) = (dt match {
+    override def addLong(v: Long): Unit = set(v)
+    override def addInt(v: Int): Unit = set(dt match {
       case ShortType => v.toShort
       case ByteType => v.toByte
       case LongType => v.toLong // widened int → long
       case _ => v
     })
-    override def addDouble(v: Double): Unit = buffer(slot) = v
-    override def addFloat(v: Float): Unit = buffer(slot) = (dt match {
+    override def addDouble(v: Double): Unit = set(v)
+    override def addFloat(v: Float): Unit = set(dt match {
       case DoubleType => v.toDouble // widened float → double
       case _ => v
     })
-    override def addBoolean(v: Boolean): Unit = buffer(slot) = v
+    override def addBoolean(v: Boolean): Unit = set(v)
   }
 
-  /** Requested schema = exactly the resolved FILE fields (file names,
-    * file types — a projection of the file schema, which is what
-    * ColumnIOFactory requires); materializer fills the buffer slots
-    * in the same order.
+  /** Converter for any supported type writing its finished Catalyst
+    * value through `setV`: primitives get [[Slot]] (dictionary-aware,
+    * widening-aware), structs assemble a [[GenericInternalRow]],
+    * arrays a [[GenericArrayData]] — recursion mirrors the writer's
+    * group shapes exactly. `req` is the REQUESTED parquet type (for
+    * nested columns: derived from the table's Catalyst type, so a
+    * nested-pruned projection builds exactly the requested subset).
     */
+  private def converterFor(dt: DataType, req: Type,
+                           setV: Any => Unit): Converter = dt match {
+    case s: StructType =>
+      val group = req.asGroupType()
+      new GroupConverter {
+        private var values: Array[Any] = _
+        private val children: Array[Converter] =
+          s.fields.zipWithIndex.map { case (f, i) =>
+            converterFor(f.dataType, group.getType(i), v => values(i) = v)
+          }
+        override def getConverter(i: Int): Converter = children(i)
+        override def start(): Unit =
+          values = new Array[Any](s.fields.length)
+        override def end(): Unit = setV(new GenericInternalRow(values))
+      }
+    case a: ArrayType =>
+      val listGroup = req.asGroupType() // name (LIST) { repeated list { element } }
+      val elemType = listGroup.getType(0).asGroupType().getType(0)
+      new GroupConverter {
+        private val buf = scala.collection.mutable.ArrayBuffer[Any]()
+        private var elem: Any = _
+        private val repeated: Converter = new GroupConverter {
+          private val inner =
+            converterFor(a.elementType, elemType, v => elem = v)
+          override def getConverter(i: Int): Converter = inner
+          override def start(): Unit = elem = null
+          override def end(): Unit = buf += elem
+        }
+        override def getConverter(i: Int): Converter = repeated
+        override def start(): Unit = buf.clear()
+        override def end(): Unit =
+          setV(new GenericArrayData(buf.toArray))
+      }
+    case prim =>
+      new Slot(setV, prim, req.asPrimitiveType().getPrimitiveTypeName)
+  }
+
+  /** Requested schema, one entry per resolved column: PRIMITIVES keep
+    * the file field verbatim (file name, file PHYSICAL type — the
+    * widening decode resolves through it); NESTED columns derive the
+    * requested group from the table's Catalyst type under the file
+    * field's name, so Spark's nested-schema pruning (a struct
+    * projected to a subset of its fields) requests exactly that
+    * subset of the file's group — a valid projection, which is what
+    * ColumnIOFactory requires. Materializer fills the buffer slots in
+    * the same order.
+    */
+  private val requestedFields: Seq[Type] = resolved.toSeq.map {
+    case (ff, dt) =>
+      if (ff.isPrimitive) ff
+      else SinkParquetWrite.field(ff.getName, dt, -1)
+  }
   private val requestedSchema: MessageType =
-    new MessageType("graft_sink", resolved.map(_._1).asJava)
+    new MessageType("graft_sink", requestedFields.asJava)
 
   private val materializer = new RecordMaterializer[Array[Any]] {
     private val converters: Array[Converter] =
-      resolved.toArray.zipWithIndex.map { case ((ff, dt), slot) =>
-        new Slot(slot, dt,
-          ff.asPrimitiveType().getPrimitiveTypeName): Converter
+      resolved.toArray.zipWithIndex.map { case ((_, dt), slot) =>
+        converterFor(dt, requestedFields(slot), v => buffer(slot) = v)
       }
     private val root = new GroupConverter {
       override def getConverter(i: Int): Converter = converters(i)

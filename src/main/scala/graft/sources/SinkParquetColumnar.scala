@@ -74,6 +74,17 @@ private[graft] object SinkParquetColumnar {
   def splitsEligible(splits: Seq[SinkFileSplit]): Boolean =
     splits.forall(_.file.endsWith(".parquet"))
 
+  /** The vectorized decode handles FLAT columns only; a projection
+    * containing a nested (struct/array) column demotes the scan to
+    * the row-materialized path, whose record-assembly converters
+    * recurse naturally. Partition/metadata constants are always fine.
+    */
+  def schemaEligible(required: StructType): Boolean =
+    required.fields.forall(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    })
+
   /** Encodings the page-level decode understands; anything else (e.g.
     * DELTA_*) falls back to the triplet API per column chunk.
     */
