@@ -2530,12 +2530,14 @@ object ParityQueries {
   /** §2.9-ext: SORT-ORDER CLUSTERING (`graft.sortOrder` +
     * `compact(recluster => true)`): three interleaved appends leave
     * every file spanning the whole key domain (min/max skipping
-    * useless); the recluster pass range-redistributes on (partition,
-    * key) so files carve disjoint key ranges and the subsequent range
-    * scan opens a fraction of the table. Partitioning burns one
-    * low-cardinality column — clustering is what makes every OTHER
-    * selective predicate cheap at 100 TB. Disjointness and file-skip
-    * pins live in SinkClusterSpec.
+    * useless); the table THEN gains a sort order via ALTER — the
+    * legacy-table-adopts-clustering story — and the recluster pass
+    * range-redistributes on (partition, key) so files carve disjoint
+    * key ranges and the subsequent range scan opens a fraction of the
+    * table. Partitioning burns one low-cardinality column —
+    * clustering is what makes every OTHER selective predicate cheap
+    * at 100 TB. Disjointness and file-skip pins live in
+    * SinkClusterSpec.
     */
   val qDsv2Cluster = Q(
     "q_dsv2_cluster",
@@ -2549,13 +2551,16 @@ object ParityQueries {
         .filter(pmod(col("o_orderkey"), lit(3)) === r)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"), col("o_orderpriority"))
+      // seed UNSORTED (plain appends, no range exchange), then adopt
+      // the order — existing data reclusters in ONE maintenance pass
       residue(0)
         .writeTo("graft_dyn.clus_orders")
         .tableProperty("graft.format", "parquet")
-        .tableProperty("graft.sortOrder", "o_orderkey")
         .partitionedBy(col("o_orderpriority")).create()
       residue(1).writeTo("graft_dyn.clus_orders").append()
       residue(2).writeTo("graft_dyn.clus_orders").append()
+      s.sql("""ALTER TABLE graft_dyn.clus_orders
+        SET TBLPROPERTIES ('graft.sortOrder' = 'o_orderkey')""")
       s.sql("CALL graft_dyn.compact(table => 'clus_orders', recluster => true)")
       s.table("graft_dyn.clus_orders")
         .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
