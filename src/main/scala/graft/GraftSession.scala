@@ -27,6 +27,19 @@ object GraftSession {
       // PartitionedSink catalog tables): GROUP BY / joins on the
       // partition column then plan zero exchanges
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // ... including when the partition keys are a strict SUBSET of
+      // the join keys (fact ⋈ fact on (p, k), both layouts clustered
+      // on p alone): rows with equal join keys necessarily share a
+      // partition key, so co-located groups stay correct and the keyed
+      // shuffle of both fact sides — the job's whole cost at 100 TB —
+      // disappears. Spark's default (true) only eliminates the shuffle
+      // when partition keys cover EVERY join key.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // ... and when only ONE side is a key-grouped table, shuffle just
+      // the OTHER side into the table's existing layout instead of
+      // re-shuffling both: at 100 TB the stored fact never moves — the
+      // incoming (smaller) relation pays the one exchange.
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // partitioned INSERT OVERWRITE replaces only the partitions in the
       // batch — never a full-table truncate (CatalogWarehouse relies on it)
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

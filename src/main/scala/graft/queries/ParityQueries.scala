@@ -2622,6 +2622,59 @@ object ParityQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** §2.9-ext: STORAGE-PARTITIONED JOIN (`SupportsReportPartitioning` →
+    * KeyGroupedPartitioning + per-split HasPartitionKey): two sink
+    * tables co-partitioned on the same column join with ZERO shuffle —
+    * each side's layout already clusters rows by the key, so the join's
+    * distribution requirement is satisfied at the scan and only the
+    * within-group sorts run. The `merge` hint pins a sort-merge plan so
+    * co-partitioning (not a broadcast) is what carries the join — the
+    * fact-⋈-fact shape where NEITHER side broadcasts at 100 TB and a
+    * keyed shuffle of either would be the job's whole cost.
+    * Zero-exchange pins live in PartitionedSinkSpec (equi-join on the
+    * partition column) and SinkSpjSpec (this compound-key shape).
+    */
+  val qDsv2Spj = Q(
+    "q_dsv2_spj",
+    (s, d) => {
+      val root = dynCatalogRoot
+      s.conf.set("spark.sql.catalog.graft_dyn",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dyn.root", root)
+      s.sql("DROP TABLE IF EXISTS graft_dyn.spj_facts")
+      s.sql("DROP TABLE IF EXISTS graft_dyn.spj_status")
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .writeTo("graft_dyn.spj_facts")
+        .tableProperty("graft.format", "parquet")
+        .partitionedBy(col("o_orderpriority")).create()
+      ord(s, d)
+        .select(col("o_orderkey").as("r_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority").as("r_prio"))
+        .writeTo("graft_dyn.spj_status")
+        .tableProperty("graft.format", "parquet")
+        .partitionedBy(col("r_prio")).create()
+      val l = s.table("graft_dyn.spj_facts")
+      val r = s.table("graft_dyn.spj_status")
+        .filter(col("o_orderstatus") === "F")
+      l.join(r.hint("merge"),
+          col("o_orderpriority") === col("r_prio") &&
+            col("o_orderkey") === col("r_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    headline = true)
+
   /** TPC-H Q6 shape (forecast revenue change): the pure single-table
     * scan-aggregate — every predicate (shipdate range, discount band,
     * quantity cap) is a pushable scan filter and the whole query is
@@ -2873,5 +2926,5 @@ object ParityQueries {
     qDsv2History, qDsv2Multipart, qDsv2Changes, qDsv2Delete, qDsv2Update,
     qDsv2Merge, qDsv2Bloom, qDsv2CdcStream, qDsv2DeleteMor, qDsv2CdcRows,
     qDsv2Evolve, qDsv2Widen, qDsv2Binary, qDsv2AggPush, qDsv2Dpp,
-    qDsv2Cluster, qDsv2Nested)
+    qDsv2Cluster, qDsv2Nested, qDsv2Spj)
 }

@@ -429,9 +429,55 @@ object SimilarityQueries {
       SELECT label, CAST(sum(diff * diff) AS BIGINT) AS dist2_micros2
       FROM diffs GROUP BY label ORDER BY label"""))
 
+  private lazy val simCatalogRoot = graft.ops.Fs.scratchDir("graft_sink_simcat")
+
+  /** VECTORS IN THE TABLE FORMAT: the embedding corpus stored as an
+    * `array<float>` data column inside the versioned sink table
+    * (parquet data files, label-partitioned), then kNN-queried through
+    * the sink's OWN readers — probe batch drawn from the table, exact
+    * brute-force cosine top-10 per probe. The production vector-store
+    * shape: corpus lives under snapshot isolation / time travel /
+    * row-level ops like any other table, and similarity search is just
+    * a query plan on top (broadcast probes, per-partition top-k, no
+    * global sort). The oracle recomputes the identical top-k from the
+    * raw parquet in DuckDB, so a single wrong float in the
+    * write→page→columnar-decode path flips the hash.
+    */
+  val qDsv2Embed = Q(
+    "q_dsv2_embed",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_sim",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sim.root", simCatalogRoot)
+      s.sql("DROP TABLE IF EXISTS graft_sim.embed_corpus")
+      Tables.embeddings(s, d)
+        .writeTo("graft_sim.embed_corpus")
+        .tableProperty("graft.format", "parquet")
+        .partitionedBy(col("label")).create()
+      val corpus = s.table("graft_sim.embed_corpus")
+      val probes = corpus.orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", probes, 10)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some("""
+      WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings ORDER BY vec_id LIMIT 64),
+      scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(p.pv, p.pv))), 6) AS score
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+      SELECT probe_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored)
+      WHERE rn <= 10 ORDER BY probe_id, rank"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
     qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives,
     qCentroidClassify, qAnnRandomProjection, qAnnPq, qAnnIvfPq,
-    qEmbeddingDrift)
+    qEmbeddingDrift, qDsv2Embed)
 }
