@@ -74,14 +74,22 @@ private[graft] object SinkParquetColumnar {
   def splitsEligible(splits: Seq[SinkFileSplit]): Boolean =
     splits.forall(_.file.endsWith(".parquet"))
 
-  /** The vectorized decode handles FLAT columns only; a projection
-    * containing a nested (struct/array) column demotes the scan to
-    * the row-materialized path, whose record-assembly converters
+  /** The vectorized decode handles FLAT columns and ARRAYS OF
+    * ATOMICS (one parquet leaf per field either way — the embedding /
+    * token-list shapes decode straight into an offsets-plus-child
+    * vector pair, repetition levels walked page-side). A projection
+    * containing a struct or an array of non-atomics demotes the scan
+    * to the row-materialized path, whose record-assembly converters
     * recurse naturally. Partition/metadata constants are always fine.
     */
   def schemaEligible(required: StructType): Boolean =
     required.fields.forall(f => f.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => false
+      case ArrayType(et, _) => et match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | BooleanType | StringType | BinaryType => true
+        case _ => false
+      }
+      case _: StructType | _: MapType => false
       case _ => true
     })
 
@@ -385,6 +393,267 @@ private[sources] class SinkParquetColumnarReader(
     override def skip(): Unit = dec.readInt()
   }
 
+  // ------------------------------------------------------------------
+  // ARRAYS OF ATOMICS: still one parquet leaf per field, now with
+  // repetition levels. The sink writer's canonical list shape is
+  // `optional group (LIST) { repeated group list { optional element } }`
+  // (maxRep 1), so for a top-level array field: def 0 = NULL list,
+  // def 1 = empty list, def maxDef-1 = NULL element (when the element
+  // is optional), def maxDef = value. Rows are walked by repetition
+  // level (rep 0 starts a row, rep 1 continues its list) with a
+  // one-triplet lookahead, so lists spanning page boundaries decode
+  // correctly; elements append into the vector's child (offsets into
+  // the parent via putArray) — no per-row boxing, no record assembly.
+  // ------------------------------------------------------------------
+  private def elemAppender(child: org.apache.spark.sql.execution.vectorized
+                             .WritableColumnVector,
+                           phys: PrimitiveTypeName, et: DataType,
+                           rd: () => ValuesReader): () => Unit =
+    (phys, et) match {
+      case (PrimitiveTypeName.INT64, LongType) =>
+        () => child.appendLong(rd().readLong())
+      case (PrimitiveTypeName.INT32, IntegerType) =>
+        () => child.appendInt(rd().readInteger())
+      case (PrimitiveTypeName.INT32, LongType) => // widened int → long
+        () => child.appendLong(rd().readInteger().toLong)
+      case (PrimitiveTypeName.INT32, ShortType) =>
+        () => child.appendShort(rd().readInteger().toShort)
+      case (PrimitiveTypeName.INT32, ByteType) =>
+        () => child.appendByte(rd().readInteger().toByte)
+      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+        () => child.appendDouble(rd().readDouble())
+      case (PrimitiveTypeName.FLOAT, DoubleType) => // widened float → double
+        () => child.appendDouble(rd().readFloat().toDouble)
+      case (PrimitiveTypeName.FLOAT, FloatType) =>
+        () => child.appendFloat(rd().readFloat())
+      case (PrimitiveTypeName.BOOLEAN, BooleanType) =>
+        () => child.appendBoolean(rd().readBoolean())
+      case (PrimitiveTypeName.BINARY, StringType | BinaryType) =>
+        () => {
+          val b = rd().readBytes().getBytesUnsafe
+          child.appendByteArray(b, 0, b.length)
+          ()
+        }
+      case other => throw new UnsupportedOperationException(
+        s"sink parquet reader cannot decode array element $other " +
+          s"(file ${split.file})")
+    }
+
+  private final class ArrayPageFiller(pages: PageReader,
+      desc: ColumnDescriptor, totalTriplets: Long, et: DataType,
+      val vec: OnHeapColumnVector) extends ColFiller {
+    private val maxDef = desc.getMaxDefinitionLevel
+    private val maxRep = desc.getMaxRepetitionLevel
+    require(maxRep == 1, s"expected a flat list column, got maxRep=$maxRep " +
+      s"for ${desc.getPath.mkString(".")} in ${split.file}")
+    private val child = vec.arrayData()
+    private val dict: Dictionary = {
+      val dp = pages.readDictionaryPage()
+      if (dp == null) null else dp.getEncoding.initDictionary(desc, dp)
+    }
+    private var remaining = 0 // triplets left in the current page
+    private var reps: ValuesReader = _
+    private var defs: ValuesReader = _
+    private var values: ValuesReader = _
+    private var tripletsLeft = totalTriplets
+    private var hasPending = false
+    private var curRep = 0
+    private var curDef = 0
+
+    private val appendElem =
+      elemAppender(child, desc.getPrimitiveType.getPrimitiveTypeName,
+        et, () => values)
+
+    private def advancePage(): Unit = {
+      val page: DataPage = pages.readPage()
+      if (page == null) throw new IllegalStateException(
+        s"premature end of column ${desc.getPath.mkString(".")} in ${split.file}")
+      page match {
+        case p: DataPageV1 =>
+          val n = p.getValueCount
+          val in = p.getBytes.toInputStream
+          reps = p.getRlEncoding.getValuesReader(desc,
+            ValuesType.REPETITION_LEVEL)
+          reps.initFromPage(n, in)
+          defs = p.getDlEncoding.getValuesReader(desc,
+            ValuesType.DEFINITION_LEVEL)
+          defs.initFromPage(n, in)
+          values =
+            if (p.getValueEncoding.usesDictionary) {
+              if (dict == null) throw new IllegalStateException(
+                s"dictionary-encoded page without a dictionary page in ${split.file}")
+              p.getValueEncoding.getDictionaryBasedValuesReader(
+                desc, ValuesType.VALUES, dict)
+            } else p.getValueEncoding.getValuesReader(desc, ValuesType.VALUES)
+          values.initFromPage(n, in)
+          remaining = n
+        case p: DataPageV2 =>
+          val n = p.getValueCount
+          reps = new SinkRleDefReader(maxRep,
+            p.getRepetitionLevels.toInputStream, n)
+          defs = new SinkRleDefReader(maxDef,
+            p.getDefinitionLevels.toInputStream, n)
+          values =
+            if (p.getDataEncoding.usesDictionary) {
+              if (dict == null) throw new IllegalStateException(
+                s"dictionary-encoded page without a dictionary page in ${split.file}")
+              p.getDataEncoding.getDictionaryBasedValuesReader(
+                desc, ValuesType.VALUES, dict)
+            } else p.getDataEncoding.getValuesReader(desc, ValuesType.VALUES)
+          values.initFromPage(n, p.getData.toInputStream)
+          remaining = n
+      }
+    }
+
+    private def readTriplet(): Unit = {
+      if (remaining == 0) advancePage()
+      curRep = reps.readInteger()
+      curDef = defs.readInteger()
+      remaining -= 1
+      tripletsLeft -= 1
+    }
+
+    /** Appends one element for a triplet at def `d` (value or NULL). */
+    private def appendOne(d: Int): Unit =
+      if (d == maxDef) appendElem() else child.appendNull()
+
+    /** Skips one element's value for a dropped row's triplet. */
+    private def skipOne(d: Int): Unit = if (d == maxDef) values.skip()
+
+    final def fill(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (hasPending) hasPending = false else readTriplet()
+        if (curDef == 0) vec.putNull(i)
+        else if (curDef == 1 && maxDef > 1)
+          vec.putArray(i, child.getElementsAppended, 0)
+        else {
+          val start = child.getElementsAppended
+          appendOne(curDef)
+          var done = tripletsLeft == 0
+          while (!done) {
+            readTriplet()
+            if (curRep == 0) { hasPending = true; done = true }
+            else { appendOne(curDef); done = tripletsLeft == 0 }
+          }
+          vec.putArray(i, start, child.getElementsAppended - start)
+        }
+        i += 1
+      }
+    }
+
+    final def fillMasked(n: Int, keep: Array[Boolean]): Unit = {
+      var i = 0
+      var out = 0
+      while (i < n) {
+        val k = keep(i)
+        if (hasPending) hasPending = false else readTriplet()
+        if (curDef == 0) { if (k) { vec.putNull(out); out += 1 } }
+        else if (curDef == 1 && maxDef > 1) {
+          if (k) { vec.putArray(out, child.getElementsAppended, 0); out += 1 }
+        } else {
+          val start = child.getElementsAppended
+          if (k) appendOne(curDef) else skipOne(curDef)
+          var done = tripletsLeft == 0
+          while (!done) {
+            readTriplet()
+            if (curRep == 0) { hasPending = true; done = true }
+            else {
+              if (k) appendOne(curDef) else skipOne(curDef)
+              done = tripletsLeft == 0
+            }
+          }
+          if (k) {
+            vec.putArray(out, start, child.getElementsAppended - start)
+            out += 1
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Triplet-API twin for chunks with exotic encodings: same walk,
+    * rep/def peeked through the ColumnReader without a pending slot.
+    */
+  private final class ArrayTripletFiller(cr: ColumnReader,
+      desc: ColumnDescriptor, et: DataType,
+      val vec: OnHeapColumnVector) extends ColFiller {
+    private val maxDef = desc.getMaxDefinitionLevel
+    private val child = vec.arrayData()
+    private var consumed = 0L
+    private val total = cr.getTotalValueCount
+
+    private val getElem: () => Unit =
+      (desc.getPrimitiveType.getPrimitiveTypeName, et) match {
+        case (PrimitiveTypeName.INT64, LongType) =>
+          () => child.appendLong(cr.getLong)
+        case (PrimitiveTypeName.INT32, IntegerType) =>
+          () => child.appendInt(cr.getInteger)
+        case (PrimitiveTypeName.INT32, LongType) =>
+          () => child.appendLong(cr.getInteger.toLong)
+        case (PrimitiveTypeName.INT32, ShortType) =>
+          () => child.appendShort(cr.getInteger.toShort)
+        case (PrimitiveTypeName.INT32, ByteType) =>
+          () => child.appendByte(cr.getInteger.toByte)
+        case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+          () => child.appendDouble(cr.getDouble)
+        case (PrimitiveTypeName.FLOAT, DoubleType) =>
+          () => child.appendDouble(cr.getFloat.toDouble)
+        case (PrimitiveTypeName.FLOAT, FloatType) =>
+          () => child.appendFloat(cr.getFloat)
+        case (PrimitiveTypeName.BOOLEAN, BooleanType) =>
+          () => child.appendBoolean(cr.getBoolean)
+        case (PrimitiveTypeName.BINARY, StringType | BinaryType) =>
+          () => {
+            val b = cr.getBinary.getBytesUnsafe
+            child.appendByteArray(b, 0, b.length)
+            ()
+          }
+        case other => throw new UnsupportedOperationException(
+          s"sink parquet reader cannot decode array element $other " +
+            s"(file ${split.file})")
+      }
+
+    private def appendOne(keep: Boolean): Unit = {
+      if (keep) {
+        if (cr.getCurrentDefinitionLevel == maxDef) getElem()
+        else child.appendNull()
+      }
+      cr.consume()
+      consumed += 1
+    }
+
+    private def fillRows(n: Int, keep: Array[Boolean]): Unit = {
+      var i = 0
+      var out = 0
+      while (i < n) {
+        val k = keep == null || keep(i)
+        val d = cr.getCurrentDefinitionLevel
+        if (d == 0) {
+          if (k) { vec.putNull(out); out += 1 }
+          cr.consume(); consumed += 1
+        } else if (d == 1 && maxDef > 1) {
+          if (k) { vec.putArray(out, child.getElementsAppended, 0); out += 1 }
+          cr.consume(); consumed += 1
+        } else {
+          val start = child.getElementsAppended
+          appendOne(k)
+          while (consumed < total && cr.getCurrentRepetitionLevel == 1)
+            appendOne(k)
+          if (k) {
+            vec.putArray(out, start, child.getElementsAppended - start)
+            out += 1
+          }
+        }
+        i += 1
+      }
+    }
+
+    final def fill(n: Int): Unit = fillRows(n, null)
+    final def fillMasked(n: Int, keep: Array[Boolean]): Unit = fillRows(n, keep)
+  }
+
   private def newPageFiller(pages: PageReader, desc: ColumnDescriptor,
                             ff: Type, dt: DataType,
                             v: OnHeapColumnVector): ColFiller = {
@@ -530,16 +799,24 @@ private[sources] class SinkParquetColumnarReader(
       fillers = descriptors.indices.toArray.map { j =>
         val desc = descriptors(j)
         val (ff, dt, vec) = fileCols(j)
-        val chunkEncodings = block.getColumns.asScala
+        val chunk = block.getColumns.asScala
           .find(_.getPath.toDotString == desc.getPath.mkString("."))
-          .map(_.getEncodings.asScala.toSet)
-        val fast = chunkEncodings.exists(
-          _.subsetOf(SinkParquetColumnar.FastEncodings))
-        if (fast)
-          newPageFiller(pages.getPageReader(desc), desc, ff, dt, vec)
-        else
-          newTripletFiller(store.getColumnReader(desc),
-            desc.getMaxDefinitionLevel, ff, dt, vec)
+        val fast = chunk.map(_.getEncodings.asScala.toSet)
+          .exists(_.subsetOf(SinkParquetColumnar.FastEncodings))
+        dt match {
+          case ArrayType(et, _) =>
+            if (fast)
+              new ArrayPageFiller(pages.getPageReader(desc), desc,
+                chunk.map(_.getValueCount).getOrElse(0L), et, vec)
+            else
+              new ArrayTripletFiller(store.getColumnReader(desc), desc, et, vec)
+          case _ =>
+            if (fast)
+              newPageFiller(pages.getPageReader(desc), desc, ff, dt, vec)
+            else
+              newTripletFiller(store.getColumnReader(desc),
+                desc.getMaxDefinitionLevel, ff, dt, vec)
+        }
       }
     } else {
       val block = rowGroups(groupIdx)

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Shapes follow parquet's standard interop forms (struct = group,
   * array = 3-level LIST); the row reader's record-assembly converters
-  * recurse, and scans whose projection contains a nested column
-  * demote to the row path (the vectorized decode is flat-only,
-  * spec-pinned here). TSV tables, partition columns and MAP types
-  * reject loudly at DDL time.
+  * recurse. Arrays of ATOMICS keep the vectorized path (rep-level walk,
+  * SinkParquetColumnarSpec); scans projecting a struct or an array of
+  * non-atomics demote to the row path (spec-pinned here). TSV tables,
+  * partition columns and MAP types reject loudly at DDL time.
   */
 class SinkNestedSpec extends SparkSpec {
 
