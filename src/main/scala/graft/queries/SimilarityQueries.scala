@@ -475,9 +475,44 @@ object SimilarityQueries {
       WHERE rn <= 10 ORDER BY probe_id, rank"""),
     headline = true)
 
+  /** IVF WHERE THE TABLE LAYOUT IS THE INDEX: the corpus is written to
+    * the sink catalog PARTITIONED BY its k-means cell id, so "search
+    * the best nProbe cells" literally IS "scan nProbe partitions" —
+    * per-probe cell choice is map-side against the literal model, the
+    * (probe, cell) pairs broadcast into the scan's join, and the
+    * sink's runtime partition filtering drops un-probed cells' files
+    * before a byte is read. Same geometry as q_ann_kmeans (16
+    * spherical cells, nProbe=4, recall@10 ≥ 0.40), now with the index
+    * living in the table format — snapshot-isolated, time-travelable,
+    * maintained by the same compaction machinery as any table.
+    */
+  val qDsv2Ann = Q(
+    "q_dsv2_ann",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_sim",
+        classOf[graft.sources.PartitionedSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sim.root", simCatalogRoot)
+      s.sql("DROP TABLE IF EXISTS graft_sim.ivf_corpus")
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        k = 16, iters = 5)
+      emb.withColumn("cell",
+          Similarity.nearestCentroid(col("embedding"), cents))
+        .writeTo("graft_sim.ivf_corpus")
+        .tableProperty("graft.format", "parquet")
+        .partitionedBy(col("cell")).create()
+      val p = probes(s, d)
+      val ann = Similarity.ivfLayoutTopK(s.table("graft_sim.ivf_corpus"),
+        "vec_id", "embedding", "cell", p, cents, 10, nProbe = 4)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", p, 10)
+      Similarity.recallAtK(ann, exact, 10, minMeanRecall = 0.40)
+    },
+    Some(annOracle),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     qEmbeddingNorms, qKnnBrute, qKnnBatch, qAnnLsh, qAnnIvf, qAnnKmeans,
     qLabelCentroids, qQuantizeInt8, qAnnQuantized, qHardNegatives,
     qCentroidClassify, qAnnRandomProjection, qAnnPq, qAnnIvfPq,
-    qEmbeddingDrift, qDsv2Embed)
+    qEmbeddingDrift, qDsv2Embed, qDsv2Ann)
 }

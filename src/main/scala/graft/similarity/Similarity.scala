@@ -419,6 +419,29 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** IVF search where the table LAYOUT is the index: the corpus was
+    * written partitioned by its k-means cell id ([[nearestCentroid]]
+    * under the same fitted model), so "search the best nProbe cells"
+    * IS "scan nProbe partitions" — the per-probe cell choice is
+    * map-side against the literal model, the (probe, cell) pairs
+    * broadcast into the corpus scan's join, and a DSv2 source with
+    * runtime partition filtering (the PartitionedSink catalog) drops
+    * the un-probed cells' files before a byte is read. At 100 TB this
+    * is vector search as partition pruning: cost scales with
+    * nProbe/kClusters of the corpus, not the corpus.
+    */
+  def ivfLayoutTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, probes: DataFrame,
+                    cents: Seq[Array[Double]], k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val pc = probes.select(col("probe_id"), col("probe_vec"),
+      explode(nearestCells(col("probe_vec"), cents, nProbe)).as(cellCol))
+    val scored = corpus.join(broadcast(pc), Seq(cellCol))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("score", round(cosine_sim(col("probe_vec"), col(vecCol)), 6))
+    rankTopK(scored, idCol, k)
+  }
+
   /** Recall@k of an ANN result against the exact top-k, as ONE summary
     * row (n_probes, recall_ok): mean recall = |ann ∩ exact| / (probes·k)
     * ≥ `minMeanRecall`. Probes the ANN missed entirely count as zero

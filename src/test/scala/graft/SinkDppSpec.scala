@@ -232,4 +232,43 @@ class SinkDppSpec extends SparkSpec {
     assert(scanOf(limited).filterAttributes().isEmpty)
     assert(limited.collect().length === 3)
   }
+
+  test("an IVF-layout ANN probe scans only its nProbe cells' partitions") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    freshCatalog("dppann")
+    // 4 well-separated clusters (one-hot axes + per-member jitter);
+    // vec_id = j*4 + c so the k lowest ids seed one vector per cluster
+    def v(c: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(c) = 1f
+      a(c + 4) = 0.05f * (j + 1)
+      a
+    }
+    // parquet-backed corpus (a LocalRelation probe side would
+    // constant-fold its filter away before the DPP rule looks for it)
+    val embDir = tmpDir("dppann_emb")
+    (for (j <- 0 until 3; c <- 0 until 4)
+      yield (j * 4 + c, v(c, j))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(embDir)
+    val emb = spark.read.parquet(embDir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", 4, 3)
+    emb.withColumn("cell",
+        Similarity.nearestCentroid(col("embedding"), cents))
+      .coalesce(1) // one file per cell partition — exact skip counts
+      .writeTo("dppann.c").partitionedBy(col("cell")).create()
+    // one probe (vec 0), nProbe=1: only its own cell's file may scan
+    val p = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val ann = Similarity.ivfLayoutTopK(spark.table("dppann.c"),
+      "vec_id", "embedding", "cell", p, cents, 2, nProbe = 1)
+    val out = ann.collect()
+    val scan = sinkScans(ann).head
+    assert(scan.metrics("filesSkippedRuntime").value === 3L,
+      "the 3 un-probed cells must be dropped at runtime")
+    assert(scan.metrics("filesScanned").value === 1L)
+    // and the neighbors really are the probe's own cluster-mates
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet === Set(4L, 8L))
+    spark.sql("DROP TABLE dppann.c")
+  }
 }
