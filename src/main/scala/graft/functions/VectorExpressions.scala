@@ -227,6 +227,146 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Argmax-cosine cell id over a literal centroid model, one fused
+    * primitive loop per row — the codegen rendition of the
+    * `aggregate(model, seed, (acc, ce) -> if cosine > acc.score …)`
+    * fold in [[graft.similarity.Similarity.nearestCentroid]], which is
+    * CodegenFallback (higher-order functions carry no doGenCode) and
+    * dominated k-means fitting: every Lloyd iteration paid an
+    * interpreted 16-cell × 64-dim fold per row.
+    *
+    * Semantics match the HOF fold exactly: cells scan in model order,
+    * a cell wins only on STRICT improvement (ties keep the earlier
+    * cell), cells whose cosine is undefined (length mismatch, NULL
+    * cv, zero norm) are skipped, and the result is NULL when no cell
+    * scores (empty model, NULL vector element) — the Column wrapper
+    * coalesces that to the HOF's seed cid -1. Per-cell scores use the
+    * same interleaved double accumulation as [[CosineSim]], so
+    * assignments are bit-identical to the HOF spelling.
+    *
+    * Inputs: vec `array<float>`; model
+    * `array<struct<cid:int, cv:array<float>>>`. Returns int cid.
+    */
+  case class NearestCosineCell(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _),
+              ArrayType(StructType(Array(
+                StructField("cid", IntegerType, _, _),
+                StructField("cv", ArrayType(FloatType, _), _, _))), _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "nearest_cosine_cell expects (array<float>, " +
+              s"array<struct<cid:int,cv:array<float>>>), got " +
+              s"${left.dataType} / ${right.dataType}")
+      }
+    }
+
+    override def nullSafeEval(v: Any, m: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val mod = m.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val k = mod.numElements()
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null // every cell's cosine is NULL
+        i += 1
+      }
+      var best = -2.0; var bestCid = 0; var found = false
+      var c = 0
+      while (c < k) {
+        if (!mod.isNullAt(c)) {
+          val st = mod.getStruct(c, 2)
+          if (!st.isNullAt(1)) {
+            val cv = st.getArray(1)
+            if (cv.numElements() == n) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var ok = true
+              var j = 0
+              while (j < n && ok) {
+                if (cv.isNullAt(j)) ok = false
+                else {
+                  val xj = x.getFloat(j).toDouble
+                  val yj = cv.getFloat(j).toDouble
+                  dot += xj * yj; na += xj * xj; nb += yj * yj
+                  j += 1
+                }
+              }
+              if (ok && na != 0.0 && nb != 0.0) {
+                val s = dot / (math.sqrt(na) * math.sqrt(nb))
+                if (s > best) { best = s; bestCid = st.getInt(0); found = true }
+              }
+            }
+          }
+        }
+        c += 1
+      }
+      if (found) bestCid else null
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val k = ctx.freshName("k")
+        val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        val j = ctx.freshName("j"); val st = ctx.freshName("st")
+        val cv = ctx.freshName("cv"); val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
+        val ok = ctx.freshName("ok"); val s = ctx.freshName("s")
+        val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+        val found = ctx.freshName("found")
+        s"""
+        |final int $n = $a.numElements();
+        |final int $k = $b.numElements();
+        |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+        |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+        |}
+        |if (!${ev.isNull}) {
+        |  double $best = -2.0; int $bestCid = 0; boolean $found = false;
+        |  for (int $c = 0; $c < $k; $c++) {
+        |    if (!$b.isNullAt($c)) {
+        |      final org.apache.spark.sql.catalyst.InternalRow $st = $b.getStruct($c, 2);
+        |      if (!$st.isNullAt(1)) {
+        |        final org.apache.spark.sql.catalyst.util.ArrayData $cv = $st.getArray(1);
+        |        if ($cv.numElements() == $n) {
+        |          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |          boolean $ok = true;
+        |          for (int $j = 0; $j < $n && $ok; $j++) {
+        |            if ($cv.isNullAt($j)) { $ok = false; }
+        |            else {
+        |              final double $xj = (double) $a.getFloat($j);
+        |              final double $yj = (double) $cv.getFloat($j);
+        |              $dot += $xj * $yj; $na += $xj * $xj; $nb += $yj * $yj;
+        |            }
+        |          }
+        |          if ($ok && $na != 0.0 && $nb != 0.0) {
+        |            final double $s = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |            if ($s > $best) { $best = $s; $bestCid = $st.getInt(0); $found = true; }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |  if ($found) { ${ev.value} = $bestCid; } else { ${ev.isNull} = true; }
+        |}
+        """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Column-level entry point for [[NearestCosineCell]]. */
+  def nearest_cosine_cell(vec: Column, model: Column): Column =
+    GraftColumnShim.column(NearestCosineCell(
+      GraftColumnShim.expression(vec), GraftColumnShim.expression(model)))
+
   /** Column-level entry point. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnShim.column(

@@ -494,8 +494,14 @@ object SimilarityQueries {
       s.conf.set("spark.sql.catalog.graft_sim.root", simCatalogRoot)
       s.sql("DROP TABLE IF EXISTS graft_sim.ivf_corpus")
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
-        k = 16, iters = 5)
+      // fit on a deterministic sample, as the kmeansFit scaladoc
+      // prescribes at scale: the model only needs the cell geometry,
+      // and each Lloyd iteration is a full job — 3 iterations over the
+      // 2048 lowest ids land the same cells as 5 over the corpus
+      // (recall margin pinned in RecallPinSpec)
+      val cents = Similarity.kmeansFit(
+        emb.orderBy(col("vec_id")).limit(2048), "vec_id", "embedding",
+        k = 16, iters = 3)
       emb.withColumn("cell",
           Similarity.nearestCentroid(col("embedding"), cents))
         .writeTo("graft_sim.ivf_corpus")

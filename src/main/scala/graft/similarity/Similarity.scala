@@ -324,11 +324,28 @@ object Similarity {
       struct(lit(i).as("cid"), typedlit(c.map(_.toFloat).toSeq).as("cv"))
     }: _*)
 
-  /** Nearest-centroid id for a vector column, computed MAP-SIDE as a
-    * fold over the literal model — no join, no shuffle, whole-stage
-    * codegen. Ties break toward the lower cid (strict >).
+  /** Nearest-centroid id for a vector column, computed MAP-SIDE
+    * against the literal model — no join, no shuffle. Ties break
+    * toward the earlier cell (strict >); a vector no cell can score
+    * (NULL element, empty model) gets the seed cid -1. Runs as the
+    * fused [[graft.functions.VectorExpressions.NearestCosineCell]]
+    * primitive loop: the HOF spelling (`aggregate(model, seed,
+    * (acc, ce) -> if cosine > acc.score …)`) is CodegenFallback and
+    * its interpreted 16-cell × 64-dim fold per row dominated every
+    * Lloyd iteration of [[kmeansFit]] (equivalence incl. tie/NULL/
+    * zero-norm edges spec-pinned in FunctionsSpec).
     */
-  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column = {
+  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column =
+    coalesce(
+      graft.functions.VectorExpressions.nearest_cosine_cell(
+        vec, centroidLit(cents)),
+      lit(-1))
+
+  /** The HOF rendition of [[nearestCentroid]] — kept as the executable
+    * semantics reference the codegen expression is pinned against.
+    */
+  private[graft] def nearestCentroidHof(vec: Column,
+                                        cents: Seq[Array[Double]]): Column = {
     // both `when` branches are cast to one explicit struct type: inside a
     // lambda, struct(...as("score")) loses the alias (field name col2) and
     // nullability differs from the literal seed, which fails analysis with

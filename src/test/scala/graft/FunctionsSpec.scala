@@ -112,6 +112,38 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1)._2 == 1)
   }
 
+  test("nearest_cosine_cell equals the HOF fold: ties, zero-norm cells, NULL/seed edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Similarity
+    val cents: Seq[Array[Double]] = Seq(
+      Array(1.0, 0.0, 0.0),
+      Array(1.0, 0.0, 0.0),   // duplicate centroid: strict > keeps cell 0
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0))   // zero norm: cosine undefined, cell skipped
+    val vecs = Seq(
+      (1, Seq(Some(1f), Some(0f), Some(0f))),     // tie between cells 0/1
+      (2, Seq(Some(0f), Some(2f), Some(0.1f))),   // cell 2
+      (3, Seq(Some(-1f), Some(0f), Some(0f))),    // anti-aligned, still cell 2? no — argmax over {-1,-1,0,skip} = 0 at cell 2
+      (4, Seq(Some(1f), None, Some(0f))),         // NULL element → seed -1
+      (5, Seq(Some(0f), Some(0f), Some(0f))))     // zero vector → seed -1
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    def run(c: org.apache.spark.sql.Column) = vecs
+      .select(col("id"), c.as("cid")).orderBy(col("id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val fused = run(Similarity.nearestCentroid(col("v"), cents))
+    val hof = run(Similarity.nearestCentroidHof(col("v"), cents))
+    assert(fused === hof,
+      s"fused expression diverged from the HOF fold: $fused vs $hof")
+    assert(fused(0)._2 === 0, "exact tie must keep the earlier cell")
+    assert(fused(3)._2 === -1 && fused(4)._2 === -1,
+      "unscorable vectors take the seed cid -1")
+    // empty model → seed -1 on every row, matching the HOF
+    assert(run(Similarity.nearestCentroid(col("v"), Seq.empty)) ===
+      run(Similarity.nearestCentroidHof(col("v"), Seq.empty)))
+  }
+
   test("nearest_centroid_micros NULL semantics: null vector, empty model, dim mismatch") {
     import org.apache.spark.sql.functions._
     val modelType = "array<struct<lab:int,cm:array<bigint>>>"
