@@ -496,10 +496,13 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       // fit on a deterministic sample, as the kmeansFit scaladoc
       // prescribes at scale: the model only needs the cell geometry,
-      // and each Lloyd iteration is a full job — 3 iterations over the
-      // 2048 lowest ids land the same cells as 5 over the corpus
-      // (recall margin pinned in RecallPinSpec)
-      val cents = Similarity.kmeansFit(
+      // and 3 iterations over the 2048 lowest ids land the same cells
+      // as 5 over the corpus. The fit runs DRIVER-SIDE on the bounded
+      // sample (one collect, then a local Lloyd loop): the distributed
+      // fit re-planned, re-codegen'd and re-shuffled per iteration —
+      // ~3 s of the query's 4.15 s at sf0.1 — for a model whose input
+      // is 2048 rows by construction at every scale.
+      val cents = Similarity.kmeansFitLocal(
         emb.orderBy(col("vec_id")).limit(2048), "vec_id", "embedding",
         k = 16, iters = 3)
       emb.withColumn("cell",

@@ -408,6 +408,71 @@ object Similarity {
     cents
   }
 
+  /** Driver-side twin of [[kmeansFit]] for BOUNDED samples: one
+    * collect of the (already limited) sample, then Lloyd's runs as a
+    * local loop. The distributed fit pays per iteration one fresh
+    * plan+codegen (the centroid literal changes every round) plus two
+    * shuffles and a collect — ~1 s of fixed overhead per iteration at
+    * any scale factor, which dominates when the sample is a few
+    * thousand rows. Same geometry as [[kmeansFit]]: seeds are the k
+    * lowest-id vectors normalized, assignment is first-wins
+    * strictly-greater cosine (the [[nearestCentroid]] contract, NaN
+    * scores never win), per-dim member means are renormalized each
+    * round, an emptied cluster keeps its previous centroid, NULL
+    * vectors contribute nothing (the distributed means' posexplode
+    * drops them). Caller contract: `sample` must be driver-bounded
+    * (e.g. `df.orderBy(id).limit(n)`) — this is a model fit, the same
+    * bounded-collect class as [[kmeansFit]]'s own seed/centroid
+    * collects.
+    */
+  def kmeansFitLocal(sample: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5): Seq[Array[Double]] = {
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val vecs: Array[Array[Double]] = sample
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cents: Seq[Array[Double]] = vecs.take(k).map(norm).toSeq
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.size)(null: Array[Double])
+      val counts = new Array[Long](cents.size)
+      vecs.foreach { v =>
+        var vn = 0.0
+        var i = 0
+        while (i < v.length) { vn += v(i) * v(i); i += 1 }
+        val vNorm = math.sqrt(vn)
+        var best = -2.0
+        var cid = -1
+        var c = 0
+        while (c < cents.size) {
+          val cv = cents(c)
+          if (cv.length == v.length) {
+            var d = 0.0; var cn = 0.0; i = 0
+            while (i < v.length) { d += v(i) * cv(i); cn += cv(i) * cv(i); i += 1 }
+            val s = d / (vNorm * math.sqrt(cn))
+            if (s > best) { best = s; cid = c } // NaN (zero norm) never wins
+          }
+          c += 1
+        }
+        if (cid >= 0) {
+          if (sums(cid) == null) sums(cid) = new Array[Double](v.length)
+          i = 0
+          while (i < v.length) { sums(cid)(i) += v(i); i += 1 }
+          counts(cid) += 1
+        }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else norm(sums(c).map(_ / counts(c)))
+      }
+    }
+    cents
+  }
+
   /** IVF over k-means cells: fit K spherical centroids, assign every
     * candidate map-side, rank cells per probe against the literal model
     * (also map-side: score array → sort → top nProbe), exact-search only
@@ -468,16 +533,27 @@ object Similarity {
     */
   def recallAtK(ann: DataFrame, exact: DataFrame, k: Int,
                 minMeanRecall: Double): DataFrame = {
-    val hits = exact.select(col("probe_id"), col("neighbor_id"))
-      .join(ann.select(col("probe_id"), col("neighbor_id")),
-        Seq("probe_id", "neighbor_id"), "left_semi")
-      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
-    exact.select(col("probe_id")).distinct()
-      .join(hits, Seq("probe_id"), "left")
+    // Single pass over the exact side: the previous rendition embedded
+    // the `exact` subtree TWICE in one plan (a semi-join for hits plus
+    // a distinct for the probe denominator), so the expensive exact
+    // brute-force top-k re-ran inside every recall check. One left
+    // join against the (tiny, O(probes·k)) broadcast ANN pair set plus
+    // one aggregate computes both: a distinct-probe count for the
+    // denominator and a hit sum for the numerator. Values are
+    // identical — the distinct() on the ANN side keeps semi-join
+    // semantics even if an ANN variant ever emitted a duplicate pair,
+    // and probes the ANN missed still count zero hits (they simply
+    // never match).
+    val annPairs = broadcast(
+      ann.select(col("probe_id"), col("neighbor_id")).distinct()
+        .withColumn("__hit", lit(1L)))
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(annPairs, Seq("probe_id", "neighbor_id"), "left")
       .agg(
-        count(lit(1)).as("n_probes"),
-        (sum(coalesce(col("h"), lit(0L))).cast(DoubleType)
-          / (count(lit(1)) * k) >= minMeanRecall).as("recall_ok"))
+        count_distinct(col("probe_id")).as("n_probes"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast(DoubleType)
+          / (count_distinct(col("probe_id")) * k) >= minMeanRecall)
+          .as("recall_ok"))
   }
 
   /** IVF search: rank partitions by probe→centroid cosine, exact-search
