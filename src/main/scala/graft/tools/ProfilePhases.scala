@@ -16,11 +16,23 @@ object ProfilePhases {
     val jobCount = new java.util.concurrent.atomic.AtomicInteger
     val stageCount = new java.util.concurrent.atomic.AtomicInteger
     val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    // per-job detail (start nanos, #tasks, callsite) so a multi-job
+    // phase can be attributed job by job
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
         stageCount.addAndGet(e.stageInfos.size)
         taskCount.addAndGet(e.stageInfos.map(_.numTasks).sum)
+        val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+        jobStart.put(e.jobId,
+          (System.nanoTime(), e.stageInfos.map(_.numTasks).sum, site))
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStart.remove(e.jobId)).foreach { case (t0, nt, site) =>
+          jobLines.add(f"    [job ${e.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%6.3f s tasks=$nt%3d  $site")
+        }
       }
     })
     def time[T](name: String)(f: => T): T = {
@@ -30,6 +42,7 @@ object ProfilePhases {
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(50) // let listener drain
       println(f"[phase] $name%-32s $dt%6.2f s  jobs=${jobCount.get - j0}%2d stages=${stageCount.get - st0}%2d tasks=${taskCount.get - tk0}%3d")
+      while (!jobLines.isEmpty) println(jobLines.poll())
       r
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
