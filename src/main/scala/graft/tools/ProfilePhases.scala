@@ -156,6 +156,34 @@ object ProfilePhases {
           .agg(count(lit(1)).as("n"))))
     }
 
+    // A/B: the same delete flow on a PARQUET-format table — quantifies
+    // what the TSV default costs q_dsv2_delete's scans and rewrite
+    (1 to 2).foreach { rep =>
+      println(s"=== q_dsv2_delete PARQUET rep $rep")
+      val ord = Tables.orders(s, d)
+      time("delp: drop table")(s.sql("DROP TABLE IF EXISTS graft_dyn.delp_orders"))
+      def band(lo: Double, hi: Double) = ord
+        .filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      time("delp: create (band 1)")(
+        band(0, 100000).writeTo("graft_dyn.delp_orders")
+          .tableProperty("graft.format", "parquet")
+          .partitionedBy(col("o_orderpriority")).create())
+      time("delp: append band 2")(
+        band(100000, 200000).writeTo("graft_dyn.delp_orders").append())
+      time("delp: append band 3")(
+        band(200000, Double.MaxValue).writeTo("graft_dyn.delp_orders").append())
+      time("delp: DELETE (COW rewrite)")(
+        s.sql("""DELETE FROM graft_dyn.delp_orders
+          WHERE o_totalprice >= 150000 AND o_totalprice < 250000
+            AND o_orderstatus = 'F'"""))
+      time("delp: final agg read (noop)")(
+        noop(s.table("graft_dyn.delp_orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))))
+    }
+
     (1 to 2).foreach { rep =>
       println(s"=== q_dsv2_cluster rep $rep")
       val ord = Tables.orders(s, d)
