@@ -1974,10 +1974,13 @@ object ParityQueries {
           col("o_orderstatus"), col("o_orderpriority"))
       band(0, 100000)
         .writeTo("graft_dyn.del_orders")
-        // parquet data files: vectorized decode for the COW rewrite's
-        // two passes (matching-file subquery + kept-row rewrite) and
-        // the final scan — measured ~12% off the whole flow vs the
-        // TSV default, identical result (optimization r18)
+        // pin the parquet data-file format the COW rewrite's vectorized
+        // scans rely on. NOTE (optimization r19): the catalog has
+        // defaulted NEW tables to parquet since the r18 build wave, so
+        // this property is belt-and-braces, not a behavior change — the
+        // r18 round's claimed ±% for adding it (and the r18 verdict's
+        // suspected regression from it) were both noise between
+        // behaviorally identical builds.
         .tableProperty("graft.format", "parquet")
         .partitionedBy(col("o_orderpriority")).create()
       band(100000, 200000).writeTo("graft_dyn.del_orders").append()
@@ -2228,9 +2231,8 @@ object ParityQueries {
       band(0, 100000)
         .writeTo("graft_dyn.delm_orders")
         .tableProperty("graft.deleteMode", "mor")
-        // vectorized parquet scans with batch-grain position-delete
-        // application (see SinkParquetColumnar) — same result as the
-        // TSV default, faster decode (optimization r18)
+        // parquet pin — a no-op under the catalog's parquet default for
+        // new tables; see q_dsv2_delete's note (optimization r19)
         .tableProperty("graft.format", "parquet")
         .partitionedBy(col("o_orderpriority")).create()
       band(100000, 200000).writeTo("graft_dyn.delm_orders").append()
