@@ -51,6 +51,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // local file:// scheme: without libhadoop, Hadoop's setPermission
+      // FORKS a chmod process per created file/dir (~4-8 ms each; every
+      // sink commit creates dozens of small files — staged data, .crc
+      // sidecars, stats/bloom/version manifests). FastLocalFileSystem
+      // keeps the exact LocalFileSystem semantics with a java.nio
+      // setPermission (see its scaladoc for the measurements). On a
+      // real cluster this only affects local staging/scratch I/O;
+      // object-store schemes are untouched.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
 
   /** Harness-local session: local[cpus] (env SPARK_GRAFT_CPUS,
