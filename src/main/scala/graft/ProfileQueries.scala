@@ -43,7 +43,11 @@ object ProfileQueries {
           while (!jobLines.isEmpty) println(jobLines.poll())
           println(f"    [split] construct ${(t1 - t0) / 1e9}%6.3f  plan ${(t2 - t1) / 1e9}%6.3f  exec ${(t3 - t2) / 1e9}%6.3f")
         }
-        spark.catalog.clearCache()
+        // SPARK_GRAFT_PROFQ_KEEPCACHE mirrors the bench's discipline
+        // (cache lives across a query's reps, cleared between queries)
+        // so warm-rep attribution matches what the bench MEDIAN times
+        if (!sys.env.contains("SPARK_GRAFT_PROFQ_KEEPCACHE"))
+          spark.catalog.clearCache()
         dt
       }
       try {
@@ -55,6 +59,7 @@ object ProfileQueries {
         }
       }
       catch { case e: Throwable => println(s"[profq] ${q.name} FAILED: ${e.getMessage}") }
+      spark.catalog.clearCache() // between queries, always (bench parity)
     }
     spark.stop()
   }

@@ -122,7 +122,11 @@ object Dedup {
                         k: Int, tau: Double,
                         probePred: Column => Column,
                         maxDf: Option[Long] = None): DataFrame = {
-    val shAll = docs.select(col(idCol).as("doc_id"),
+    // tokenize+shingle+hash is the flow's CPU bulk; spread a
+    // single-split corpus across the cores before it (see Fanout)
+    val base = graft.ops.Fanout.spread(
+      docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+    val shAll = base.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("hs"))
     // the (filtered) shingle relation feeds THREE subplan edges — the
     // sizes aggregation and both sides of the self-join — and Spark
@@ -141,13 +145,34 @@ object Dedup {
     // which would re-run the explode+agg — persist the 16 bytes/doc
     // result instead (freed by the ContextCleaner once unreferenced).
     val sizes = cachedOnce(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-    val probeSh = sh.filter(probePred(col("doc_id")))
-      .select(col("doc_id").as("doc_a"), col("hs"))
-    val inter = probeSh
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("both"))
+    val inter = maxDf match {
+      case Some(_) =>
+        // CAPPED path (optimization r19, guide §2.3): the df cap bounds
+        // each admitted shingle's doc set at `cap`, so co-occurrence
+        // counts can come from GROUPED SETS instead of the hs self-join:
+        // one exchange groups sh by hs (16-byte rows, map-side partial
+        // sets), doc pairs explode from each ≤cap sorted array, and the
+        // old plan's broadcast build of the whole sh relation plus one
+        // cache-scan edge disappear. Pair cardinality is identical (the
+        // join also materialized one row per shingle-level a<b
+        // co-occurrence). UNSAFE without the cap — a boilerplate
+        // mega-shingle would collect an unbounded set into one
+        // aggregation buffer — so the uncapped arm keeps the join.
+        sh.groupBy(col("hs")).agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .filter(probePred(col("p.a")))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .agg(count(lit(1)).as("both"))
+      case None =>
+        sh.filter(probePred(col("doc_id")))
+          .select(col("doc_id").as("doc_a"), col("hs"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("both"))
+    }
     inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
@@ -240,8 +265,11 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, n: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("doc_id"),
+    // same single-split fan-out as jaccardPairsExact: the shingle+hash
+    // map is the signature build's CPU bulk
+    val exploded = graft.ops.Fanout.spread(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), k))).as("h"))
     val minCols = (0 until n).map(i => min(xxhash64(lit(i), col("h"))).as(s"__m$i"))
     exploded
@@ -293,8 +321,14 @@ object Dedup {
     // `prepared` relation AFTER candidate pairs are deduplicated, so the
     // heavy column crosses the wire once per surviving pair side, not
     // once per (band, collision).
+    // banded is read by FOUR subplan edges (capBuckets' size/join
+    // diamond + both self-join sides), and each edge re-derived it from
+    // `prepared` — four deserializations of the cached hs/sig ARRAY
+    // columns per run for a 24-byte/row relation. Cache the narrow
+    // banded rows once instead (optimization r19; measured ~0.5 s/edge
+    // of cache-scan time at sf0.1).
     val banded = capBuckets(
-      bandSignatures(prepared, bands, rowsPerBand, Seq("doc_id")),
+      cachedOnce(bandSignatures(prepared, bands, rowsPerBand, Seq("doc_id"))),
       Seq("band", "bucket"), maxBucketSize, logDroppedBuckets, "minhash")
 
     val candidates = banded

@@ -1430,14 +1430,31 @@ object DedupQueries {
   val qSourceSimilarity = Q(
     "q_source_similarity",
     (s, d) => {
-      val fex = graft.ops.Caching.cachedOnce(Tables.documents(s, d)
+      // GROUPED-SET rendition (optimization r19, guide §2.3 "shuffle
+      // keys and metadata instead of payloads"): sources are a CATALOG,
+      // not data (≤ tens at any corpus size), so each shingle's source
+      // membership fits one small array. One exchange groups the
+      // exploded (source, gram) rows by gram (collect_set dedups, with
+      // map-side partials standing in for the old distinct); source
+      // PAIRS then explode from each ≤|sources| set — the former plan's
+      // broadcast of the whole 200k-row distinct relation plus a
+      // 3-edge cache diamond (measured 3 × ~0.3 s cache-scan/broadcast
+      // jobs per warm rep) collapses into two scans of a
+      // distinct-gram-sized cache. Identical pair counts: a pair
+      // (a < b, both containing g) is emitted exactly once per gram
+      // either way.
+      val bySh = graft.ops.Caching.cachedOnce(graft.ops.Fanout.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          col("doc_id"))
         .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("g"))
-        .distinct())
-      val sz = fex.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = fex.as("a")
-        .join(fex.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("g")).agg(array_sort(collect_set(col("source"))).as("ss")))
+      val sz = bySh.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = bySh
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
         .agg(count(lit(1)).as("nboth"))
       inter
         .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")

@@ -972,7 +972,13 @@ object ParityQueries {
       // to its own source: Spark shares no subplan between self-join
       // branches, so the join spelling scans lineitem twice and
       // shuffles it once more for the join — the window is one scan
-      // and one partkey shuffle (the q_tpch_q2 lesson, plan-audited)
+      // and one partkey shuffle (the q_tpch_q2 lesson, plan-audited).
+      // RE-MEASURED in optimization r19 under the 64 MB broadcast
+      // threshold (AQE converts the unhinted join-back to broadcast at
+      // sf0.1): window 0.615 s vs join-back 0.878 s median, 7
+      // alternating same-JVM reps — the second scan + aggregate
+      // exchange + broadcast build cost more than the one fact
+      // exchange they avoid. Window stays.
       val w = Window.partitionBy(col("l_partkey"))
       li(s, d)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
