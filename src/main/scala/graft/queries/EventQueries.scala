@@ -1089,27 +1089,47 @@ object EventQueries {
         .agg(count(lit(1)).as("n_ev"))
         .where(col("n_ev") >= 15)
         .select(col("src"), col("dst"))
-      val bi = graft.ops.Caching.cachedOnce(
-        edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
-      val deg = graft.ops.Caching.cachedOnce(
-        bi.groupBy("src").agg(count(lit(1)).as("outdeg")))
+      val bi = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      // ITERATIVE TAIL ON A PARTITIONER-PINNED RDD (optimization r19 —
+      // the dedupClusters trade, measured there and re-measured here):
+      // the nested 3-iteration Catalyst plan paid per-rep analysis of a
+      // deeply-nested plan plus one AQE stage-job per exchange (~16
+      // jobs/run); pinning edge list, degree and rank vector to ONE
+      // HashPartitioner makes the per-iteration join/leftOuterJoin
+      // ZERO-shuffle, leaving exactly one reduceByKey exchange per
+      // iteration and one action at the end. Arithmetic is the same
+      // fixed-point integer recurrence (long division truncates
+      // identically on the all-positive values), so the oracle's
+      // unrolled CTEs still hash-match.
+      val sc = s.sparkContext
+      val biR = bi.rdd.map(r => (r.getString(0), r.getString(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // node count ~ catalog-sized; a handful of partitions keeps late
+      // stages dense (the CC loop's rowsPerPartition discipline)
+      val p = new org.apache.spark.HashPartitioner(
+        math.min(sc.defaultParallelism, 8))
+      val biP = biR.partitionBy(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val degR = biR.mapValues(_ => 1L).reduceByKey(p, _ + _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // bounded driver scalar: the node COUNT only. Floored at 1 so an
       // edgeless corpus (empty/sparse input) divides safely — deg is
       // empty then, so every downstream relation is empty regardless.
-      val n = math.max(deg.count(), 1L)
+      val n = math.max(degR.count(), 1L)
       val base = (15L * unit) / (100L * n)
-      var ranks = deg.withColumn("r", lit(unit / n))
+      var ranksR = degR.mapValues(dg => (dg, unit / n)) // (outdeg, r)
       for (_ <- 1 to iters) {
-        val contrib = bi.join(ranks, "src")
-          .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("contrib"))
-        ranks = deg.alias("g")
-          .join(contrib.alias("c"), col("g.src") === col("c.node"), "left")
-          .select(
-            col("g.src").as("src"), col("g.outdeg").as("outdeg"),
-            (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        val contrib = biP.join(ranksR)
+          .map { case (_, (dst, (dg, r))) => (dst, r / dg) }
+          .reduceByKey(p, _ + _)
+        ranksR = degR.leftOuterJoin(contrib).mapValues { case (dg, c) =>
+          (dg, base + (85L * c.getOrElse(0L)) / 100L)
+        }
       }
-      ranks.select(col("src").as("node"), col("r").as("rank_units"))
+      import s.implicits._
+      s.createDataset(ranksR.map { case (node, (_, r)) => (node, r) })
+        .toDF("node", "rank_units")
         .orderBy(col("rank_units").desc, col("node")).limit(20)
     },
     Some("""
