@@ -145,34 +145,26 @@ object Dedup {
     // which would re-run the explode+agg — persist the 16 bytes/doc
     // result instead (freed by the ContextCleaner once unreferenced).
     val sizes = cachedOnce(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-    val inter = maxDf match {
-      case Some(_) =>
-        // CAPPED path (optimization r19, guide §2.3): the df cap bounds
-        // each admitted shingle's doc set at `cap`, so co-occurrence
-        // counts can come from GROUPED SETS instead of the hs self-join:
-        // one exchange groups sh by hs (16-byte rows, map-side partial
-        // sets), doc pairs explode from each ≤cap sorted array, and the
-        // old plan's broadcast build of the whole sh relation plus one
-        // cache-scan edge disappear. Pair cardinality is identical (the
-        // join also materialized one row per shingle-level a<b
-        // co-occurrence). UNSAFE without the cap — a boilerplate
-        // mega-shingle would collect an unbounded set into one
-        // aggregation buffer — so the uncapped arm keeps the join.
-        sh.groupBy(col("hs")).agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-          .select(explode(flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + 2, size(col("ds"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-          .filter(probePred(col("p.a")))
-          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .agg(count(lit(1)).as("both"))
-      case None =>
-        sh.filter(probePred(col("doc_id")))
-          .select(col("doc_id").as("doc_a"), col("hs"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("both"))
-    }
+    // NOTE (optimization r19, measured and REJECTED): a grouped-set
+    // rendition of the pair counts — groupBy(hs) + collect_set +
+    // explode of a<b pairs, removing the self-join's broadcast — was
+    // tried here for the capped path. It held up in subset benches but
+    // collapsed inside the full sweep (q_dedup_clusters 1.30 → 12.0 s
+    // median, 48 s cold rep): the pair explosion runs through
+    // INTERPRETED higher-order-function lambdas (transform/flatten are
+    // outside whole-stage codegen), and with millions of pair rows the
+    // interpreted path is JIT-warmup- and compile-queue-bound exactly
+    // when a long-lived JVM is busiest. The codegen'd hash self-join
+    // stays. (q_source_similarity keeps the grouped-set shape — its
+    // arrays are catalog-sized and its pair rows few, and it measured
+    // FASTER in the same full sweep.)
+    val probeSh = sh.filter(probePred(col("doc_id")))
+      .select(col("doc_id").as("doc_a"), col("hs"))
+    val inter = probeSh
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs")), Seq("hs"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both"))
     inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
@@ -321,14 +313,13 @@ object Dedup {
     // `prepared` relation AFTER candidate pairs are deduplicated, so the
     // heavy column crosses the wire once per surviving pair side, not
     // once per (band, collision).
-    // banded is read by FOUR subplan edges (capBuckets' size/join
-    // diamond + both self-join sides), and each edge re-derived it from
-    // `prepared` — four deserializations of the cached hs/sig ARRAY
-    // columns per run for a 24-byte/row relation. Cache the narrow
-    // banded rows once instead (optimization r19; measured ~0.5 s/edge
-    // of cache-scan time at sf0.1).
+    // (optimization r19, tried and REVERTED: caching the banded rows —
+    // they are re-derived from `prepared` by four subplan edges — was
+    // flat in subset A/Bs and coincided with a 1.3→3.1 s full-sweep
+    // regression; the extra InMemoryRelation bought nothing the narrow
+    // recompute didn't already provide.)
     val banded = capBuckets(
-      cachedOnce(bandSignatures(prepared, bands, rowsPerBand, Seq("doc_id"))),
+      bandSignatures(prepared, bands, rowsPerBand, Seq("doc_id")),
       Seq("band", "bucket"), maxBucketSize, logDroppedBuckets, "minhash")
 
     val candidates = banded
